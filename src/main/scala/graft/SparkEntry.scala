@@ -1,13 +1,98 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Analytics
+import graft.sources.TableCatalog
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + the builder prompt.
+  *
+  * Every implemented capability from SURVEY.md §2 registers a query
+  * here; `oracleSql` carries the DuckDB-equivalent SQL the driver
+  * hash-compares against at sf0.01. Column names/aliases match on both
+  * sides (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val t = TableCatalog(spark, "/root/testdata/sf0.001")
+    Analytics.pricingSummary(t.lineitem)
+  }
+
+  private def cat(s: SparkSession, dir: String) = TableCatalog(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // —— group I: headline analytics ——
+    "q1_pricing" -> ((s, dir) => Analytics.pricingSummary(cat(s, dir).lineitem)),
+    "q3_shipping" -> ((s, dir) => {
+      val t = cat(s, dir)
+      Analytics.shippingPriority(t.customer, t.orders, t.lineitem)
+    }),
+    "q5_volume" -> ((s, dir) => {
+      val t = cat(s, dir)
+      Analytics.localVolume(t.region, t.nation, t.customer, t.supplier,
+        t.orders, t.lineitem)
+    }),
+    "q6_revenue" -> ((s, dir) => Analytics.revenueForecast(cat(s, dir).lineitem)),
+    "events_funnel" -> ((s, dir) => Analytics.eventsFunnel(cat(s, dir).events)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.09
+        |  AND l_quantity < 25""".stripMargin,
+    "events_funnel" ->
+      """SELECT user_id, purchases,
+        |  COALESCE(purchase_value, 0.0) AS purchase_value,
+        |  purchases > 0 AS converted
+        |FROM (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+        |  FROM events GROUP BY user_id
+        |) WHERE first_signup IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
+  )
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Headline analytics (SURVEY.md §2 group I): TPC-H-style anchors used
+  * to benchmark the engine's scan/agg/join paths.
+  *
+  * Numeric convention (SURVEY.md §6): money math is done in exact
+  * DECIMAL and cast to DOUBLE only at the output boundary, so results
+  * are bit-identical to the DuckDB oracle regardless of aggregation
+  * order — which also means the plan is free to use partial (map-side)
+  * aggregation at any parallelism.
+  */
+object Analytics {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** I1: pricing summary — wide aggregate over lineitem.
+    * One shuffle on the (tiny-cardinality) grouping key; partial
+    * aggregation makes the shuffle O(groups × partitions).
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (one - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(dec("l_extendedprice") * (one - dec("l_discount")) *
+            (one + dec("l_tax"))).cast("double").as("sum_charge"),
+        (sum(dec("l_quantity")).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        (sum(dec("l_extendedprice")).cast("double") / count(lit(1)))
+          .as("avg_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** I4: revenue forecast — selective filter + single scalar agg.
+    * Filter and 3-column projection push into the parquet scan.
+    */
+  def revenueForecast(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.09) &&
+        col("l_quantity") < lit(25)
+      )
+      .agg(sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("double").as("revenue"))
+
+  /** I2: shipping priority — orders⋈customer⋈lineitem, top-10 revenue.
+    * customer scales with the data (not broadcastable at 100 TB): the
+    * filtered projection shuffles on custkey, then orders⋈lineitem
+    * shuffles on orderkey (the key both sides would be bucketed by at
+    * scale). AQE may still downgrade either join to broadcast when the
+    * filtered side is small at runtime.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") * (one - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** I3: volume by nation — 6-way join. region/nation have fixed tiny
+    * cardinality → hard broadcast; customer/supplier scale with the
+    * data → shuffle joins on their keys (AQE downgrades to broadcast
+    * when a runtime side is actually small). Shuffles: lineitem⋈orders
+    * (orderkey), ⋈customer (custkey), ⋈supplier (suppkey), final tiny
+    * groupBy.
+    */
+  def localVolume(region: DataFrame, nation: DataFrame,
+                  customer: DataFrame, supplier: DataFrame,
+                  orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    val custDim = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(custDim, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
+        col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (one - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** I5: signup→purchase funnel per user, no self-join: one pass with
+    * conditional aggregation keyed by user_id.
+    */
+  def eventsFunnel(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        count(when(col("event_type") === "purchase", lit(1))).as("purchases"),
+        sum(when(col("event_type") === "purchase", dec("value")))
+          .cast("double").as("purchase_value")
+      )
+      .filter(col("first_signup").isNotNull)
+      .select(
+        col("user_id"), col("purchases"),
+        coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"),
+        (col("purchases") > 0).as("converted")
+      )
+      .orderBy(col("user_id"))
+}

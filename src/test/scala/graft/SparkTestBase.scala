@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local SparkSession for the whole test run. */
+object SparkTestBase {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+abstract class SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestBase.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  def sfDir: String = SparkTestBase.sfDir
+}
