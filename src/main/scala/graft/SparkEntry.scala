@@ -23,7 +23,10 @@ object SparkEntry {
   private def cat(s: SparkSession, dir: String) = TableCatalog(s, dir)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ graft.plans.PipelineQueries.queries
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // —— group I: headline analytics ——
     "q1_pricing" -> ((s, dir) => Analytics.pricingSummary(cat(s, dir).lineitem)),
     "q3_shipping" -> ((s, dir) => {
@@ -41,7 +44,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    baseOracle ++ graft.plans.PipelineQueries.oracleSql
+
+  private val baseOracle: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

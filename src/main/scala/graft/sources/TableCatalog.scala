@@ -16,6 +16,9 @@ final class TableCatalog(spark: SparkSession, dir: String) {
 
   /** Lazy scan of one table; no action is triggered. */
   def table(name: String): DataFrame =
+    if (name == "events") events else raw(name)
+
+  private def raw(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   def region: DataFrame = table("region")
@@ -31,7 +34,7 @@ final class TableCatalog(spark: SparkSession, dir: String) {
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events")
+    raw("events")
       .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
   }
   def documents: DataFrame = table("documents")

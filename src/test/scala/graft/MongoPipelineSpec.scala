@@ -1,0 +1,74 @@
+package graft
+
+import graft.plans.MongoPipeline
+import graft.sources.TableCatalog
+
+class MongoPipelineSpec extends SparkTestBase {
+
+  private lazy val t = TableCatalog(spark, sfDir)
+
+  test("$match filters push down into the parquet scan") {
+    val df = MongoPipeline(t.table("lineitem"),
+      """[{"$match": {"l_quantity": {"$lt": 5}}},
+         {"$project": {"l_orderkey": 1, "l_quantity": 1}}]""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5"),
+      s"expected pushed filter in:\n$plan")
+    // column pruning: scan must not read all 16 lineitem columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"expected pruned read schema in:\n$plan")
+  }
+
+  test("$sort key order follows JSON order, not alphabetical") {
+    val rows = MongoPipeline(t.table("orders"),
+      """[{"$sort": {"o_totalprice": -1, "o_orderkey": 1}}, {"$limit": 3},
+         {"$project": {"o_totalprice": 1}}]""").collect()
+    val prices = rows.map(_.getDouble(0))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("$lookup packs foreign rows as an array; unmatched keys get null") {
+    val df = MongoPipeline(t.table("nation"),
+      """[{"$match": {"n_nationkey": {"$lt": 3}}},
+         {"$lookup": {"from": "supplier", "localField": "n_nationkey",
+                      "foreignField": "s_nationkey", "as": "sups"}}]""",
+      t.table)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    // suppliers exist only for some nations at sf0.001
+    assert(rows.forall(r => r.schema.fieldNames.contains("sups")))
+  }
+
+  test("$first/$last require a preceding $sort") {
+    val ex = intercept[IllegalArgumentException] {
+      MongoPipeline(t.table("events"),
+        """[{"$group": {"_id": "$user_id", "f": {"$first": "$value"}}}]""")
+        .collect()
+    }
+    assert(ex.getMessage.contains("$sort"))
+  }
+
+  test("unsupported stage raises a clear error") {
+    val ex = intercept[IllegalArgumentException] {
+      MongoPipeline(t.table("events"), """[{"$facet": {}}]""")
+    }
+    assert(ex.getMessage.contains("unsupported stage"))
+  }
+
+  test("$unwind with includeArrayIndex matches split length") {
+    val rows = MongoPipeline(t.table("documents"),
+      """[{"$match": {"doc_id": 0}},
+         {"$set": {"words": {"$split": ["$text", " "]}}},
+         {"$unwind": {"path": "$words", "includeArrayIndex": "i"}}]""").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("i")).toSeq == (0 until rows.length).toSeq)
+  }
+
+  test("$bucket with textual default yields string ids covering all rows") {
+    val rows = MongoPipeline(t.table("orders"),
+      """[{"$bucket": {"groupBy": "$o_totalprice",
+           "boundaries": [0, 100000], "default": "other"}}]""").collect()
+    val total = rows.map(_.getAs[Long]("count")).sum
+    assert(total == t.table("orders").count())
+  }
+}
