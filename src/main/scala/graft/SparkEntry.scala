@@ -24,7 +24,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ graft.plans.PipelineQueries.queries
+    baseQueries ++ graft.plans.PipelineQueries.queries ++
+      graft.operators.CdcQueries.queries
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // —— group I: headline analytics ——
@@ -45,7 +46,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    baseOracle ++ graft.plans.PipelineQueries.oracleSql
+    baseOracle ++ graft.plans.PipelineQueries.oracleSql ++
+      graft.operators.CdcQueries.oracleSql
 
   private val baseOracle: Map[String, String] = Map(
     "q1_pricing" ->

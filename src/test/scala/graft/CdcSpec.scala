@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, GridFs, Router}
+import graft.sources.TableCatalog
+
+class CdcSpec extends SparkTestBase {
+
+  private lazy val t = TableCatalog(spark, sfDir)
+  private lazy val log = Cdc.eventsAsOpLog(t.events)
+
+  test("latestState drops keys whose final op is a delete") {
+    val lastOps = log.groupBy("id")
+      .agg(max_by(col("op"), struct(col("ts"), col("event_id"))).as("op"))
+    val deleted = lastOps.filter(col("op") === "d").count()
+    val users = log.select("id").distinct().count()
+    assert(Cdc.latestState(log).count() == users - deleted)
+  }
+
+  test("applyTo(latest(first half), second half) == latest(whole log)") {
+    // halves split on time order, so folding then applying must equal
+    // folding the full log — the consumer path is exactly resumable.
+    val n = log.agg(max("event_id")).head.getLong(0) / 2
+    val base = Cdc.latestState(log.filter(col("event_id") <= n))
+    val applied = Cdc.applyTo(base, log.filter(col("event_id") > n), "user_id")
+    val full = Cdc.latestState(log)
+    assert(applied.exceptAll(full).isEmpty && full.exceptAll(applied).isEmpty)
+  }
+
+  test("router: first matching rule wins, prefix matches, fallthrough keeps ns") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1("test.purchase"), Tuple1("test.click"), Tuple1("other.db")
+    )).toDF("ns")
+    val out = df.select(Router.topic(col("ns"), Seq(
+      Router.ProducerMap("test.purchase", "sales"),
+      Router.ProducerMap("test", "catchall")), "p").as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("p.sales", "p.catchall", "p.other.db"))
+  }
+
+  test("gridfs chunks reassemble to the original text") {
+    val doc = t.documents.filter(col("doc_id") === 1)
+    val reassembled = GridFs.chunks(doc, "doc_id", "text")
+      .orderBy("n").agg(concat_ws("", collect_list("data"))).head.getString(0)
+    val original = doc.head.getAs[String]("text")
+    assert(reassembled == original)
+  }
+
+  test("classify marks exactly the delete ops as deletes") {
+    val byAction = Cdc.classify(log).groupBy("action").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val deletes = log.filter(col("op") === "d").count()
+    assert(byAction("delete") == deletes)
+    assert(byAction("upsert") == log.count() - deletes)
+  }
+}
