@@ -25,7 +25,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ graft.plans.PipelineQueries.queries ++
-      graft.operators.CdcQueries.queries
+      graft.operators.CdcQueries.queries ++
+      graft.functions.EncodingQueries.queries
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // —— group I: headline analytics ——
@@ -47,7 +48,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     baseOracle ++ graft.plans.PipelineQueries.oracleSql ++
-      graft.operators.CdcQueries.oracleSql
+      graft.operators.CdcQueries.oracleSql ++
+      graft.functions.EncodingQueries.oracleSql
 
   private val baseOracle: Map[String, String] = Map(
     "q1_pricing" ->

@@ -34,8 +34,11 @@ final class TableCatalog(spark: SparkSession, dir: String) {
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, not `/`: nanosecond epochs exceed double's 2^53
+    // mantissa, so float division corrupts the low microseconds
     raw("events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(org.apache.spark.sql.functions
+        .expr("ts div 1000")))
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
