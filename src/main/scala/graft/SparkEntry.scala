@@ -26,7 +26,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ graft.plans.PipelineQueries.queries ++
       graft.operators.CdcQueries.queries ++
-      graft.functions.EncodingQueries.queries
+      graft.functions.EncodingQueries.queries ++
+      graft.operators.LlmQueries.queries
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // —— group I: headline analytics ——
@@ -49,7 +50,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     baseOracle ++ graft.plans.PipelineQueries.oracleSql ++
       graft.operators.CdcQueries.oracleSql ++
-      graft.functions.EncodingQueries.oracleSql
+      graft.functions.EncodingQueries.oracleSql ++
+      graft.operators.LlmQueries.oracleSql
 
   private val baseOracle: Map[String, String] = Map(
     "q1_pricing" ->

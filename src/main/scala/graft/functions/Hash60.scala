@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic 60-bit hash shared with the DuckDB oracle:
+  * `conv(substr(md5(utf8(x)),1,15),16,10)` here ≡
+  * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` there (SURVEY.md §6).
+  * 15 hex chars keep the value < 2^60, so affine re-hashing
+  * (a*h+b) mod p stays inside int64 with p < 2^31.
+  */
+object Hash60 {
+
+  val Prime: Long = 2147483647L // 2^31 - 1
+
+  def hash60(c: Column): Column =
+    conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 15), 16, 10).cast("long")
+
+  /** i-th affine permutation of a 60-bit hash, in [0, Prime). */
+  def perm(h: Column, i: Int): Column =
+    (((h % Prime) * (1L + 7L * i) + (13L + 11L * i)) % Prime)
+
+  /** Tokens of a document: lower, trim, split on whitespace runs. */
+  def tokens(text: Column): Column = split(trim(lower(text)), " +")
+
+  /** Distinct word n-gram shingles of a token-array column (by name —
+    * the lambda needs a parseable SQL reference).
+    */
+  def shingles(toksCol: String, n: Int): Column =
+    if (n == 1) array_distinct(col(toksCol))
+    else array_distinct(expr(
+      // guard: sequence(0, negative) would count DOWN, not be empty
+      s"CASE WHEN size($toksCol) >= $n THEN " +
+      s"transform(sequence(0, size($toksCol) - $n), " +
+      s"i -> array_join(slice($toksCol, i + 1, $n), ' ')) " +
+      s"ELSE array() END"))
+}

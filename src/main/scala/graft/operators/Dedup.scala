@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hash60._
+
+/** Deduplication family (SURVEY.md §2 group F) — every near-dup path
+  * goes through an inverted index / banding step, never an all-pairs
+  * join, so the shuffles stay proportional to postings, not n².
+  */
+object Dedup {
+
+  /** F1: exact dedup on normalized text — one hash shuffle, min-id
+    * survivor per group.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(lower(trim(col(textCol))).as("norm"))
+      .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_copies"))
+      .select(col("survivor"), col("n_copies"))
+
+  /** F2: canonical-fingerprint dedup: md5 over the sorted distinct
+    * token set, so word-order permutations collapse to one group.
+    * Same single-shuffle shape as exact dedup.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("toks", tokens(col(textCol)))
+      .groupBy(md5(to_binary(array_join(array_sort(array_distinct(col("toks"))), " "),
+        lit("utf-8"))).as("fp"))
+      .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_copies"))
+      .select(col("fp"), col("survivor"), col("n_copies"))
+
+  /** (id, shingle) postings with per-doc shingle-set size. */
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    docs
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("sh", shingles("toks", n))
+      .select(col(idCol).as("id"), col("sh"), size(col("sh")).as("sz"))
+      .filter(col("sz") > 0)
+      .select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+
+  /** F3: n-gram Jaccard near-dup pairs with *exact* prefix filtering
+    * (AllPairs/PPJoin): shingles get a global rarity order (document
+    * frequency asc, shingle asc); a pair with J ≥ τ must share one of
+    * each doc's first `⌊sz - τ·sz⌋ + 1` shingles in that order, so
+    * joining only on those prefixes is lossless while candidates stay
+    * bounded by rare-shingle postings. Verification recomputes the
+    * full intersection for candidates only. Shuffles: df-count,
+    * prefix rank (window by id), candidate join, verify join — all
+    * keyed on near-uniform shingle/id keys.
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 2, tau: Double = 0.8): DataFrame = {
+    val post = postings(docs, idCol, textCol, n).cache()
+    val df = post.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = post.join(df, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+    val prefix = ranked.filter(col("rk") <= floor(col("sz") - lit(tau) * col("sz")) + 1)
+      .select(col("id"), col("sz"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("a.sz").as("sza"),
+        col("b.id").as("b"), col("b.sz").as("szb"))
+      .distinct()
+    val inter = cand
+      .join(post.select(col("id"), col("shingle")).as("sa"), col("sa.id") === col("a"))
+      .join(post.select(col("id"), col("shingle")).as("sb"),
+        col("sb.id") === col("b") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("sza") + col("szb") - col("i")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** F4: MinHash + banded LSH candidates: k affine permutations of the
+    * 60-bit shingle hash, signatures banded r-per-band; docs sharing
+    * any band key are candidates. One shuffle to build signatures
+    * (k mins via partial agg), one band-key join. Band keys are
+    * near-uniform by construction — no skew hot-spot.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2, k: Int = 16, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    val post = postings(docs, idCol, textCol, n)
+      .withColumn("h", hash60(col("shingle")))
+    val sigs = post.groupBy(col("id"))
+      .agg(min(perm(col("h"), 0)).as("h0"),
+        (1 until k).map(i => min(perm(col("h"), i)).as(s"h$i")): _*)
+    val bandKeys = sigs.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until r).map(j => col(s"h${b * r + j}")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bandKeys.as("x").join(bandKeys.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /** F5: 60-bit SimHash per document: per-token 60-bit hash, each bit
+    * votes ±1 weighted by token frequency; bit j of the signature is
+    * set when the vote is positive. Compiled as 60 conditional-sum
+    * aggregates — one shuffle, fully codegen'd, no explode-by-bit.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .withColumn("tok", explode(tokens(col(textCol))))
+      .select(col(idCol).as("id"), hash60(col("tok")).as("h"))
+    val weights = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"w$j")
+    }
+    val sig = (0 until 60).map { j =>
+      when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    toks.groupBy(col("id"))
+      .agg(weights.head, weights.tail: _*)
+      .select(col("id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash signatures (bit_count of
+    * xor — codegen'd intrinsic, used by the near-dup pair spec).
+    */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    bit_count(a.bitwiseXOR(b))
+}

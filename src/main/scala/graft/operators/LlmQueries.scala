@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableCatalog
+
+/** SURVEY.md §2 groups F/G/H: dedup, similarity, text analysis,
+  * multimodal — registered queries + DuckDB oracles. Hash-based
+  * oracles replicate the engine's exact md5-60bit scheme (SURVEY §6);
+  * the longer SQL (minhash, simhash) is generated programmatically to
+  * mirror the Scala constants.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String) = TableCatalog(s, dir).documents
+  private def emb(s: SparkSession, dir: String) = TableCatalog(s, dir).embeddings
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
+    "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprint(docs(s, dir), "doc_id", "text")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", n = 2, tau = 0.8)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidates(docs(s, dir), "doc_id", "text", n = 2, k = 16, bands = 4)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
+    "dedup_embed_cosine" -> ((s, dir) =>
+      Similarity.nearDupPairs(s, emb(s, dir), tau = 0.4)),
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(s, e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+    "sim_topk_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(s, e, e.filter(col("vec_id") < 10), k = 3, planes = 8)
+    }),
+    "embed_norms" -> ((s, dir) => Similarity.norms(emb(s, dir))),
+    "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
+    "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
+    "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
+    "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(docs(s, dir), "doc_id", "text")),
+    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir), "doc_id", "text")),
+  )
+
+  // ——— shared oracle fragments ———
+
+  private val toksCte =
+    "SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks FROM documents"
+
+  /** bigram shingle postings: (doc_id, sz, shingle) */
+  private val shingleCtes =
+    s"""t AS ($toksCte),
+       |sh0 AS (SELECT doc_id,
+       |  list_distinct([toks[i] || ' ' || toks[i+1]
+       |                 for i in generate_series(1, len(toks)-1)]) AS sharr
+       |  FROM t),
+       |sh AS (SELECT doc_id, len(sharr) AS sz, unnest(sharr) AS shingle
+       |       FROM sh0 WHERE len(sharr) > 0)""".stripMargin
+
+  private val hash60Sql = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+
+  private def minhashSigSql: String = {
+    val mins = (0 until 16).map { i =>
+      s"MIN((hm * ${1 + 7 * i} + ${13 + 11 * i}) % 2147483647) AS h$i"
+    }.mkString(",\n    ")
+    s"""h AS (SELECT doc_id, $hash60Sql % 2147483647 AS hm FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bandKeysSql: String =
+    (0 until 4).map { b =>
+      val key = (0 until 4).map(j => s"CAST(h${b * 4 + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\nUNION ALL\n")
+
+  private def simhashSql: String = {
+    val ws = (0 until 60).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS w$j")
+      .mkString(",\n    ")
+    val bits = (0 until 60).map(j =>
+      s"CASE WHEN w$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
+      .mkString(" +\n    ")
+    s"""WITH t AS ($toksCte),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+       |w AS (SELECT doc_id, $ws FROM h GROUP BY doc_id)
+       |SELECT doc_id AS id, $bits AS simhash FROM w""".stripMargin
+  }
+
+  private val cosSql =
+    "list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+
+  private val stopIn = "x -> x IN ('the', 'a', 'of', 'is')"
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS survivor, COUNT(*) AS n_copies
+        |FROM documents GROUP BY lower(trim(text))""".stripMargin,
+    "dedup_fingerprint" ->
+      s"""WITH t AS ($toksCte)
+         |SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+         |  min(doc_id) AS survivor, COUNT(*) AS n_copies
+         |FROM t GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCtes,
+         |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+         |rk AS (SELECT s.doc_id, s.sz, s.shingle,
+         |         row_number() OVER (PARTITION BY s.doc_id
+         |                            ORDER BY d.df, s.shingle) AS rk
+         |       FROM sh s JOIN df d USING (shingle)),
+         |pref AS (SELECT * FROM rk WHERE rk <= floor(sz - 0.8 * sz) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, a.sz AS sza,
+         |                b.doc_id AS b, b.sz AS szb
+         |         FROM pref a JOIN pref b
+         |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.a, c.b, c.sza, c.szb, COUNT(*) AS i
+         |          FROM cand c
+         |          JOIN sh sa ON sa.doc_id = c.a
+         |          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+         |          GROUP BY 1, 2, 3, 4)
+         |SELECT a, b,
+         |  round(CAST(i AS DOUBLE) / (sza + szb - i), 6) AS jaccard
+         |FROM inter
+         |WHERE round(CAST(i AS DOUBLE) / (sza + szb - i), 6) >= 0.8""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCtes,
+         |$minhashSigSql,
+         |bandkeys AS (
+         |$bandKeysSql)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bandkeys x JOIN bandkeys y
+         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin,
+    "dedup_simhash" -> simhashSql,
+    "dedup_embed_cosine" ->
+      s"""SELECT label, a, b, cos_r FROM (
+         |  SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+         |    round(${cosSql.format("a.embedding", "b.embedding")}, 4) AS cos_r
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cos_r >= 0.4""".stripMargin,
+    "sim_topk_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q.query_id, e.vec_id,
+         |    round(${cosSql.format("q.q_emb", "e.embedding")}, 4) AS cos_r
+         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_r DESC, vec_id) AS rank FROM scored)
+         |SELECT query_id, vec_id AS neighbor_id, cos_r,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin,
+    "sim_topk_lsh" ->
+      s"""WITH dots AS (SELECT vec_id, p,
+         |    SUM(CAST(embedding[d + 1] AS DOUBLE) *
+         |        (CAST(((1 + p * 64 + d) * 2654435761) % 1000003 AS DOUBLE)
+         |           / 1000003.0 - 0.5)) AS w
+         |  FROM embeddings, generate_series(0, 7) t(p), generate_series(0, 63) u(d)
+         |  GROUP BY 1, 2),
+         |sig AS (SELECT vec_id,
+         |    SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+         |  FROM dots GROUP BY 1),
+         |cand AS (SELECT sq.vec_id AS query_id, se.vec_id AS neighbor_id
+         |  FROM sig sq JOIN sig se
+         |    ON sq.bucket = se.bucket AND sq.vec_id < 10 AND se.vec_id <> sq.vec_id),
+         |scored AS (SELECT c.query_id, c.neighbor_id,
+         |    round(${cosSql.format("eq.embedding", "en.embedding")}, 4) AS cos_r
+         |  FROM cand c
+         |  JOIN embeddings eq ON eq.vec_id = c.query_id
+         |  JOIN embeddings en ON en.vec_id = c.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_r DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cos_r, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 3""".stripMargin,
+    "embed_norms" ->
+      """SELECT vec_id, dim, round(sqrt(ss), 4) AS norm
+        |FROM (SELECT e.vec_id, len(e.embedding) AS dim,
+        |        SUM(CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)) AS ss
+        |      FROM embeddings e, generate_series(1, 64) t(d)
+        |      GROUP BY e.vec_id, len(e.embedding))""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS ($toksCte),
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, $stopIn)) AS DOUBLE) / len(toks) AS en_score,
+         |  CAST(len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'y'))) AS DOUBLE) / len(toks) AS es_score,
+         |  CAST(len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'de'))) AS DOUBLE) / len(toks) AS fr_score,
+         |  CAST(len(list_filter(toks, x -> x IN ('der', 'die', 'und', 'das'))) AS DOUBLE) / len(toks) AS de_score
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN en_score >= es_score AND en_score >= fr_score AND en_score >= de_score THEN 'en'
+         |       WHEN es_score >= fr_score AND es_score >= de_score THEN 'es'
+         |       WHEN fr_score >= de_score THEN 'fr' ELSE 'de' END AS predicted,
+         |  en_score, es_score
+         |FROM s""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    string_split_regex(trim(lower(text)), ' +') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS nw,
+         |    CAST(len(list_filter(toks, $stopIn)) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS alpha_raw
+         |  FROM t)
+         |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, stop_ratio,
+         |  round(alpha_raw, 6) AS alpha_ratio,
+         |  round(least(nw / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + alpha_raw * 0.2, 6)
+         |    AS quality
+         |FROM s""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), ' +')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
+        |  (length(text) + 3) // 4 AS bpe_est
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH t AS ($toksCte)
+         |SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |FROM t""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS bytes,
+        |  md5(text) AS content_md5,
+        |  (octet_length(encode(text)) + 255) // 256 AS n_chunks,
+        |  'text/plain' AS mime
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(i // 4 AS INTEGER) AS frame_idx,
+        |  md5(substr(text, CAST(i AS INTEGER) * 256 + 1, 256)) AS frame_md5
+        |FROM documents, generate_series(0, 1000) t(i)
+        |WHERE i <= CAST(floor((length(text) - 1) / 256.0) AS INTEGER) AND i % 4 = 0""".stripMargin,
+  )
+}

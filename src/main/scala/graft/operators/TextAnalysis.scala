@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hash60.tokens
+
+/** Text analysis for training-data pipelines (SURVEY.md §2 group H).
+  * All formulas use only rational arithmetic and comparisons — no
+  * transcendentals — so results are bit-identical to the DuckDB
+  * oracle regardless of libm. Every operator is a narrow projection:
+  * zero shuffles, full codegen, scales linearly with input splits.
+  */
+object TextAnalysis {
+
+  private val profiles = Seq(
+    "en" -> Seq("the", "a", "of", "is"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "la", "et", "de"),
+    "de" -> Seq("der", "die", "und", "das"))
+
+  /** H1: stopword-profile language id: score(lang) = fraction of
+    * tokens in that language's profile; argmax with fixed tie order.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.withColumn("toks", tokens(col(textCol)))
+      .withColumn("n", size(col("toks")).cast("double"))
+    val scored = profiles.foldLeft(base) { case (df, (lang, words)) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"${lang}_score",
+        size(expr(s"filter(toks, t -> t IN ($inList))")) / col("n"))
+    }
+    val Seq(en, es, fr, de) = profiles.map(p => col(s"${p._1}_score"))
+    scored.select(col(idCol),
+      when(en >= es && en >= fr && en >= de, "en")
+        .when(es >= fr && es >= de, "es")
+        .when(fr >= de, "fr").otherwise("de").as("predicted"),
+      en.as("en_score"), es.as("es_score"))
+  }
+
+  /** H2: composite quality score from length, stopword ratio and
+    * alphabetic ratio (rational arithmetic only).
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nw = size(tokens(col(textCol))).cast("double")
+    val stopRatio = size(expr(
+      s"filter(split(trim(lower($textCol)), ' +'), t -> t IN ('the', 'a', 'of', 'is'))"))
+      .cast("double") / nw
+    val alphaRatio =
+      (length(regexp_replace(lower(col(textCol)), "[^a-z]", "")).cast("double") /
+        length(col(textCol)))
+    docs.select(col(idCol),
+      nw.cast("long").as("n_words"),
+      stopRatio.as("stop_ratio"),
+      round(alphaRatio, 6).as("alpha_ratio"),
+      round(least(nw / 100.0, lit(1.0)) * 0.5 + stopRatio * 0.3 +
+        alphaRatio * 0.2, 6).as("quality"))
+  }
+
+  /** H3: token counting — whitespace tokens, regex word tokens, and a
+    * BPE-style `ceil(chars/4)` estimate (integer arithmetic).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(tokens(col(textCol))).as("ws_tokens"),
+      regexp_count(col(textCol), lit("[a-z]+")).as("re_tokens"),
+      expr(s"(length($textCol) + 3) div 4").as("bpe_est"))
+
+  /** H4: canonical document fingerprint: md5 of the sorted distinct
+    * token set (word-order and duplication invariant).
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      md5(to_binary(
+        array_join(array_sort(array_distinct(tokens(col(textCol)))), " "),
+        lit("utf-8"))).as("fp"))
+}

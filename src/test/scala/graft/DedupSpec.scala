@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.TableCatalog
+
+class DedupSpec extends SparkTestBase {
+
+  private lazy val docs = TableCatalog(spark, sfDir).documents
+
+  test("fingerprint dedup collapses word-order permutations") {
+    val groups = Dedup.fingerprint(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1)
+    assert(groups.count() > 0, "expected permuted duplicate groups in testdata")
+  }
+
+  test("ngram jaccard pairs are symmetric-free (a < b) and above threshold") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, tau = 0.8).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+    }
+  }
+
+  test("minhash candidates cover every true high-jaccard pair (LSH recall)") {
+    val truth = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, tau = 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 bands × 4 rows: P(candidate | J=0.9) = 1-(1-0.9^4)^4 ≈ 0.98 per
+    // pair; testdata's near-dup pairs are few, demand full coverage
+    assert(truth.subsetOf(cand),
+      s"missed pairs: ${truth.diff(cand).take(5)}")
+  }
+
+  test("simhash of near-dup docs has small hamming distance; random pairs large") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+    val near = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, tau = 0.9)
+      .select("a", "b")
+    val joined = near
+      .join(sig.withColumnRenamed("id", "a").withColumnRenamed("simhash", "sa"), "a")
+      .join(sig.withColumnRenamed("id", "b").withColumnRenamed("simhash", "sb"), "b")
+      .select(Dedup.hamming(col("sa"), col("sb")).as("d")).collect()
+    joined.foreach(r => assert(r.getAs[Int]("d") <= 12,
+      s"near-dup pair with hamming ${r.getAs[Int]("d")}"))
+  }
+
+  test("language id scores are consistent ratios in [0,1]") {
+    val rows = TextAnalysis.langId(docs, "doc_id", "text").collect()
+    rows.foreach { r =>
+      val en = r.getAs[Double]("en_score")
+      assert(en >= 0.0 && en <= 1.0)
+    }
+  }
+
+  test("quality score stays in [0,1] and rewards longer docs") {
+    val rows = TextAnalysis.quality(docs, "doc_id", "text").collect()
+    rows.foreach(r => assert(r.getAs[Double]("quality") >= 0.0 &&
+      r.getAs[Double]("quality") <= 1.0))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity
+import graft.operators.{Multimodal, Similarity}
+import graft.sources.TableCatalog
+
+class SimilaritySpec extends SparkTestBase {
+
+  private lazy val emb = TableCatalog(spark, sfDir).embeddings
+
+  test("native cosine expression runs inside whole-stage codegen") {
+    CosineSimilarity.register(spark)
+    val df = emb.limit(10).select(expr("cosine_sim(embedding, embedding)").as("c"))
+    // codegen'd stages print with a "*(n)" prefix in the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosine_sim"), s"no codegen span in:\n$plan")
+    df.collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("cosine matches a reference scala computation") {
+    CosineSimilarity.register(spark)
+    val rows = emb.filter(col("vec_id").isin(0, 1))
+      .orderBy("vec_id").collect()
+    val a = rows(0).getSeq[Float](rows(0).fieldIndex("embedding"))
+    val b = rows(1).getSeq[Float](rows(1).fieldIndex("embedding"))
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val expect = dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+      math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    val got = emb.filter(col("vec_id") === 0).select(col("embedding").as("ea"))
+      .crossJoin(emb.filter(col("vec_id") === 1).select(col("embedding").as("eb")))
+      .select(expr("cosine_sim(ea, eb)")).head.getDouble(0)
+    assert(math.abs(got - expect) < 1e-12)
+  }
+
+  test("brute-force top-k ranks are 1..k per query with descending cos") {
+    val out = Similarity.bruteForceTopK(spark, emb,
+      emb.filter(col("vec_id") < 3), k = 5).collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 3)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+      val cs = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_r"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("lsh top-k neighbors all share the query's bucket") {
+    val out = Similarity.lshTopK(spark, emb, emb.filter(col("vec_id") < 10), k = 3)
+    val sig = emb.withColumn("bucket", Similarity.planeSignature("embedding", 8))
+      .select(col("vec_id"), col("bucket"))
+    val joined = out
+      .join(sig.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("bucket", "qb"), "query_id")
+      .join(sig.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("bucket", "nb"), "neighbor_id")
+    assert(joined.filter(col("qb") =!= col("nb")).count() == 0)
+  }
+
+  test("multimodal decode stub: deterministic features, bytes = text length") {
+    val docs = TableCatalog(spark, sfDir).documents.limit(20)
+    val feats = Multimodal.decodeFeatures(spark, docs, "doc_id", "text").collect()
+    assert(feats.length == 20)
+    val lens = docs.select(col("doc_id").cast("long"), length(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    feats.foreach { f =>
+      assert(f.bytes == lens(f.mediaId))
+      assert(f.feature.length == 2 && f.feature(0) > 0)
+    }
+  }
+}
