@@ -27,7 +27,8 @@ object SparkEntry {
     baseQueries ++ graft.plans.PipelineQueries.queries ++
       graft.operators.CdcQueries.queries ++
       graft.functions.EncodingQueries.queries ++
-      graft.operators.LlmQueries.queries
+      graft.operators.LlmQueries.queries ++
+      graft.streaming.StreamQueries.queries
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // —— group I: headline analytics ——
@@ -51,7 +52,8 @@ object SparkEntry {
     baseOracle ++ graft.plans.PipelineQueries.oracleSql ++
       graft.operators.CdcQueries.oracleSql ++
       graft.functions.EncodingQueries.oracleSql ++
-      graft.operators.LlmQueries.oracleSql
+      graft.operators.LlmQueries.oracleSql ++
+      graft.streaming.StreamQueries.oracleSql
 
   private val baseOracle: Map[String, String] = Map(
     "q1_pricing" ->

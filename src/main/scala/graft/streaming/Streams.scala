@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stream-shaped operators (SURVEY.md §2 group E). Each has one
+  * batch-equivalent form (oracle-checked) and runs unchanged on a
+  * streaming DataFrame where Spark semantics allow; the runtime
+  * wiring (watermarks, foreachBatch upsert, checkpoint resume) lives
+  * in [[ChangeStreamJob]] and is exercised by StreamingSpec.
+  */
+object Streams {
+
+  /** E1: tumbling-window per-type throughput — the generalized form of
+    * the reference's stats loop (route81.go:787-803). Uses the same
+    * `window()` expression streaming uses, so the batch oracle checks
+    * the streaming aggregation logic. Cents-sum keeps it exact.
+    */
+  def windowStats(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("value_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("value_cents"))
+
+  /** E2: sessionization by inactivity gap: a new session starts when
+    * the gap to the previous event of the same user exceeds
+    * `gapMinutes`. One shuffle (hash by user) + in-partition sort —
+    * the batch twin of flatMapGroupsWithState sessionization.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            gapMinutes * 60L * 1000000L).cast("int"))
+      .withColumn("session_seq", sum(col("new_session")).over(byUser))
+    flagged
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  /** E3: keyed first-wins dedup — the batch twin of streaming
+    * `dropDuplicates` state: one shuffle, min_by partial agg.
+    */
+  def dedupFirst(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event"),
+        min_by(col("value"), col("event_id")).as("first_value"))
+}
