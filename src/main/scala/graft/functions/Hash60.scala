@@ -23,15 +23,17 @@ object Hash60 {
   /** Tokens of a document: lower, trim, split on whitespace runs. */
   def tokens(text: Column): Column = split(trim(lower(text)), " +")
 
-  /** Distinct word n-gram shingles of a token-array column (by name —
-    * the lambda needs a parseable SQL reference).
+  /** Distinct word n-gram shingles of a token-array column — the
+    * native [[WordShingles]] expression (codegen'd single pass).
     */
-  def shingles(toksCol: String, n: Int): Column =
-    if (n == 1) array_distinct(col(toksCol))
-    else array_distinct(expr(
-      // guard: sequence(0, negative) would count DOWN, not be empty
-      s"CASE WHEN size($toksCol) >= $n THEN " +
-      s"transform(sequence(0, size($toksCol) - $n), " +
-      s"i -> array_join(slice($toksCol, i + 1, $n), ' ')) " +
-      s"ELSE array() END"))
+  def shingles(toksCol: String, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(WordShingles(GraftBridge.expression(col(toksCol)), n))
+  }
+
+  /** Fused tokens → sorted distinct 60-bit shingle hashes (native). */
+  def shingleHashes(toksCol: String, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(col(toksCol)), n))
+  }
 }

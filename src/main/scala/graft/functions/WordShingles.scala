@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of a token array, as a native
+  * Catalyst expression with codegen (SURVEY.md §2 F3/F4 hot path).
+  *
+  * The higher-order-function formulation
+  * (`transform(sequence(...), i -> array_join(slice(...)))`) is
+  * interpreted per element — measured ~25µs/doc·shingle at sf0.1,
+  * dominating the dedup pipelines. This expression does one pass over
+  * the token array with `UTF8String.concatWs` into a LinkedHashSet
+  * (array_distinct semantics: first occurrence wins), inside
+  * whole-stage codegen.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    Any2Shingles.compute(arr, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Any2Shingles.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared eval/codegen kernel (codegen calls it as a static). */
+object Any2Shingles {
+  private val Sep = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, n: Int): GenericArrayData = {
+    val len = arr.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= len) {
+      if (n == 1) {
+        out.add(arr.getUTF8String(i))
+      } else {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out.add(UTF8String.concatWs(Sep, parts: _*))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}

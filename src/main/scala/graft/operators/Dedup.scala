@@ -54,24 +54,50 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 2, tau: Double = 0.8): DataFrame = {
-    val post = postings(docs, idCol, textCol, n).cache()
+    val base = docs
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("sh", shingles("toks", n))
+      .select(col(idCol).as("id"), col("sh"), size(col("sh")).as("sz"))
+      .filter(col("sz") > 0)
+      .cache()
+    val post = base.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
     val df = post.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = post.join(df, "shingle")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
     val prefix = ranked.filter(col("rk") <= floor(col("sz") - lit(tau) * col("sz")) + 1)
-      .select(col("id"), col("sz"), col("shingle"))
+      .select(col("id"), col("sz"), col("rk"), col("shingle"))
+    // Two exactness-preserving pruning rules inside the join:
+    //  - size ratio: J ≥ τ forces min(|A|,|B|) ≥ τ·max(|A|,|B|);
+    //  - PPJoin positional bound: overlap needed is
+    //    α = ⌈τ/(1+τ)·(|A|+|B|)⌉ and a match at prefix ranks (pa,pb)
+    //    can contribute at most min(|A|-pa, |B|-pb)+1 — a pair kept by
+    //    any match position survives, so results are unchanged.
+    val alpha = ceil(lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+        least(col("a.sz"), col("b.sz")) >=
+          lit(tau) * greatest(col("a.sz"), col("b.sz")) &&
+        (least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1) >= alpha)
       .select(col("a.id").as("a"), col("a.sz").as("sza"),
         col("b.id").as("b"), col("b.sz").as("szb"))
       .distinct()
+    // Verification: broadcast each doc's hashed shingle set and count
+    // the intersection per pair with codegen'd array_intersect — no
+    // postings re-join (which would shuffle |cand|·|A∩B| rows).
+    val hashed = docs
+      .withColumn("toks", tokens(col(textCol)))
+      .select(col(idCol).as("id"), shingleHashes("toks", n).as("hsh"))
     val inter = cand
-      .join(post.select(col("id"), col("shingle")).as("sa"), col("sa.id") === col("a"))
-      .join(post.select(col("id"), col("shingle")).as("sb"),
-        col("sb.id") === col("b") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
-      .agg(count(lit(1)).as("i"))
+      .join(broadcast(hashed.select(col("id").as("ia"), col("hsh").as("ha"))),
+        col("a") === col("ia"))
+      .join(broadcast(hashed.select(col("id").as("ib"), col("hsh").as("hb"))),
+        col("b") === col("ib"))
+      .withColumn("i", {
+        import org.apache.spark.sql.GraftBridge
+        GraftBridge.column(graft.functions.SortedIntersectCount(
+          GraftBridge.expression(col("ha")), GraftBridge.expression(col("hb"))))
+      })
     inter
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("sza") + col("szb") - col("i")), 6))

@@ -117,12 +117,17 @@ object LlmQueries {
          |cand AS (SELECT DISTINCT a.doc_id AS a, a.sz AS sza,
          |                b.doc_id AS b, b.sz AS szb
          |         FROM pref a JOIN pref b
-         |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-         |inter AS (SELECT c.a, c.b, c.sza, c.szb, COUNT(*) AS i
+         |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          AND least(a.sz, b.sz) >= 0.8 * greatest(a.sz, b.sz)),
+         |hsh AS (SELECT doc_id,
+         |          list_sort([CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+         |                     for s in sharr]) AS h
+         |        FROM sh0 WHERE len(sharr) > 0),
+         |inter AS (SELECT c.a, c.b, c.sza, c.szb,
+         |            len(list_intersect(xa.h, xb.h)) AS i
          |          FROM cand c
-         |          JOIN sh sa ON sa.doc_id = c.a
-         |          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-         |          GROUP BY 1, 2, 3, 4)
+         |          JOIN hsh xa ON xa.doc_id = c.a
+         |          JOIN hsh xb ON xb.doc_id = c.b)
          |SELECT a, b,
          |  round(CAST(i AS DOUBLE) / (sza + szb - i), 6) AS jaccard
          |FROM inter

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Dev harness: time selected queries repeatedly to separate fixed
+  * (codegen/JIT) cost from marginal cost. Not part of the driver
+  * contract. Usage: runMain graft.tools.Profile <sfDir> <reps> <name...>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- names; rep <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"PROF $name rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}
