@@ -79,6 +79,17 @@ object MongoPipeline {
         case "$replaceRoot" =>
           val newRoot = expression(spec.get("newRoot"))
           cur = cur.select(newRoot.as("__root")).select(col("__root.*"))
+        case "$facet" =>
+          // each facet = a sub-pipeline over the same input; output is
+          // one row with an array-of-struct column per facet
+          // (value-sorted for distributed determinism).
+          require(spec.properties().asScala.nonEmpty, "$facet needs at least one facet")
+          val facets = spec.properties().asScala.toSeq.map { e =>
+            val sub = apply(cur, e.getValue.toString, tables)
+            sub.agg(array_sort(collect_list(struct(sub.columns.map(col): _*))))
+              .toDF(e.getKey)
+          }
+          cur = facets.reduce(_ crossJoin _)
         case other =>
           throw new IllegalArgumentException(s"unsupported stage: $other")
       }
@@ -170,6 +181,27 @@ object MongoPipeline {
         val it = a.elements().asScala.toSeq
         split(expression(it.head), java.util.regex.Pattern.quote(it(1).asText()))
       case "$trim"     => trim(expression(a.get("input")))
+      case "$switch" =>
+        val branches = a.get("branches").elements().asScala.toSeq
+        val chain = branches.foldLeft[Option[Column]](None) { (acc, b) =>
+          val cond = expression(b.get("case"))
+          val thenV = expression(b.get("then"))
+          Some(acc match {
+            case None => when(cond, thenV)
+            case Some(c) => c.when(cond, thenV)
+          })
+        }.getOrElse(throw new IllegalArgumentException("$switch needs branches"))
+        Option(a.get("default")).filterNot(_.isNull)
+          .map(d => chain.otherwise(expression(d))).getOrElse(chain)
+      case "$dateToString" =>
+        // Mongo strftime-ish specifiers → java DateTimeFormatter pattern
+        val fmt = Option(a.get("format")).map(_.asText())
+          .getOrElse("%Y-%m-%dT%H:%M:%S.%LZ")
+        val javaFmt = fmt
+          .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+          .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+          .replace("%L", "SSS").replace("%j", "DDD")
+        date_format(expression(a.get("date")), javaFmt)
       case "$cond" =>
         val (i, t, e) =
           if (a.isArray) {

@@ -85,6 +85,23 @@ object PipelineQueries {
     "pipe_replaceroot" -> ((s, dir) => run(s, dir, "customer",
       """[{"$project": {"info": {"ck": "$c_custkey", "seg": "$c_mktsegment"}}},
          {"$replaceRoot": {"newRoot": "$info"}}]""")),
+    "pipe_switch" -> ((s, dir) => run(s, dir, "orders",
+      """[{"$project": {"o_orderkey": 1, "band": {"$switch": {
+           "branches": [
+             {"case": {"$gte": ["$o_totalprice", 300000]}, "then": "high"},
+             {"case": {"$gte": ["$o_totalprice", 100000]}, "then": "mid"}],
+           "default": "low"}}}}]""")),
+    "pipe_datetostring" -> ((s, dir) => run(s, dir, "lineitem",
+      """[{"$project": {"l_orderkey": 1, "l_linenumber": 1,
+           "ship_day": {"$dateToString": {"format": "%Y-%m-%d", "date": "$l_shipdate"}}}}]""")),
+    "skew_salted_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.TableCatalog(s, dir).events
+      graft.operators.Skew.saltedAgg(ev, "event_type", col("event_id"),
+        Seq(
+          "n" -> count(lit(1)),
+          "value_cents" -> sum(expr("CAST(round(value * 100, 0) AS BIGINT)"))))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -156,5 +173,19 @@ object PipelineQueries {
         |FROM lineitem""".stripMargin,
     "pipe_replaceroot" ->
       "SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer",
+    "pipe_switch" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice >= 300000 THEN 'high'
+        |       WHEN o_totalprice >= 100000 THEN 'mid'
+        |       ELSE 'low' END AS band
+        |FROM orders""".stripMargin,
+    "pipe_datetostring" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem""".stripMargin,
+    "skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

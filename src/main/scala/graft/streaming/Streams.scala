@@ -54,4 +54,36 @@ object Streams {
       .groupBy(col("user_id"), col("event_type"))
       .agg(min(col("event_id")).as("first_event"),
         min_by(col("value"), col("event_id")).as("first_value"))
+
+  final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
+  final case class SessionAssign(user_id: Long, event_id: Long, session_seq: Long)
+
+  /** E2 streaming form: per-key session assignment with
+    * `flatMapGroupsWithState` — session numbering survives across
+    * micro-batches via the state store (keyed by user, state =
+    * (current session, last event time)). The batch [[sessionize]]
+    * is the oracle-checked twin; StreamingSpec proves cross-batch
+    * continuity equals the batch result.
+    */
+  def assignSessionsStream(
+      events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMinutes: Int = 30): org.apache.spark.sql.Dataset[SessionAssign] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), SessionAssign](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[(Long, Long)]) =>
+          var (seq, last) = state.getOption.getOrElse((0L, Long.MinValue))
+          val out = it.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            if (last == Long.MinValue || e.ts_us - last > gapUs) seq += 1
+            last = e.ts_us
+            SessionAssign(user, e.event_id, seq)
+          }
+          state.update((seq, last))
+          out.iterator
+      }
+  }
 }

@@ -50,7 +50,7 @@ class MongoPipelineSpec extends SparkTestBase {
 
   test("unsupported stage raises a clear error") {
     val ex = intercept[IllegalArgumentException] {
-      MongoPipeline(t.table("events"), """[{"$facet": {}}]""")
+      MongoPipeline(t.table("events"), """[{"$merge": {"into": "x"}}]""")
     }
     assert(ex.getMessage.contains("unsupported stage"))
   }

@@ -127,6 +127,40 @@ class StreamingSpec extends SparkTestBase {
     assert(seen.sorted == Seq(1L, 2L, 3L), s"resume must not reprocess: $seen")
   }
 
+  test("E2: stateful sessionization numbers sessions across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.{SessionEvent, assignSessionsStream}
+    val ms = MemoryStream[SessionEvent]
+    val min = 60L * 1000000L
+    val q = assignSessionsStream(ms.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      // batch 1: two events 5 min apart (one session)
+      ms.addData(SessionEvent(1, 1, 0), SessionEvent(1, 2, 5 * min))
+      q.processAllAvailable()
+      // batch 2: 10 min later (same session), then a 2h gap (new one)
+      ms.addData(SessionEvent(1, 3, 15 * min), SessionEvent(1, 4, 135 * min))
+      q.processAllAvailable()
+      val got = spark.table("sessions").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_seq")).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
+        s"state must carry session numbering across batches: $got")
+    } finally q.stop()
+  }
+
+  test("$facet runs sub-pipelines over one input (single combined row)") {
+    val row = graft.plans.MongoPipeline(
+      TableCatalog(spark, sfDir).events,
+      """[{"$facet": {
+           "by_type": [{"$sortByCount": "$event_type"}],
+           "totals": [{"$count": "n"}]}}]""").head()
+    assert(row.schema.fieldNames.toSeq == Seq("by_type", "totals"))
+    assert(row.getSeq[Any](1).length == 1)
+    assert(row.getSeq[Any](0).length == 5) // five event types
+  }
+
   test("streaming ops equal their batch twins on the same data") {
     val events = TableCatalog(spark, sfDir).events
     val batch = graft.streaming.Streams.windowStats(events)
