@@ -14,10 +14,19 @@ import graft.sources.TableCatalog
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the full reference workflow in one plan — config-driven direct
+    * read, aggregation pipeline, producer-map routing, Extended-JSON
+    * envelope encoding.
+    */
   def entry(spark: SparkSession): DataFrame = {
-    val t = TableCatalog(spark, "/root/testdata/sf0.001")
-    Analytics.pricingSummary(t.lineitem)
+    val cfg = graft.config.EngineConfig.fromJson(
+      """{"direct-read-namespaces": ["test.customer"],
+         |"topic-name-prefix": "graft",
+         |"producer-map": [{"mongo-namespace": "test", "kafka-topic": "firehose"}],
+         |"pipeline": [{"namespace": "test.customer", "direct": true,
+         |  "stages": "[{\"$match\": {\"c_acctbal\": {\"$gt\": 0}}}]"}]}""".stripMargin)
+    GraftEngine.allDirectReads(spark, cfg, "/root/testdata/sf0.001")
   }
 
   private def cat(s: SparkSession, dir: String) = TableCatalog(s, dir)

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Multimodal, TextAnalysis}
+import graft.sources.TableCatalog
+
+/** Plan-shape audit (SURVEY.md §5/§8): the properties that make these
+  * operators survive a 100 TB cluster, asserted on the optimized
+  * plans so regressions fail loudly.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private lazy val t = TableCatalog(spark, sfDir)
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6: filter and projection reach the parquet scan") {
+    val plan = executed(Analytics.revenueForecast(t.lineitem))
+    // (plan metadata strings truncate at ~100 chars — match prefixes)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+    // only the 4 needed columns are read
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
+      plan)
+  }
+
+  test("q5: fixed-cardinality dims broadcast; fact side never broadcasts") {
+    val plan = executed(Analytics.localVolume(t.region, t.nation, t.customer,
+      t.supplier, t.orders, t.lineitem))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // lineitem (the fact) must not appear under a BroadcastExchange
+    val broadcastIdx = plan.indexOf("BroadcastExchange")
+    assert(broadcastIdx > 0)
+  }
+
+  test("narrow operators plan zero shuffles") {
+    for (df <- Seq(
+      Multimodal.binaryMeta(t.documents, "doc_id", "text"),
+      TextAnalysis.tokenCounts(t.documents, "doc_id", "text"),
+      TextAnalysis.fingerprints(t.documents, "doc_id", "text"))) {
+      val plan = executed(df)
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    }
+  }
+
+  test("bucketed tables co-locate the orderkey join: no exchange at all") {
+    // the in-memory catalog forgets tables across sessions but the
+    // warehouse files persist — clear both
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    for (d <- Seq("li_b", "ord_b")) {
+      val p = java.nio.file.Paths.get("/tmp/graft-test-warehouse", d)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    t.lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").agg(sum("l_quantity"))
+      val plan = executed(joined)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("latest-state fold is a single shuffle (partial agg, no sort)") {
+    val plan = executed(graft.operators.Cdc.latestState(
+      graft.operators.Cdc.eventsAsOpLog(t.events)))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one shuffle:\n$plan")
+    assert(!plan.contains("Window"), "must not use row_number/sort")
+  }
+}

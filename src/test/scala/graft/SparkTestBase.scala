@@ -11,6 +11,7 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"
