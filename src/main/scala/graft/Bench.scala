@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm codegen + JIT on the smallest SF (same plan shapes, cheap
+    // data) so timings below measure steady-state, not first-call
+    // compilation.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    System.gc()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -15,9 +15,10 @@ object EncodingQueries {
 
   /** The full producer message for the events op log, byte-identical
     * on both engines: meta always present, data omitted for deletes
-    * (reference README §remove-operation).
+    * (reference README §remove-operation). Public: the
+    * consumer-round-trip query feeds on it.
     */
-  private def envelope(log: DataFrame) = {
+  def envelope(log: DataFrame): DataFrame = {
     import ExtJson._
     val meta = obj(
       field("_id", numberLong(col("id"))),

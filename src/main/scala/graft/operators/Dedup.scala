@@ -54,12 +54,13 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 2, tau: Double = 0.8): DataFrame = {
+    // no cache: the native shingle expressions make recompute cheaper
+    // than cache churn across repeated invocations
     val base = docs
       .withColumn("toks", tokens(col(textCol)))
       .withColumn("sh", shingles("toks", n))
       .select(col(idCol).as("id"), col("sh"), size(col("sh")).as("sz"))
       .filter(col("sz") > 0)
-      .cache()
     val post = base.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
     val df = post.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = post.join(df, "shingle")

@@ -23,6 +23,16 @@ object StreamQueries {
       MongoPipeline(Cdc.eventsAsOpLog(TableCatalog(s, dir).events),
         """[{"$match": {"op": "i"}},
            {"$project": {"event_id": 1, "id": 1, "value": "$data.value"}}]""")),
+    // D1 end-to-end: produce real ext-JSON messages, consume them with
+    // document-root-path/delete-id-path, fold in arrival order — must
+    // equal folding the op log directly (same oracle as
+    // cdc_latest_state).
+    "consumer_from_messages" -> ((s, dir) => {
+      val log = Cdc.eventsAsOpLog(TableCatalog(s, dir).events)
+      val messages = graft.functions.EncodingQueries.envelope(log)
+        .withColumnRenamed("msg", "value")
+      MessageConsumer.fold(messages, "event_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -53,5 +63,11 @@ object StreamQueries {
     "pipe_changestream" ->
       """SELECT event_id, CAST(user_id AS VARCHAR) AS id, value
         |FROM events WHERE event_type = 'signup'""".stripMargin,
+    "consumer_from_messages" ->
+      """SELECT user_id, value, props FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
   )
 }
