@@ -83,6 +83,72 @@ object Similarity {
         """aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
           |CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)), 4).as("norm"))
 
+  /** G2b: IVF-style ANN with a trained coarse quantizer. k-means with
+    * deterministic seeding (centroids start at the first `nlist`
+    * vectors); per iteration, vectors assign to their max-cosine
+    * centroid and centroids re-center (posexplode + per-dim mean —
+    * one shuffle of n·dim rows). Model (nlist·dim floats) lives on
+    * the driver and broadcasts — the data never collects. Search
+    * probes the query's `nprobe` closest cells and reranks exactly,
+    * so cost is (n/nlist)·nprobe per query instead of n.
+    */
+  def ivfTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 8, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    withCosine(s)
+    import s.implicits._
+
+    def centDf(cents: Seq[(Int, Seq[Float])]): DataFrame =
+      broadcast(cents.toDF("cid", "cvec"))
+
+    var cents: Seq[(Int, Seq[Float])] = emb.filter(col("vec_id") < nlist)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id").toInt,
+        r.getSeq[Float](r.fieldIndex("embedding"))))
+      .toSeq
+
+    def assign(c: DataFrame): DataFrame =
+      emb.join(c, expr("true"))
+        .withColumn("cs", expr("cosine_sim(embedding, cvec)"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(centDf(cents))
+      cents = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy(col("cid"), col("d"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cid"), expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("cvec"))
+        .collect()
+        .map(r => (r.getAs[Int]("cid"), r.getSeq[Float](1)))
+        .toSeq
+    }
+
+    val cells = assign(centDf(cents)).select(col("vec_id"), col("cid"),
+      col("embedding"))
+    val probes = queries
+      .join(centDf(cents), expr("true"))
+      .withColumn("cs", expr("cosine_sim(embedding, cvec)"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cid"))
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r", expr("round(cosine_sim(q_emb, embedding), 4)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_r").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos_r"), col("rank"))
+  }
+
   /** F6: embedding near-dup pairs, blocked by label (the coarse
     * quantizer an IVF index would give): pairs only form inside a
     * label partition — one shuffle on label, never all-pairs.

