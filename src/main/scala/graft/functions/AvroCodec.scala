@@ -27,15 +27,19 @@ object AvroCodec {
     df.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(schemaJson)
       val writer = new GenericDatumWriter[GenericRecord](schema)
+      val out = new ByteArrayOutputStream()
+      var binEnc: org.apache.avro.io.BinaryEncoder = null
       rows.map { row =>
         val rec = new GenericData.Record(schema)
         fields.zipWithIndex.foreach { case (f, i) =>
           rec.put(f, if (row.isNullAt(i)) null else row.get(i))
         }
-        val out = new ByteArrayOutputStream()
+        out.reset()
         val enc =
-          if (binary) EncoderFactory.get().binaryEncoder(out, null)
-          else EncoderFactory.get().jsonEncoder(schema, out)
+          if (binary) {
+            binEnc = EncoderFactory.get().binaryEncoder(out, binEnc)
+            binEnc
+          } else EncoderFactory.get().jsonEncoder(schema, out)
         writer.write(rec, enc)
         enc.flush()
         out.toByteArray

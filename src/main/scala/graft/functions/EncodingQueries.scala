@@ -85,7 +85,9 @@ object EncodingQueries {
          |  ',"data":{"user_id":{"$$numberLong":"' || CAST(user_id AS VARCHAR) ||
          |  '"},"value":{"$$numberDouble":"' || CAST(value AS VARCHAR) ||
          |  '"},"props":"' ||
-         |  replace(replace(props, '\\', '\\\\'), '"', '\\"') || '"}}'
+         |  replace(replace(replace(replace(replace(props,
+         |    '\\', '\\\\'), '"', '\\"'),
+         |    chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t') || '"}}'
          |END AS msg
          |FROM events""".stripMargin,
     "json_encode_plain" ->

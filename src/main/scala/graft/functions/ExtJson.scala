@@ -17,9 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object ExtJson {
 
-  /** JSON string escaping (backslash first, then quote). */
-  def escape(c: Column): Column =
-    replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+  /** JSON string escaping: backslash first, then quote and the
+    * whitespace control characters — without these a newline in a
+    * field emits invalid JSON that a consumer's from_json turns into
+    * a null root (and so silently into a delete).
+    */
+  def escape(c: Column): Column = {
+    val esc = Seq("\\" -> "\\\\", "\"" -> "\\\"",
+      "\n" -> "\\n", "\r" -> "\\r", "\t" -> "\\t")
+    esc.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+  }
 
   def str(c: Column): Column = concat(lit("\""), escape(c), lit("\""))
 

@@ -154,9 +154,16 @@ object CdcQueries {
         |  md5(text) AS md5, 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS filename
         |FROM documents""".stripMargin,
     "gridfs_chunks" ->
-      """SELECT doc_id AS files_id, CAST(i AS INTEGER) AS n,
+      """WITH RECURSIVE s(i) AS (
+        |  SELECT 0
+        |  UNION ALL
+        |  SELECT i + 1 FROM s
+        |  WHERE i < (SELECT CAST(floor((max(length(text))-1)/256.0) AS INTEGER)
+        |             FROM documents))
+        |SELECT doc_id AS files_id, CAST(i AS INTEGER) AS n,
         |  substr(text, CAST(i AS INTEGER)*256 + 1, 256) AS data
-        |FROM documents, generate_series(0, 1000) t(i)
-        |WHERE i <= CAST(floor((length(text)-1)/256.0) AS INTEGER)""".stripMargin,
+        |FROM documents, s
+        |WHERE length(text) > 0
+        |  AND i <= CAST(floor((length(text)-1)/256.0) AS INTEGER)""".stripMargin,
   )
 }

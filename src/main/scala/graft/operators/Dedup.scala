@@ -114,6 +114,8 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 2, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0,
+      s"k ($k) must be divisible by bands ($bands) or trailing hashes are dead")
     val r = k / bands
     val post = postings(docs, idCol, textCol, n)
       .withColumn("h", hash60(col("shingle")))

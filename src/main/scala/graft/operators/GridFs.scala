@@ -30,6 +30,9 @@ object GridFs {
              chunkSize: Int = 256): DataFrame =
     docs
       .select(col(idCol).as("files_id"), col(contentCol).as("content"))
+      // empty content ⇒ zero chunks; without this guard
+      // sequence(0, -1) would count DOWN and emit phantom chunks
+      .filter(length(col("content")) > 0)
       .withColumn("n",
         explode(sequence(lit(0),
           floor((length(col("content")) - 1) / chunkSize).cast("int"))))

@@ -233,9 +233,16 @@ object LlmQueries {
         |  'text/plain' AS mime
         |FROM documents""".stripMargin,
     "mm_frame_sample" ->
-      """SELECT doc_id AS media_id, CAST(i // 4 AS INTEGER) AS frame_idx,
+      """WITH RECURSIVE s(i) AS (
+        |  SELECT 0
+        |  UNION ALL
+        |  SELECT i + 1 FROM s
+        |  WHERE i < (SELECT CAST(floor((max(length(text))-1)/256.0) AS INTEGER)
+        |             FROM documents))
+        |SELECT doc_id AS media_id, CAST(i // 4 AS INTEGER) AS frame_idx,
         |  md5(substr(text, CAST(i AS INTEGER) * 256 + 1, 256)) AS frame_md5
-        |FROM documents, generate_series(0, 1000) t(i)
-        |WHERE i <= CAST(floor((length(text) - 1) / 256.0) AS INTEGER) AND i % 4 = 0""".stripMargin,
+        |FROM documents, s
+        |WHERE length(text) > 0 AND i % 4 = 0
+        |  AND i <= CAST(floor((length(text) - 1) / 256.0) AS INTEGER)""".stripMargin,
   )
 }

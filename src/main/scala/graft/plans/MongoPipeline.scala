@@ -140,7 +140,12 @@ object MongoPipeline {
             throw new IllegalArgumentException(s"unsupported $$match op: $other")
         }
       }.reduce(_ && _)
-    } else c === literal(spec)
+    } else if (spec.isNull) c.isNull // Mongo {f: null} matches null/missing
+    else if (spec.isObject || spec.isArray)
+      // refuse rather than silently comparing against asText() == ""
+      throw new IllegalArgumentException(
+        s"unsupported $$match literal (object/array equality): $spec")
+    else c === literal(spec)
 
   // ——— expression language ———
 
@@ -194,14 +199,30 @@ object MongoPipeline {
         Option(a.get("default")).filterNot(_.isNull)
           .map(d => chain.otherwise(expression(d))).getOrElse(chain)
       case "$dateToString" =>
-        // Mongo strftime-ish specifiers → java DateTimeFormatter pattern
+        // Mongo strftime-ish specifiers → java DateTimeFormatter
+        // pattern; literal letters (like the T and Z in the default
+        // ISO layout) must be single-quoted or they'd be interpreted
+        // as pattern letters / zone offsets.
         val fmt = Option(a.get("format")).map(_.asText())
           .getOrElse("%Y-%m-%dT%H:%M:%S.%LZ")
-        val javaFmt = fmt
-          .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
-          .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
-          .replace("%L", "SSS").replace("%j", "DDD")
-        date_format(expression(a.get("date")), javaFmt)
+        val spec2java = Map('Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd",
+          'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'L' -> "SSS", 'j' -> "DDD")
+        val sb = new StringBuilder
+        var i = 0
+        while (i < fmt.length) {
+          val ch = fmt.charAt(i)
+          if (ch == '%' && i + 1 < fmt.length) {
+            sb.append(spec2java.getOrElse(fmt.charAt(i + 1),
+              throw new IllegalArgumentException(
+                s"unsupported $$dateToString specifier: %${fmt.charAt(i + 1)}")))
+            i += 2
+          } else {
+            if (ch.isLetter) sb.append('\'').append(ch).append('\'')
+            else sb.append(ch)
+            i += 1
+          }
+        }
+        date_format(expression(a.get("date")), sb.toString)
       case "$cond" =>
         val (i, t, e) =
           if (a.isArray) {
@@ -275,17 +296,16 @@ object MongoPipeline {
     val accums = spec.properties().asScala.toSeq.filter(_.getKey != "_id").map { e =>
       accumulator(e.getValue, lastSort).as(e.getKey)
     }
-    require(accums.nonEmpty, "$group needs at least one accumulator")
-    val grouped =
+    val keys: Seq[org.apache.spark.sql.Column] =
       if (idNode == null || idNode.isNull)
-        df.groupBy(lit(null).cast("string").as("_id"))
-      else if (idNode.isObject && !idNode.properties().asScala.exists(_.getKey.startsWith("$"))) {
+        Seq(lit(null).cast("string").as("_id"))
+      else if (idNode.isObject && !idNode.properties().asScala.exists(_.getKey.startsWith("$")))
         // composite key: one output column per sub-key, named _id_<k>
-        val keys = idNode.properties().asScala.toSeq.map(e =>
+        idNode.properties().asScala.toSeq.map(e =>
           expression(e.getValue).as(s"_id_${e.getKey}"))
-        df.groupBy(keys: _*)
-      } else df.groupBy(expression(idNode).as("_id"))
-    grouped.agg(accums.head, accums.tail: _*)
+      else Seq(expression(idNode).as("_id"))
+    if (accums.isEmpty) df.select(keys: _*).distinct() // {$group: {_id: ...}}
+    else df.groupBy(keys: _*).agg(accums.head, accums.tail: _*)
   }
 
   private def accumulator(n: JsonNode, lastSort: Seq[(String, Boolean)]): Column = {
@@ -377,8 +397,12 @@ object MongoPipeline {
       val (lo, hi) = (lohi.head, lohi(1))
       acc.when(groupExpr >= lit(lo) && groupExpr < lit(hi), idLit(lo))
     }
+    // Mongo aborts when a value falls outside the boundaries and no
+    // default exists — mirror that instead of a silent null bucket.
     val withDefault = defaultNode.map(d => bucketed.otherwise(literal(d)))
-      .getOrElse(bucketed)
+      .getOrElse(bucketed.otherwise(raise_error(concat(
+        lit("$bucket value out of range and no default: "),
+        groupExpr.cast("string")))))
     val outSpec = Option(spec.get("output"))
     val accums = outSpec match {
       case Some(o) => o.properties().asScala.toSeq.map(e =>

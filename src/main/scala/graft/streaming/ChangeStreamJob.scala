@@ -59,12 +59,16 @@ object ChangeStreamJob {
   def consumerSink(spark: SparkSession, oplogBatchToState: DataFrame => DataFrame,
                    stateView: String)(batch: DataFrame, batchId: Long): Unit = {
     val qualified = s"global_temp.$stateView"
-    val current =
-      if (spark.catalog.tableExists(qualified)) spark.table(qualified)
-      else oplogBatchToState(batch.limit(0))
+    val existing =
+      if (spark.catalog.tableExists(qualified)) Some(spark.table(qualified))
+      else None
+    val current = existing.getOrElse(oplogBatchToState(batch.limit(0)))
     val updated = Cdc.applyTo(current, batch, "user_id")
     updated.cache().count() // materialize before replacing the view
     updated.createOrReplaceGlobalTempView(stateView)
+    // drop the previous batch's cached state or storage grows with
+    // every micro-batch
+    existing.foreach(_.unpersist())
   }
 
   /** Wire a produce stream to a sink with checkpointing (resume). */

@@ -39,6 +39,30 @@ class CdcSpec extends SparkTestBase {
     assert(out == Seq("p.sales", "p.catchall", "p.other.db"))
   }
 
+  test("gridfs chunks: empty content yields zero chunks, not phantom rows") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "x" * 300)).toDF("doc_id", "text")
+    val rows = GridFs.chunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSet == Set((2L, 0), (2L, 1)))
+  }
+
+  test("ext-json escape keeps control characters as valid JSON") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("a\nb\t\"c\"\\d").toDF("s")
+      .select(graft.functions.ExtJson.str(col("s")).as("j"))
+    val j = df.head.getString(0)
+    assert(j == "\"a\\nb\\t\\\"c\\\"\\\\d\"", j)
+    // must round-trip through from_json
+    val back = df.select(from_json(concat(lit("{\"v\":"), col("j"), lit("}")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)))).getField("v"))
+      .head.getString(0)
+    assert(back == "a\nb\t\"c\"\\d")
+  }
+
   test("gridfs chunks reassemble to the original text") {
     val doc = t.documents.filter(col("doc_id") === 1)
     val reassembled = GridFs.chunks(doc, "doc_id", "text")

@@ -64,6 +64,42 @@ class MongoPipelineSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Int]("i")).toSeq == (0 until rows.length).toSeq)
   }
 
+  test("$match on null matches null fields; object/array equality refuses") {
+    val withNull = t.table("events")
+      .withColumn("maybe", org.apache.spark.sql.functions.expr(
+        "CASE WHEN event_type = 'error' THEN NULL ELSE props END"))
+    val nulls = MongoPipeline(withNull, """[{"$match": {"maybe": null}}]""").count()
+    val errors = t.table("events").filter("event_type = 'error'").count()
+    assert(nulls == errors)
+    intercept[IllegalArgumentException] {
+      MongoPipeline(t.table("events"), """[{"$match": {"props": {"k": 1}}}]""")
+    }
+  }
+
+  test("$group with only _id acts as distinct") {
+    val got = MongoPipeline(t.table("customer"),
+      """[{"$group": {"_id": "$c_mktsegment"}}]""").collect()
+    assert(got.map(_.getString(0)).sorted.toSeq ==
+      t.table("customer").select("c_mktsegment").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("$dateToString default format emits ISO with literal T and Z") {
+    val s = MongoPipeline(t.table("lineitem"),
+      """[{"$limit": 1}, {"$project": {"d": {"$dateToString": {"date": "$l_shipdate"}}}}]""")
+      .head.getString(0)
+    assert(s.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z"""), s)
+  }
+
+  test("$bucket without default errors on out-of-range values") {
+    val ex = intercept[Exception] {
+      MongoPipeline(t.table("customer"),
+        """[{"$bucket": {"groupBy": "$c_acctbal", "boundaries": [0, 100]}}]""")
+        .collect()
+    }
+    assert(ex.getMessage.contains("out of range"), ex.getMessage)
+  }
+
   test("$bucket with textual default yields string ids covering all rows") {
     val rows = MongoPipeline(t.table("orders"),
       """[{"$bucket": {"groupBy": "$o_totalprice",

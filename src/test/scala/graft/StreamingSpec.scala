@@ -161,6 +161,24 @@ class StreamingSpec extends SparkTestBase {
     assert(row.getSeq[Any](0).length == 5) // five event types
   }
 
+  test("direct reads run as a bounded file stream through the envelope producer") {
+    val batch = TableCatalog(spark, sfDir).customer
+    // the file stream source wants a directory to watch
+    val dir = Files.createTempDirectory("graft-direct").toString
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/customer.parquet"),
+      java.nio.file.Paths.get(dir, "customer.parquet"))
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val enveloped = graft.operators.Cdc.directRead(stream, "test.customer", "c_custkey")
+    val q = enveloped.writeStream.format("memory").queryName("direct_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val got = spark.table("direct_stream")
+      assert(got.count() == batch.count())
+      assert(got.head.getAs[String]("meta_op") == "")
+    } finally q.stop()
+  }
+
   test("streaming ops equal their batch twins on the same data") {
     val events = TableCatalog(spark, sfDir).events
     val batch = graft.streaming.Streams.windowStats(events)
