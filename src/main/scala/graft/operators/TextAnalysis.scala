@@ -74,4 +74,15 @@ object TextAnalysis {
       md5(to_binary(
         array_join(array_sort(array_distinct(tokens(col(textCol)))), " "),
         lit("utf-8"))).as("fp"))
+
+  /** H7: corpus vocabulary statistics — term frequency and document
+    * frequency per token (the vocabulary-building pass a tokenizer
+    * training pipeline runs). One explode + one shuffle with map-side
+    * partial counts; df via count(distinct) inside the same agg.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("id")).as("df"))
 }
