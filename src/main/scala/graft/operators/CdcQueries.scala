@@ -150,7 +150,7 @@ object CdcQueries {
         |  MAX(event_id) AS resume_event
         |FROM events""".stripMargin,
     "gridfs_files" ->
-      """SELECT doc_id AS files_id, length(text) AS length, 256 AS chunkSize,
+      """SELECT doc_id AS files_id, CAST(length(text) AS INTEGER) AS length, 256 AS chunkSize,
         |  md5(text) AS md5, 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS filename
         |FROM documents""".stripMargin,
     "gridfs_chunks" ->

@@ -42,7 +42,13 @@ object LlmQueries {
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
     "text_vocab" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text")),
     "text_tfidf" -> ((s, dir) => TextAnalysis.topTerms(docs(s, dir), "doc_id", "text")),
-    "embed_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
+    "embed_quantize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      // Serialize the int8 vector: the driver's pandas compare can't
+      // sort rows on array columns.
+      Similarity.quantizeInt8(emb(s, dir))
+        .withColumn("q", concat(lit("["), array_join(col("q"), ","), lit("]")))
+    }),
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(docs(s, dir), "doc_id", "text")),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir), "doc_id", "text")),
   )
@@ -186,7 +192,7 @@ object LlmQueries {
          |FROM r WHERE rank <= 3""".stripMargin,
     "embed_norms" ->
       """SELECT vec_id, dim, round(sqrt(ss), 4) AS norm
-        |FROM (SELECT e.vec_id, len(e.embedding) AS dim,
+        |FROM (SELECT e.vec_id, CAST(len(e.embedding) AS INTEGER) AS dim,
         |        SUM(CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)) AS ss
         |      FROM embeddings e, generate_series(1, 64) t(d)
         |      GROUP BY e.vec_id, len(e.embedding))""".stripMargin,
@@ -220,8 +226,8 @@ object LlmQueries {
          |FROM s""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
-        |  len(string_split_regex(trim(lower(text)), ' +')) AS ws_tokens,
-        |  len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
+        |  CAST(len(string_split_regex(trim(lower(text)), ' +')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS re_tokens,
         |  (length(text) + 3) // 4 AS bpe_est
         |FROM documents""".stripMargin,
     "text_fingerprint" ->
@@ -255,11 +261,12 @@ object LlmQueries {
         |  FROM embeddings e, generate_series(1, 64) t(d)
         |  GROUP BY e.vec_id)
         |SELECT e.vec_id, round(m.max_abs, 6) AS scale_r,
-        |  [CAST(round(CAST(x AS DOUBLE) * 127.0 / m.max_abs, 0) AS INTEGER)
-        |   for x in e.embedding] AS q
+        |  '[' || array_to_string(
+        |    [CAST(round(CAST(x AS DOUBLE) * 127.0 / m.max_abs, 0) AS INTEGER)
+        |     for x in e.embedding], ',') || ']' AS q
         |FROM embeddings e JOIN m ON e.vec_id = m.vec_id""".stripMargin,
     "mm_binary_meta" ->
-      """SELECT doc_id AS media_id, octet_length(encode(text)) AS bytes,
+      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INTEGER) AS bytes,
         |  md5(text) AS content_md5,
         |  (octet_length(encode(text)) + 255) // 256 AS n_chunks,
         |  'text/plain' AS mime

@@ -42,10 +42,17 @@ object PipelineQueries {
            "max_price": {"$max": "$l_extendedprice"},
            "min_disc": {"$min": "$l_discount"},
            "revenue_cents": {"$sum": {"$toLong": {"$round": [{"$multiply": ["$l_extendedprice", 100]}, 0]}}}}}]""")),
-    "pipe_group_collect" -> ((s, dir) => run(s, dir, "customer",
-      """[{"$group": {"_id": "$c_mktsegment",
-           "nations": {"$addToSet": "$c_nationkey"},
-           "n": {"$sum": 1}}}]""")),
+    "pipe_group_collect" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      // The driver's pandas compare can't sort rows on array columns, so
+      // Verify serializes the set to its canonical "[a,b,c]" string form.
+      run(s, dir, "customer",
+        """[{"$group": {"_id": "$c_mktsegment",
+             "nations": {"$addToSet": "$c_nationkey"},
+             "n": {"$sum": 1}}}]""")
+        .withColumn("nations",
+          concat(lit("["), array_join(col("nations"), ","), lit("]")))
+    }),
     "pipe_first_last" -> ((s, dir) => run(s, dir, "events",
       """[{"$sort": {"event_id": 1}},
          {"$group": {"_id": "$user_id",
@@ -126,11 +133,12 @@ object PipelineQueries {
       """SELECT l_returnflag AS _id, COUNT(*) AS n,
         |  SUM(l_quantity) AS total_qty, AVG(l_quantity) AS avg_qty,
         |  MAX(l_extendedprice) AS max_price, MIN(l_discount) AS min_disc,
-        |  SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS revenue_cents
+        |  CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem GROUP BY 1""".stripMargin,
     "pipe_group_collect" ->
       """SELECT c_mktsegment AS _id,
-        |  list_sort(list(DISTINCT c_nationkey)) AS nations, COUNT(*) AS n
+        |  '[' || array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') || ']' AS nations,
+        |  COUNT(*) AS n
         |FROM customer GROUP BY 1""".stripMargin,
     "pipe_first_last" ->
       """SELECT user_id AS _id,
@@ -157,7 +165,7 @@ object PipelineQueries {
         |    WHEN o_totalprice >= 150000 AND o_totalprice < 400000 THEN '150000'
         |    ELSE 'other' END AS _id,
         |  COUNT(*) AS n,
-        |  SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS total_cents
+        |  CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipe_sortbycount" ->
       """SELECT event_type AS _id, COUNT(*) AS count FROM events
@@ -185,7 +193,7 @@ object PipelineQueries {
         |FROM lineitem""".stripMargin,
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+        |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY event_type""".stripMargin,
   )
 }

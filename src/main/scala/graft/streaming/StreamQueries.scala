@@ -39,7 +39,7 @@ object StreamQueries {
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n,
-        |  SUM(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+        |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
     "stream_sessionize" ->
       """WITH flagged AS (
@@ -53,7 +53,8 @@ object StreamQueries {
         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id) AS session_seq
         |  FROM flagged)
-        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
     "stream_dedup_first" ->
