@@ -82,7 +82,10 @@ object Dedup {
         (least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1) >= alpha)
       .select(col("a.id").as("a"), col("a.sz").as("sza"),
         col("b.id").as("b"), col("b.sz").as("szb"))
-      .distinct()
+    // A pair surfaces once per shared prefix shingle; verifying the
+    // duplicates costs one codegen'd intersect each, which is cheaper
+    // than a full shuffle to distinct() millions of candidate rows —
+    // so dedup happens after the τ filter, on the tiny survivor set.
     // Verification: broadcast each doc's hashed shingle set and count
     // the intersection per pair with codegen'd array_intersect — no
     // postings re-join (which would shuffle |cand|·|A∩B| rows).
@@ -104,6 +107,7 @@ object Dedup {
         round(col("i").cast("double") / (col("sza") + col("szb") - col("i")), 6))
       .filter(col("jaccard") >= tau)
       .select(col("a"), col("b"), col("jaccard"))
+      .distinct()
   }
 
   /** F4: MinHash + banded LSH candidates: k affine permutations of the
