@@ -37,7 +37,8 @@ object SparkEntry {
       graft.operators.CdcQueries.queries ++
       graft.functions.EncodingQueries.queries ++
       graft.operators.LlmQueries.queries ++
-      graft.streaming.StreamQueries.queries
+      graft.streaming.StreamQueries.queries ++
+      graft.plans.ExtendedQueries.queries
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // —— group I: headline analytics ——
@@ -62,7 +63,8 @@ object SparkEntry {
       graft.operators.CdcQueries.oracleSql ++
       graft.functions.EncodingQueries.oracleSql ++
       graft.operators.LlmQueries.oracleSql ++
-      graft.streaming.StreamQueries.oracleSql
+      graft.streaming.StreamQueries.oracleSql ++
+      graft.plans.ExtendedQueries.oracleSql
 
   private val baseOracle: Map[String, String] = Map(
     "q1_pricing" ->

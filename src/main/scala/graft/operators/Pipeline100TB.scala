@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hash60.hash60
+
+/** Training-data pipeline operators beyond the dedup/similarity
+  * families: near-dup cluster assignment, reproducible sampling,
+  * PII scrubbing, and sliding-window chunking. Each is shaped for
+  * the 100 TB case: per-row codegen'd transforms, shuffles keyed on
+  * near-uniform ids, and no driver-side data paths except the
+  * bounded-iteration CC loop (which moves labels, never documents).
+  */
+object Pipeline100TB {
+
+  /** F7: connected components over near-dup pairs → cluster id per
+    * member (min reachable id). Iterative min-label propagation:
+    * each round is one shuffle join keyed by node id; rounds needed =
+    * cluster diameter, and near-dup clusters are shallow (most are
+    * 2-3 docs). At extreme scale swap the propagation body for the
+    * large-star/small-star variant — the loop shape stays the same.
+    * `localCheckpoint` cuts the per-iteration lineage so the plan
+    * doesn't grow quadratically.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
+      converged = next.as("n")
+        .join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** G6: reproducible stratified sampling — no RNG, no seed plumbing:
+    * keep a row iff hash60(key) mod 100 < rate(stratum). The same
+    * rows survive on any cluster, any partitioning, any retry — the
+    * property CDC replay and train/eval splits actually need
+    * (`rand(seed)` is partition-order-dependent in a distributed
+    * run). Pure map-side filter: zero shuffle at any scale.
+    */
+  def hashSample(df: DataFrame, keyCol: Column, ratePct: Column): DataFrame =
+    df.filter(pmod(hash60(keyCol.cast("string")), lit(100)) < ratePct)
+
+  /** H9: PII / noise scrubbing — email, URL, then digit-run, applied
+    * in that order so an address is one `<EMAIL>`, not fragments with
+    * `<NUM>` inside. Codegen'd regexp chain, no UDF.
+    */
+  def scrub(textCol: Column): Column = {
+    val email = regexp_replace(textCol,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^ \\t\\n]+", "<URL>")
+    regexp_replace(url, "[0-9]+", "<NUM>")
+  }
+
+  /** H10: sliding-window chunking for training sequences: windows of
+    * `size` tokens every `stride` tokens (the tail windows run
+    * shorter). One explode per document — output volume is
+    * rows × (n_tokens/stride), linear in corpus size.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int = 16, stride: Int = 8): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), " +")
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"), size_(toks).as("nw"))
+      .filter(col("nw") > 0)
+      .select(col("doc_id"), col("toks"), col("nw"),
+        explode(sequence(lit(0), col("nw") - 1, lit(stride))).as("start"))
+      .select(
+        col("doc_id"), col("start"),
+        (least(col("start") + size, col("nw")) - col("start")).as("n_tok"),
+        array_join(slice(col("toks"), col("start") + 1, lit(size)), " ")
+          .as("chunk_text"))
+  }
+
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+}

@@ -1,0 +1,279 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pipeline100TB
+import graft.sources.TableCatalog
+
+/** Round-2 capability queries: window/densify/fill/graph/union/sample
+  * pipeline stages, correlated $lookup, $merge, plus the 100 TB
+  * pipeline operators (CC clustering, hash sampling, scrubbing,
+  * chunking). Registered like every other SURVEY §2 row: a Spark
+  * query + a DuckDB oracle over the same parquet.
+  */
+object ExtendedQueries {
+
+  private def run(s: SparkSession, dir: String, table: String, pipeline: String): DataFrame = {
+    val cat = TableCatalog(s, dir)
+    MongoPipeline(cat.table(table), pipeline, cat.table)
+  }
+
+  private val centsExpr =
+    """{"$toLong": {"$round": [{"$multiply": ["$o_totalprice", 100]}, 0]}}"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // —— C20: $setWindowFields ——
+    "pipe_window_fields" -> ((s, dir) => run(s, dir, "orders",
+      s"""[{"$$setWindowFields": {
+            "partitionBy": "$$o_custkey",
+            "sortBy": {"o_orderkey": 1},
+            "output": {
+              "run_cents": {"$$sum": $centsExpr,
+                            "window": {"documents": ["unbounded", "current"]}},
+              "rnk": {"$$documentNumber": {}},
+              "prev_cents": {"$$shift": {"output": $centsExpr, "by": -1, "default": 0}}}}},
+          {"$$project": {"o_orderkey": 1, "o_custkey": 1, "run_cents": 1,
+                         "rnk": 1, "prev_cents": 1}}]""")),
+    // —— C21: $unionWith (with sub-pipeline) ——
+    "pipe_unionwith" -> ((s, dir) => run(s, dir, "customer",
+      """[{"$project": {"id": "$c_custkey", "name": "$c_name",
+                        "kind": {"$literal": "customer"}}},
+          {"$unionWith": {"coll": "supplier", "pipeline":
+            [{"$project": {"id": "$s_suppkey", "name": "$s_name",
+                           "kind": {"$literal": "supplier"}}}]}}]""")),
+    // —— C22: $sample (deterministic hash-order draw) ——
+    "pipe_sample" -> ((s, dir) => run(s, dir, "orders",
+      """[{"$project": {"o_orderkey": 1, "o_totalprice": 1}},
+          {"$sample": {"size": 25}}]""")),
+    // —— C23: $bucketAuto ——
+    "pipe_bucketauto" -> ((s, dir) => run(s, dir, "orders",
+      s"""[{"$$project": {"o_orderkey": 1, "o_totalprice": 1}},
+           {"$$bucketAuto": {"groupBy": "$$o_totalprice", "buckets": 4,
+             "output": {"n": {"$$sum": 1},
+                        "total_cents": {"$$sum": $centsExpr}}}}]""")),
+    // —— C24: $densify + $fill (hourly grid + locf) ——
+    "pipe_densify_fill" -> ((s, dir) => run(s, dir, "events",
+      """[{"$set": {"hour": {"$dateTrunc": {"date": "$ts", "unit": "hour"}}}},
+          {"$group": {"_id": {"u": "$user_id", "h": "$hour"},
+                      "cents": {"$sum": {"$toLong": {"$round": [{"$multiply": ["$value", 100]}, 0]}}}}},
+          {"$densify": {"field": "_id_h", "partitionByFields": ["_id_u"],
+                        "range": {"step": 1, "unit": "hour", "bounds": "partition"}}},
+          {"$fill": {"partitionBy": "$_id_u", "sortBy": {"_id_h": 1},
+                     "output": {"cents": {"method": "locf"}}}}]""")),
+    // —— C25: $graphLookup (bounded BFS over a key chain) ——
+    "pipe_graphlookup" -> ((s, dir) => {
+      val cat = TableCatalog(s, dir)
+      val chain = cat.table("customer")
+        .select(col("c_custkey").as("ck"), (col("c_custkey") - 1).as("prev"))
+      MongoPipeline(chain,
+        """[{"$match": {"ck": {"$lte": 5}}},
+            {"$graphLookup": {"from": "chain", "startWith": "$prev",
+              "connectFromField": "prev", "connectToField": "ck",
+              "as": "up", "maxDepth": 3, "depthField": "d"}},
+            {"$unwind": "$up"},
+            {"$project": {"origin": "$ck", "node": "$up.ck", "depth": "$up.d"}}]""",
+        name => if (name == "chain") chain else cat.table(name))
+    }),
+    // —— C26: correlated $lookup with let + pipeline ——
+    "pipe_lookup_let" -> ((s, dir) => run(s, dir, "orders",
+      """[{"$match": {"o_orderkey": {"$lte": 200}}},
+          {"$lookup": {"from": "lineitem",
+            "let": {"oid": "$o_orderkey", "cutoff": "$o_orderdate"},
+            "pipeline": [{"$match": {"$expr": {"$and": [
+               {"$eq": ["$l_orderkey", "$$oid"]},
+               {"$gt": ["$l_shipdate", "$$cutoff"]},
+               {"$gte": ["$l_quantity", 10]}]}}}],
+            "as": "items"}},
+          {"$project": {"o_orderkey": 1, "n_items": {"$size": "$items"}}}]""")),
+    // —— C27: $merge (keyed upsert of a pipeline result into a target) ——
+    "pipe_merge" -> ((s, dir) => {
+      val cat = TableCatalog(s, dir)
+      val source = MongoPipeline(cat.table("customer"),
+        """[{"$match": {"c_custkey": {"$lte": 50}}},
+            {"$set": {"c_acctbal": {"$multiply": ["$c_acctbal", 2]}}},
+            {"$unionWith": {"coll": "customer", "pipeline":
+              [{"$match": {"c_custkey": {"$lte": 10}}},
+               {"$set": {"c_custkey": {"$add": ["$c_custkey", 1000000]}}}]}}]""",
+        cat.table)
+      PipelineSinks.merge(cat.table("customer"), source, "c_custkey",
+        whenMatched = "replace", whenNotMatched = "insert")
+    }),
+    // —— C28: rich expression pack (dates, strings, arrays, sets, math) ——
+    "pipe_expr_pack" -> ((s, dir) => run(s, dir, "lineitem",
+      """[{"$match": {"l_orderkey": {"$lte": 500}}},
+          {"$project": {
+            "l_orderkey": 1, "l_linenumber": 1,
+            "ship_plus2d": {"$dateAdd": {"startDate": "$l_shipdate", "unit": "day", "amount": 2}},
+            "ship_hour_trunc": {"$dateTrunc": {"date": "$l_shipdate", "unit": "day"}},
+            "days_since_order": {"$dateDiff": {"startDate": {"$dateTrunc": {"date": "$l_shipdate", "unit": "year"}}, "endDate": "$l_shipdate", "unit": "day"}},
+            "wk": {"$week": "$l_shipdate"},
+            "dow": {"$dayOfWeek": "$l_shipdate"},
+            "flag_clean": {"$replaceAll": {"input": "$l_returnflag", "find": "N", "replacement": "_"}},
+            "is_rf": {"$regexMatch": {"input": "$l_returnflag", "regex": "^[RF]$"}},
+            "cmp_flag": {"$strcasecmp": ["$l_returnflag", "n"]},
+            "qty_sqrt": {"$round": [{"$sqrt": "$l_quantity"}, 6]},
+            "qty_sq": {"$pow": ["$l_quantity", 2]},
+            "qty_trunc": {"$trunc": [{"$divide": ["$l_quantity", 7]}, 1]},
+            "rng_sum": {"$reduce": {"input": {"$range": [0, {"$toInt": {"$mod": ["$l_linenumber", 5]}}]},
+                                    "initialValue": 0,
+                                    "in": {"$add": ["$$value", "$$this"]}}},
+            "big_elems": {"$size": {"$filter": {"input": {"$range": [0, 10]}, "as": "x",
+                                    "cond": {"$gte": ["$$x", {"$toInt": "$l_linenumber"}]}}}},
+            "doubled_last": {"$arrayElemAt": [{"$map": {"input": {"$range": [1, 4]}, "as": "x",
+                                    "in": {"$multiply": ["$$x", 2]}}}, 2]},
+            "set_u": {"$setUnion": [{"$range": [0, 3]}, {"$range": [2, 5]}]},
+            "set_i_n": {"$size": {"$setIntersection": [{"$range": [0, 4]}, {"$range": [2, 6]}]}},
+            "subset": {"$setIsSubset": [{"$range": [1, 3]}, {"$range": [0, 5]}]}}},
+          {"$set": {"set_u": {"$reduce": {"input": "$set_u", "initialValue": 0,
+                              "in": {"$add": ["$$value", "$$this"]}}}}}]""")),
+    // —— F7: near-dup cluster assignment (CC over minhash pairs) ——
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = TableCatalog(s, dir).documents
+      val pairs = graft.operators.Dedup.minhashCandidates(
+        docs, "doc_id", "text", n = 2, k = 16, bands = 4)
+      Pipeline100TB.connectedComponents(pairs)
+    }),
+    // —— G6: reproducible stratified hash sampling ——
+    "sample_hash" -> ((s, dir) => {
+      val ev = TableCatalog(s, dir).events
+      Pipeline100TB.hashSample(ev, col("event_id"),
+        when(col("event_type") === "purchase", 50).otherwise(10))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+    // —— H9: PII / noise scrubbing ——
+    "text_scrub" -> ((s, dir) => {
+      val ev = TableCatalog(s, dir).events
+      ev.select(col("event_id"),
+        Pipeline100TB.scrub(col("props")).as("scrubbed"))
+    }),
+    // —— H10: sliding-window chunking ——
+    "doc_chunks" -> ((s, dir) =>
+      Pipeline100TB.chunk(TableCatalog(s, dir).documents, "doc_id", "text")),
+  )
+
+  private val duckCents = "CAST(round(o_totalprice*100,0) AS BIGINT)"
+  // mirrors the translator's row hash: columns cast to string, joined
+  // with a  separator so adjacent values can't alias
+  private val duckRowHash =
+    "CAST('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)||chr(1)||CAST(o_totalprice AS VARCHAR)),1,15) AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+    "pipe_window_fields" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |  CAST(SUM($duckCents) OVER w AS BIGINT) AS run_cents,
+         |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INTEGER) AS rnk,
+         |  COALESCE(lag($duckCents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 0) AS prev_cents
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "pipe_unionwith" ->
+      """SELECT c_custkey AS id, c_name AS name, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, 'supplier' FROM supplier""".stripMargin,
+    "pipe_sample" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |ORDER BY $duckRowHash LIMIT 25""".stripMargin,
+    "pipe_bucketauto" ->
+      s"""WITH tiled AS (
+         |  SELECT o_totalprice,
+         |    ntile(4) OVER (ORDER BY o_totalprice, $duckRowHash) AS tile
+         |  FROM orders)
+         |SELECT MIN(o_totalprice) AS _id_min, MAX(o_totalprice) AS _id_max,
+         |  COUNT(*) AS n,
+         |  CAST(SUM($duckCents) AS BIGINT) AS total_cents
+         |FROM tiled GROUP BY tile ORDER BY _id_min""".stripMargin,
+    "pipe_densify_fill" ->
+      """WITH RECURSIVE agg AS (
+        |  SELECT user_id AS u, date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT u, MIN(h) AS lo, MAX(h) AS hi FROM agg GROUP BY u),
+        |grid(u, h, hi) AS (
+        |  SELECT u, lo, hi FROM bounds
+        |  UNION ALL
+        |  SELECT u, h + INTERVAL 1 HOUR, hi FROM grid WHERE h < hi)
+        |SELECT g.u AS _id_u, g.h AS _id_h,
+        |  last_value(a.cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.u ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents
+        |FROM grid g LEFT JOIN agg a ON a.u = g.u AND a.h = g.h""".stripMargin,
+    "pipe_graphlookup" ->
+      """SELECT c.c_custkey AS origin, c.c_custkey - 1 - t.i AS node,
+        |  CAST(t.i AS INTEGER) AS depth
+        |FROM customer c, generate_series(0, 3) t(i)
+        |WHERE c.c_custkey <= 5 AND c.c_custkey - 1 - t.i >= 0""".stripMargin,
+    "pipe_lookup_let" ->
+      """SELECT o_orderkey,
+        |  CAST(COUNT(CASE WHEN l_orderkey IS NOT NULL THEN 1 END) AS INTEGER) AS n_items
+        |FROM orders LEFT JOIN lineitem
+        |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate AND l_quantity >= 10
+        |WHERE o_orderkey <= 200 GROUP BY o_orderkey""".stripMargin,
+    "pipe_merge" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey <= 50 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey <= 10""".stripMargin,
+    "pipe_expr_pack" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_shipdate + INTERVAL 2 DAY AS ship_plus2d,
+        |  CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS ship_hour_trunc,
+        |  CAST(datediff('day', date_trunc('year', l_shipdate), l_shipdate) AS BIGINT) AS days_since_order,
+        |  CAST(weekofyear(l_shipdate) AS INTEGER) AS wk,
+        |  CAST(dayofweek(l_shipdate) + 1 AS INTEGER) AS dow,
+        |  replace(l_returnflag, 'N', '_') AS flag_clean,
+        |  regexp_matches(l_returnflag, '^[RF]$') AS is_rf,
+        |  CASE WHEN lower(l_returnflag) > 'n' THEN 1
+        |       WHEN lower(l_returnflag) < 'n' THEN -1 ELSE 0 END AS cmp_flag,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+        |  l_quantity * l_quantity AS qty_sq,
+        |  trunc(l_quantity / 7 * 10) / 10 AS qty_trunc,
+        |  CAST(COALESCE(list_sum([x for x in range(0, CAST(l_linenumber AS INTEGER) % 5)]), 0) AS BIGINT) AS rng_sum,
+        |  CAST(len([x for x in range(0, 10) if x >= l_linenumber]) AS INTEGER) AS big_elems,
+        |  CAST(6 AS INTEGER) AS doubled_last,
+        |  CAST(0+1+2+3+4 AS BIGINT) AS set_u,
+        |  CAST(2 AS INTEGER) AS set_i_n,
+        |  true AS subset
+        |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
+    "dedup_clusters" -> {
+      val pairsSql = graft.operators.LlmQueries.oracleSql("dedup_minhash_lsh")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |e AS (SELECT a AS s, b AS d FROM pairs
+         |      UNION SELECT b, a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM e
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+         |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+         |FROM reach GROUP BY s""".stripMargin
+    },
+    "sample_hash" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT) % 100
+        |      < CASE WHEN event_type = 'purchase' THEN 50 ELSE 10 END""".stripMargin,
+    "text_scrub" ->
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(regexp_replace(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM events""".stripMargin,
+    "doc_chunks" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS nw
+        |      FROM t WHERE len(toks) > 0),
+        |s(doc_id, start, nw) AS (
+        |  SELECT doc_id, 0, nw FROM d
+        |  UNION ALL
+        |  SELECT doc_id, start + 8, nw FROM s WHERE start + 8 <= nw - 1)
+        |SELECT s.doc_id, s.start,
+        |  CAST(least(s.start + 16, s.nw) - s.start AS INTEGER) AS n_tok,
+        |  array_to_string(list_slice(d.toks, s.start + 1, least(s.start + 16, s.nw)), ' ') AS chunk_text
+        |FROM s JOIN d USING (doc_id)""".stripMargin,
+  )
+}

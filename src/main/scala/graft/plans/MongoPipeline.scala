@@ -26,7 +26,14 @@ import org.apache.spark.sql.functions._
   *
   * Supported stages: $match, $project, $addFields/$set, $unset,
   * $group, $sort, $skip, $limit, $count, $unwind, $lookup, $bucket,
-  * $sortByCount, $replaceRoot.
+  * $bucketAuto, $sortByCount, $replaceRoot/$replaceWith, $facet,
+  * $unionWith, $sample, $setWindowFields, $densify, $fill,
+  * $graphLookup, $out, $merge (the last two via [[PipelineSinks]]).
+  *
+  * Distributed-determinism deviation: `$sample` draws the n smallest
+  * by a 60-bit content hash (uniform but reproducible) rather than a
+  * seeded RNG — a cluster re-run must produce identical output for
+  * the CDC replay guarantee to hold.
   */
 object MongoPipeline {
 
@@ -72,6 +79,7 @@ object MongoPipeline {
         case "$unwind"  => cur = unwind(cur, spec)
         case "$lookup"  => cur = lookup(cur, spec, tables)
         case "$bucket"  => cur = bucket(cur, spec, lastSort)
+        case "$bucketAuto" => cur = bucketAuto(cur, spec, lastSort)
         case "$sortByCount" =>
           cur = cur.groupBy(expression(spec).as("_id"))
             .agg(count(lit(1)).as("count"))
@@ -79,6 +87,30 @@ object MongoPipeline {
         case "$replaceRoot" =>
           val newRoot = expression(spec.get("newRoot"))
           cur = cur.select(newRoot.as("__root")).select(col("__root.*"))
+        case "$replaceWith" =>
+          cur = cur.select(expression(spec).as("__root")).select(col("__root.*"))
+        case "$unionWith" =>
+          // {coll} or {coll, pipeline}; missing columns null-fill so a
+          // projected union still lines up by name.
+          val (coll, sub) =
+            if (spec.isTextual) (spec.asText(), None)
+            else (spec.get("coll").asText(),
+              Option(spec.get("pipeline")).filterNot(_.isNull))
+          val other = sub.map(p => apply(tables(coll), p.toString, tables))
+            .getOrElse(tables(coll))
+          cur = cur.unionByName(other, allowMissingColumns = true)
+        case "$sample" =>
+          // Deterministic "random": order by 60-bit hash of the whole
+          // row, take n. Uniform over rows, stable across re-runs, and
+          // the sort is a top-n (TakeOrdered), never a full sort.
+          val n = spec.get("size").asInt()
+          val h = graft.functions.Hash60.hash60(
+            concat_ws("\u0001", cur.columns.map(c => col(c).cast("string")): _*))
+          cur = cur.orderBy(h).limit(n)
+        case "$setWindowFields" => cur = setWindowFields(cur, spec)
+        case "$densify" => cur = densify(cur, spec)
+        case "$fill"    => cur = fill(cur, spec)
+        case "$graphLookup" => cur = graphLookup(cur, spec, tables)
         case "$facet" =>
           // each facet = a sub-pipeline over the same input; output is
           // one row with an array-of-struct column per facet
@@ -149,19 +181,29 @@ object MongoPipeline {
 
   // ——— expression language ———
 
-  /** Compile an aggregation expression: "$field", literal, or {$op: args}. */
-  def expression(n: JsonNode): Column = {
+  /** Compile an aggregation expression: "$field", literal, or {$op: args}.
+    * `binds` resolves "$$var" lambda variables inside $filter/$map/
+    * $reduce bodies to the enclosing higher-order-function argument.
+    */
+  def expression(n: JsonNode, binds: Map[String, Column] = Map.empty): Column = {
+    if (n.isTextual && n.asText().startsWith("$$")) {
+      val name = n.asText().drop(2)
+      return binds.getOrElse(name,
+        throw new IllegalArgumentException(s"unbound lambda variable: $$$name"))
+    }
     if (n.isTextual && n.asText().startsWith("$"))
       return col(n.asText().drop(1))
+    if (n.isArray) // bare array in expression position = array literal
+      return array(n.elements().asScala.map(x => expression(x, binds)).toSeq: _*)
     if (!n.isObject) return literal(n)
     val fields = n.properties().asScala.toSeq
     // An object whose (single) key is not a $-operator is a computed
     // sub-document → struct column.
     if (fields.isEmpty || !fields.head.getKey.startsWith("$"))
-      return struct(fields.map(e => expression(e.getValue).as(e.getKey)): _*)
+      return struct(fields.map(e => expression(e.getValue, binds).as(e.getKey)): _*)
     require(fields.size == 1, s"expression must have one operator: $n")
     val (op, a) = (fields.head.getKey, fields.head.getValue)
-    def args: Seq[Column] = a.elements().asScala.map(expression).toSeq
+    def args: Seq[Column] = a.elements().asScala.map(x => expression(x, binds)).toSeq
     op match {
       case "$add"      => args.reduce(_ + _)
       case "$subtract" => args.reduce(_ - _)
@@ -256,6 +298,122 @@ object MongoPipeline {
       case "$arrayElemAt" =>
         val it = a.elements().asScala.toSeq
         element_at(expression(it.head), it(1).asInt() + 1) // Mongo 0-based
+      // —— math ——
+      case "$pow"   => pow(args.head, args(1))
+      case "$sqrt"  => sqrt(expression(a))
+      case "$exp"   => exp(expression(a))
+      case "$ln"    => log(expression(a))
+      case "$log10" => log10(expression(a))
+      case "$log"   => log(args.head) / log(args(1)) // $log: [num, base]
+      case "$trunc" =>
+        val it = a.elements().asScala.toSeq
+        if (it.size > 1)
+          (expression(it.head) * pow(lit(10.0), it(1).asInt())).cast("long") /
+            pow(lit(10.0), it(1).asInt())
+        else expression(it.head).cast("long")
+      // —— dates ——
+      case "$minute" => minute(expression(a))
+      case "$second" => second(expression(a))
+      case "$dayOfWeek" => dayofweek(expression(a))
+      case "$dayOfYear" => dayofyear(expression(a))
+      case "$week"      => weekofyear(expression(a))
+      case "$dateTrunc" =>
+        date_trunc(a.get("unit").asText(), expression(a.get("date")))
+      case "$dateAdd" =>
+        val units = Set("YEAR", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND")
+        val unit = a.get("unit").asText().toUpperCase
+        require(units(unit), s"unsupported $$dateAdd unit: $unit")
+        timestamp_add(unit, expression(a.get("amount")),
+          expression(a.get("startDate")))
+      case "$dateDiff" =>
+        val s = expression(a.get("startDate"))
+        val e = expression(a.get("endDate"))
+        a.get("unit").asText() match {
+          case "day"    => datediff(e.cast("date"), s.cast("date")).cast("long")
+          case "hour"   => ((unix_timestamp(e) - unix_timestamp(s)) / 3600L).cast("long")
+          case "minute" => ((unix_timestamp(e) - unix_timestamp(s)) / 60L).cast("long")
+          case "second" => (unix_timestamp(e) - unix_timestamp(s)).cast("long")
+          case other => throw new IllegalArgumentException(
+            s"unsupported $$dateDiff unit: $other")
+        }
+      case "$toDate" => expression(a).cast("timestamp")
+      // —— strings ——
+      case "$ltrim" => ltrim(expression(a.get("input")))
+      case "$rtrim" => rtrim(expression(a.get("input")))
+      case "$replaceAll" =>
+        // literal find/replace (regex-quoted), matching Mongo semantics
+        regexp_replace(expression(a.get("input")),
+          java.util.regex.Pattern.quote(a.get("find").asText()),
+          java.util.regex.Matcher.quoteReplacement(a.get("replacement").asText()))
+      case "$regexMatch" =>
+        expression(a.get("input")).rlike(a.get("regex").asText())
+      case "$indexOfCP" =>
+        val it = a.elements().asScala.toSeq
+        // Mongo: 0-based index, -1 when absent; Spark instr is 1-based, 0-absent
+        (instr(expression(it.head), it(1).asText()) - 1).cast("int")
+      case "$strcasecmp" =>
+        val (x, y) = (lower(args.head), lower(args(1)))
+        when(x > y, 1).when(x < y, -1).otherwise(0)
+      case "$isNumber" =>
+        expression(a).cast("double").isNotNull
+      // —— arrays ——
+      case "$concatArrays" => concat(args: _*)
+      case "$slice" =>
+        val it = a.elements().asScala.toSeq
+        if (it.size == 2) {
+          val n = it(1).asInt()
+          if (n >= 0) slice(expression(it.head), 1, n)
+          else slice(expression(it.head), n, -n)
+        } else slice(expression(it.head), it(1).asInt() + 1, it(2).asInt())
+      case "$in" => // {$in: [value, array]}
+        array_contains(args(1), args.head)
+      case "$indexOfArray" =>
+        val it = a.elements().asScala.toSeq
+        // array_position: 1-based, 0 when absent → Mongo 0-based/-1
+        (array_position(expression(it.head), expression(it(1))) - 1).cast("int")
+      case "$reverseArray" => reverse(expression(a))
+      case "$range" =>
+        val it = a.elements().asScala.toSeq
+        val stepExpr = if (it.size > 2) expression(it(2)) else lit(1)
+        // Mongo $range is end-exclusive; Spark sequence is inclusive —
+        // and sequence(0, -1) counts DOWN, so guard the empty case.
+        val s = expression(it.head).cast("int")
+        val e = expression(it(1)).cast("int")
+        when(e <= s, array().cast("array<int>"))
+          .otherwise(sequence(s, e - 1, stepExpr.cast("int")))
+      case "$filter" =>
+        val input = expression(a.get("input"))
+        val asName = Option(a.get("as")).map(_.asText()).getOrElse("this")
+        filter(input, x => expression(a.get("cond"), Map(asName -> x)))
+      case "$map" =>
+        val input = expression(a.get("input"))
+        val asName = Option(a.get("as")).map(_.asText()).getOrElse("this")
+        transform(input, x => expression(a.get("in"), Map(asName -> x)))
+      case "$reduce" =>
+        val input = expression(a.get("input"))
+        val init = expression(a.get("initialValue"))
+        aggregate(input, init,
+          (acc2, x) => expression(a.get("in"), Map("value" -> acc2, "this" -> x)))
+      // —— sets (Mongo set ops treat arrays as value sets) ——
+      case "$setUnion" => array_sort(array_distinct(concat(args: _*)))
+      case "$setIntersection" =>
+        array_sort(args.reduce((x, y) => array_intersect(x, y)))
+      case "$setDifference" =>
+        array_sort(array_except(args.head, args(1)))
+      case "$setIsSubset" =>
+        size(array_except(array_distinct(args.head), args(1))) === 0
+      case "$allElementsTrue" =>
+        forall(expression(if (a.isArray) a.get(0) else a), x => x.cast("boolean"))
+      case "$anyElementTrue" =>
+        exists(expression(if (a.isArray) a.get(0) else a), x => x.cast("boolean"))
+      // —— objects ——
+      case "$mergeObjects" =>
+        // struct merge: later args win field-by-field via coalesce on
+        //共同 fields is complex — here: right-biased whole-field merge
+        args.reduce((x, y) => coalesce(y, x))
+      case "$getField" =>
+        if (a.isTextual) col(a.asText()) // {$getField: "f"} on $$CURRENT
+        else expression(a.get("input")).getField(a.get("field").asText())
       case other =>
         throw new IllegalArgumentException(s"unsupported expression op: $other")
     }
@@ -337,6 +495,34 @@ object MongoPipeline {
       case "$last" =>
         if (lastSort.forall(_._2)) max_by(expression(a), sortKey)
         else min_by(expression(a), sortKey)
+      case "$stdDevPop"  => stddev_pop(expression(a))
+      case "$stdDevSamp" => stddev_samp(expression(a))
+      case "$mergeObjects" =>
+        // right-biased whole-value merge in sort order: the latest
+        // non-null document wins (distributed stand-in for Mongo's
+        // field-wise merge, which has no order under a shuffle)
+        max_by(expression(a), sortKey)
+      case "$minN" =>
+        slice(array_sort(collect_list(expression(a.get("input")))),
+          1, a.get("n").asInt())
+      case "$maxN" =>
+        slice(reverse(array_sort(collect_list(expression(a.get("input"))))),
+          1, a.get("n").asInt())
+      case "$topN" =>
+        // {output, sortBy, n}: n smallest by sortBy, emitting output —
+        // sort (key, output) structs, then strip the key
+        val sortCols = a.get("sortBy").properties().asScala.toSeq
+          .map(e => expression(mapper.readTree(s""""$$${e.getKey}"""")))
+        val packed = array_sort(collect_list(
+          struct((sortCols :+ expression(a.get("output")).as("__out")): _*)))
+        transform(slice(packed, 1, a.get("n").asInt()), x => x.getField("__out"))
+      case "$bottomN" =>
+        val sortCols = a.get("sortBy").properties().asScala.toSeq
+          .map(e => expression(mapper.readTree(s""""$$${e.getKey}"""")))
+        val packed = reverse(array_sort(collect_list(
+          struct((sortCols :+ expression(a.get("output")).as("__out")): _*))))
+        reverse(transform(slice(packed, 1, a.get("n").asInt()),
+          x => x.getField("__out")))
       case other =>
         throw new IllegalArgumentException(s"unsupported accumulator: $other")
     }
@@ -368,6 +554,7 @@ object MongoPipeline {
     */
   private def lookup(df: DataFrame, spec: JsonNode,
                      tables: String => DataFrame): DataFrame = {
+    if (spec.get("pipeline") != null) return lookupPipeline(df, spec, tables)
     val from = spec.get("from").asText()
     val localField = spec.get("localField").asText()
     val foreignField = spec.get("foreignField").asText()
@@ -381,6 +568,70 @@ object MongoPipeline {
     // a following `$unwind` treats both the same.
     df.join(packed, col(localField) === col("__graft_key"), "left")
       .drop("__graft_key")
+  }
+
+  /** Correlated `$lookup` with `let` + `pipeline`. Supported pipeline
+    * shape: a single `{$match: {$expr: ...}}` stage (the canonical
+    * correlated-subquery form). The $expr compiles to ONE join
+    * condition: `$$var` resolves to the let-bound local expression,
+    * `$field` to the foreign table — Catalyst then extracts the
+    * equality conjuncts as equi-join keys (shuffle or AQE-broadcast
+    * join), leaving only residual non-equi predicates as filters, so
+    * the correlated lookup costs the same as a plain one.
+    */
+  private def lookupPipeline(df: DataFrame, spec: JsonNode,
+                             tables: String => DataFrame): DataFrame = {
+    val foreign0 = tables(spec.get("from").asText())
+    val as = spec.get("as").asText()
+    val stages = spec.get("pipeline").elements().asScala.toSeq
+    require(stages.size == 1 && stages.head.get("$match") != null &&
+      stages.head.get("$match").get("$expr") != null,
+      "$lookup pipeline support: exactly one {$match: {$expr: ...}} stage")
+    val exprNode = rewriteFieldRefs(stages.head.get("$match").get("$expr"))
+    val binds: Map[String, Column] =
+      Option(spec.get("let")).map(_.properties().asScala.toSeq.map { e =>
+        val v = e.getValue
+        val c =
+          if (v.isTextual && v.asText().startsWith("$") && !v.asText().startsWith("$$"))
+            col("__l." + v.asText().drop(1))
+          else literal(v)
+        e.getKey -> c
+      }.toMap).getOrElse(Map.empty)
+    val fromCols = foreign0.columns.toSeq
+    // __rid makes each local row its own group even under duplicate
+    // rows; it never reaches the output. __fm marks a real match so
+    // unmatched left rows don't collect a struct of nulls.
+    val local = df.withColumn("__rid", monotonically_increasing_id()).as("__l")
+    val foreign = foreign0.withColumn("__fm", lit(1)).as("__f")
+    val cond = expression(exprNode, binds)
+    val joined = local.join(foreign, cond, "left")
+    val localCols = df.columns.toSeq
+    val payload = when(col("__f.__fm").isNotNull,
+      struct(fromCols.map(c => col(s"__f.$c")): _*))
+    joined.groupBy((col("__rid") +: localCols.map(c => col(s"__l.$c"))): _*)
+      .agg(array_sort(collect_list(payload)).as(as))
+      .drop("__rid")
+  }
+
+  /** Deep-rewrite "$field" refs to "$__f.field" (foreign-side
+    * resolution) leaving "$$var" lambda/let refs untouched — the
+    * pre-pass that lets one compiled expression mix both sides of a
+    * correlated lookup.
+    */
+  private def rewriteFieldRefs(n: JsonNode): JsonNode = n match {
+    case t if t.isTextual &&
+        t.asText().startsWith("$") && !t.asText().startsWith("$$") =>
+      mapper.getNodeFactory.textNode("$__f." + t.asText().drop(1))
+    case o if o.isObject =>
+      val out = mapper.createObjectNode()
+      o.properties().asScala.toSeq.foreach(e =>
+        out.set[JsonNode](e.getKey, rewriteFieldRefs(e.getValue)))
+      out
+    case arr if arr.isArray =>
+      val out = mapper.createArrayNode()
+      arr.elements().asScala.foreach(e => out.add(rewriteFieldRefs(e)): Unit)
+      out
+    case other => other
   }
 
   private def bucket(df: DataFrame, spec: JsonNode,
@@ -411,5 +662,232 @@ object MongoPipeline {
     }
     df.groupBy(withDefault.as("_id")).agg(accums.head, accums.tail: _*)
       .orderBy(col("_id"))
+  }
+
+  /** $bucketAuto: equi-population buckets via ntile over the groupBy
+    * key. Ties on the key break by the row's 60-bit content hash so
+    * bucket membership is deterministic under any partitioning. One
+    * window pass + one aggregation — no quantile sketch needed because
+    * the bucket ids are rank-defined, not value-defined.
+    */
+  private def bucketAuto(df: DataFrame, spec: JsonNode,
+                         lastSort: Seq[(String, Boolean)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groupExpr = expression(spec.get("groupBy"))
+    val n = spec.get("buckets").asInt()
+    val tieBreak = graft.functions.Hash60.hash60(
+      concat_ws("\u0001", df.columns.map(c => col(c).cast("string")): _*))
+    val tiled = df.withColumn("__graft_tile",
+      ntile(n).over(Window.orderBy(groupExpr, tieBreak)))
+    val accums = Option(spec.get("output")) match {
+      case Some(o) => o.properties().asScala.toSeq.map(e =>
+        accumulator(e.getValue, lastSort).as(e.getKey))
+      case None => Seq(count(lit(1)).as("count"))
+    }
+    val aggCols = Seq(min(groupExpr).as("_id_min"),
+      max(groupExpr).as("_id_max")) ++ accums
+    tiled.groupBy(col("__graft_tile"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .drop("__graft_tile")
+      .orderBy(col("_id_min"))
+  }
+
+  /** $setWindowFields → Spark window functions. Supports documents
+    * frames ([lo, hi] of ints / "unbounded" / "current"), rank-family
+    * ops, $shift (lag/lead), and the summing/extreme accumulators.
+    */
+  private def setWindowFields(df: DataFrame, spec: JsonNode): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window, WindowSpec}
+    val sortBy: Seq[(String, Boolean)] =
+      Option(spec.get("sortBy")).map(_.properties().asScala.toSeq
+        .map(e => (e.getKey, e.getValue.asInt() >= 0))).getOrElse(Nil)
+    val sortCols = sortBy.map { case (f, asc) =>
+      if (asc) col(f).asc else col(f).desc }
+    val base0 = Option(spec.get("partitionBy")) match {
+      case Some(p) => Window.partitionBy(expression(p))
+      case None    => Window.partitionBy()
+    }
+    val ordered = if (sortCols.nonEmpty) base0.orderBy(sortCols: _*) else base0
+    def bound(n: JsonNode, isLower: Boolean): Long = n match {
+      case t if t.isTextual && t.asText() == "unbounded" =>
+        if (isLower) Window.unboundedPreceding else Window.unboundedFollowing
+      case t if t.isTextual && t.asText() == "current" => Window.currentRow
+      case t => t.asLong()
+    }
+    def framed(w: JsonNode): WindowSpec = Option(w).flatMap(x =>
+      Option(x.get("documents"))) match {
+      case Some(docs) =>
+        val b = docs.elements().asScala.toSeq
+        ordered.rowsBetween(bound(b.head, isLower = true),
+          bound(b(1), isLower = false))
+      case None => ordered
+    }
+    var cur = df
+    spec.get("output").properties().asScala.toSeq.foreach { e =>
+      val outName = e.getKey
+      val fields = e.getValue.properties().asScala.toSeq
+        .filter(_.getKey != "window")
+      require(fields.size == 1, s"window output needs one operator: ${e.getValue}")
+      val (op, a) = (fields.head.getKey, fields.head.getValue)
+      val w = framed(e.getValue.get("window"))
+      val c = op match {
+        case "$sum"   => sum(expression(a)).over(w)
+        case "$avg"   => avg(expression(a)).over(w)
+        case "$min"   => min(expression(a)).over(w)
+        case "$max"   => max(expression(a)).over(w)
+        case "$count" => count(lit(1)).over(w)
+        case "$push"  => collect_list(expression(a)).over(w)
+        case "$first" => first(expression(a)).over(w)
+        case "$last"  => last(expression(a)).over(w)
+        case "$rank"           => rank().over(ordered)
+        case "$denseRank"      => dense_rank().over(ordered)
+        case "$documentNumber" => row_number().over(ordered)
+        case "$shift" =>
+          val by = Option(a.get("by")).map(_.asInt()).getOrElse(1)
+          val dflt = Option(a.get("default")).filterNot(_.isNull)
+          val outExpr = expression(a.get("output"))
+          val shifted =
+            if (by >= 0) lead(outExpr, by) else lag(outExpr, -by)
+          dflt.map(d => coalesce(shifted.over(ordered), expression(d)))
+            .getOrElse(shifted.over(ordered))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported window op: $other")
+      }
+      cur = cur.withColumn(outName, c)
+    }
+    cur
+  }
+
+  /** $densify: generate the missing steps of `field` per partition
+    * (bounds: "partition" — densify between each partition's min and
+    * max). The step grid comes from one tiny per-partition aggregate
+    * exploded through `sequence`, left-joined back — no driver loop,
+    * shuffles keyed by the partition fields.
+    */
+  private def densify(df: DataFrame, spec: JsonNode): DataFrame = {
+    val field = spec.get("field").asText()
+    val parts: Seq[String] = Option(spec.get("partitionByFields"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    require(parts.nonEmpty, "$densify here requires partitionByFields")
+    val range = spec.get("range")
+    val step = range.get("step").asLong()
+    val unit = Option(range.get("unit")).map(_.asText())
+    require(Option(range.get("bounds")).forall(b =>
+      b.isTextual && b.asText() == "partition"),
+      "$densify supports bounds: \"partition\"")
+    val pcols = parts.map(col)
+    val stepCol = unit match {
+      case Some(u) => // time-stepped grid via make_interval multiples
+        val iv = u match {
+          case "hour"   => expr(s"make_interval(0,0,0,0,$step,0,0)")
+          case "minute" => expr(s"make_interval(0,0,0,0,0,$step,0)")
+          case "day"    => expr(s"make_interval(0,0,0,$step,0,0,0)")
+          case "second" => expr(s"make_interval(0,0,0,0,0,0,$step)")
+          case other => throw new IllegalArgumentException(
+            s"unsupported $$densify unit: $other")
+        }
+        iv
+      case None => lit(step)
+    }
+    val grid = df.groupBy(pcols: _*)
+      .agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
+      .select((pcols :+
+        explode(sequence(col("__lo"), col("__hi"), stepCol)).as(field)): _*)
+    // existing rows win; generated rows carry null in all other columns
+    val joined = grid.join(df, parts :+ field, "left")
+    joined.select(df.columns.map(col): _*)
+  }
+
+  /** $fill: value fill (constant/expression) and locf via the
+    * ignore-nulls last() window — one pass, no self-join.
+    */
+  private def fill(df: DataFrame, spec: JsonNode): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sortBy: Seq[(String, Boolean)] =
+      Option(spec.get("sortBy")).map(_.properties().asScala.toSeq
+        .map(e => (e.getKey, e.getValue.asInt() >= 0))).getOrElse(Nil)
+    val sortCols = sortBy.map { case (f, asc) =>
+      if (asc) col(f).asc else col(f).desc }
+    val w0 = Option(spec.get("partitionBy")) match {
+      case Some(p) => Window.partitionBy(expression(p))
+      case None    => Window.partitionBy()
+    }
+    val w = (if (sortCols.nonEmpty) w0.orderBy(sortCols: _*) else w0)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var cur = df
+    spec.get("output").properties().asScala.toSeq.foreach { e =>
+      val name = e.getKey
+      val node = e.getValue
+      val c = Option(node.get("value")) match {
+        case Some(v) => coalesce(col(name), expression(v))
+        case None => node.get("method").asText() match {
+          case "locf" => last(col(name), ignoreNulls = true).over(w)
+          case other => throw new IllegalArgumentException(
+            s"unsupported $$fill method: $other")
+        }
+      }
+      cur = cur.withColumn(name, c)
+    }
+    cur
+  }
+
+  /** $graphLookup: bounded BFS over `from`. Each round is one shuffle
+    * join frontier⋈from on the connect key, so depth-d traversal is d
+    * joins — never a driver-side collect of the graph. Cycle-safe:
+    * reached nodes accumulate in a distinct set keyed by origin row.
+    */
+  private def graphLookup(df: DataFrame, spec: JsonNode,
+                          tables: String => DataFrame): DataFrame = {
+    val from = tables(spec.get("from").asText())
+    val startWith = expression(spec.get("startWith"))
+    val connectFrom = spec.get("connectFromField").asText()
+    val connectTo = spec.get("connectToField").asText()
+    val as = spec.get("as").asText()
+    val maxDepth = Option(spec.get("maxDepth")).map(_.asInt()).getOrElse(20)
+    val depthField = Option(spec.get("depthField")).map(_.asText())
+    // Stable origin key: hash of the full origin row (collision space
+    // 2^60 — the same keying the dedup family uses).
+    val originKey = graft.functions.Hash60.hash60(
+      concat_ws("\u0001", df.columns.map(c => col(c).cast("string")): _*))
+    val origin = df.withColumn("__gk", originKey)
+    val fromCols = from.columns
+    // frontier: (__gk, __connect) pairs still to expand
+    var frontier = origin.select(col("__gk"), startWith.as("__connect")).distinct()
+    var acc: Option[DataFrame] = None
+    var depth = 0
+    var done = false
+    while (depth <= maxDepth && !done) {
+      val hits = frontier.join(from, col("__connect") === col(connectTo))
+        .select(col("__gk") +: lit(depth).as("__depth") +:
+          fromCols.map(col): _*)
+      val hitsD = hits.localCheckpoint(eager = true) // cut the iterative lineage
+      if (hitsD.isEmpty) done = true
+      else {
+        val newAcc = acc match {
+          case None => hitsD
+          case Some(a) =>
+            // keep first (minimum) depth per (origin, node)
+            a.unionByName(hitsD)
+        }
+        acc = Some(newAcc)
+        frontier = hitsD.select(col("__gk"),
+          col(connectFrom).as("__connect")).distinct()
+        depth += 1
+      }
+    }
+    val out = acc match {
+      case Some(a) =>
+        val dedup = a.groupBy(col("__gk"), struct(fromCols.map(col): _*).as("__doc"))
+          .agg(min(col("__depth")).as("__depth"))
+        val payload = depthField match {
+          case Some(d) => struct(col("__doc.*"), col("__depth").as(d))
+          case None    => col("__doc")
+        }
+        val packed = dedup.groupBy(col("__gk"))
+          .agg(array_sort(collect_list(payload)).as(as))
+        origin.join(packed, Seq("__gk"), "left")
+      case None => origin.withColumn(as, array())
+    }
+    out.drop("__gk")
   }
 }

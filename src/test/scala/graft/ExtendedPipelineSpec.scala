@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pipeline100TB
+import graft.plans.{MongoPipeline, PipelineSinks}
+import graft.sources.TableCatalog
+
+/** Round-2 translator stages ($setWindowFields, $unionWith, $sample,
+  * $bucketAuto, $densify/$fill, $graphLookup, correlated $lookup),
+  * $merge sink semantics, and the 100 TB pipeline operators.
+  */
+class ExtendedPipelineSpec extends SparkTestBase {
+
+  private lazy val cat = TableCatalog(spark, sfDir)
+  private def pipe(table: String, json: String) =
+    MongoPipeline(cat.table(table), json, cat.table)
+
+  test("$setWindowFields running sum is monotone per partition and resets across keys") {
+    val rows = pipe("orders",
+      """[{"$setWindowFields": {"partitionBy": "$o_custkey",
+           "sortBy": {"o_orderkey": 1},
+           "output": {"run": {"$sum": "$o_totalprice",
+                              "window": {"documents": ["unbounded", "current"]}},
+                      "rn": {"$documentNumber": {}}}}},
+          {"$project": {"o_custkey": 1, "o_orderkey": 1, "run": 1, "rn": 1}}]""")
+      .collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("o_orderkey"))
+      val runs = sorted.map(_.getAs[Double]("run"))
+      assert(runs.zip(runs.tail).forall { case (a, b) => b >= a })
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq == (1 to g.length))
+    }
+  }
+
+  test("$shift by -1 yields the previous document's value with default") {
+    val rows = pipe("orders",
+      """[{"$setWindowFields": {"partitionBy": "$o_custkey",
+           "sortBy": {"o_orderkey": 1},
+           "output": {"prev_key": {"$shift": {"output": "$o_orderkey", "by": -1, "default": -1}}}}},
+          {"$project": {"o_custkey": 1, "o_orderkey": 1, "prev_key": 1}}]""")
+      .collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("o_orderkey"))
+      assert(sorted.head.getAs[Long]("prev_key") == -1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("prev_key") == a.getAs[Long]("o_orderkey"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("$unionWith combines both collections, null-filling missing columns") {
+    val n = pipe("nation", """[{"$unionWith": "region"}]""").count()
+    assert(n == cat.table("nation").count() + cat.table("region").count())
+  }
+
+  test("$sample is deterministic, uniform-ish, and bounded") {
+    val q = """[{"$project": {"o_orderkey": 1}}, {"$sample": {"size": 40}}]"""
+    val a = pipe("orders", q).collect().map(_.getLong(0)).toSet
+    val b = pipe("orders", q).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 40)
+  }
+
+  test("$bucketAuto produces n contiguous buckets covering all rows") {
+    val rows = pipe("orders",
+      """[{"$bucketAuto": {"groupBy": "$o_totalprice", "buckets": 5}}]""")
+      .orderBy("_id_min").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("count")).sum == cat.table("orders").count())
+    val maxes = rows.map(_.getAs[Double]("_id_max"))
+    val mins = rows.map(_.getAs[Double]("_id_min"))
+    mins.zip(maxes).foreach { case (lo, hi) => assert(lo <= hi) }
+    maxes.init.zip(mins.tail).foreach { case (hi, nextLo) => assert(hi <= nextLo) }
+  }
+
+  test("$densify fills interior grid points and $fill locf carries values") {
+    import spark.implicits._
+    val df = Seq(("a", 0L, 1.0), ("a", 3L, 4.0), ("b", 10L, 2.0))
+      .toDF("k", "x", "v")
+    val out = MongoPipeline(df,
+      """[{"$densify": {"field": "x", "partitionByFields": ["k"],
+                        "range": {"step": 1, "bounds": "partition"}}},
+          {"$fill": {"partitionBy": "$k", "sortBy": {"x": 1},
+                     "output": {"v": {"method": "locf"}}}}]""")
+      .orderBy("k", "x").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 0L, 1.0), ("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 4.0),
+          ("b", 10L, 2.0)))
+  }
+
+  test("$graphLookup walks the chain to maxDepth with cycle safety") {
+    import spark.implicits._
+    // 1→2→3→1 cycle plus isolated 9
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 1L), (9L, 99L)).toDF("id", "next")
+    val out = MongoPipeline(chain,
+      """[{"$graphLookup": {"from": "chain", "startWith": "$next",
+            "connectFromField": "next", "connectToField": "id",
+            "as": "reached", "maxDepth": 10, "depthField": "d"}},
+          {"$unwind": {"path": "$reached", "preserveNullAndEmptyArrays": true}},
+          {"$project": {"id": 1, "r": "$reached.id", "d": "$reached.d"}}]""",
+      name => chain).collect()
+    val byId = out.groupBy(_.getAs[Long]("id"))
+    // the cycle: every node reaches all three exactly once (min depth)
+    Seq(1L, 2L, 3L).foreach { id =>
+      val rs = byId(id).map(r => r.getAs[Long]("r")).toSet
+      assert(rs == Set(1L, 2L, 3L), s"node $id reached $rs")
+    }
+    // 9 points at 99 which doesn't exist → no reached rows, row preserved
+    assert(byId(9L).length == 1 && byId(9L).head.isNullAt(1))
+  }
+
+  test("correlated $lookup packs only rows matching the let-bound condition") {
+    import spark.implicits._
+    val left = Seq((1L, 5L), (2L, 100L)).toDF("id", "cut")
+    val right = Seq((1L, 3L), (1L, 7L), (2L, 50L), (3L, 1L)).toDF("fid", "fv")
+    val out = MongoPipeline(left,
+      """[{"$lookup": {"from": "r", "let": {"lid": "$id", "c": "$cut"},
+            "pipeline": [{"$match": {"$expr": {"$and": [
+              {"$eq": ["$fid", "$$lid"]}, {"$gt": ["$fv", "$$c"]}]}}}],
+            "as": "hits"}},
+          {"$project": {"id": 1, "n": {"$size": "$hits"}}}]""",
+      name => right).collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out == Map(1L -> 1, 2L -> 0)) // only (1,7) passes fv > cut
+  }
+
+  test("$merge semantics: replace, keepExisting, merge, discard") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val source = Seq((2L, "B"), (3L, "C")).toDF("k", "v")
+    def run(wm: String, wnm: String) =
+      PipelineSinks.merge(target, source, "k", wm, wnm)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(run("replace", "insert") == Map(1L -> "a", 2L -> "B", 3L -> "C"))
+    assert(run("keepExisting", "insert") == Map(1L -> "a", 2L -> "b", 3L -> "C"))
+    assert(run("replace", "discard") == Map(1L -> "a", 2L -> "B"))
+    val src2 = Seq((2L, null.asInstanceOf[String]), (3L, "C")).toDF("k", "v")
+    assert(PipelineSinks.merge(target, src2, "k", "merge", "insert")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "C")) // null source field keeps existing
+  }
+
+  test("expression pack: math/date/string/array ops not covered by the oracle") {
+    val r = pipe("lineitem",
+      """[{"$limit": 1},
+          {"$project": {
+             "e": {"$round": [{"$exp": 1}, 6]},
+             "l": {"$round": [{"$ln": {"$exp": 1}}, 6]},
+             "lg": {"$round": [{"$log10": 1000}, 6]},
+             "lb": {"$round": [{"$log": [8, 2]}, 6]},
+             "rv": {"$reverseArray": {"$range": [0, 3]}},
+             "sl": {"$slice": [{"$range": [0, 10]}, -3]},
+             "io": {"$indexOfArray": [{"$range": [5, 10]}, 7]},
+             "ic": {"$indexOfCP": ["abcde", "cd"]},
+             "sd": {"$setDifference": [{"$range": [0, 4]}, {"$range": [2, 6]}]},
+             "mo": {"$mergeObjects": [null, {"a": 1}]},
+             "at": {"$allElementsTrue": [[true, true]]},
+             "an": {"$anyElementTrue": [[false, true]]}}}]""").collect()(0)
+    assert(math.abs(r.getAs[Double]("e") - 2.718282) < 1e-6)
+    assert(r.getAs[Double]("l") == 1.0)
+    assert(r.getAs[Double]("lg") == 3.0)
+    assert(r.getAs[Double]("lb") == 3.0)
+    assert(r.getSeq[Int](r.fieldIndex("rv")).toSeq == Seq(2, 1, 0))
+    assert(r.getSeq[Int](r.fieldIndex("sl")).toSeq == Seq(7, 8, 9))
+    assert(r.getAs[Int]("io") == 2)
+    assert(r.getAs[Int]("ic") == 2)
+    assert(r.getSeq[Int](r.fieldIndex("sd")).toSeq == Seq(0, 1))
+    assert(r.getAs[org.apache.spark.sql.Row]("mo").getAs[Long]("a") == 1L)
+    assert(r.getAs[Boolean]("at") && r.getAs[Boolean]("an"))
+  }
+
+  test("group accumulators: stdDev, minN/maxN, topN/bottomN") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, "w"), ("g", 2.0, "x"), ("g", 3.0, "y"), ("g", 6.0, "z"))
+      .toDF("k", "v", "tag")
+    val r = MongoPipeline(df,
+      """[{"$sort": {"v": 1}},
+          {"$group": {"_id": "$k",
+            "sp": {"$stdDevPop": "$v"},
+            "mn": {"$minN": {"input": "$v", "n": 2}},
+            "mx": {"$maxN": {"input": "$v", "n": 2}},
+            "tp": {"$topN": {"output": "$tag", "sortBy": {"v": 1}, "n": 2}},
+            "bt": {"$bottomN": {"output": "$tag", "sortBy": {"v": 1}, "n": 2}}}}]""")
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("sp") - 1.8708286933869707) < 1e-9)
+    assert(r.getSeq[Double](r.fieldIndex("mn")).toSeq == Seq(1.0, 2.0))
+    assert(r.getSeq[Double](r.fieldIndex("mx")).toSeq == Seq(6.0, 3.0))
+    assert(r.getSeq[String](r.fieldIndex("tp")).toSeq == Seq("w", "x"))
+    assert(r.getSeq[String](r.fieldIndex("bt")).toSeq == Seq("y", "z"))
+  }
+
+  test("connected components: clusters get the min member id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val cc = Pipeline100TB.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("hash sampling is deterministic and respects strata rates") {
+    val ev = cat.events
+    val s1 = Pipeline100TB.hashSample(ev, col("event_id"), lit(10))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val s2 = Pipeline100TB.hashSample(ev, col("event_id"), lit(10))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    val total = ev.count()
+    assert(s1.size > total / 20 && s1.size < total / 5) // ~10%
+  }
+
+  test("scrub redacts emails before urls before digit runs") {
+    import spark.implicits._
+    val df = Seq("mail bob42@x.org or https://a.io/p?q=7 tel 555123").toDF("t")
+    val out = df.select(Pipeline100TB.scrub(col("t"))).collect()(0).getString(0)
+    assert(out == "mail <EMAIL> or <URL> tel <NUM>")
+  }
+
+  test("chunking covers every token with stride overlap") {
+    import spark.implicits._
+    val df = Seq((1L, (0 until 20).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val rows = Pipeline100TB.chunk(df, "id", "text", size = 16, stride = 8)
+      .orderBy("start").collect()
+    assert(rows.map(_.getAs[Int]("start")).toSeq == Seq(0, 8, 16))
+    assert(rows.map(_.getAs[Int]("n_tok")).toSeq == Seq(16, 12, 4))
+    assert(rows.last.getAs[String]("chunk_text") == "t16 t17 t18 t19")
+  }
+}
