@@ -81,4 +81,61 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges == 1, s"expected exactly one shuffle:\n$plan")
     assert(!plan.contains("Window"), "must not use row_number/sort")
   }
+
+  test("correlated $lookup extracts the equi-key: hash join, never nested-loop") {
+    val plan = executed(
+      graft.plans.ExtendedQueries.queries("pipe_lookup_let")(spark, sfDir))
+      .replaceAll("#\\d+L?", "")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"correlated lookup degenerated to a product join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    // the non-equi correlated predicate rides the join as a residual
+    assert(plan.contains("l_shipdate > o_orderdate") ||
+      plan.contains("o_orderdate < l_shipdate"), plan)
+  }
+
+  test("$merge plans one keyed full-outer join, filters pushed to the source scan") {
+    val plan = executed(
+      graft.plans.ExtendedQueries.queries("pipe_merge")(spark, sfDir))
+    assert(plan.contains("FullOuter"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), LessThanOrEqual(c_custkey,50)"),
+      plan)
+  }
+
+  test("$setWindowFields compiles to window passes partitioned by the key (no global sort)") {
+    val plan = executed(
+      graft.plans.ExtendedQueries.queries("pipe_window_fields")(spark, sfDir))
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("hashpartitioning(o_custkey"), plan)
+  }
+
+  test("$sample is a top-n (TakeOrdered), never a full sort") {
+    val plan = executed(
+      graft.plans.ExtendedQueries.queries("pipe_sample")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort crept into \\$$sample:\n$plan")
+  }
+
+  test("hash sampling is a pure map-side filter: zero shuffles") {
+    val plan = executed(
+      graft.plans.ExtendedQueries.queries("sample_hash")(spark, sfDir))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("chunking and scrubbing plan zero shuffles") {
+    for (name <- Seq("doc_chunks", "text_scrub")) {
+      val plan = executed(
+        graft.plans.ExtendedQueries.queries(name)(spark, sfDir))
+      assert(!plan.contains("Exchange"), s"$name shuffled:\n$plan")
+    }
+  }
+
+  test("$densify grid generation aggregates before exploding (no driver loop)") {
+    val plan = executed(
+      graft.plans.ExtendedQueries.queries("pipe_densify_fill")(spark, sfDir))
+    assert(plan.contains("Generate explode"), plan)
+    assert(plan.contains("Window"), plan)
+  }
 }
