@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.plans.PipelineSinks
+
+/** E6/E7: stream-stream interval join and the $merge micro-batch
+  * sink — the streaming forms of C27 and the join surface. The merge
+  * sink invariant: folding a CDC stream through foreachBatch-merge
+  * must land the same final table as one batch merge of everything.
+  */
+class StreamingSinkSpec extends SparkTestBase {
+
+  final case class Click(user: Long, click_id: Long, ts: Timestamp)
+  final case class View(user: Long, view_id: Long, ts: Timestamp)
+
+  private def t(ms: Long) = new Timestamp(1700000000000L + ms)
+
+  test("E6: stream-stream interval join matches clicks to views within the window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Click]
+    val views = MemoryStream[View]
+    val c = clicks.toDF().withWatermark("ts", "1 minute")
+    val v = views.toDF().withWatermark("ts", "1 minute")
+    // view must precede the click by at most 30s — the ad-attribution shape
+    val joined = v.alias("v").join(c.alias("c"),
+      expr("""v.user = c.user AND
+              c.ts >= v.ts AND c.ts <= v.ts + interval 30 seconds"""))
+      .select(col("v.user").as("user"), col("view_id"), col("click_id"))
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      views.addData(View(1, 100, t(0)), View(2, 200, t(0)))
+      clicks.addData(Click(1, 900, t(10000)),  // within 30s → match
+        Click(2, 901, t(45000)))               // 45s later → no match
+      q.processAllAvailable()
+      val rows = spark.table("attributed").collect()
+        .map(r => (r.getAs[Long]("user"), r.getAs[Long]("view_id"),
+          r.getAs[Long]("click_id"))).toSet
+      assert(rows == Set((1L, 100L, 900L)))
+    } finally q.stop()
+  }
+
+  test("E7: foreachBatch $merge sink converges to the batch merge result") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    final case class Doc(k: Long, v: String)
+    val ms = MemoryStream[(Long, String)]
+    // target starts with two rows; stream delivers upserts across batches
+    var target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val q = ms.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // micro-batch upsert = the same pure merge operator as C27
+        target = PipelineSinks.merge(target, batch, "k",
+          whenMatched = "replace", whenNotMatched = "insert")
+          .localCheckpoint(eager = true)
+        ()
+      }.start()
+    try {
+      ms.addData((2L, "B1"))
+      q.processAllAvailable()
+      ms.addData((2L, "B2"), (3L, "C"))
+      q.processAllAvailable()
+      val got = target.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "C"))
+      // equivalence: one batch merge of the stream's latest-per-key state
+      val all = Seq((2L, "B1"), (2L, "B2"), (3L, "C")).toDF("k", "v")
+        .groupBy("k").agg(max_by(col("v"), col("v")).as("v")) // B2 > B1 lexically
+      val batchMerge = PipelineSinks.merge(
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"), all, "k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(batchMerge == got)
+    } finally q.stop()
+  }
+}
