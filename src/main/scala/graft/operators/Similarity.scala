@@ -93,6 +93,34 @@ object Similarity {
                |CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs, 0) AS INTEGER))"""
           .stripMargin).as("q"))
 
+  /** G7: quantized top-k — the production ANN scan shape at 100 TB.
+    * Both sides quantize to int8 (4× less memory traffic), the query
+    * side broadcasts, and ranking happens on the EXACT integer dot
+    * product via the native codegen'd [[graft.functions.Int8Dot]]
+    * (no FP reassociation → identical result on any engine, any
+    * partitioning). One pass over the corpus, no shuffle of it; the
+    * per-query top-k window shuffles only (queries × corpus-rows
+    * surviving nothing — it ranks all pairs, bounded by the tiny
+    * broadcast query set).
+    */
+  def int8TopK(s: SparkSession, emb: DataFrame, queries: DataFrame,
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val corpus = quantizeInt8(emb).select(col("vec_id"), col("q"))
+    val q = broadcast(quantizeInt8(queries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq")))
+    def dot = GraftBridge.column(graft.functions.Int8Dot(
+      GraftBridge.expression(col("qq")), GraftBridge.expression(col("q"))))
+    corpus.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("dot_i", dot)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dot_i").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dot_i"), col("rank"))
+  }
+
   /** G3: norms/normalization plumbing — exact double accumulation in
     * index order via fold, no shuffle.
     */

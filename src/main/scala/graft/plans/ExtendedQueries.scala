@@ -134,6 +134,11 @@ object ExtendedQueries {
         docs, "doc_id", "text", n = 2, k = 16, bands = 4)
       Pipeline100TB.connectedComponents(pairs)
     }),
+    // —— G7: int8-quantized exact-integer top-k (native Int8Dot) ——
+    "sim_topk_int8" -> ((s, dir) => {
+      val e = TableCatalog(s, dir).embeddings
+      graft.operators.Similarity.int8TopK(s, e, e.filter(col("vec_id") < 10), k = 5)
+    }),
     // —— G6: reproducible stratified hash sampling ——
     "sample_hash" -> ((s, dir) => {
       val ev = TableCatalog(s, dir).events
@@ -250,6 +255,25 @@ object ExtendedQueries {
          |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
          |FROM reach GROUP BY s""".stripMargin
     },
+    "sim_topk_int8" ->
+      """WITH m AS (
+        |  SELECT e.vec_id, MAX(abs(CAST(e.embedding[d] AS DOUBLE))) AS max_abs
+        |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY e.vec_id),
+        |qv AS (
+        |  SELECT e.vec_id,
+        |    [CAST(round(CAST(x AS DOUBLE) * 127.0 / m.max_abs, 0) AS INTEGER)
+        |     for x in e.embedding] AS q
+        |  FROM embeddings e JOIN m ON e.vec_id = m.vec_id),
+        |qs AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qs.query_id, c.vec_id,
+        |    CAST(list_sum([qs.qq[i] * c.q[i]
+        |                   for i in generate_series(1, len(c.q))]) AS BIGINT) AS dot_i
+        |  FROM qv c JOIN qs ON c.vec_id <> qs.query_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY dot_i DESC, vec_id) AS rk FROM scored)
+        |SELECT query_id, vec_id AS neighbor_id, dot_i, CAST(rk AS INTEGER) AS rank
+        |FROM ranked WHERE rk <= 5""".stripMargin,
     "sample_hash" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT) % 100

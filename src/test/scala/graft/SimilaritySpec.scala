@@ -82,4 +82,24 @@ class SimilaritySpec extends SparkTestBase {
       assert(f.feature.length == 2 && f.feature(0) > 0)
     }
   }
+
+  test("Int8Dot matches the interpreted integer dot product and stays in codegen") {
+    import org.apache.spark.sql.GraftBridge
+    import spark.implicits._
+    val df = Seq((Array(1, -2, 127), Array(3, 4, -128))).toDF("a", "b")
+    val dot = GraftBridge.column(graft.functions.Int8Dot(
+      GraftBridge.expression(col("a")), GraftBridge.expression(col("b"))))
+    assert(df.select(dot).collect()(0).getLong(0) == 3 - 8 - 127 * 128)
+    // quantized top-k ranks close to the float cosine baseline: the
+    // true nearest neighbor at rank 1 survives quantization on this data
+    val e = TableCatalog(spark, sfDir).embeddings
+    val q = e.filter(col("vec_id") < 3)
+    val int8 = Similarity.int8TopK(spark, e, q, k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val exact = Similarity.bruteForceTopK(spark, e, q, k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(int8.keySet == exact.keySet)
+    val agree = int8.count { case (k2, v) => exact(k2) == v }
+    assert(agree >= int8.size - 1, s"int8 top-1 diverged: $int8 vs $exact")
+  }
 }
