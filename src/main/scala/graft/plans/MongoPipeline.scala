@@ -672,21 +672,49 @@ object MongoPipeline {
     */
   private def bucketAuto(df: DataFrame, spec: JsonNode,
                          lastSort: Seq[(String, Boolean)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
     val groupExpr = expression(spec.get("groupBy"))
     val n = spec.get("buckets").asInt()
     val tieBreak = graft.functions.Hash60.hash60(
       concat_ws("\u0001", df.columns.map(c => col(c).cast("string")): _*))
-    val tiled = df.withColumn("__graft_tile",
-      ntile(n).over(Window.orderBy(groupExpr, tieBreak)))
+    // Global ranking WITHOUT a single-partition window: range-partition
+    // on (key, tiebreak) so every partition sorts locally in parallel,
+    // then zipWithIndex assigns the exact global rank (one lightweight
+    // per-partition count job + offset add). ntile(b) over total rows
+    // is a closed form of that rank, so the result is identical to
+    // `ntile(n).over(Window.orderBy(...))` while the sort stays fully
+    // distributed — no "all data to a single partition" stage.
+    val keyed = df.withColumn("__graft_key", groupExpr)
+      .withColumn("__graft_tb", tieBreak)
+    val sorted = keyed
+      .repartitionByRange(col("__graft_key"), col("__graft_tb"))
+      .sortWithinPartitions(col("__graft_key"), col("__graft_tb"))
+    val spark = df.sparkSession
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, idx) =>
+        Row.fromSeq(row.toSeq :+ idx)
+      },
+      sorted.schema.add("__graft_rank", LongType, nullable = false))
+    // ntile semantics: the first (total % n) buckets take one extra row
+    val totalN = sorted.count()
+    val q = totalN / n
+    val r = totalN % n
+    val span = (q + 1) * r
+    val rank1 = col("__graft_rank") + 1 // 1-based global rank
+    val tile =
+      if (q == 0) rank1 // fewer rows than buckets: one row per bucket
+      else when(rank1 <= span, ceil(rank1.cast("double") / (q + 1)))
+        .otherwise(lit(r) + ceil((rank1 - span).cast("double") / q))
     val accums = Option(spec.get("output")) match {
       case Some(o) => o.properties().asScala.toSeq.map(e =>
         accumulator(e.getValue, lastSort).as(e.getKey))
       case None => Seq(count(lit(1)).as("count"))
     }
-    val aggCols = Seq(min(groupExpr).as("_id_min"),
-      max(groupExpr).as("_id_max")) ++ accums
-    tiled.groupBy(col("__graft_tile"))
+    val aggCols = Seq(min(col("__graft_key")).as("_id_min"),
+      max(col("__graft_key")).as("_id_max")) ++ accums
+    ranked.withColumn("__graft_tile", tile.cast("int"))
+      .groupBy(col("__graft_tile"))
       .agg(aggCols.head, aggCols.tail: _*)
       .drop("__graft_tile")
       .orderBy(col("_id_min"))
