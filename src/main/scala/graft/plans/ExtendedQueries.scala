@@ -139,6 +139,12 @@ object ExtendedQueries {
       val e = TableCatalog(s, dir).embeddings
       graft.operators.Similarity.int8TopK(s, e, e.filter(col("vec_id") < 10), k = 5)
     }),
+    // —— G8: engine-exact HLL distinct sketch ——
+    "sketch_hll_distinct" -> ((s, dir) => {
+      val ev = TableCatalog(s, dir).events
+      graft.operators.Sketches.hllDistinct(
+        ev, Seq("event_type"), col("user_id"), p = 8)
+    }),
     // —— G6: reproducible stratified hash sampling ——
     "sample_hash" -> ((s, dir) => {
       val ev = TableCatalog(s, dir).events
@@ -255,6 +261,32 @@ object ExtendedQueries {
          |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
          |FROM reach GROUP BY s""".stripMargin
     },
+    "sketch_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h % 256 AS bucket,
+        |    MAX(CASE WHEN h // 256 = 0 THEN 53
+        |        ELSE 53 - length(printf('%b', h // 256)) END) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS registers_used,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (53 - rho)) AS BIGINT) AS obs
+        |  FROM r GROUP BY 1),
+        |raw AS (
+        |  SELECT event_type, registers_used,
+        |    obs + (256 - registers_used) * (CAST(1 AS BIGINT) << 53) AS reg_sum,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0
+        |      / (obs + (256 - registers_used) * (CAST(1 AS BIGINT) << 53)) AS r
+        |  FROM s)
+        |SELECT event_type, registers_used, reg_sum,
+        |  round(CASE WHEN registers_used < 256 AND r <= 640.0
+        |             THEN 256.0 * ln(256.0 / (256 - registers_used))
+        |             ELSE r END, 4) AS hll_est
+        |FROM raw""".stripMargin,
     "sim_topk_int8" ->
       """WITH m AS (
         |  SELECT e.vec_id, MAX(abs(CAST(e.embedding[d] AS DOUBLE))) AS max_abs

@@ -102,4 +102,25 @@ class SimilaritySpec extends SparkTestBase {
     val agree = int8.count { case (k2, v) => exact(k2) == v }
     assert(agree >= int8.size - 1, s"int8 top-1 diverged: $int8 vs $exact")
   }
+
+  test("HLL sketch estimates within the expected error band and is deterministic") {
+    val ev = TableCatalog(spark, sfDir).events
+    val est = graft.operators.Sketches
+      .hllDistinct(ev, Seq("event_type"), col("user_id"), p = 8)
+      .collect()
+    val truth = ev.groupBy("event_type").agg(countDistinct("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { r =>
+      val e = r.getAs[Double]("hll_est")
+      val t = truth(r.getAs[String]("event_type")).toDouble
+      // m=256 → ~6.5% standard error; allow 4 sigma
+      assert(math.abs(e - t) / t < 0.26, s"est $e vs true $t")
+    }
+    val est2 = graft.operators.Sketches
+      .hllDistinct(ev.repartition(7), Seq("event_type"), col("user_id"), p = 8)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("hll_est")).toMap
+    est.foreach(r => assert(
+      est2(r.getAs[String]("event_type")) == r.getAs[Double]("hll_est"),
+      "estimate changed under repartitioning"))
+  }
 }
