@@ -35,15 +35,14 @@ object Pipeline100TB {
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // carry the previous label through so convergence is a filter on
+      // the checkpointed result, not another join
       val next = labels.join(prop, col("node") === col("src"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(eager = true)
-      converged = next.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("__old")).isEmpty
+      labels = next.select(col("node"), col("label"))
       i += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))

@@ -687,9 +687,13 @@ object MongoPipeline {
     // distributed — no "all data to a single partition" stage.
     val keyed = df.withColumn("__graft_key", groupExpr)
       .withColumn("__graft_tb", tieBreak)
+    // materialize the sorted layout ONCE: range-sample, zipWithIndex's
+    // partition-count job, the total count, and the final aggregate all
+    // read the checkpointed partitions instead of re-sorting 4 times
     val sorted = keyed
       .repartitionByRange(col("__graft_key"), col("__graft_tb"))
       .sortWithinPartitions(col("__graft_key"), col("__graft_tb"))
+      .localCheckpoint(eager = true)
     val spark = df.sparkSession
     val ranked = spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (row, idx) =>
