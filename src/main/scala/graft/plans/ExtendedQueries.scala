@@ -139,6 +139,17 @@ object ExtendedQueries {
       val e = TableCatalog(s, dir).embeddings
       graft.operators.Similarity.int8TopK(s, e, e.filter(col("vec_id") < 10), k = 5)
     }),
+    // —— C19: $facet (serialized to JSON strings for the driver compare) ——
+    "pipe_facet" -> ((s, dir) => {
+      run(s, dir, "orders",
+        """[{"$facet": {
+             "by_status": [{"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1}}}],
+             "price_hist": [{"$bucket": {"groupBy": "$o_totalprice",
+               "boundaries": [0, 100000, 600000], "default": "other",
+               "output": {"n": {"$sum": 1}}}}]}}]""")
+        .select(to_json(col("by_status")).as("by_status"),
+          to_json(col("price_hist")).as("price_hist"))
+    }),
     // —— G8: engine-exact HLL distinct sketch ——
     "sketch_hll_distinct" -> ((s, dir) => {
       val ev = TableCatalog(s, dir).events
@@ -261,6 +272,19 @@ object ExtendedQueries {
          |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
          |FROM reach GROUP BY s""".stripMargin
     },
+    "pipe_facet" ->
+      """WITH bs AS (
+        |  SELECT o_orderstatus AS _id, COUNT(*) AS n FROM orders GROUP BY 1),
+        |ph AS (
+        |  SELECT CASE WHEN o_totalprice >= 0 AND o_totalprice < 100000 THEN '0'
+        |              WHEN o_totalprice >= 100000 AND o_totalprice < 600000 THEN '100000'
+        |              ELSE 'other' END AS _id, COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT
+        |  (SELECT '[' || string_agg('{"_id":"'||_id||'","n":'||n||'}', ','
+        |                            ORDER BY _id, n) || ']' FROM bs) AS by_status,
+        |  (SELECT '[' || string_agg('{"_id":"'||_id||'","n":'||n||'}', ','
+        |                            ORDER BY _id, n) || ']' FROM ph) AS price_hist""".stripMargin,
     "sketch_hll_distinct" ->
       """WITH h AS (
         |  SELECT event_type,
