@@ -86,4 +86,51 @@ object Streams {
           out.iterator
       }
   }
+
+  /** E2 on the Spark 4 `transformWithState` API: the same session
+    * numbering as [[assignSessionsStream]], expressed as a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] with a
+    * named ValueState — the modern arbitrary-state runtime (RocksDB
+    * state store, state schema evolution, TTL support). Functional
+    * equivalence to the flatMapGroupsWithState form is spec-checked.
+    */
+  class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionEvent, SessionAssign] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var session: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[(Long, Long)]("session",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+                                 timerValues: TimerValues): Iterator[SessionAssign] = {
+      var (seq, last) =
+        if (session.exists()) session.get() else (0L, Long.MinValue)
+      val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        if (last == Long.MinValue || e.ts_us - last > gapUs) seq += 1
+        last = e.ts_us
+        SessionAssign(key, e.event_id, seq)
+      }
+      session.update((seq, last))
+      out.iterator
+    }
+  }
+
+  /** [[assignSessionsStream]] via `transformWithState`. Requires the
+    * RocksDB state store provider (set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider`).
+    */
+  def assignSessionsTws(
+      events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMinutes: Int = 30): org.apache.spark.sql.Dataset[SessionAssign] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000000L),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -150,6 +150,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("E2b: transformWithState sessionization matches the flatMapGroupsWithState form") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.{SessionEvent, assignSessionsTws}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[SessionEvent]
+    val min = 60L * 1000000L
+    val q = assignSessionsTws(ms.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_tws")
+      .outputMode("update").start()
+    try {
+      ms.addData(SessionEvent(1, 1, 0), SessionEvent(1, 2, 5 * min))
+      q.processAllAvailable()
+      ms.addData(SessionEvent(1, 3, 15 * min), SessionEvent(1, 4, 135 * min))
+      q.processAllAvailable()
+      val got = spark.table("sessions_tws").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_seq")).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
+        s"transformWithState must carry session numbering across batches: $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("$facet runs sub-pipelines over one input (single combined row)") {
     val row = graft.plans.MongoPipeline(
       TableCatalog(spark, sfDir).events,
