@@ -584,9 +584,18 @@ object MongoPipeline {
     val foreign0 = tables(spec.get("from").asText())
     val as = spec.get("as").asText()
     val stages = spec.get("pipeline").elements().asScala.toSeq
+    if (spec.get("let") == null) {
+      // Uncorrelated: the sub-pipeline runs once; every local row gets
+      // the same packed array — broadcast-cross-join of ONE row, any
+      // pipeline shape allowed.
+      val sub = apply(foreign0, spec.get("pipeline").toString, tables)
+      val packed = sub.agg(array_sort(
+        collect_list(struct(sub.columns.map(col): _*))).as(as))
+      return df.crossJoin(broadcast(packed))
+    }
     require(stages.size == 1 && stages.head.get("$match") != null &&
       stages.head.get("$match").get("$expr") != null,
-      "$lookup pipeline support: exactly one {$match: {$expr: ...}} stage")
+      "correlated $lookup pipeline support: exactly one {$match: {$expr: ...}} stage")
     val exprNode = rewriteFieldRefs(stages.head.get("$match").get("$expr"))
     val binds: Map[String, Column] =
       Option(spec.get("let")).map(_.properties().asScala.toSeq.map { e =>
@@ -746,13 +755,31 @@ object MongoPipeline {
       case t if t.isTextual && t.asText() == "current" => Window.currentRow
       case t => t.asLong()
     }
-    def framed(w: JsonNode): WindowSpec = Option(w).flatMap(x =>
-      Option(x.get("documents"))) match {
-      case Some(docs) =>
-        val b = docs.elements().asScala.toSeq
+    def framed(w: JsonNode): WindowSpec = Option(w) match {
+      case Some(x) if x.get("documents") != null =>
+        val b = x.get("documents").elements().asScala.toSeq
         ordered.rowsBetween(bound(b.head, isLower = true),
           bound(b(1), isLower = false))
-      case None => ordered
+      case Some(x) if x.get("range") != null =>
+        // value-range frame over the (single) sortBy column; the
+        // optional time unit scales finite offsets to seconds
+        require(sortBy.size == 1, "range window requires one sortBy field")
+        val b = x.get("range").elements().asScala.toSeq
+        val scale = Option(x.get("unit")).map(_.asText() match {
+          case "second" => 1L
+          case "minute" => 60L
+          case "hour"   => 3600L
+          case "day"    => 86400L
+          case other => throw new IllegalArgumentException(
+            s"unsupported range-window unit: $other")
+        }).getOrElse(1L)
+        def scaled(v: Long): Long =
+          if (v == Window.unboundedPreceding || v == Window.unboundedFollowing ||
+            v == Window.currentRow) v
+          else v * scale
+        ordered.rangeBetween(scaled(bound(b.head, isLower = true)),
+          scaled(bound(b(1), isLower = false)))
+      case _ => ordered
     }
     var cur = df
     spec.get("output").properties().asScala.toSeq.foreach { e =>

@@ -126,6 +126,34 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(out == Map(1L -> 1, 2L -> 0)) // only (1,7) passes fv > cut
   }
 
+  test("$setWindowFields range frame sums values within the sort-key span") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 11L, 4.0), (2L, 0L, 8.0))
+      .toDF("k", "t", "v")
+    val out = MongoPipeline(df,
+      """[{"$setWindowFields": {"partitionBy": "$k", "sortBy": {"t": 1},
+           "output": {"w": {"$sum": "$v",
+                            "window": {"range": [-5, "current"]}}}}}]""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("w")).toMap
+    // t=5 sees t∈[0,5] → 3.0; t=11 sees t∈[6,11] → 4.0 only
+    assert(out == Map((1L, 0L) -> 1.0, (1L, 5L) -> 3.0, (1L, 11L) -> 4.0,
+      (2L, 0L) -> 8.0))
+  }
+
+  test("uncorrelated $lookup pipeline packs one shared result for every row") {
+    import spark.implicits._
+    val left = Seq(1L, 2L).toDF("id")
+    val right = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("rid", "tag")
+    val out = MongoPipeline(left,
+      """[{"$lookup": {"from": "r",
+            "pipeline": [{"$match": {"rid": {"$gte": 20}}},
+                         {"$project": {"rid": 1}}],
+            "as": "all_big"}},
+          {"$project": {"id": 1, "n": {"$size": "$all_big"}}}]""",
+      name => right).collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out == Map(1L -> 2, 2L -> 2))
+  }
+
   test("$merge semantics: replace, keepExisting, merge, discard") {
     import spark.implicits._
     val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
