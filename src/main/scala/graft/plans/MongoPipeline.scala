@@ -168,6 +168,12 @@ object MongoPipeline {
           case "$mod" =>
             val it = v.elements().asScala.toSeq
             c % literal(it.head) === literal(it(1))
+          case "$size" => size(c) === literal(v)
+          case "$all" => // every listed value present in the array field
+            v.elements().asScala.map(x => array_contains(c, literalValue(x)))
+              .reduce(_ && _)
+          case "$elemMatch" => // some element satisfies the sub-predicate
+            exists(c, el => fieldPredicate(el, v))
           case other =>
             throw new IllegalArgumentException(s"unsupported $$match op: $other")
         }
@@ -406,10 +412,39 @@ object MongoPipeline {
         forall(expression(if (a.isArray) a.get(0) else a), x => x.cast("boolean"))
       case "$anyElementTrue" =>
         exists(expression(if (a.isArray) a.get(0) else a), x => x.cast("boolean"))
+      // —— dual-form aggregators: [exprs...] = pointwise, single arg = array fold ——
+      case "$max" =>
+        if (a.isArray) greatest(args: _*) else array_max(expression(a, binds))
+      case "$min" =>
+        if (a.isArray) least(args: _*) else array_min(expression(a, binds))
+      case "$sum" =>
+        if (a.isArray) args.reduce(_ + _)
+        else aggregate(expression(a, binds), lit(0.0).cast("double"),
+          (acc, x) => acc + x.cast("double"))
+      case "$avg" =>
+        if (a.isArray) args.reduce(_ + _) / args.length
+        else {
+          val arr = expression(a, binds)
+          aggregate(arr, lit(0.0).cast("double"),
+            (acc, x) => acc + x.cast("double")) / size(arr)
+        }
+      case "$sortArray" =>
+        val input = expression(a.get("input"), binds)
+        if (a.get("sortBy").asInt() >= 0) array_sort(input)
+        else reverse(array_sort(input))
+      case "$zip" =>
+        val inputs = a.get("inputs").elements().asScala
+          .map(x => expression(x, binds)).toSeq
+        arrays_zip(inputs: _*)
+      case "$let" =>
+        val varBinds = a.get("vars").properties().asScala.toSeq.map { e =>
+          e.getKey -> expression(e.getValue, binds)
+        }.toMap
+        expression(a.get("in"), binds ++ varBinds)
       // —— objects ——
       case "$mergeObjects" =>
-        // struct merge: later args win field-by-field via coalesce on
-        //共同 fields is complex — here: right-biased whole-field merge
+        // right-biased whole-value merge (field-wise struct merge has
+        // no deterministic order under a shuffle)
         args.reduce((x, y) => coalesce(y, x))
       case "$getField" =>
         if (a.isTextual) col(a.asText()) // {$getField: "f"} on $$CURRENT

@@ -199,6 +199,36 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(r.getAs[Boolean]("at") && r.getAs[Boolean]("an"))
   }
 
+  test("$let, array-fold aggregators, $sortArray, $zip, and array matchers") {
+    import spark.implicits._
+    val df = Seq((Seq(3.0, 1.0, 2.0), Seq("a", "b"))).toDF("xs", "tags")
+    val r = MongoPipeline(df,
+      """[{"$project": {
+            "mx": {"$max": "$xs"}, "mn": {"$min": "$xs"},
+            "sm": {"$sum": "$xs"}, "av": {"$avg": "$xs"},
+            "mx2": {"$max": [10, 4]},
+            "srt": {"$sortArray": {"input": "$xs", "sortBy": -1}},
+            "zp": {"$size": {"$zip": {"inputs": ["$xs", "$xs"]}}},
+            "lt": {"$let": {"vars": {"t": {"$sum": "$xs"}},
+                            "in": {"$multiply": ["$$t", 2]}}}}}]""").collect()(0)
+    assert(r.getAs[Double]("mx") == 3.0 && r.getAs[Double]("mn") == 1.0)
+    assert(r.getAs[Double]("sm") == 6.0 && r.getAs[Double]("av") == 2.0)
+    assert(r.getAs[Long]("mx2") == 10L)
+    assert(r.getSeq[Double](r.fieldIndex("srt")).toSeq == Seq(3.0, 2.0, 1.0))
+    assert(r.getAs[Int]("zp") == 3)
+    assert(r.getAs[Double]("lt") == 12.0)
+    // $match array operators
+    val m = MongoPipeline(df,
+      """[{"$match": {"xs": {"$size": 3},
+                      "tags": {"$all": ["a", "b"]},
+                      "$and": [{"xs": {"$elemMatch": {"$gte": 2.5}}}]}}]""")
+    assert(m.count() == 1)
+    assert(MongoPipeline(df,
+      """[{"$match": {"tags": {"$all": ["a", "z"]}}}]""").count() == 0)
+    assert(MongoPipeline(df,
+      """[{"$match": {"xs": {"$elemMatch": {"$gt": 5}}}}]""").count() == 0)
+  }
+
   test("group accumulators: stdDev, minN/maxN, topN/bottomN") {
     import spark.implicits._
     val df = Seq(("g", 1.0, "w"), ("g", 2.0, "x"), ("g", 3.0, "y"), ("g", 6.0, "z"))
