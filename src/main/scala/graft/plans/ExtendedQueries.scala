@@ -172,6 +172,23 @@ object ExtendedQueries {
     // —— H10: sliding-window chunking ——
     "doc_chunks" -> ((s, dir) =>
       Pipeline100TB.chunk(TableCatalog(s, dir).documents, "doc_id", "text")),
+    // —— H11: the composed curation pass — quality ∧ language ∧ dedup
+    //    survivor in ONE plan (each component is the already-verified
+    //    operator; Catalyst fuses the three narrow passes over
+    //    documents and the dedup shuffle into a single job) ——
+    "corpus_curate" -> ((s, dir) => {
+      import graft.operators.{Dedup, TextAnalysis}
+      val docs = TableCatalog(s, dir).documents
+      val q = TextAnalysis.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      val l = TextAnalysis.langId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("predicted"))
+      val d = Dedup.exact(docs, "doc_id", "text")
+        .select(col("survivor").as("doc_id"), col("n_copies"))
+      q.join(l, "doc_id").join(d, "doc_id")
+        .filter(col("quality") >= 0.35 && col("predicted") === "en")
+        .select(col("doc_id"), col("n_copies"), col("quality"))
+    }),
   )
 
   private val duckCents = "CAST(round(o_totalprice*100,0) AS BIGINT)"
@@ -341,6 +358,18 @@ object ExtendedQueries {
         |    'https?://[^ \t\n]+', '<URL>', 'g'),
         |    '[0-9]+', '<NUM>', 'g') AS scrubbed
         |FROM events""".stripMargin,
+    "corpus_curate" -> {
+      val qualitySql = graft.operators.LlmQueries.oracleSql("text_quality")
+      val langSql = graft.operators.LlmQueries.oracleSql("text_langid")
+      val dedupSql = graft.operators.LlmQueries.oracleSql("dedup_exact")
+      s"""WITH q AS ($qualitySql),
+         |l AS ($langSql),
+         |d AS ($dedupSql)
+         |SELECT q.doc_id, d.n_copies, q.quality
+         |FROM q JOIN l ON q.doc_id = l.doc_id
+         |JOIN d ON q.doc_id = d.survivor
+         |WHERE q.quality >= 0.35 AND l.predicted = 'en'""".stripMargin
+    },
     "doc_chunks" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
