@@ -249,6 +249,38 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(r.getSeq[String](r.fieldIndex("bt")).toSeq == Seq("y", "z"))
   }
 
+  test("translator rejects malformed pipelines loudly, not silently") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    def bad(json: String): String =
+      intercept[IllegalArgumentException](
+        MongoPipeline(df, json).collect()).getMessage
+    assert(bad("""[{"$frobnicate": 1}]""").contains("unsupported stage"))
+    assert(bad("""[{"$match": {"k": {"$near": 1}}}]""")
+      .contains("unsupported $match op"))
+    assert(bad("""[{"$project": {"x": {"$cbrt": "$k"}}}]""")
+      .contains("unsupported expression op"))
+    assert(bad("""[{"$match": {"k": {"$gt": 1}, "$extra": 2, "v": "a"},
+                   "$second": {}}]""").contains("exactly one operator"))
+    // unbound lambda var
+    assert(bad("""[{"$project": {"x": "$$nope"}}]""")
+      .contains("unbound lambda variable"))
+  }
+
+  test("mixed-direction $sort orders correctly and feeds $first/$last guards") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (1L, 2.0), (2L, 5.0)).toDF("k", "v")
+    val sorted = MongoPipeline(df, """[{"$sort": {"k": 1, "v": -1}}]""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sorted == Seq((1L, 2.0), (1L, 1.0), (2L, 5.0)))
+    // mixed-direction $first would be ambiguous — must refuse
+    val e = intercept[IllegalArgumentException](
+      MongoPipeline(df,
+        """[{"$sort": {"k": 1, "v": -1}},
+            {"$group": {"_id": "$k", "f": {"$first": "$v"}}}]""").collect())
+    assert(e.getMessage.contains("uniform-direction"))
+  }
+
   test("connected components: clusters get the min member id") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
