@@ -156,6 +156,13 @@ object ExtendedQueries {
       graft.operators.Sketches.hllDistinct(
         ev, Seq("event_type"), col("user_id"), p = 8)
     }),
+    // —— G2b: IVF ANN — registered rows-only (k-means training isn't
+    //    SQL-expressible; SimilaritySpec checks recall vs brute force) ——
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = TableCatalog(s, dir).embeddings
+      graft.operators.Similarity.ivfTopK(
+        s, e, e.filter(col("vec_id") < 10), k = 3)
+    }),
     // —— G6: reproducible stratified hash sampling ——
     "sample_hash" -> ((s, dir) => {
       val ev = TableCatalog(s, dir).events
