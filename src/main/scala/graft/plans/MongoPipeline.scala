@@ -247,30 +247,9 @@ object MongoPipeline {
         Option(a.get("default")).filterNot(_.isNull)
           .map(d => chain.otherwise(expression(d))).getOrElse(chain)
       case "$dateToString" =>
-        // Mongo strftime-ish specifiers → java DateTimeFormatter
-        // pattern; literal letters (like the T and Z in the default
-        // ISO layout) must be single-quoted or they'd be interpreted
-        // as pattern letters / zone offsets.
         val fmt = Option(a.get("format")).map(_.asText())
           .getOrElse("%Y-%m-%dT%H:%M:%S.%LZ")
-        val spec2java = Map('Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd",
-          'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'L' -> "SSS", 'j' -> "DDD")
-        val sb = new StringBuilder
-        var i = 0
-        while (i < fmt.length) {
-          val ch = fmt.charAt(i)
-          if (ch == '%' && i + 1 < fmt.length) {
-            sb.append(spec2java.getOrElse(fmt.charAt(i + 1),
-              throw new IllegalArgumentException(
-                s"unsupported $$dateToString specifier: %${fmt.charAt(i + 1)}")))
-            i += 2
-          } else {
-            if (ch.isLetter) sb.append('\'').append(ch).append('\'')
-            else sb.append(ch)
-            i += 1
-          }
-        }
-        date_format(expression(a.get("date")), sb.toString)
+        date_format(expression(a.get("date")), mongoDateFormat(fmt))
       case "$cond" =>
         val (i, t, e) =
           if (a.isArray) {
@@ -343,6 +322,33 @@ object MongoPipeline {
             s"unsupported $$dateDiff unit: $other")
         }
       case "$toDate" => expression(a).cast("timestamp")
+      case "$convert" =>
+        val input = expression(a.get("input"), binds)
+        val to = a.get("to").asText() match {
+          case "int" => "int"; case "long" => "long"
+          case "double" => "double"; case "decimal" => "decimal(18,2)"
+          case "string" => "string"; case "bool" => "boolean"
+          case "date" => "timestamp"
+          case other => throw new IllegalArgumentException(
+            s"unsupported $$convert target: $other")
+        }
+        val converted = try_cast_col(input, to)
+        val withErr = Option(a.get("onError")).filterNot(_.isNull)
+          .map(d => when(input.isNotNull && converted.isNull,
+            expression(d, binds)).otherwise(converted))
+          .getOrElse(converted)
+        Option(a.get("onNull")).filterNot(_.isNull)
+          .map(d => when(input.isNull, expression(d, binds)).otherwise(withErr))
+          .getOrElse(withErr)
+      case "$dateFromString" =>
+        val fmt = Option(a.get("format")).map(f =>
+          mongoDateFormat(f.asText())).getOrElse("yyyy-MM-dd HH:mm:ss")
+        to_timestamp(expression(a.get("dateString"), binds), fmt)
+      case "$isoWeek" => weekofyear(expression(a))
+      case "$isoDayOfWeek" => // 1=Monday..7=Sunday
+        ((dayofweek(expression(a)) + 5) % 7) + 1
+      case "$millisecond" =>
+        (expression(a).cast("double") * 1000).cast("long") % 1000
       // —— strings ——
       case "$ltrim" => ltrim(expression(a.get("input")))
       case "$rtrim" => rtrim(expression(a.get("input")))
@@ -452,6 +458,41 @@ object MongoPipeline {
       case other =>
         throw new IllegalArgumentException(s"unsupported expression op: $other")
     }
+  }
+
+  /** Mongo strftime-ish specifiers → java DateTimeFormatter pattern;
+    * literal letters (like the T and Z in the default ISO layout)
+    * must be single-quoted or they'd be interpreted as pattern
+    * letters / zone offsets.
+    */
+  private def mongoDateFormat(fmt: String): String = {
+    val spec2java = Map('Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'L' -> "SSS", 'j' -> "DDD")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        sb.append(spec2java.getOrElse(fmt.charAt(i + 1),
+          throw new IllegalArgumentException(
+            s"unsupported date format specifier: %${fmt.charAt(i + 1)}")))
+        i += 2
+      } else {
+        if (ch.isLetter) sb.append('\'').append(ch).append('\'')
+        else sb.append(ch)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** try_cast as a Column op (absent from the functions API). */
+  private def try_cast_col(c: Column, to: String): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(org.apache.spark.sql.catalyst.expressions.Cast(
+      GraftBridge.expression(c),
+      org.apache.spark.sql.types.DataType.fromDDL(to),
+      None, org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
   }
 
   private def literal(n: JsonNode): Column = lit(literalValue(n))

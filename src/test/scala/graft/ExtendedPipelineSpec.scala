@@ -249,6 +249,27 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(r.getSeq[String](r.fieldIndex("bt")).toSeq == Seq("y", "z"))
   }
 
+  test("$convert with onError/onNull, $dateFromString, iso date parts") {
+    import spark.implicits._
+    val df = Seq(("12", "x", "2024-03-04 05:06:07", null.asInstanceOf[String]))
+      .toDF("num", "junk", "dstr", "nothing")
+    val r = MongoPipeline(df,
+      """[{"$project": {
+            "ok": {"$convert": {"input": "$num", "to": "int"}},
+            "bad": {"$convert": {"input": "$junk", "to": "int", "onError": -1}},
+            "nul": {"$convert": {"input": "$nothing", "to": "int", "onNull": -2}},
+            "d": {"$dateFromString": {"dateString": "$dstr"}},
+            "iw": {"$isoWeek": {"$dateFromString": {"dateString": "$dstr"}}},
+            "idw": {"$isoDayOfWeek": {"$dateFromString": {"dateString": "$dstr"}}}}}]""")
+      .collect()(0)
+    assert(r.getAs[Int]("ok") == 12)
+    assert(r.getAs[Long]("bad") == -1L)
+    assert(r.getAs[Long]("nul") == -2L)
+    assert(r.getAs[java.sql.Timestamp]("d").toString.startsWith("2024-03-04"))
+    assert(r.getAs[Int]("iw") == 10) // ISO week of Mar 4 2024
+    assert(r.getAs[Int]("idw") == 1) // Monday
+  }
+
   test("translator rejects malformed pipelines loudly, not silently") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("k", "v")
