@@ -46,6 +46,19 @@ object ExtJson {
     concat(lit("{\"$date\":{\"$numberLong\":\""),
       (unix_micros(ts) / 1000).cast("long").cast("string"), lit("\"}}"))
 
+  /** `$oid` form (reference README §example-producer-messages):
+    * callers supply the 24-hex ObjectId rendering.
+    */
+  def oid(hex24: Column): Column =
+    concat(lit("{\"$oid\":\""), hex24, lit("\"}"))
+
+  /** BSON `$timestamp {t, i}` — oplog position as (seconds, ordinal
+    * within the second), the reference's `meta.ts` shape.
+    */
+  def timestampBson(tSeconds: Column, inc: Column): Column =
+    concat(lit("{\"$timestamp\":{\"t\":"), tSeconds.cast("long").cast("string"),
+      lit(",\"i\":"), inc.cast("int").cast("string"), lit("}}"))
+
   /** `"name": <valueJson>` — valueJson must already be encoded. */
   def field(name: String, valueJson: Column): Column =
     concat(lit("\"" + name + "\":"), valueJson)

@@ -139,6 +139,20 @@ object ExtendedQueries {
       val e = TableCatalog(s, dir).embeddings
       graft.operators.Similarity.int8TopK(s, e, e.filter(col("vec_id") < 10), k = 5)
     }),
+    // —— B6: $oid + BSON $timestamp{t,i} envelope forms ——
+    "ext_json_bson_types" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.ExtJson
+      val ev = TableCatalog(s, dir).events
+      val withT = ev.withColumn("t", expr("unix_micros(ts) div 1000000"))
+      val inc = row_number().over(
+        Window.partitionBy(col("t")).orderBy(col("event_id")))
+      withT.select(col("event_id"),
+        ExtJson.obj(
+          ExtJson.field("_id", ExtJson.oid(
+            substring(md5(to_binary(col("event_id").cast("string"), lit("utf-8"))), 1, 24))),
+          ExtJson.field("ts", ExtJson.timestampBson(col("t"), inc))).as("msg"))
+    }),
     // —— C19: $facet (serialized to JSON strings for the driver compare) ——
     "pipe_facet" -> ((s, dir) => {
       run(s, dir, "orders",
@@ -296,6 +310,17 @@ object ExtendedQueries {
          |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
          |FROM reach GROUP BY s""".stripMargin
     },
+    "ext_json_bson_types" ->
+      """WITH b AS (
+        |  SELECT event_id, epoch_us(ts) // 1000000 AS t FROM events),
+        |r AS (
+        |  SELECT event_id, t,
+        |    CAST(row_number() OVER (PARTITION BY t ORDER BY event_id) AS INTEGER) AS i
+        |  FROM b)
+        |SELECT event_id,
+        |  '{"_id":{"$oid":"' || substr(md5(CAST(event_id AS VARCHAR)), 1, 24) ||
+        |  '"},"ts":{"$timestamp":{"t":' || t || ',"i":' || i || '}}}' AS msg
+        |FROM r""".stripMargin,
     "pipe_facet" ->
       """WITH bs AS (
         |  SELECT o_orderstatus AS _id, COUNT(*) AS n FROM orders GROUP BY 1),
