@@ -153,6 +153,28 @@ object ExtendedQueries {
             substring(md5(to_binary(col("event_id").cast("string"), lit("utf-8"))), 1, 24))),
           ExtJson.field("ts", ExtJson.timestampBson(col("t"), inc))).as("msg"))
     }),
+    // —— B5: avro envelope round trip — encode the op log through the
+    //    binary codec, decode, fold; must equal folding directly ——
+    "consumer_avro_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.AvroCodec
+      val ev = TableCatalog(s, dir).events.select(
+        col("event_id"), expr("unix_micros(ts)").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      val schema =
+        """{"type":"record","name":"ev","fields":[
+          |{"name":"event_id","type":"long"},{"name":"ts_us","type":"long"},
+          |{"name":"user_id","type":"long"},{"name":"event_type","type":"string"},
+          |{"name":"value","type":"double"},{"name":"props","type":"string"}]}"""
+          .stripMargin
+      val decoded = AvroCodec.decode(
+        AvroCodec.encode(ev, schema, binary = true), schema, binary = true)
+      decoded
+        .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("value"), col("props"))
+    }),
     // —— C19: $facet (serialized to JSON strings for the driver compare) ——
     "pipe_facet" -> ((s, dir) => {
       run(s, dir, "orders",
@@ -310,6 +332,8 @@ object ExtendedQueries {
          |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
          |FROM reach GROUP BY s""".stripMargin
     },
+    "consumer_avro_roundtrip" ->
+      graft.operators.CdcQueries.oracleSql("cdc_latest_state"),
     "ext_json_bson_types" ->
       """WITH b AS (
         |  SELECT event_id, epoch_us(ts) // 1000000 AS t FROM events),
