@@ -103,6 +103,30 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** I6: EXACT per-group quantiles by global rank within the group —
+    * no sketch, no approx_percentile nondeterminism. One window
+    * shuffle partitioned by the group key (parallel across groups at
+    * any scale); the quantile is the element at rank ⌈p·n⌉ under a
+    * total (value, tiebreak) order, so every engine computes the
+    * same answer. For a single giant group, swap the window for the
+    * bucketAuto-style range-partitioned zipWithIndex ranking.
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     tieCol: String, ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val aggs = ps.map { p =>
+      val name = s"p${(p * 100).round}"
+      max(when(col("__rn") === ceil(lit(p) * col("__n")), col(valueCol)))
+        .as(name)
+    }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** I5: signup→purchase funnel per user, no self-join: one pass with
     * conditional aggregation keyed by user_id.
     */

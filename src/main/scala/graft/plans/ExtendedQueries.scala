@@ -153,6 +153,12 @@ object ExtendedQueries {
             substring(md5(to_binary(col("event_id").cast("string"), lit("utf-8"))), 1, 24))),
           ExtJson.field("ts", ExtJson.timestampBson(col("t"), inc))).as("msg"))
     }),
+    // —— I6: exact per-group quantiles (rank-defined, no sketch) ——
+    "quantiles_exact" -> ((s, dir) => {
+      val ev = TableCatalog(s, dir).events
+      graft.operators.Analytics.exactQuantiles(
+        ev, "event_type", "value", "event_id", Seq(0.5, 0.9, 0.99))
+    }),
     // —— B5: avro envelope round trip — encode the op log through the
     //    binary codec, decode, fold; must equal folding directly ——
     "consumer_avro_roundtrip" -> ((s, dir) => {
@@ -334,6 +340,17 @@ object ExtendedQueries {
     },
     "consumer_avro_roundtrip" ->
       graft.operators.CdcQueries.oracleSql("cdc_latest_state"),
+    "quantiles_exact" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+        |FROM r GROUP BY event_type""".stripMargin,
     "ext_json_bson_types" ->
       """WITH b AS (
         |  SELECT event_id, epoch_us(ts) // 1000000 AS t FROM events),
