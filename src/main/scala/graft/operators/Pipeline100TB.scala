@@ -58,6 +58,30 @@ object Pipeline100TB {
   def hashSample(df: DataFrame, keyCol: Column, ratePct: Column): DataFrame =
     df.filter(pmod(hash60(keyCol.cast("string")), lit(100)) < ratePct)
 
+  /** G6b: deterministic WEIGHTED Bernoulli sampling: keep a row iff
+    * hash60(key)/2^60 < weight(row) — per-row inclusion probability
+    * equals the weight (importance sampling for training-data mixes),
+    * reproducible on any cluster/retry. Pure map-side filter.
+    * The comparison runs in exact integer space: h < w·2^60.
+    */
+  def weightedHashSample(df: DataFrame, keyCol: Column, weight: Column): DataFrame =
+    df.filter(hash60(keyCol.cast("string")).cast("double") <
+      weight * lit(1152921504606846976.0 /* 2^60 */))
+
+  /** G6c: deterministic k-per-stratum sample: the k smallest row
+    * hashes within each stratum — a uniform-without-replacement draw
+    * that never changes across runs. One shuffle on the stratum key.
+    */
+  def stratifiedK(df: DataFrame, stratumCol: Column, keyCol: Column,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hash60(keyCol.cast("string"))
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(stratumCol).orderBy(h)))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** H9: PII / noise scrubbing — email, URL, then digit-run, applied
     * in that order so an address is one `<EMAIL>`, not fragments with
     * `<NUM>` inside. Codegen'd regexp chain, no UDF.

@@ -212,6 +212,18 @@ object ExtendedQueries {
         when(col("event_type") === "purchase", 50).otherwise(10))
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
+    // —— G6b/G6c: weighted + per-stratum deterministic sampling ——
+    "sample_weighted" -> ((s, dir) => {
+      val ev = TableCatalog(s, dir).events
+      Pipeline100TB.weightedHashSample(ev, col("event_id"),
+        least(col("value") / 100.0, lit(1.0)))
+        .select(col("event_id"), col("event_type"), col("value"))
+    }),
+    "sample_stratified_k" -> ((s, dir) => {
+      val ev = TableCatalog(s, dir).events
+      Pipeline100TB.stratifiedK(ev, col("event_type"), col("event_id"), k = 3)
+        .select(col("event_id"), col("event_type"))
+    }),
     // —— H9: PII / noise scrubbing ——
     "text_scrub" -> ((s, dir) => {
       val ev = TableCatalog(s, dir).events
@@ -424,6 +436,17 @@ object ExtendedQueries {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT) % 100
         |      < CASE WHEN event_type = 'purchase' THEN 50 ELSE 10 END""".stripMargin,
+    "sample_weighted" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE CAST(CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT) AS DOUBLE)
+        |      < least(value / 100.0, 1.0) * 1152921504606846976.0""".stripMargin,
+    "sample_stratified_k" ->
+      """SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT)) AS rk
+        |  FROM events)
+        |WHERE rk <= 3""".stripMargin,
     "text_scrub" ->
       """SELECT event_id,
         |  regexp_replace(regexp_replace(regexp_replace(props,
