@@ -310,6 +310,43 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("weighted sampling tracks the per-row inclusion probability") {
+    val ev = cat.events
+    val total = ev.count().toDouble
+    // weight = min(value/100, 1): expected keep-rate = E[weight]
+    val expRate = ev.agg(avg(least(col("value") / 100.0, lit(1.0))))
+      .collect()(0).getDouble(0)
+    val kept = Pipeline100TB.weightedHashSample(ev, col("event_id"),
+      least(col("value") / 100.0, lit(1.0))).count().toDouble
+    assert(math.abs(kept / total - expRate) < 0.1,
+      s"keep rate ${kept / total} vs expected $expRate")
+    // high-weight rows must be kept more often than low-weight rows
+    val kept2 = Pipeline100TB.weightedHashSample(ev, col("event_id"),
+      least(col("value") / 100.0, lit(1.0)))
+    val avgKept = kept2.agg(avg("value")).collect()(0).getDouble(0)
+    val avgAll = ev.agg(avg("value")).collect()(0).getDouble(0)
+    assert(avgKept > avgAll)
+  }
+
+  test("stratified-k draws exactly k per stratum, stable across runs") {
+    val ev = cat.events
+    val a = Pipeline100TB.stratifiedK(ev, col("event_type"), col("event_id"), 3)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    val b = Pipeline100TB.stratifiedK(ev.repartition(5), col("event_type"),
+      col("event_id"), 3).collect().map(_.getAs[Long]("event_id")).toSet
+    assert(a == b && a.size == 5 * 3) // five event types
+  }
+
+  test("round-2 stages reach the engine through config-driven pipelines") {
+    val cfg = graft.config.EngineConfig.fromJson(
+      """{"direct-read-namespaces": ["test.orders"],
+        |"pipeline": [{"namespace": "test.orders", "direct": true,
+        |  "stages": "[{\"$setWindowFields\": {\"partitionBy\": \"$o_custkey\", \"sortBy\": {\"o_orderkey\": 1}, \"output\": {\"rnk\": {\"$documentNumber\": {}}}}}, {\"$match\": {\"rnk\": 1}}]"}]}"""
+        .stripMargin)
+    val out = GraftEngine.allDirectReads(spark, cfg, sfDir)
+    assert(out.count() > 0)
+  }
+
   test("hash sampling is deterministic and respects strata rates") {
     val ev = cat.events
     val s1 = Pipeline100TB.hashSample(ev, col("event_id"), lit(10))
