@@ -233,6 +233,26 @@ object ExtendedQueries {
     // —— H10: sliding-window chunking ——
     "doc_chunks" -> ((s, dir) =>
       Pipeline100TB.chunk(TableCatalog(s, dir).documents, "doc_id", "text")),
+    // —— H12: per-document token entropy (repetition/diversity signal) ——
+    "text_entropy" -> ((s, dir) => {
+      val docs = TableCatalog(s, dir).documents
+      val toks = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), " +")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n"),
+          count(lit(1)).as("distinct_toks"),
+          // Σ tf·ln(tf): with n, entropy = ln(n) − Σtf·ln(tf)/n — one
+          // order-insensitive double sum of identical per-(doc,tok)
+          // terms on both engines, rounded at 4
+          sum(col("tf").cast("double") * log(col("tf").cast("double")))
+            .as("__s"))
+        .select(col("doc_id"), col("n"),
+          col("distinct_toks").cast("int").as("distinct_toks"),
+          round(log(col("n").cast("double")) - col("__s") / col("n"), 4)
+            .as("entropy"))
+    }),
     // —— H11: the composed curation pass — quality ∧ language ∧ dedup
     //    survivor in ONE plan (each component is the already-verified
     //    operator; Catalyst fuses the three narrow passes over
@@ -454,6 +474,17 @@ object ExtendedQueries {
         |    'https?://[^ \t\n]+', '<URL>', 'g'),
         |    '[0-9]+', '<NUM>', 'g') AS scrubbed
         |FROM events""".stripMargin,
+    "text_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS INTEGER) AS distinct_toks,
+        |  round(ln(CAST(SUM(tf) AS DOUBLE))
+        |        - SUM(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) / SUM(tf),
+        |        4) AS entropy
+        |FROM tf GROUP BY doc_id""".stripMargin,
     "corpus_curate" -> {
       val qualitySql = graft.operators.LlmQueries.oracleSql("text_quality")
       val langSql = graft.operators.LlmQueries.oracleSql("text_langid")
