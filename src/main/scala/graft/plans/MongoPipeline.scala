@@ -193,9 +193,12 @@ object MongoPipeline {
     */
   def expression(n: JsonNode, binds: Map[String, Column] = Map.empty): Column = {
     if (n.isTextual && n.asText().startsWith("$$")) {
-      val name = n.asText().drop(2)
-      return binds.getOrElse(name,
-        throw new IllegalArgumentException(s"unbound lambda variable: $$$name"))
+      // "$$var" or "$$var.path.to.field"
+      val parts = n.asText().drop(2).split('.')
+      val base = binds.getOrElse(parts.head,
+        throw new IllegalArgumentException(
+          s"unbound lambda variable: $$${parts.head}"))
+      return parts.tail.foldLeft(base)(_ getField _)
     }
     if (n.isTextual && n.asText().startsWith("$"))
       return col(n.asText().drop(1))
@@ -871,6 +874,14 @@ object MongoPipeline {
         case "$min"   => min(expression(a)).over(w)
         case "$max"   => max(expression(a)).over(w)
         case "$count" => count(lit(1)).over(w)
+        case "$stdDevPop"  => stddev_pop(expression(a)).over(w)
+        case "$stdDevSamp" => stddev_samp(expression(a)).over(w)
+        case "$covariancePop" =>
+          val xs = a.elements().asScala.toSeq
+          covar_pop(expression(xs.head), expression(xs(1))).over(w)
+        case "$covarianceSamp" =>
+          val xs = a.elements().asScala.toSeq
+          covar_samp(expression(xs.head), expression(xs(1))).over(w)
         case "$push"  => collect_list(expression(a)).over(w)
         case "$first" => first(expression(a)).over(w)
         case "$last"  => last(expression(a)).over(w)

@@ -3,7 +3,7 @@ package graft.plans
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** `$out` / `$merge` — the pipeline sink stages. route81's consumer
@@ -78,6 +78,70 @@ object PipelineSinks {
     kept.select(picked: _*)
   }
 
+  /** `$merge` with a whenMatched UPDATE PIPELINE (Mongo's custom-merge
+    * form): an array of `{$set: {...}}` stages where plain `$field`
+    * reads the EXISTING target row and `$$new.field` reads the
+    * incoming source row. Compiles to per-column when-chains over the
+    * same single full-outer join as the scalar modes.
+    */
+  def mergeWithPipeline(target: DataFrame, source: DataFrame, on: String,
+                        whenMatchedPipeline: String,
+                        whenNotMatched: String = "insert"): DataFrame = {
+    val stages = mapper.readTree(whenMatchedPipeline)
+    require(stages.isArray, "whenMatched pipeline must be an array")
+    val cols = target.columns.toSeq
+    val t = target.select(cols.map(c => col(c).as(s"t_$c")): _*)
+    val s = source.select(cols.map(c => col(c).as(s"s_$c")): _*)
+    val joined = t.join(s, col(s"t_$on") <=> col(s"s_$on"), "full_outer")
+    val matched = col(s"t_$on").isNotNull && col(s"s_$on").isNotNull
+    val onlyTarget = col(s"s_$on").isNull
+    // $$new resolves to the source row; bare $field to the target row
+    val newStruct = struct(cols.map(c => col(s"s_$c").as(c)): _*)
+    var updated: Map[String, Column] =
+      cols.map(c => c -> col(s"t_$c")).toMap
+    scala.jdk.CollectionConverters.IteratorHasAsScala(stages.elements())
+      .asScala.foreach { stage =>
+        val set = stage.get("$set")
+        require(set != null, "whenMatched pipeline supports $set stages")
+        scala.jdk.CollectionConverters.IteratorHasAsScala(set.properties().iterator())
+          .asScala.foreach { e =>
+            val rewritten = rewriteTargetRefs(e.getValue)
+            updated += e.getKey -> MongoPipeline.expression(
+              rewritten, Map("new" -> newStruct))
+          }
+      }
+    val picked = cols.map { c =>
+      when(matched, updated(c))
+        .when(onlyTarget, col(s"t_$c"))
+        .otherwise(col(s"s_$c")).as(c)
+    }
+    val kept =
+      if (whenNotMatched == "discard") joined.filter(col(s"t_$on").isNotNull)
+      else joined
+    kept.select(picked: _*)
+  }
+
+  /** Rewrite bare "$field" refs to "$t_field" (the aliased target
+    * columns) leaving "$$new..." for the binds map.
+    */
+  private def rewriteTargetRefs(n: com.fasterxml.jackson.databind.JsonNode)
+      : com.fasterxml.jackson.databind.JsonNode = n match {
+    case t if t.isTextual && t.asText().startsWith("$") &&
+        !t.asText().startsWith("$$") =>
+      mapper.getNodeFactory.textNode("$t_" + t.asText().drop(1))
+    case o if o.isObject =>
+      val out = mapper.createObjectNode()
+      o.properties().asScala.toSeq.foreach(e =>
+        out.set[com.fasterxml.jackson.databind.JsonNode](
+          e.getKey, rewriteTargetRefs(e.getValue)))
+      out
+    case arr if arr.isArray =>
+      val out = mapper.createArrayNode()
+      arr.elements().asScala.foreach(e => out.add(rewriteTargetRefs(e)): Unit)
+      out
+    case other => other
+  }
+
   /** Parse a `$merge` stage spec and run it against `tables`. The
     * final pipeline stage in Mongo; modeled as result-producing here.
     */
@@ -87,8 +151,13 @@ object PipelineSinks {
     val into =
       if (spec.isTextual) spec.asText() else spec.get("into").asText()
     val on = Option(spec.get("on")).map(_.asText()).getOrElse("_id")
-    val wm = Option(spec.get("whenMatched")).map(_.asText()).getOrElse("replace")
     val wnm = Option(spec.get("whenNotMatched")).map(_.asText()).getOrElse("insert")
-    merge(tables(into), result, on, wm, wnm)
+    val wmNode = spec.get("whenMatched")
+    if (wmNode != null && wmNode.isArray)
+      mergeWithPipeline(tables(into), result, on, wmNode.toString, wnm)
+    else {
+      val wm = Option(wmNode).map(_.asText()).getOrElse("replace")
+      merge(tables(into), result, on, wm, wnm)
+    }
   }
 }

@@ -170,6 +170,36 @@ class ExtendedPipelineSpec extends SparkTestBase {
       Map(1L -> "a", 2L -> "b", 3L -> "C")) // null source field keeps existing
   }
 
+  test("$merge whenMatched update pipeline mixes target and $$new values") {
+    import spark.implicits._
+    val target = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val source = Seq((2L, 5.0), (3L, 30.0)).toDF("k", "v")
+    val out = PipelineSinks.applyMergeStage(source,
+      """{"into": "t", "on": "k",
+          "whenMatched": [{"$set": {"v": {"$add": ["$v", "$$new.v"]}}}],
+          "whenNotMatched": "insert"}""",
+      name => target)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // matched key 2: existing 20 + incoming 5; key 3 inserted as-is
+    assert(out == Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+  }
+
+  test("$setWindowFields stdDev and covariance window operators") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0, 2.0), (1L, 2.0, 4.0), (1L, 3.0, 6.0))
+      .toDF("k", "x", "y")
+    val r = MongoPipeline(df,
+      """[{"$setWindowFields": {"partitionBy": "$k", "sortBy": {"x": 1},
+           "output": {
+             "sd": {"$stdDevPop": "$x",
+                    "window": {"documents": ["unbounded", "unbounded"]}},
+             "cv": {"$covariancePop": ["$x", "$y"],
+                    "window": {"documents": ["unbounded", "unbounded"]}}}}},
+          {"$limit": 1}]""").collect()(0)
+    assert(math.abs(r.getAs[Double]("sd") - math.sqrt(2.0 / 3)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("cv") - 4.0 / 3) < 1e-12)
+  }
+
   test("expression pack: math/date/string/array ops not covered by the oracle") {
     val r = pipe("lineitem",
       """[{"$limit": 1},
