@@ -882,6 +882,28 @@ object MongoPipeline {
         case "$covarianceSamp" =>
           val xs = a.elements().asScala.toSeq
           covar_samp(expression(xs.head), expression(xs(1))).over(w)
+        case "$derivative" =>
+          // (Δ input)/(Δ sortBy) across the window frame, optionally
+          // scaled to a time unit when sortBy is a timestamp
+          require(sortBy.size == 1, "$derivative requires one sortBy field")
+          val input = expression(a.get("input"))
+          val sortCol = col(sortBy.head._1)
+          // a single-row frame has zero span -> null (Mongo semantics),
+          // not an ANSI divide-by-zero
+          val denom = nullif(unitScaledSpan(sortCol, a, w), lit(0.0))
+          (last(input).over(w) - first(input).over(w)) / denom
+        case "$integral" =>
+          // trapezoidal rule: per-row term (t_i − t_{i−1})·(y_i+y_{i−1})/2
+          // precomputed with lag over the partition, summed over the
+          // frame — exact for cumulative/unbounded frames
+          require(sortBy.size == 1, "$integral requires one sortBy field")
+          val input = expression(a.get("input"))
+          val sortCol = col(sortBy.head._1)
+          val prevT = lag(sortCol, 1).over(ordered)
+          val prevY = lag(input, 1).over(ordered)
+          val dt = unitScaledDelta(sortCol, prevT, a)
+          val term = coalesce(dt * (input + prevY) / 2, lit(0.0))
+          sum(term).over(w)
         case "$push"  => collect_list(expression(a)).over(w)
         case "$first" => first(expression(a)).over(w)
         case "$last"  => last(expression(a)).over(w)
@@ -902,6 +924,37 @@ object MongoPipeline {
       cur = cur.withColumn(outName, c)
     }
     cur
+  }
+
+  /** Span of the sort column across a window frame, scaled by the
+    * optional `unit` (timestamps count in the given unit; numeric
+    * sort columns pass through).
+    */
+  private def unitScaledSpan(sortCol: Column, a: JsonNode,
+                             w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val span = Option(a.get("unit")).map { u =>
+      val perSec = unitSeconds(u.asText())
+      (unix_micros(last(sortCol).over(w)) -
+        unix_micros(first(sortCol).over(w))).cast("double") / (1e6 * perSec)
+    }.getOrElse(
+      (last(sortCol).over(w) - first(sortCol).over(w)).cast("double"))
+    span
+  }
+
+  /** Per-row delta of the sort column vs its predecessor, unit-scaled. */
+  private def unitScaledDelta(sortCol: Column, prev: Column, a: JsonNode): Column =
+    Option(a.get("unit")).map { u =>
+      val perSec = unitSeconds(u.asText())
+      (unix_micros(sortCol) - unix_micros(prev)).cast("double") / (1e6 * perSec)
+    }.getOrElse((sortCol - prev).cast("double"))
+
+  private def unitSeconds(u: String): Long = u match {
+    case "second" => 1L
+    case "minute" => 60L
+    case "hour"   => 3600L
+    case "day"    => 86400L
+    case other =>
+      throw new IllegalArgumentException(s"unsupported window unit: $other")
   }
 
   /** $densify: generate the missing steps of `field` per partition

@@ -200,6 +200,33 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("cv") - 4.0 / 3) < 1e-12)
   }
 
+  test("$derivative and $integral time-series window operators") {
+    import spark.implicits._
+    // y = 2t: derivative 2 everywhere, integral of [0,4] = 16
+    val df = Seq((1L, 0.0, 0.0), (1L, 2.0, 4.0), (1L, 4.0, 8.0))
+      .toDF("k", "t", "y")
+    val rows = MongoPipeline(df,
+      """[{"$setWindowFields": {"partitionBy": "$k", "sortBy": {"t": 1},
+           "output": {
+             "dv": {"$derivative": {"input": "$y"},
+                    "window": {"documents": [-1, 0]}},
+             "ig": {"$integral": {"input": "$y"},
+                    "window": {"documents": ["unbounded", "current"]}}}}}]""")
+      .orderBy("t").collect()
+    assert(rows.drop(1).forall(r => math.abs(r.getAs[Double]("dv") - 2.0) < 1e-12))
+    assert(math.abs(rows.last.getAs[Double]("ig") - 16.0) < 1e-12)
+    // time-unit variant: per-hour derivative over timestamps
+    val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 16.0))
+      .toDF("k", "t", "y")
+    val d = MongoPipeline(ts,
+      """[{"$setWindowFields": {"partitionBy": "$k", "sortBy": {"t": 1},
+           "output": {"dv": {"$derivative": {"input": "$y", "unit": "hour"},
+                             "window": {"documents": ["unbounded", "unbounded"]}}}}},
+          {"$limit": 1}]""").collect()(0).getAs[Double]("dv")
+    assert(math.abs(d - 3.0) < 1e-12) // 6 units over 2 hours
+  }
+
   test("expression pack: math/date/string/array ops not covered by the oracle") {
     val r = pipe("lineitem",
       """[{"$limit": 1},
