@@ -153,6 +153,13 @@ object ExtendedQueries {
             substring(md5(to_binary(col("event_id").cast("string"), lit("utf-8"))), 1, 24))),
           ExtJson.field("ts", ExtJson.timestampBson(col("t"), inc))).as("msg"))
     }),
+    // —— C5b: $median / $percentile accumulators (exact interpolated) ——
+    "pipe_group_median" -> ((s, dir) => run(s, dir, "lineitem",
+      """[{"$group": {"_id": "$l_returnflag",
+           "med_qty": {"$median": {"input": "$l_quantity"}},
+           "p90_price": {"$percentile": {"input": "$l_extendedprice", "p": [0.9]}}}},
+          {"$set": {"med_qty": {"$round": ["$med_qty", 4]},
+                    "p90_price": {"$round": ["$p90_price", 4]}}}]""")),
     // —— I6: exact per-group quantiles (rank-defined, no sketch) ——
     "quantiles_exact" -> ((s, dir) => {
       val ev = TableCatalog(s, dir).events
@@ -372,6 +379,11 @@ object ExtendedQueries {
     },
     "consumer_avro_roundtrip" ->
       graft.operators.CdcQueries.oracleSql("cdc_latest_state"),
+    "pipe_group_median" ->
+      """SELECT l_returnflag AS _id,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "quantiles_exact" ->
       """WITH r AS (
         |  SELECT event_type, value,

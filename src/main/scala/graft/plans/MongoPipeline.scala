@@ -576,6 +576,12 @@ object MongoPipeline {
         else min_by(expression(a), sortKey)
       case "$stdDevPop"  => stddev_pop(expression(a))
       case "$stdDevSamp" => stddev_samp(expression(a))
+      case "$median" => // exact interpolated median (not Mongo's t-digest)
+        percentile(expression(a.get("input")), lit(0.5))
+      case "$percentile" =>
+        val p = a.get("p").elements().asScala.toSeq
+        require(p.size == 1, "$percentile here takes exactly one p")
+        percentile(expression(a.get("input")), lit(p.head.asDouble()))
       case "$mergeObjects" =>
         // right-biased whole-value merge in sort order: the latest
         // non-null document wins (distributed stand-in for Mongo's
