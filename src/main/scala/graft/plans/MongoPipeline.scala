@@ -1017,8 +1017,9 @@ object MongoPipeline {
       case Some(p) => Window.partitionBy(expression(p))
       case None    => Window.partitionBy()
     }
-    val w = (if (sortCols.nonEmpty) w0.orderBy(sortCols: _*) else w0)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordered = if (sortCols.nonEmpty) w0.orderBy(sortCols: _*) else w0
+    val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     var cur = df
     spec.get("output").properties().asScala.toSeq.foreach { e =>
       val name = e.getKey
@@ -1026,7 +1027,18 @@ object MongoPipeline {
       val c = Option(node.get("value")) match {
         case Some(v) => coalesce(col(name), expression(v))
         case None => node.get("method").asText() match {
-          case "locf" => last(col(name), ignoreNulls = true).over(w)
+          case "locf" => last(col(name), ignoreNulls = true).over(back)
+          case "linear" =>
+            // interpolate between the surrounding non-null points on
+            // the (single) sortBy axis; endpoints stay null like Mongo
+            require(sortBy.size == 1, "$fill linear requires one sortBy field")
+            val x = col(sortBy.head._1).cast("double")
+            val pv = last(col(name), ignoreNulls = true).over(back)
+            val px = last(when(col(name).isNotNull, x), ignoreNulls = true).over(back)
+            val nv = first(col(name), ignoreNulls = true).over(fwd)
+            val nx = first(when(col(name).isNotNull, x), ignoreNulls = true).over(fwd)
+            when(col(name).isNotNull, col(name))
+              .otherwise(pv + (nv - pv) * (x - px) / nullif(nx - px, lit(0.0)))
           case other => throw new IllegalArgumentException(
             s"unsupported $$fill method: $other")
         }

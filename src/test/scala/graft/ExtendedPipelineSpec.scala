@@ -91,6 +91,25 @@ class ExtendedPipelineSpec extends SparkTestBase {
           ("b", 10L, 2.0)))
   }
 
+  test("$fill linear interpolates interior gaps, leaves endpoints null") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0L, Some(10.0)), ("a", 1L, None), ("a", 2L, None),
+      ("a", 3L, Some(40.0)), ("a", 4L, None),
+      ("b", 0L, None), ("b", 1L, Some(5.0)))
+      .toDF("k", "x", "v")
+    val out = MongoPipeline(df,
+      """[{"$fill": {"partitionBy": "$k", "sortBy": {"x": 1},
+                     "output": {"v": {"method": "linear"}}}}]""")
+      .orderBy("k", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSeq == Seq(
+      ("a", 0L, Some(10.0)), ("a", 1L, Some(20.0)), ("a", 2L, Some(30.0)),
+      ("a", 3L, Some(40.0)), ("a", 4L, None), // no following point
+      ("b", 0L, None), ("b", 1L, Some(5.0))))
+  }
+
   test("$graphLookup walks the chain to maxDepth with cycle safety") {
     import spark.implicits._
     // 1→2→3→1 cycle plus isolated 9
