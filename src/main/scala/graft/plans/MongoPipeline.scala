@@ -977,9 +977,9 @@ object MongoPipeline {
     val range = spec.get("range")
     val step = range.get("step").asLong()
     val unit = Option(range.get("unit")).map(_.asText())
-    require(Option(range.get("bounds")).forall(b =>
-      b.isTextual && b.asText() == "partition"),
-      "$densify supports bounds: \"partition\"")
+    val bounds = Option(range.get("bounds")).map(_.asText()).getOrElse("partition")
+    require(bounds == "partition" || bounds == "full",
+      "$densify supports bounds: \"partition\" | \"full\"")
     val pcols = parts.map(col)
     val stepCol = unit match {
       case Some(u) => // time-stepped grid via make_interval multiples
@@ -994,10 +994,23 @@ object MongoPipeline {
         iv
       case None => lit(step)
     }
-    val grid = df.groupBy(pcols: _*)
-      .agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
-      .select((pcols :+
-        explode(sequence(col("__lo"), col("__hi"), stepCol)).as(field)): _*)
+    // bounds "partition": each partition spans its own min..max;
+    // bounds "full": every partition spans the GLOBAL min..max — the
+    // one-row global aggregate broadcast-joins onto the partition list
+    val grid = bounds match {
+      case "partition" =>
+        df.groupBy(pcols: _*)
+          .agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
+          .select((pcols :+
+            explode(sequence(col("__lo"), col("__hi"), stepCol)).as(field)): _*)
+      case "full" =>
+        val globalBounds = broadcast(
+          df.agg(min(col(field)).as("__lo"), max(col(field)).as("__hi")))
+        df.select(pcols: _*).distinct()
+          .crossJoin(globalBounds)
+          .select((pcols :+
+            explode(sequence(col("__lo"), col("__hi"), stepCol)).as(field)): _*)
+    }
     // existing rows win; generated rows carry null in all other columns
     val joined = grid.join(df, parts :+ field, "left")
     joined.select(df.columns.map(col): _*)

@@ -91,6 +91,18 @@ class ExtendedPipelineSpec extends SparkTestBase {
           ("b", 10L, 2.0)))
   }
 
+  test("$densify bounds full spans every partition over the global range") {
+    import spark.implicits._
+    val df = Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("b", 3L, 5.0))
+      .toDF("k", "x", "v")
+    val out = MongoPipeline(df,
+      """[{"$densify": {"field": "x", "partitionByFields": ["k"],
+                        "range": {"step": 1, "bounds": "full"}}}]""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // both partitions get grid points 0..3
+    assert(out == (for (k <- Seq("a", "b"); x <- 0L to 3L) yield (k, x)).toSet)
+  }
+
   test("$fill linear interpolates interior gaps, leaves endpoints null") {
     import spark.implicits._
     val df = Seq(
