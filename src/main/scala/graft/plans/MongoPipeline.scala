@@ -53,7 +53,23 @@ object MongoPipeline {
       require(fields.size == 1, s"stage must have exactly one operator: $stage")
       val (op, spec) = (fields.head.getKey, fields.head.getValue)
       op match {
-        case "$match"   => cur = cur.filter(matchPredicate(spec))
+        case "$match" =>
+          // {$sampleRate: p} needs the row's columns for its content
+          // hash, so it resolves here rather than in matchPredicate;
+          // deterministic (hash < p*2^60), unlike Mongo's RNG — same
+          // rationale as $sample
+          val srNode = Option(spec.get("$sampleRate"))
+          srNode.foreach { p =>
+            val h = graft.functions.Hash60.hash60(
+              concat_ws("\u0001", cur.columns.map(c => col(c).cast("string")): _*))
+            cur = cur.filter(h.cast("double") <
+              lit(p.asDouble() * 1152921504606846976.0 /* 2^60 */))
+          }
+          val rest = mapper.createObjectNode()
+          spec.properties().asScala.toSeq.filter(_.getKey != "$sampleRate")
+            .foreach(e => rest.set[JsonNode](e.getKey, e.getValue))
+          if (rest.properties().size() > 0 || srNode.isEmpty)
+            cur = cur.filter(matchPredicate(if (srNode.isEmpty) spec else rest))
         case "$project" => cur = project(cur, spec)
         case "$addFields" | "$set" =>
           spec.properties().asScala.toSeq.foreach { e =>

@@ -91,6 +91,16 @@ class ExtendedPipelineSpec extends SparkTestBase {
           ("b", 10L, 2.0)))
   }
 
+  test("$sampleRate keeps a deterministic fraction, composable with predicates") {
+    val q = """[{"$match": {"$sampleRate": 0.3, "o_totalprice": {"$gt": 0}}},
+                {"$project": {"o_orderkey": 1}}]"""
+    val a = pipe("orders", q).collect().map(_.getLong(0)).toSet
+    val b = pipe("orders", q).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val total = cat.table("orders").count().toDouble
+    assert(math.abs(a.size / total - 0.3) < 0.1, s"rate ${a.size / total}")
+  }
+
   test("$densify bounds full spans every partition over the global range") {
     import spark.implicits._
     val df = Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("b", 3L, 5.0))
