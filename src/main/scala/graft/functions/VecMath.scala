@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd vector math for the embedding family (SURVEY.md §2
+  * groups F/G). These replace the interpreted `aggregate(transform(...))`
+  * higher-order-function lambdas that dominated the round-2 bench
+  * (~25 µs/element interpreted vs ~1 ns/element in a codegen loop) —
+  * at 100 TB an embedding scan must run at memory bandwidth, and an
+  * interpreted per-element lambda is ~4 orders of magnitude off that.
+  *
+  * Every kernel accumulates doubles in array-index order, exactly like
+  * the SQL fold it replaces, so results stay bit-identical to the
+  * DuckDB oracle.
+  */
+object VecMath {
+
+  /** Σ x² over a float array, double accumulation in index order. */
+  def sqNorm(v: ArrayData): Double = {
+    val n = v.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
+  /** max |x| over a float array (0.0 for an empty array — the same
+    * fold-from-zero the SQL `aggregate(..., greatest)` computed).
+    */
+  def maxAbs(v: ArrayData): Double = {
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i).toDouble)
+      if (a > m) m = a
+      i += 1
+    }
+    m
+  }
+
+  /** Symmetric int8 quantization: round(x·127/maxAbs) per element.
+    * Rounding matches Spark's `round(double, 0)` exactly (HALF_UP on
+    * the decimal string form via BigDecimal.valueOf) so the rewrite
+    * from the SQL `transform(...)` cannot change a single code.
+    */
+  def quantize(v: ArrayData, maxAbs: Double): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val d = v.getFloat(i).toDouble * 127.0 / maxAbs
+      val r =
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+        else java.math.BigDecimal.valueOf(d)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      out(i) = r.toInt
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Random-hyperplane LSH bucket: plane p's coefficient for dimension
+    * d is ((1+p·64+d)·2654435761 mod 1000003)/1000003 − 0.5 — integer
+    * arithmetic both engines reproduce exactly (same formula the
+    * DuckDB oracle evaluates in SQL). Bit p of the result is set iff
+    * the plane-p dot product is > 0; per-plane accumulation is in
+    * index order, matching the SQL fold.
+    */
+  def planeSig(v: ArrayData, planes: Int): Long = {
+    val n = math.min(64, v.numElements())
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val coeff =
+          (((1L + p * 64L + d) * 2654435761L) % 1000003L).toDouble /
+            1000003.0 - 0.5
+        acc += v.getFloat(d).toDouble * coeff
+        d += 1
+      }
+      if (acc > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+}
+
+private[graft] trait FloatArrayUnary extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+}
+
+/** Squared L2 norm of a float-array column (see [[VecMath.sqNorm]]). */
+case class VecSqNorm(child: Expression) extends FloatArrayUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_sq_norm"
+  override protected def nullSafeEval(a: Any): Any =
+    VecMath.sqNorm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecMath.sqNorm($a);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** max |x| of a float-array column (see [[VecMath.maxAbs]]). */
+case class VecMaxAbs(child: Expression) extends FloatArrayUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_max_abs"
+  override protected def nullSafeEval(a: Any): Any =
+    VecMath.maxAbs(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecMath.maxAbs($a);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** int8 quantization of a float array given its max-abs scale
+  * (see [[VecMath.quantize]]). Left = array<float>, right = double.
+  */
+case class Int8Quantize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, double), got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "int8_quantize"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.quantize(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecMath.quantize($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `planes`-bit random-hyperplane LSH bucket of a float-array column
+  * (see [[VecMath.planeSig]]).
+  */
+case class PlaneSignature(child: Expression, planes: Int)
+    extends FloatArrayUnary {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "plane_signature"
+  override protected def nullSafeEval(a: Any): Any =
+    VecMath.planeSig(a.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecMath.planeSig($a, $planes);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Bit length of a non-negative long: 64 − numberOfLeadingZeros, and 0
+  * for 0 — the allocation-free replacement for `length(bin(w))` in the
+  * HLL ρ computation (integer-exact, no per-row string).
+  */
+case class LongBitLen(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "long_bit_len"
+  override protected def nullSafeEval(a: Any): Any =
+    64 - java.lang.Long.numberOfLeadingZeros(a.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = 64 - java.lang.Long.numberOfLeadingZeros($a);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

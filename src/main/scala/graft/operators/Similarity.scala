@@ -1,15 +1,18 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, Int8Quantize, PlaneSignature, VecMaxAbs, VecSqNorm}
 
 /** Similarity search over embedding columns (SURVEY.md §2 group G). */
 object Similarity {
 
   private def withCosine(s: SparkSession): Unit = CosineSimilarity.register(s)
+
+  private def expr1(f: org.apache.spark.sql.catalyst.expressions.Expression => org.apache.spark.sql.catalyst.expressions.Expression)(c: Column): Column =
+    GraftBridge.column(f(GraftBridge.expression(c)))
 
   /** G1: brute-force cosine top-k — the exact baseline. The query set
     * is explicitly broadcast, so the big side streams once through a
@@ -35,19 +38,11 @@ object Similarity {
   /** Deterministic random-hyperplane signature: plane p's coefficient
     * for dimension d is `((1+p*64+d)*2654435761 mod 1000003)/1000003
     * - 0.5` — integer arithmetic both engines reproduce exactly.
-    * Computed per-row with higher-order functions: narrow, no shuffle,
-    * no explode.
+    * One native codegen'd loop per row ([[graft.functions.PlaneSignature]]):
+    * narrow, no shuffle, no explode, no interpreted lambdas.
     */
-  def planeSignature(embCol: String, planes: Int): org.apache.spark.sql.Column =
-    (0 until planes).map { p =>
-      val dot = expr(
-        s"""aggregate(transform(sequence(0, 63), d ->
-           |  CAST(element_at($embCol, d + 1) AS DOUBLE) *
-           |  (CAST(((1 + $p * 64 + d) * 2654435761) % 1000003 AS DOUBLE)
-           |     / 1000003.0 - 0.5)),
-           |CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
-      when(dot > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
+  def planeSignature(embCol: String, planes: Int): Column =
+    expr1(PlaneSignature(_, planes))(col(embCol))
 
   /** G2: LSH-bucketed ANN: vectors hash to a `planes`-bit bucket; a
     * query only scores candidates in its own bucket, then reranks with
@@ -80,18 +75,15 @@ object Similarity {
     * shuffle; formulas are exact-rational over the float inputs so
     * the DuckDB oracle reproduces them bit-for-bit.
     */
-  def quantizeInt8(emb: DataFrame): DataFrame =
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val maxAbs = expr1(VecMaxAbs(_))(col("embedding"))
     emb.select(
       col("vec_id"),
-      expr("""aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),
-             |CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))""".stripMargin)
-        .as("max_abs"))
-      .join(emb, "vec_id")
-      .select(
-        col("vec_id"), round(col("max_abs"), 6).as("scale_r"),
-        expr("""transform(embedding, x ->
-               |CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs, 0) AS INTEGER))"""
-          .stripMargin).as("q"))
+      round(maxAbs, 6).as("scale_r"),
+      GraftBridge.column(Int8Quantize(
+        GraftBridge.expression(col("embedding")),
+        GraftBridge.expression(maxAbs))).as("q"))
+  }
 
   /** G7: quantized top-k — the production ANN scan shape at 100 TB.
     * Both sides quantize to int8 (4× less memory traffic), the query
@@ -105,20 +97,28 @@ object Similarity {
     */
   def int8TopK(s: SparkSession, emb: DataFrame, queries: DataFrame,
                k: Int): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
-    val corpus = quantizeInt8(emb).select(col("vec_id"), col("q"))
+    val corpus = quantizeInt8(emb)
+      .select(col("vec_id"), col("scale_r").as("scale_c"), col("q"))
     val q = broadcast(quantizeInt8(queries)
-      .select(col("vec_id").as("query_id"), col("q").as("qq")))
+      .select(col("vec_id").as("query_id"), col("scale_r").as("scale_q"),
+        col("q").as("qq")))
     def dot = GraftBridge.column(graft.functions.Int8Dot(
       GraftBridge.expression(col("qq")), GraftBridge.expression(col("q"))))
+    // Rank on the DESCALED score dot_i·scale_q·scale_c: per-vector
+    // scales make the raw integer dot incomparable across corpus
+    // vectors (q_a·q_b ∝ (a·b)/(maxA·maxB)); the exact integer dot
+    // stays the kernel, two FP multiplies descale it (fixed order —
+    // bit-identical on any engine).
     corpus.join(q, col("vec_id") =!= col("query_id"))
       .withColumn("dot_i", dot)
+      .withColumn("score",
+        col("dot_i").cast("double") * col("scale_q") * col("scale_c"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
-          .orderBy(col("dot_i").desc, col("vec_id"))))
+          .orderBy(col("score").desc, col("vec_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("dot_i"), col("rank"))
+        col("dot_i"), round(col("score"), 4).as("score_r"), col("rank"))
   }
 
   /** G3: norms/normalization plumbing — exact double accumulation in
@@ -127,9 +127,7 @@ object Similarity {
   def norms(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       size(col("embedding")).as("dim"),
-      round(sqrt(expr(
-        """aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-          |CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)), 4).as("norm"))
+      round(sqrt(expr1(VecSqNorm(_))(col("embedding"))), 4).as("norm"))
 
   /** G2b: IVF-style ANN with a trained coarse quantizer. k-means with
     * deterministic seeding (centroids start at the first `nlist`

@@ -33,20 +33,24 @@ object Sketches {
     */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], itemCol: Column,
                   p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 16, "p in [4,16]")
+    // p >= 8 keeps rho <= 53 so the exact-integer register term
+    // 2^(53-rho) never needs a negative shift (Java shifts mod 64
+    // would silently corrupt reg_sum for p < 8).
+    require(p >= 8 && p <= 16, "p in [8,16]")
     val m = 1 << p
     val h = hash60(itemCol.cast("string"))
     val bucket = pmod(h, lit(m.toLong))
     // w = the hash bits above the bucket index (60-p of them);
     // rho = 1 + leading zeros of w within that width
-    //     = (61 - p) - bit_length(w) + ... for w > 0, else 61 - p.
-    // bit_length(w) via length(bin(w)) — bin() prints no leading
-    // zeros, so length == floor(log2(w)) + 1 exactly (integer-exact
-    // on both engines, no FP log).
+    //     = (61 - p) - bit_length(w), with bit_length(0) = 0 covering
+    // the w = 0 case. bit_length via the native codegen'd
+    // [[graft.functions.LongBitLen]] (64 - numberOfLeadingZeros) —
+    // integer-exact like length(bin(w)) but with no per-row string
+    // allocation.
     val w = shiftright(h, p) // h is 60-bit positive: logical shift
     val width = 60 - p
-    val rho = when(w === 0, lit(width + 1))
-      .otherwise(lit(width + 1) - length(bin(w)))
+    val rho = lit(width + 1) - org.apache.spark.sql.GraftBridge.column(
+      graft.functions.LongBitLen(org.apache.spark.sql.GraftBridge.expression(w)))
     val regs = df
       .groupBy((groupCols.map(col) :+ bucket.as("__bucket")): _*)
       .agg(max(rho).as("__rho"))

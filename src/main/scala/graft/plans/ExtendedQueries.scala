@@ -450,19 +450,26 @@ object ExtendedQueries {
         |  SELECT e.vec_id, MAX(abs(CAST(e.embedding[d] AS DOUBLE))) AS max_abs
         |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY e.vec_id),
         |qv AS (
-        |  SELECT e.vec_id,
+        |  SELECT e.vec_id, round(m.max_abs, 6) AS scale_r,
         |    [CAST(round(CAST(x AS DOUBLE) * 127.0 / m.max_abs, 0) AS INTEGER)
         |     for x in e.embedding] AS q
         |  FROM embeddings e JOIN m ON e.vec_id = m.vec_id),
-        |qs AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < 10),
+        |qs AS (SELECT vec_id AS query_id, scale_r AS scale_q, q AS qq
+        |       FROM qv WHERE vec_id < 10),
         |scored AS (
         |  SELECT qs.query_id, c.vec_id,
         |    CAST(list_sum([qs.qq[i] * c.q[i]
-        |                   for i in generate_series(1, len(c.q))]) AS BIGINT) AS dot_i
+        |                   for i in generate_series(1, len(c.q))]) AS BIGINT) AS dot_i,
+        |    qs.scale_q, c.scale_r AS scale_c
         |  FROM qv c JOIN qs ON c.vec_id <> qs.query_id),
+        |descaled AS (
+        |  SELECT query_id, vec_id, dot_i,
+        |    CAST(dot_i AS DOUBLE) * scale_q * scale_c AS score
+        |  FROM scored),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |             ORDER BY dot_i DESC, vec_id) AS rk FROM scored)
-        |SELECT query_id, vec_id AS neighbor_id, dot_i, CAST(rk AS INTEGER) AS rank
+        |             ORDER BY score DESC, vec_id) AS rk FROM descaled)
+        |SELECT query_id, vec_id AS neighbor_id, dot_i,
+        |  round(score, 4) AS score_r, CAST(rk AS INTEGER) AS rank
         |FROM ranked WHERE rk <= 5""".stripMargin,
     "sample_hash" ->
       """SELECT event_id, user_id, event_type FROM events
