@@ -179,7 +179,15 @@ object MongoPipeline {
           case "$in"  => c.isInCollection(v.elements().asScala.map(literalValue).toSeq)
           case "$nin" => !c.isInCollection(v.elements().asScala.map(literalValue).toSeq)
           case "$exists" => if (v.asBoolean()) c.isNotNull else c.isNull
-          case "$regex"  => c.rlike(v.asText())
+          case "$regex" =>
+            // {$regex: pat, $options: "ims"} — flags map to Java's
+            // embedded flag expression (?ims) prefixed onto the pattern
+            val opts = Option(spec.get("$options")).map(_.asText()).getOrElse("")
+            val bad = opts.filterNot("ims".contains(_))
+            require(bad.isEmpty, s"unsupported $$options flags: $bad")
+            val pat = if (opts.isEmpty) v.asText() else s"(?$opts)${v.asText()}"
+            c.rlike(pat)
+          case "$options" => lit(true) // consumed by the $regex branch
           case "$not"    => !fieldPredicate(c, v)
           case "$mod" =>
             val it = v.elements().asScala.toSeq
@@ -610,23 +618,47 @@ object MongoPipeline {
         slice(reverse(array_sort(collect_list(expression(a.get("input"))))),
           1, a.get("n").asInt())
       case "$topN" =>
-        // {output, sortBy, n}: n smallest by sortBy, emitting output —
-        // sort (key, output) structs, then strip the key
-        val sortCols = a.get("sortBy").properties().asScala.toSeq
-          .map(e => expression(mapper.readTree(s""""$$${e.getKey}"""")))
-        val packed = array_sort(collect_list(
-          struct((sortCols :+ expression(a.get("output")).as("__out")): _*)))
+        // {output, sortBy, n}: the first n documents in sortBy order
+        // (honoring 1/-1 per key), emitting output
+        val packed = sortedByKeys(a)
         transform(slice(packed, 1, a.get("n").asInt()), x => x.getField("__out"))
       case "$bottomN" =>
-        val sortCols = a.get("sortBy").properties().asScala.toSeq
-          .map(e => expression(mapper.readTree(s""""$$${e.getKey}"""")))
-        val packed = reverse(array_sort(collect_list(
-          struct((sortCols :+ expression(a.get("output")).as("__out")): _*))))
+        // the last n documents in sortBy order, still in that order
+        val packed = reverse(sortedByKeys(a))
         reverse(transform(slice(packed, 1, a.get("n").asInt()),
           x => x.getField("__out")))
       case other =>
         throw new IllegalArgumentException(s"unsupported accumulator: $other")
     }
+  }
+
+  /** $topN/$bottomN helper: collect (keys..., output) structs and sort
+    * them by the sortBy spec with a comparator that honors each key's
+    * direction (1/-1); ties break on the output value ascending so the
+    * result is deterministic under any partitioning.
+    */
+  private def sortedByKeys(a: JsonNode): Column = {
+    val specs = a.get("sortBy").properties().asScala.toSeq
+      .map(e => (e.getKey, e.getValue.asInt()))
+    val keyed = struct(
+      (specs.zipWithIndex.map { case ((f, _), i) =>
+        expression(mapper.readTree(s""""$$$f"""")).as(s"__k$i")
+      } :+ expression(a.get("output")).as("__out")): _*)
+    def comparator(l: Column, r: Column): Column = {
+      val outTie = when(l.getField("__out") < r.getField("__out"), lit(-1))
+        .when(l.getField("__out") > r.getField("__out"), lit(1))
+        .otherwise(lit(0))
+      specs.zipWithIndex.reverse.foldLeft(outTie) {
+        case (acc, ((_, dir), i)) =>
+          val lk = l.getField(s"__k$i")
+          val rk = r.getField(s"__k$i")
+          // nulls sort lowest (Mongo BSON order), so direction applies
+          when(lk.isNull && rk.isNull, acc)
+            .when(lk.isNull, lit(-dir)).when(rk.isNull, lit(dir))
+            .when(lk < rk, lit(-dir)).when(lk > rk, lit(dir)).otherwise(acc)
+      }
+    }
+    array_sort(collect_list(keyed), comparator)
   }
 
   private def unwind(df: DataFrame, spec: JsonNode): DataFrame = {
@@ -797,21 +829,33 @@ object MongoPipeline {
     // distributed — no "all data to a single partition" stage.
     val keyed = df.withColumn("__graft_key", groupExpr)
       .withColumn("__graft_tb", tieBreak)
-    // materialize the sorted layout ONCE: range-sample, zipWithIndex's
-    // partition-count job, the total count, and the final aggregate all
-    // read the checkpointed partitions instead of re-sorting 4 times
+    // Checkpoint-free two-pass ranking: the range shuffle WRITE (the
+    // wide, expensive part) happens once and its files are reused by
+    // both jobs; only the cheap post-shuffle local sort re-runs. No
+    // localCheckpoint = no full-dataset write to non-replicated
+    // executor disk (executor loss there = recompute anyway), and the
+    // per-partition counts job doubles as the total-count pass.
     val sorted = keyed
       .repartitionByRange(col("__graft_key"), col("__graft_tb"))
       .sortWithinPartitions(col("__graft_key"), col("__graft_tb"))
-      .localCheckpoint(eager = true)
     val spark = df.sparkSession
+    val rdd = sorted.rdd
+    // job 1: per-partition counts (gives zipWithIndex's offsets AND
+    // the ntile total in the same pass)
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    // job 2 (the final action): exact global rank = partition offset +
+    // local index, then tile + aggregate
     val ranked = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (row, idx) =>
-        Row.fromSeq(row.toSeq :+ idx)
+      rdd.mapPartitionsWithIndex { case (i, it) =>
+        var idx = offsets(i)
+        it.map { row => val r = Row.fromSeq(row.toSeq :+ idx); idx += 1; r }
       },
       sorted.schema.add("__graft_rank", LongType, nullable = false))
     // ntile semantics: the first (total % n) buckets take one extra row
-    val totalN = sorted.count()
+    val totalN = counts.sum
     val q = totalN / n
     val r = totalN % n
     val span = (q + 1) * r
@@ -1027,9 +1071,17 @@ object MongoPipeline {
           .select((pcols :+
             explode(sequence(col("__lo"), col("__hi"), stepCol)).as(field)): _*)
     }
-    // existing rows win; generated rows carry null in all other columns
-    val joined = grid.join(df, parts :+ field, "left")
-    joined.select(df.columns.map(col): _*)
+    // Mongo preserves EVERY original document (even off the
+    // min-anchored step grid) and only adds the grid points that have
+    // no exact match: anti-join the grid against the existing
+    // (partition, field) pairs, null-fill the other columns, union.
+    val present = df.select((pcols :+ col(field)): _*).distinct()
+    val added = grid.join(present, parts :+ field, "left_anti")
+      .select(df.columns.map { c =>
+        if (parts.contains(c) || c == field) col(c)
+        else lit(null).cast(df.schema(c).dataType).as(c)
+      }: _*)
+    df.unionByName(added)
   }
 
   /** $fill: value fill (constant/expression) and locf via the
@@ -1097,27 +1149,59 @@ object MongoPipeline {
       concat_ws("\u0001", df.columns.map(c => col(c).cast("string")): _*))
     val origin = df.withColumn("__gk", originKey)
     val fromCols = from.columns
-    // frontier: (__gk, __connect) pairs still to expand
+    // frontier: (__gk, __connect) pairs still to expand; visited
+    // accumulates the pairs expanded in rounds >= 1 so cyclic graphs
+    // can't re-expand the same node every round (exponential duplicate
+    // rows otherwise — output stayed right only via the final
+    // min-depth dedup, at blow-up cost in the intermediate). The
+    // initial frontier is deliberately NOT tracked: its size is
+    // unknown without an extra pass, and a cycle re-entering a start
+    // key dies one round later when its successors hit `visited`.
+    //
+    // Checkpointed frames carry no Catalyst size stats, so AQE can't
+    // pick broadcast joins here — but the per-round count() gives us
+    // EXACT row bounds, so we make that call ourselves: hint broadcast
+    // whenever the small side is provably under broadcastRows.
+    val broadcastRows = 1L << 20
+    def hinted(d: DataFrame, small: Boolean): DataFrame =
+      if (small) broadcast(d) else d
     var frontier = origin.select(col("__gk"), startWith.as("__connect")).distinct()
+    var frontierBound: Option[Long] = None
+    var visited: Option[DataFrame] = None
+    var visitedBound = 0L
     var acc: Option[DataFrame] = None
     var depth = 0
     var done = false
     while (depth <= maxDepth && !done) {
-      val hits = frontier.join(from, col("__connect") === col(connectTo))
+      val f = hinted(frontier, frontierBound.exists(_ <= broadcastRows))
+      val hits = f.join(from, col("__connect") === col(connectTo))
         .select(col("__gk") +: lit(depth).as("__depth") +:
           fromCols.map(col): _*)
-      val hitsD = hits.localCheckpoint(eager = true) // cut the iterative lineage
-      if (hitsD.isEmpty) done = true
+      // lazy local checkpoint + count: ONE job per depth — count()
+      // computes every partition (materializing the checkpoint, which
+      // cuts the iterative lineage) and answers the emptiness check,
+      // so depth-d traversal is d+1 actions, not 2(d+1)
+      val hitsD = hits.localCheckpoint(eager = false)
+      val n = hitsD.count()
+      if (n == 0) done = true
       else {
-        val newAcc = acc match {
-          case None => hitsD
-          case Some(a) =>
-            // keep first (minimum) depth per (origin, node)
-            a.unionByName(hitsD)
-        }
-        acc = Some(newAcc)
-        frontier = hitsD.select(col("__gk"),
+        acc = Some(acc.map(_.unionByName(hitsD)).getOrElse(hitsD))
+        val nextKeys = hitsD.select(col("__gk"),
           col(connectFrom).as("__connect")).distinct()
+        // lazy-checkpoint the frontier as well: it materializes inside
+        // the NEXT round's count job (it feeds that join), after which
+        // later `visited` references read the checkpoint instead of
+        // recomputing a compounding chain of anti-joins
+        val next = (visited match {
+          case Some(v) => nextKeys.join(
+            hinted(v, visitedBound <= broadcastRows),
+            Seq("__gk", "__connect"), "left_anti")
+          case None => nextKeys
+        }).localCheckpoint(eager = false)
+        frontier = next
+        frontierBound = Some(n) // next has at most n = |hits| rows
+        visited = Some(visited.map(_.unionByName(next)).getOrElse(next))
+        visitedBound += n
         depth += 1
       }
     }

@@ -24,6 +24,7 @@ object PipelineQueries {
       """[{"$match": {"$and": [
            {"o_orderstatus": {"$in": ["F", "O"]}},
            {"o_orderpriority": {"$regex": "^[12]-"}},
+           {"o_orderpriority": {"$regex": "urgent|high", "$options": "i"}},
            {"o_totalprice": {"$gte": 1000, "$lte": 150000}},
            {"$or": [{"o_custkey": {"$lt": 50}}, {"o_custkey": {"$gte": 100}}]}]}},
          {"$project": {"o_orderkey": 1, "o_custkey": 1, "o_totalprice": 1}}]""")),
@@ -119,6 +120,7 @@ object PipelineQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderstatus IN ('F','O')
         |  AND regexp_matches(o_orderpriority, '^[12]-')
+        |  AND regexp_matches(o_orderpriority, 'urgent|high', 'i')
         |  AND o_totalprice BETWEEN 1000 AND 150000
         |  AND (o_custkey < 50 OR o_custkey >= 100)""".stripMargin,
     "pipe_project" ->

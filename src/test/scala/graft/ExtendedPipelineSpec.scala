@@ -347,6 +347,64 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(r.getSeq[String](r.fieldIndex("bt")).toSeq == Seq("y", "z"))
   }
 
+  test("$topN/$bottomN honor descending sortBy directions") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, "w"), ("g", 2.0, "x"), ("g", 3.0, "y"), ("g", 6.0, "z"))
+      .toDF("k", "v", "tag")
+    val r = MongoPipeline(df,
+      """[{"$group": {"_id": "$k",
+            "top_desc": {"$topN": {"output": "$tag", "sortBy": {"v": -1}, "n": 2}},
+            "bot_desc": {"$bottomN": {"output": "$tag", "sortBy": {"v": -1}, "n": 2}}}}]""")
+      .collect()(0)
+    // sortBy {v:-1} orders z,y,x,w: topN = first 2, bottomN = last 2
+    assert(r.getSeq[String](r.fieldIndex("top_desc")).toSeq == Seq("z", "y"))
+    assert(r.getSeq[String](r.fieldIndex("bot_desc")).toSeq == Seq("x", "w"))
+    // mixed directions: secondary key breaks primary-key ties
+    val df2 = Seq(("g", 1.0, 10.0, "a"), ("g", 1.0, 20.0, "b"), ("g", 2.0, 5.0, "c"))
+      .toDF("k", "v", "u", "tag")
+    val r2 = MongoPipeline(df2,
+      """[{"$group": {"_id": "$k",
+            "t": {"$topN": {"output": "$tag", "sortBy": {"v": 1, "u": -1}, "n": 3}}}}]""")
+      .collect()(0)
+    assert(r2.getSeq[String](r2.fieldIndex("t")).toSeq == Seq("b", "a", "c"))
+  }
+
+  test("$densify preserves original documents that sit off the step grid") {
+    import spark.implicits._
+    // 5 is NOT on the min-anchored grid {0, 3, 6}; it must survive
+    val df = Seq(("a", 0L, 1.0), ("a", 5L, 2.0), ("a", 6L, 3.0))
+      .toDF("k", "x", "v")
+    val out = MongoPipeline(df,
+      """[{"$densify": {"field": "x", "partitionByFields": ["k"],
+                        "range": {"step": 3, "bounds": "partition"}}}]""")
+      .orderBy("x").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSeq == Seq(
+      (0L, Some(1.0)), (3L, None), (5L, Some(2.0)), (6L, Some(3.0))))
+  }
+
+  test("$regex honors $options flags (i, m, s)") {
+    import spark.implicits._
+    val df = Seq((1L, "Alpha"), (2L, "beta"), (3L, "line1\nline2"))
+      .toDF("id", "s")
+    val ci = MongoPipeline(df,
+      """[{"$match": {"s": {"$regex": "^al", "$options": "i"}}}]""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ci == Seq(1L))
+    val ml = MongoPipeline(df,
+      """[{"$match": {"s": {"$regex": "^line2$", "$options": "m"}}}]""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ml == Seq(3L))
+    val dotall = MongoPipeline(df,
+      """[{"$match": {"s": {"$regex": "line1.line2", "$options": "s"}}}]""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(dotall == Seq(3L))
+    // bare $regex unchanged: case-sensitive
+    val cs = MongoPipeline(df,
+      """[{"$match": {"s": {"$regex": "^al"}}}]""").count()
+    assert(cs == 0)
+  }
+
   test("$convert with onError/onNull, $dateFromString, iso date parts") {
     import spark.implicits._
     val df = Seq(("12", "x", "2024-03-04 05:06:07", null.asInstanceOf[String]))
