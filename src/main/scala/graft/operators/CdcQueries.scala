@@ -59,6 +59,12 @@ object CdcQueries {
       GridFs.files(TableCatalog(s, dir).documents, "doc_id", "text")),
     "gridfs_chunks" -> ((s, dir) =>
       GridFs.chunks(TableCatalog(s, dir).documents, "doc_id", "text")),
+    "gridfs_reassemble" -> ((s, dir) => {
+      val docs = TableCatalog(s, dir).documents
+      GridFs.reassemble(
+        GridFs.files(docs, "doc_id", "text"),
+        GridFs.chunks(docs, "doc_id", "text"))
+    }),
   )
 
   private val opCase =
@@ -165,5 +171,12 @@ object CdcQueries {
         |FROM documents, s
         |WHERE length(text) > 0
         |  AND i <= CAST(floor((length(text)-1)/256.0) AS INTEGER)""".stripMargin,
+    // chunks perfectly reassemble the producer's content, so the
+    // oracle is the original document: any ordering/slicing bug on the
+    // Spark side breaks the md5 equality (and md5_ok = false ≠ true)
+    "gridfs_reassemble" ->
+      """SELECT doc_id AS files_id, CAST(length(text) AS INTEGER) AS length_r,
+        |  md5(text) AS md5_r, true AS md5_ok
+        |FROM documents""".stripMargin,
   )
 }

@@ -40,4 +40,27 @@ object GridFs {
         col("files_id"), col("n"),
         col("content").substr(col("n") * chunkSize + 1, lit(chunkSize)).as("data")
       )
+
+  /** Consumer direction (reference README §GridFS: the consumer
+    * re-materializes what the producer chunked): reassemble each
+    * file's content from its `fs.chunks` rows in `n` order and verify
+    * the md5 against the `fs.files` metadata. One shuffle keyed by
+    * files_id (per-file regroup), then a narrow md5 check — files with
+    * zero chunks reassemble to the empty string, like a zero-length
+    * GridFS file.
+    */
+  def reassemble(files: DataFrame, chunks: DataFrame): DataFrame = {
+    val content = chunks
+      .groupBy(col("files_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("n"), col("data")))),
+          x => x.getField("data")), "").as("content"))
+    val md5r = md5(to_binary(col("content"), lit("utf-8")))
+    files.join(content, Seq("files_id"), "left")
+      .withColumn("content", coalesce(col("content"), lit("")))
+      .select(col("files_id"),
+        length(col("content")).as("length_r"),
+        md5r.as("md5_r"),
+        (md5r === col("md5")).as("md5_ok"))
+  }
 }

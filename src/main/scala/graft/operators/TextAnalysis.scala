@@ -101,10 +101,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf_d"))
     val dfreq = terms.groupBy(col("term"))
       .agg(countDistinct(col("id")).as("df"))
-    val n = docs.select(col(idCol)).distinct().count()
+    // corpus size N as a broadcast 1-row aggregate crossJoin — folded
+    // into the one plan instead of a separate driver-side count()
+    // (which would be a whole extra pass over the corpus at 100 TB)
+    val nDf = broadcast(docs.agg(
+      countDistinct(col(idCol)).cast("double").as("__n")))
     perDoc.join(dfreq, "term")
-      .withColumn("score",
-        col("tf_d").cast("double") * lit(n.toDouble) / col("df"))
+      .crossJoin(nDf)
+      .withColumn("score", col("tf_d").cast("double") * col("__n") / col("df"))
+      .drop("__n")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(col("score").desc, col("term"))))
