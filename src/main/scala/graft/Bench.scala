@@ -23,7 +23,11 @@ object Bench {
     // so a stray GC pause or scheduler hiccup in one pass doesn't
     // masquerade as query cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted execution order: Map iteration order shifts whenever the
+    // key set changes, which moves queries into different GC/contention
+    // neighborhoods across rounds and makes per-query timings
+    // incomparable round-over-round.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val best = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -33,7 +37,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1033,7 +1033,6 @@ object MongoPipeline {
     val field = spec.get("field").asText()
     val parts: Seq[String] = Option(spec.get("partitionByFields"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-    require(parts.nonEmpty, "$densify here requires partitionByFields")
     val range = spec.get("range")
     val step = range.get("step").asLong()
     val unit = Option(range.get("unit")).map(_.asText())
@@ -1056,14 +1055,19 @@ object MongoPipeline {
     }
     // bounds "partition": each partition spans its own min..max;
     // bounds "full": every partition spans the GLOBAL min..max — the
-    // one-row global aggregate broadcast-joins onto the partition list
-    val grid = bounds match {
-      case "partition" =>
+    // one-row global aggregate broadcast-joins onto the partition list.
+    // With no partitionByFields (Mongo's global densify) both reduce
+    // to one grid over the whole collection's min..max.
+    val grid = (bounds, parts.isEmpty) match {
+      case (_, true) =>
+        df.agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
+          .select(explode(sequence(col("__lo"), col("__hi"), stepCol)).as(field))
+      case ("partition", _) =>
         df.groupBy(pcols: _*)
           .agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
           .select((pcols :+
             explode(sequence(col("__lo"), col("__hi"), stepCol)).as(field)): _*)
-      case "full" =>
+      case _ =>
         val globalBounds = broadcast(
           df.agg(min(col(field)).as("__lo"), max(col(field)).as("__hi")))
         df.select(pcols: _*).distinct()

@@ -383,6 +383,15 @@ class ExtendedPipelineSpec extends SparkTestBase {
       (0L, Some(1.0)), (3L, None), (5L, Some(2.0)), (6L, Some(3.0))))
   }
 
+  test("$densify without partitionByFields densifies globally") {
+    import spark.implicits._
+    val df = Seq((0L, 1.0), (4L, 2.0)).toDF("x", "v")
+    val out = MongoPipeline(df,
+      """[{"$densify": {"field": "x", "range": {"step": 2}}}]""")
+      .orderBy("x").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(0L, 2L, 4L))
+  }
+
   test("$regex honors $options flags (i, m, s)") {
     import spark.implicits._
     val df = Seq((1L, "Alpha"), (2L, "beta"), (3L, "line1\nline2"))
