@@ -142,6 +142,50 @@ object PipelineSinks {
     case other => other
   }
 
+  /** Persist a merge END-TO-END against a live parquet table: read
+    * the current target from `targetDir`, merge `source` into it, and
+    * atomically swap the result in. `$merge` reads the very table it
+    * overwrites, so the new generation is fully materialized in a side
+    * directory BEFORE the live one is touched — a half-written target
+    * can never be observed, and a failed merge leaves the old
+    * generation in place (the idempotent-rewrite discipline a 100 TB
+    * target needs; a lakehouse table format would do the same swap via
+    * its commit log).
+    */
+  def mergeIntoParquet(spark: org.apache.spark.sql.SparkSession,
+                       source: DataFrame, targetDir: String, on: String,
+                       whenMatched: String = "replace",
+                       whenNotMatched: String = "insert"): Unit = {
+    val merged = merge(spark.read.parquet(targetDir), source, on,
+      whenMatched, whenNotMatched)
+    swapInto(spark, merged, targetDir)
+  }
+
+  /** `$out` persisted: wholesale replace of the parquet target, same
+    * atomic generation swap.
+    */
+  def outToParquet(spark: org.apache.spark.sql.SparkSession,
+                   result: DataFrame, targetDir: String): Unit =
+    swapInto(spark, result, targetDir)
+
+  /** Materialize `df` beside `dir`, then swap generations by rename —
+    * two metadata ops on any filesystem with atomic directory rename.
+    */
+  private def swapInto(spark: org.apache.spark.sql.SparkSession,
+                       df: DataFrame, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val next = new org.apache.hadoop.fs.Path(dir + ".__next__")
+    val prev = new org.apache.hadoop.fs.Path(dir + ".__prev__")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    df.write.mode("overwrite").parquet(next.toString)
+    if (fs.exists(prev)) fs.delete(prev, true)
+    if (fs.exists(path) && !fs.rename(path, prev))
+      throw new java.io.IOException(s"could not retire $path")
+    if (!fs.rename(next, path))
+      throw new java.io.IOException(s"could not promote $next")
+    fs.delete(prev, true): Unit
+  }
+
   /** Parse a `$merge` stage spec and run it against `tables`. The
     * final pipeline stage in Mongo; modeled as result-producing here.
     */

@@ -44,7 +44,7 @@ object ChangeStreamJob {
       when(col("op") === "d", concat(lit("{\"meta\":"), meta, lit("}")))
         .otherwise(concat(lit("{\"meta\":"), meta, lit(",\"data\":"), data, lit("}")))
         .as("value"),
-      col("op"), col("ts"))
+      col("op"), col("ts"), col("event_id").as("seq"))
   }
 
   /** Consumer sink: applies each micro-batch to a keyed state table

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{Cdc, Router}
+import graft.sources.TableCatalog
+import graft.streaming.{ChangeStreamJob, KafkaLog, MessageConsumer}
+
+/** The reference's full produce/consume loop (route81.go:1400-1441 →
+  * :982-1205) end-to-end against a broker-semantics topic log:
+  * envelope encode + producer-map routing → keyed partition assignment
+  * + per-partition offsets → checkpointed streaming consumption in two
+  * resumed passes → ext-JSON decode → upsert/delete fold — and the
+  * folded state must equal folding the op log directly (the consumer
+  * reconstructs exactly what the producer saw).
+  */
+class KafkaLogSpec extends SparkTestBase {
+
+  test("Kafka-loop analogue: produce → log → resume-consume → decode → fold ≡ direct fold") {
+    val logDir = Files.createTempDirectory("graft-kafka-log").toString
+    val ckpt = Files.createTempDirectory("graft-kafka-ckpt").toString
+    val t = TableCatalog(spark, sfDir)
+    val oplog = Cdc.eventsAsOpLog(t.events).cache()
+
+    // Producer: envelope + first-match topic routing, then broker
+    // append — partition by key hash, dense offsets in send order.
+    val messages = ChangeStreamJob.produce(oplog,
+      maps = Seq(Router.ProducerMap("test", "events-topic")), topicPrefix = "g")
+    val log = KafkaLog.append(messages, numPartitions = 4, seqCol = "seq")
+    val total = log.count()
+
+    // The log is written as two sequential broker appends (a per-
+    // partition offset prefix first) so the consumer's second query
+    // genuinely RESUMES from the checkpoint rather than re-reading
+    // from offset 0. Offsets are per-partition, so the split point is
+    // half the average partition length.
+    val split = total / 4 / 2
+    KafkaLog.write(log.filter(col("offset") < lit(split)), logDir)
+
+    val received = ListBuffer[Row]()
+    def consumeAvailable(): Unit = {
+      val classified = MessageConsumer.classify(
+        KafkaLog.subscribe(spark, logDir).filter(col("topic") === "g.events-topic"))
+        .select("key", "value", "topic", "partition", "offset", "action", "target_id")
+      val q = classified.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          received.synchronized { received ++= batch.collect() }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    consumeAvailable() // first subscription: the prefix
+    val afterFirst = received.size
+    assert(afterFirst > 0 && afterFirst < total,
+      s"first pass should see a strict prefix, got $afterFirst of $total")
+
+    KafkaLog.write(log.filter(col("offset") >= lit(split)), logDir)
+    consumeAvailable() // resumed subscription: only the new appends
+
+    // Exactly-once across the resume: every (partition, offset) seen
+    // exactly once, nothing re-delivered, nothing lost.
+    assert(received.size == total, s"expected $total messages, got ${received.size}")
+    val seen = received.map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset")))
+    assert(seen.distinct.size == total, "duplicate (partition, offset) delivered")
+
+    // Kafka's key-affinity invariant: all messages of one document id
+    // in exactly one partition (what makes per-key offset order total).
+    import spark.implicits._
+    val receivedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(received.toSeq, 4),
+      StructTypeOf.of(received.head))
+    val multiHomed = receivedDf.groupBy("key")
+      .agg(countDistinct("partition").as("np")).filter($"np" > 1).count()
+    assert(multiHomed == 0, "a key spanned partitions")
+
+    // Consumer fold on offsets ≡ direct CDC fold on the op log.
+    val folded = MessageConsumer.fold(receivedDf, "offset")
+      .select("user_id", "value", "props").collect().toSet
+    val direct = Cdc.latestState(oplog)
+      .select("user_id", "value", "props").collect().toSet
+    assert(folded == direct,
+      s"consumer state diverged: ${folded.size} vs ${direct.size} rows")
+    oplog.unpersist()
+  }
+}
+
+/** Schema helper: rebuild a StructType from a collected Row. */
+private object StructTypeOf {
+  def of(r: Row): org.apache.spark.sql.types.StructType = r.schema
+}

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -74,6 +76,69 @@ class StreamingSinkSpec extends SparkTestBase {
         Seq((1L, "a"), (2L, "b")).toDF("k", "v"), all, "k")
         .collect().map(r => (r.getLong(0), r.getString(1))).toMap
       assert(batchMerge == got)
+    } finally q.stop()
+  }
+
+  test("C27 persisted: $merge/$out write a live parquet target, survive re-read and a second merge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-target")
+      .toString + "/state"
+
+    // generation 0: $out seeds the target
+    PipelineSinks.outToParquet(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+
+    // generation 1: merge reads the live target it is about to replace
+    PipelineSinks.mergeIntoParquet(spark,
+      Seq((2L, "B"), (3L, "C")).toDF("k", "v"), dir, "k")
+    val g1 = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(g1 == Map(1L -> "a", 2L -> "B", 3L -> "C"))
+
+    // generation 2: a second round on the re-read table (discard new keys)
+    PipelineSinks.mergeIntoParquet(spark,
+      Seq((3L, "C2"), (4L, "D")).toDF("k", "v"), dir, "k",
+      whenNotMatched = "discard")
+    val g2 = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(g2 == Map(1L -> "a", 2L -> "B", 3L -> "C2"))
+
+    // no generation debris left beside the live directory
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(parent.sameElements(Array("state")), parent.mkString(","))
+  }
+
+  test("D4: bulk-size chunking — no flush exceeds bulk-size, nothing is dropped") {
+    import spark.implicits._
+    import graft.streaming.BulkWriter
+    val sizes = spark.sparkContext.collectionAccumulator[Int]("bulkSizes")
+    val batch = (1L to 10L).toDF("k").repartition(3)
+    BulkWriter.chunked(bulkSize = 3)(rows => sizes.add(rows.size))(batch, 0L)
+    val flushed = sizes.value
+    assert(flushed.asScala.forall(_ <= 3), s"oversized bulk: $flushed")
+    assert(flushed.asScala.sum == 10, s"lost rows: $flushed")
+    assert(flushed.size() >= 4) // 10 rows / bulk 3 needs ≥ 4 writes
+  }
+
+  test("D4: bulk-flush-duration — a partial buffer flushes at the tick, not at bulk-size") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.BulkWriter
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bulk-ckpt").toString
+    val sizes = spark.sparkContext.collectionAccumulator[Int]("tickSizes")
+    val ms = MemoryStream[Long]
+    // bulk-size 100 with ONE pending message: only the ticker can flush it
+    val q = BulkWriter.timed(ms.toDF().toDF("k"), "50 milliseconds", ckpt)
+      .foreachBatch(BulkWriter.chunked(100)(rows => sizes.add(rows.size)))
+      .start()
+    try {
+      ms.addData(42L)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (sizes.value.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(sizes.value.asScala.sum == 1,
+        s"partial buffer not flushed by the duration tick: ${sizes.value}")
     } finally q.stop()
   }
 }
