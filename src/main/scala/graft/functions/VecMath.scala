@@ -16,9 +16,25 @@ import org.apache.spark.sql.types._
   *
   * Every kernel accumulates doubles in array-index order, exactly like
   * the SQL fold it replaces, so results stay bit-identical to the
-  * DuckDB oracle.
+  * DuckDB oracle. Null ELEMENTS propagate to a null result (the SQL
+  * folds' `acc + null = null`); the guard is only generated when the
+  * array type is declared `containsNull`, so the common dense-embedding
+  * path stays branch-free.
   */
 object VecMath {
+
+  /** True iff any element slot is null — preserves the SQL folds' null
+    * propagation for `containsNull` arrays.
+    */
+  def hasNull(v: ArrayData): Boolean = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
 
   /** Σ x² over a float array, double accumulation in index order. */
   def sqNorm(v: ArrayData): Double = {
@@ -75,6 +91,12 @@ object VecMath {
     * DuckDB oracle evaluates in SQL). Bit p of the result is set iff
     * the plane-p dot product is > 0; per-plane accumulation is in
     * index order, matching the SQL fold.
+    *
+    * Vectors shorter than 64 dims hash over their available dims. (The
+    * SQL fold this replaced collapsed every short vector into bucket 0
+    * via null propagation — a degenerate bucketing; partial-dot
+    * hashing is deterministic and actually distributes them. The
+    * oracle corpus is uniformly 64-dim, so both agree on tested data.)
     */
   def planeSig(v: ArrayData, planes: Int): Long = {
     val n = math.min(64, v.numElements())
@@ -103,17 +125,32 @@ private[graft] trait FloatArrayUnary extends UnaryExpression {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<float>, got ${other.simpleString}")
   }
+  protected def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => false
+  }
+  override def nullable: Boolean = child.nullable || elementsNullable
+  /** Wrap a kernel call with the null-element guard only when the
+    * array type can actually hold nulls.
+    */
+  protected def guarded(a: String, ev: ExprCode, call: String): String =
+    if (elementsNullable)
+      s"""if (graft.functions.VecMath.hasNull($a)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $call; }""".stripMargin
+    else s"${ev.value} = $call;"
 }
 
 /** Squared L2 norm of a float-array column (see [[VecMath.sqNorm]]). */
 case class VecSqNorm(child: Expression) extends FloatArrayUnary {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_sq_norm"
-  override protected def nullSafeEval(a: Any): Any =
-    VecMath.sqNorm(a.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (elementsNullable && VecMath.hasNull(v)) null else VecMath.sqNorm(v)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.VecMath.sqNorm($a);")
+      guarded(a, ev, s"graft.functions.VecMath.sqNorm($a)"))
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -122,11 +159,13 @@ case class VecSqNorm(child: Expression) extends FloatArrayUnary {
 case class VecMaxAbs(child: Expression) extends FloatArrayUnary {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_max_abs"
-  override protected def nullSafeEval(a: Any): Any =
-    VecMath.maxAbs(a.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (elementsNullable && VecMath.hasNull(v)) null else VecMath.maxAbs(v)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.VecMath.maxAbs($a);")
+      guarded(a, ev, s"graft.functions.VecMath.maxAbs($a)"))
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -146,11 +185,22 @@ case class Int8Quantize(left: Expression, right: Expression)
     }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "int8_quantize"
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecMath.quantize(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+  private def elementsNullable: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => false
+  }
+  override def nullable: Boolean = super.nullable || elementsNullable
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (elementsNullable && VecMath.hasNull(v)) null
+    else VecMath.quantize(v, b.asInstanceOf[Double])
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecMath.quantize($a, $b);")
+      if (elementsNullable)
+        s"""if (graft.functions.VecMath.hasNull($a)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.VecMath.quantize($a, $b); }""".stripMargin
+      else s"${ev.value} = graft.functions.VecMath.quantize($a, $b);")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -163,11 +213,14 @@ case class PlaneSignature(child: Expression, planes: Int)
     extends FloatArrayUnary {
   override def dataType: DataType = LongType
   override def prettyName: String = "plane_signature"
-  override protected def nullSafeEval(a: Any): Any =
-    VecMath.planeSig(a.asInstanceOf[ArrayData], planes)
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (elementsNullable && VecMath.hasNull(v)) null
+    else VecMath.planeSig(v, planes)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.VecMath.planeSig($a, $planes);")
+      guarded(a, ev, s"graft.functions.VecMath.planeSig($a, $planes)"))
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -187,7 +187,11 @@ object MongoPipeline {
             require(bad.isEmpty, s"unsupported $$options flags: $bad")
             val pat = if (opts.isEmpty) v.asText() else s"(?$opts)${v.asText()}"
             c.rlike(pat)
-          case "$options" => lit(true) // consumed by the $regex branch
+          case "$options" => // consumed by the $regex branch; alone it
+            // must fail loudly (Mongo: "$options needs a $regex"), not
+            // silently match everything
+            require(spec.has("$regex"), "$options requires a sibling $regex")
+            lit(true)
           case "$not"    => !fieldPredicate(c, v)
           case "$mod" =>
             val it = v.elements().asScala.toSeq
@@ -1036,9 +1040,12 @@ object MongoPipeline {
     val range = spec.get("range")
     val step = range.get("step").asLong()
     val unit = Option(range.get("unit")).map(_.asText())
-    val bounds = Option(range.get("bounds")).map(_.asText()).getOrElse("partition")
-    require(bounds == "partition" || bounds == "full",
-      "$densify supports bounds: \"partition\" | \"full\"")
+    val boundsNode = Option(range.get("bounds"))
+    val explicitBounds = boundsNode.filter(_.isArray)
+    val bounds = boundsNode.filterNot(_.isArray).map(_.asText())
+      .getOrElse("partition")
+    require(explicitBounds.isDefined || bounds == "partition" || bounds == "full",
+      "$densify supports bounds: \"partition\" | \"full\" | [lower, upper]")
     val pcols = parts.map(col)
     val stepCol = unit match {
       case Some(u) => // time-stepped grid via make_interval multiples
@@ -1058,7 +1065,29 @@ object MongoPipeline {
     // one-row global aggregate broadcast-joins onto the partition list.
     // With no partitionByFields (Mongo's global densify) both reduce
     // to one grid over the whole collection's min..max.
-    val grid = (bounds, parts.isEmpty) match {
+    // Explicit [lower, upper) bounds: the grid is data-independent —
+    // the same literal range in every partition (or one global range
+    // when there are no partition fields), upper end EXCLUSIVE.
+    def boundLit(n: JsonNode): Column = {
+      require(n.isTextual || n.isIntegralNumber,
+        s"$$densify bounds must be integral numbers or date strings, got $n")
+      val raw = if (n.isTextual) to_timestamp(lit(n.asText())) else lit(n.asLong())
+      raw.cast(df.schema(field).dataType)
+    }
+    val grid = explicitBounds match {
+      case Some(b) =>
+        require(b.size() == 2, "$densify bounds array must be [lower, upper]")
+        val lo = boundLit(b.get(0))
+        val hi = boundLit(b.get(1))
+        val span =
+          if (parts.isEmpty) // grid exists even over an empty input
+            df.sparkSession.range(1).select(lo.as("__lo"), hi.as("__hi"))
+          else df.select(pcols: _*).distinct()
+            .withColumn("__lo", lo).withColumn("__hi", hi)
+        span.select((pcols :+
+            explode(sequence(col("__lo"), col("__hi"), stepCol)).as(field)): _*)
+          .filter(col(field) < hi)
+      case None => (bounds, parts.isEmpty) match {
       case (_, true) =>
         df.agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
           .select(explode(sequence(col("__lo"), col("__hi"), stepCol)).as(field))
@@ -1074,13 +1103,18 @@ object MongoPipeline {
           .crossJoin(globalBounds)
           .select((pcols :+
             explode(sequence(col("__lo"), col("__hi"), stepCol)).as(field)): _*)
+      }
     }
     // Mongo preserves EVERY original document (even off the
     // min-anchored step grid) and only adds the grid points that have
     // no exact match: anti-join the grid against the existing
     // (partition, field) pairs, null-fill the other columns, union.
     val present = df.select((pcols :+ col(field)): _*).distinct()
-    val added = grid.join(present, parts :+ field, "left_anti")
+    // null-SAFE anti-join: a null partition value is a real Mongo
+    // group, and plain = would fail to suppress its matched grid rows
+    val antiCond = (parts :+ field).map(c => grid(c) <=> present(c))
+      .reduce(_ && _)
+    val added = grid.join(present, antiCond, "left_anti")
       .select(df.columns.map { c =>
         if (parts.contains(c) || c == field) col(c)
         else lit(null).cast(df.schema(c).dataType).as(c)

@@ -156,8 +156,15 @@ object PipelineSinks {
                        source: DataFrame, targetDir: String, on: String,
                        whenMatched: String = "replace",
                        whenNotMatched: String = "insert"): Unit = {
-    val merged = merge(spark.read.parquet(targetDir), source, on,
-      whenMatched, whenNotMatched)
+    recoverGeneration(spark, targetDir)
+    val path = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // Mongo's $merge creates a missing target collection: a first
+    // merge bootstraps from an empty same-schema table (every source
+    // row is "not matched").
+    val target =
+      if (fs.exists(path)) spark.read.parquet(targetDir) else source.limit(0)
+    val merged = merge(target, source, on, whenMatched, whenNotMatched)
     swapInto(spark, merged, targetDir)
   }
 
@@ -168,8 +175,13 @@ object PipelineSinks {
                    result: DataFrame, targetDir: String): Unit =
     swapInto(spark, result, targetDir)
 
-  /** Materialize `df` beside `dir`, then swap generations by rename —
-    * two metadata ops on any filesystem with atomic directory rename.
+  /** Materialize `df` beside `dir`, then swap generations by rename.
+    * The swap itself is two renames, so there is an instants-wide
+    * window where the live name is absent (a table FORMAT with a
+    * commit log — Delta/Iceberg — closes even that); a crash inside
+    * the window is repaired by [[recoverGeneration]] on the next
+    * merge, and a failure while writing `.__next__` leaves the old
+    * generation untouched.
     */
   private def swapInto(spark: org.apache.spark.sql.SparkSession,
                        df: DataFrame, dir: String): Unit = {
@@ -181,9 +193,25 @@ object PipelineSinks {
     if (fs.exists(prev)) fs.delete(prev, true)
     if (fs.exists(path) && !fs.rename(path, prev))
       throw new java.io.IOException(s"could not retire $path")
-    if (!fs.rename(next, path))
+    if (!fs.rename(next, path)) {
+      fs.rename(prev, path) // roll the old generation back in
       throw new java.io.IOException(s"could not promote $next")
+    }
     fs.delete(prev, true): Unit
+  }
+
+  /** Repair a crash that landed between swapInto's two renames: the
+    * live dir is absent but the retired generation is still on disk —
+    * promote it back so readers and the next merge see the last
+    * complete generation.
+    */
+  private def recoverGeneration(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val prev = new org.apache.hadoop.fs.Path(dir + ".__prev__")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path) && fs.exists(prev))
+      fs.rename(prev, path): Unit
   }
 
   /** Parse a `$merge` stage spec and run it against `tables`. The

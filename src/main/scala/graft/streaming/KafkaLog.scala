@@ -42,20 +42,51 @@ object KafkaLog {
 
   /** Broker append: assign each (topic, key, value) message a
     * partition by key hash and a dense per-partition offset ordered by
-    * the producer's send sequence `seqCol`.
+    * the producer's send sequence `seqCol`. `base` (from
+    * [[highWater]]) continues each partition's offsets from the
+    * existing log's high-water mark — without it a second append would
+    * restart at 0 and collide with already-delivered offsets.
     */
-  def append(messages: DataFrame, numPartitions: Int, seqCol: String): DataFrame = {
+  def append(messages: DataFrame, numPartitions: Int, seqCol: String,
+             base: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(col("topic"), col("partition"))
       .orderBy(col(seqCol))
-    messages
+    val rel = messages
       .withColumn("partition", pmod(hash(col("key")), lit(numPartitions)).cast("int"))
-      .withColumn("offset", row_number().over(w).cast("long") - 1)
-      .select("key", "value", "offset", "topic", "partition")
+      .withColumn("__rel", row_number().over(w).cast("long") - 1)
+    val offs = base match {
+      case Some(hw) => rel
+        .join(broadcast(hw), Seq("topic", "partition"), "left")
+        .withColumn("offset", col("__rel") + coalesce(col("__next"), lit(0L)))
+      case None => rel.withColumn("offset", col("__rel"))
+    }
+    offs.select("key", "value", "offset", "topic", "partition")
   }
+
+  /** Next offset per (topic, partition) of an existing log — the
+    * high-water marks a broker keeps per partition. A few rows per
+    * topic: always broadcastable.
+    */
+  def highWater(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(recordSchema).parquet(dir)
+      .groupBy("topic", "partition")
+      .agg((max(col("offset")) + 1).as("__next"))
 
   /** Persist appended records under `dir/topic=<t>/partition=<p>/`. */
   def write(records: DataFrame, dir: String): Unit =
     records.write.mode("append").partitionBy("topic", "partition").parquet(dir)
+
+  /** Produce-to-log: continue offsets from the live log (if any) and
+    * append — the full broker-side send path.
+    */
+  def appendTo(spark: SparkSession, dir: String, messages: DataFrame,
+               numPartitions: Int, seqCol: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val base =
+      if (fs.exists(path)) Some(highWater(spark, dir)) else None
+    write(append(messages, numPartitions, seqCol, base), dir)
+  }
 
   /** Consumer subscription: a streaming scan of the log directory.
     * The checkpoint dir given to the query is the committed-offset

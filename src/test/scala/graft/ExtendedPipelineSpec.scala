@@ -392,6 +392,37 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(out.toSeq == Seq(0L, 2L, 4L))
   }
 
+  test("$densify explicit [lower, upper) bounds: literal grid, upper exclusive, originals kept") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (7L, "b")).toDF("x", "v")
+    val out = MongoPipeline(df,
+      """[{"$densify": {"field": "x", "range": {"step": 2, "bounds": [0, 6]}}}]""")
+      .orderBy("x").collect().map(r => (r.getLong(0), r.getString(1)))
+    // grid 0,2,4 (6 excluded) + originals 1 and 7 (outside the bounds, still kept)
+    assert(out.toSeq == Seq((0L, null), (1L, "a"), (2L, null), (4L, null), (7L, "b")))
+  }
+
+  test("$densify with a null partition value neither drops nor duplicates its rows") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 0L), (Some("a"), 2L), (None, 0L), (None, 2L))
+      .toDF("g", "x")
+    val out = MongoPipeline(df,
+      """[{"$densify": {"field": "x", "partitionByFields": ["g"],
+           "range": {"step": 1}}}]""")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+    val nullGroup = out.filter(_._1.isEmpty).map(_._2).sorted
+    assert(nullGroup.toSeq == Seq(0L, 1L, 2L), nullGroup.mkString(","))
+  }
+
+  test("$options without $regex is rejected, not a match-everything") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("k", "s")
+    val e = intercept[IllegalArgumentException] {
+      MongoPipeline(df, """[{"$match": {"s": {"$options": "i"}}}]""").collect()
+    }
+    assert(e.getMessage.contains("$options requires"))
+  }
+
   test("$regex honors $options flags (i, m, s)") {
     import spark.implicits._
     val df = Seq((1L, "Alpha"), (2L, "beta"), (3L, "line1\nline2"))

@@ -32,16 +32,16 @@ class KafkaLogSpec extends SparkTestBase {
     // append — partition by key hash, dense offsets in send order.
     val messages = ChangeStreamJob.produce(oplog,
       maps = Seq(Router.ProducerMap("test", "events-topic")), topicPrefix = "g")
-    val log = KafkaLog.append(messages, numPartitions = 4, seqCol = "seq")
-    val total = log.count()
+    val total = messages.count()
 
-    // The log is written as two sequential broker appends (a per-
-    // partition offset prefix first) so the consumer's second query
-    // genuinely RESUMES from the checkpoint rather than re-reading
-    // from offset 0. Offsets are per-partition, so the split point is
-    // half the average partition length.
-    val split = total / 4 / 2
-    KafkaLog.write(log.filter(col("offset") < lit(split)), logDir)
+    // Two REAL broker appends: the second continues each partition's
+    // offsets from the log's high-water mark, and the consumer's
+    // second query genuinely RESUMES from the checkpoint rather than
+    // re-reading from offset 0.
+    val mid = messages.selectExpr("cast(percentile(seq, 0.5) as long)")
+      .first().getLong(0)
+    KafkaLog.appendTo(spark, logDir,
+      messages.filter(col("seq") <= mid), numPartitions = 4, seqCol = "seq")
 
     val received = ListBuffer[Row]()
     def consumeAvailable(): Unit = {
@@ -65,14 +65,23 @@ class KafkaLogSpec extends SparkTestBase {
     assert(afterFirst > 0 && afterFirst < total,
       s"first pass should see a strict prefix, got $afterFirst of $total")
 
-    KafkaLog.write(log.filter(col("offset") >= lit(split)), logDir)
-    consumeAvailable() // resumed subscription: only the new appends
+    KafkaLog.appendTo(spark, logDir,
+      messages.filter(col("seq") > mid), numPartitions = 4, seqCol = "seq")
+    consumeAvailable() // resumed subscription: only the new append
 
     // Exactly-once across the resume: every (partition, offset) seen
     // exactly once, nothing re-delivered, nothing lost.
     assert(received.size == total, s"expected $total messages, got ${received.size}")
     val seen = received.map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset")))
     assert(seen.distinct.size == total, "duplicate (partition, offset) delivered")
+
+    // Offsets are dense per partition across BOTH appends (the second
+    // continued from the high-water mark instead of restarting at 0).
+    seen.groupBy(_._1).foreach { case (p, po) =>
+      val offs = po.map(_._2).sorted
+      assert(offs == (0L until offs.size.toLong),
+        s"partition $p offsets not dense: ${offs.take(5)}...")
+    }
 
     // Kafka's key-affinity invariant: all messages of one document id
     // in exactly one partition (what makes per-key offset order total).

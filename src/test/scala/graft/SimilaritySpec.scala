@@ -34,6 +34,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(got - expect) < 1e-12)
   }
 
+  test("VecMath kernels propagate null elements like the SQL folds they replaced") {
+    import org.apache.spark.sql.GraftBridge
+    import graft.functions.{Int8Quantize, PlaneSignature, VecMaxAbs, VecSqNorm}
+    import spark.implicits._
+    // array<float> with containsNull=true: one clean row, one null-holed row
+    val df = Seq(Seq[java.lang.Float](3.0f, 4.0f), Seq[java.lang.Float](1.0f, null))
+      .toDF("v")
+    def c(f: org.apache.spark.sql.catalyst.expressions.Expression) =
+      GraftBridge.column(f)
+    val e = GraftBridge.expression(col("v"))
+    val out = df.select(
+      c(VecSqNorm(e)).as("n"), c(VecMaxAbs(e)).as("m"),
+      c(Int8Quantize(e, GraftBridge.expression(lit(4.0).cast("double")))).as("q"),
+      c(PlaneSignature(e, 8)).as("s")).collect()
+    assert(out(0).getDouble(0) == 25.0 && out(0).getDouble(1) == 4.0)
+    assert(!out(0).isNullAt(2) && !out(0).isNullAt(3))
+    (0 to 3).foreach(i => assert(out(1).isNullAt(i),
+      s"null element must null column $i"))
+  }
+
   test("brute-force top-k ranks are 1..k per query with descending cos") {
     val out = Similarity.bruteForceTopK(spark, emb,
       emb.filter(col("vec_id") < 3), k = 5).collect()

@@ -109,6 +109,17 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(parent.sameElements(Array("state")), parent.mkString(","))
   }
 
+  test("C27 persisted: first merge into a nonexistent target bootstraps it ($merge creates the collection)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-boot")
+      .toString + "/fresh"
+    PipelineSinks.mergeIntoParquet(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, "k")
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "a", 2L -> "b"))
+  }
+
   test("D4: bulk-size chunking — no flush exceeds bulk-size, nothing is dropped") {
     import spark.implicits._
     import graft.streaming.BulkWriter
