@@ -138,4 +138,38 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("Generate explode"), plan)
     assert(plan.contains("Window"), plan)
   }
+
+  test("embedding norms/quantize: single codegen projection — no join, no shuffle, no HOF") {
+    import graft.operators.Similarity
+    for (df <- Seq(Similarity.norms(t.embeddings),
+      Similarity.quantizeInt8(t.embeddings))) {
+      val plan = executed(df)
+      assert(!plan.contains("Join"), s"self-join crept back:\n$plan")
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      // interpreted HOF lambdas print as "lambdafunction" in the plan
+      assert(!plan.contains("lambdafunction"), s"interpreted HOF:\n$plan")
+      assert(plan.startsWith("*(1)"), s"not one codegen span:\n$plan")
+    }
+  }
+
+  test("tf-idf corpus count is folded in (broadcast), not a separate driver action") {
+    val df = graft.operators.TextAnalysis.topTerms(t.documents, "doc_id", "text", 5)
+    val plan = executed(df)
+    // the 1-row corpus-count side arrives via a broadcast join, and
+    // building the DataFrame runs no job at all (count() would have)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("broker log append: offsets sequence per (topic, partition) — no global sort") {
+    import graft.streaming.KafkaLog
+    val msgs = t.events.selectExpr("'t' as topic",
+      "cast(user_id as string) as key", "props as value", "event_id as seq")
+    val plan = executed(KafkaLog.append(msgs, 4, "seq"))
+    assert(plan.contains("Window"), plan)
+    // partitioned window: hashpartitioning on (topic, partition), not a
+    // single global range sort
+    assert(plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("rangepartitioning"), s"global sort:\n$plan")
+  }
 }
