@@ -42,6 +42,8 @@ object LlmQueries {
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
     "text_vocab" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text")),
     "text_tfidf" -> ((s, dir) => TextAnalysis.topTerms(docs(s, dir), "doc_id", "text")),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir), "doc_id", "text")),
     "embed_quantize" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       // Serialize the int8 vector: the driver's pandas compare can't
@@ -255,6 +257,19 @@ object LlmQueries {
          |             ORDER BY score DESC, term) AS rk FROM scored)
          |SELECT id, term, round(score, 6) AS score, CAST(rk AS INTEGER) AS rk
          |FROM ranked WHERE rk <= 3""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS ($toksCte),
+         |g AS (SELECT doc_id, greatest(len(toks) - 2, 0) AS total,
+         |        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |         for i in generate_series(1, len(toks) - 2)] AS grams
+         |      FROM t)
+         |SELECT doc_id, CAST(total AS INTEGER) AS ngrams_total,
+         |  CAST(CASE WHEN total > 0 THEN len(list_distinct(grams))
+         |       ELSE 0 END AS INTEGER) AS ngrams_distinct,
+         |  CASE WHEN total > 0 THEN
+         |    round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / total, 6)
+         |  END AS dup_frac
+         |FROM g""".stripMargin,
     "embed_quantize" ->
       """WITH m AS (
         |  SELECT e.vec_id, MAX(abs(CAST(e.embedding[d] AS DOUBLE))) AS max_abs

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hash60.tokens
@@ -116,5 +116,44 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .select(col("id"), col("term"), round(col("score"), 6).as("score"),
         col("rk"))
+  }
+
+  /** H13: within-document repetition — the duplicate-n-gram fraction
+    * quality signal (the Gopher/C4 "repetitious document" filter):
+    * 1 − distinct/total n-grams. Distinct count via the native
+    * [[graft.functions.WordShingles]] pass; a single codegen'd
+    * projection, zero shuffles.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3): DataFrame = {
+    val base = docs.withColumn("__toks", tokens(col(textCol)))
+    val total = greatest(size(col("__toks")) - (n - 1), lit(0))
+    val dist = size(graft.functions.Hash60.shingles("__toks", n))
+    base.select(col(idCol),
+      total.as("ngrams_total"),
+      when(total > 0, dist).otherwise(lit(0)).as("ngrams_distinct"),
+      when(total > 0,
+        round(lit(1.0) - dist.cast("double") / total.cast("double"), 6))
+        .as("dup_frac"))
+  }
+
+  /** H14: C4-style boilerplate line filter — keep only lines that end
+    * in terminal punctuation (`.` `!` `?` `"`), drop the rest
+    * (nav/menu/code debris). One multiline regex pass per document —
+    * the anchored pattern removes each non-terminated line including
+    * its newline; no per-line explode, no shuffle. (RE2-compatible: no
+    * lookbehind, so the same pattern drives the DuckDB oracle.)
+    */
+  def filterLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bad = "(?m)^(?:[^\n]*[^.!?\"\n])?\n"
+    val clean = rtrim(
+      regexp_replace(concat(col(textCol), lit("\n")), lit(bad), lit("")),
+      "\n")
+    val lineCount = (t: Column) =>
+      when(length(t) === 0, 0).otherwise(size(split(t, "\n")))
+    docs.select(col(idCol),
+      lineCount(col(textCol)).as("orig_lines"),
+      lineCount(clean).as("kept_lines"),
+      clean.as("clean_text"))
   }
 }

@@ -59,4 +59,34 @@ class DedupSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[Double]("quality") >= 0.0 &&
       r.getAs[Double]("quality") <= 1.0))
   }
+
+  test("repetition: dup 3-gram fraction is 0 for unique text, high for loops, null when too short") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),            // all 3-grams unique
+      (2L, "x y z x y z x y z x y z"),// 3-gram loop: heavy repetition
+      (3L, "one two")                 // < 3 tokens → no 3-grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("dup_frac") == 0.0)
+    assert(out(1).getAs[Double]("dup_frac") > 0.5)
+    assert(out(2).getAs[Int]("ngrams_total") == 0 && out(2).isNullAt(3))
+  }
+
+  test("C4 line filter keeps terminated lines, drops boilerplate and empties") {
+    import spark.implicits._
+    val text = "Good sentence one.\nMENU\n\nAnother fine line!\nHome | About\nDoes it work?\nquote ends \""
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.filterLines(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("orig_lines") == 7)
+    assert(r.getAs[Int]("kept_lines") == 4)
+    assert(r.getAs[String]("clean_text") ==
+      "Good sentence one.\nAnother fine line!\nDoes it work?\nquote ends \"")
+    // a fully-boilerplate doc comes back empty, not a stray newline
+    val empty = TextAnalysis.filterLines(
+      Seq((2L, "nav\nbar")).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    assert(empty.getAs[String]("clean_text") == "" &&
+      empty.getAs[Int]("kept_lines") == 0)
+  }
 }
