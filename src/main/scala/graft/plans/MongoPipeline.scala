@@ -937,7 +937,16 @@ object MongoPipeline {
         .filter(_.getKey != "window")
       require(fields.size == 1, s"window output needs one operator: ${e.getValue}")
       val (op, a) = (fields.head.getKey, fields.head.getValue)
+      if (op == "$expMovingAvg") {
+        // sequential recurrence — handled as a per-partition sorted
+        // pass, not a window column (see expMovingAvg)
+        require(sortCols.nonEmpty, "$expMovingAvg requires sortBy")
+        cur = expMovingAvg(cur, Option(spec.get("partitionBy")),
+          sortCols, outName, a)
+      } else {
       val w = framed(e.getValue.get("window"))
+      val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val c = op match {
         case "$sum"   => sum(expression(a)).over(w)
         case "$avg"   => avg(expression(a)).over(w)
@@ -988,12 +997,68 @@ object MongoPipeline {
             if (by >= 0) lead(outExpr, by) else lag(outExpr, -by)
           dflt.map(d => coalesce(shifted.over(ordered), expression(d)))
             .getOrElse(shifted.over(ordered))
+        case "$locf" => // last observation carried forward
+          last(expression(a), ignoreNulls = true).over(back)
+        case "$linearFill" =>
+          // interpolate nulls between the surrounding non-null points
+          // on the (single) sortBy axis; endpoints stay null
+          require(sortBy.size == 1, "$linearFill requires one sortBy field")
+          val v = expression(a)
+          val x = col(sortBy.head._1).cast("double")
+          val pv = last(v, ignoreNulls = true).over(back)
+          val px = last(when(v.isNotNull, x), ignoreNulls = true).over(back)
+          val nv = first(v, ignoreNulls = true).over(fwd)
+          val nx = first(when(v.isNotNull, x), ignoreNulls = true).over(fwd)
+          when(v.isNotNull, v)
+            .otherwise(pv + (nv - pv) * (x - px) / nullif(nx - px, lit(0.0)))
         case other =>
           throw new IllegalArgumentException(s"unsupported window op: $other")
       }
       cur = cur.withColumn(outName, c)
+      }
     }
     cur
+  }
+
+  /** `$expMovingAvg`: e_i = α·x_i + (1−α)·e_{i−1} — an inherently
+    * sequential recurrence (the closed-form window rewrite overflows
+    * (1−α)^{−i} after a few hundred rows), so it runs as Mongo runs
+    * it: each partition's documents in sortBy order through one
+    * stateful pass, partitions distributed across the cluster
+    * (`flatMapSortedGroups` — Spark sorts within groups during the
+    * shuffle, no extra pass). Null inputs leave the average unchanged
+    * and carry the current value, matching Mongo's ignore-nulls.
+    */
+  private def expMovingAvg(df: DataFrame, partNode: Option[JsonNode],
+                           sortCols: Seq[Column], outName: String,
+                           a: JsonNode): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val alpha = Option(a.get("alpha")).map(_.asDouble()).getOrElse {
+      val n = a.get("N").asInt()
+      require(n >= 1, "$expMovingAvg N must be >= 1")
+      2.0 / (n + 1)
+    }
+    val input = expression(a.get("input"))
+    val withIn = df
+      .withColumn("__ema_in", input.cast("double"))
+      .withColumn("__ema_pk",
+        partNode.map(expression(_).cast("string")).getOrElse(lit("")))
+    val outSchema = StructType(
+      withIn.schema.fields :+ StructField(outName, DoubleType))
+    val grouped = withIn
+      .groupByKey((r: Row) => r.getAs[String]("__ema_pk"))(Encoders.STRING)
+    grouped.flatMapSortedGroups(sortCols: _*) { (_: String, it: Iterator[Row]) =>
+      var ema: java.lang.Double = null
+      it.map { r =>
+        val x = r.getAs[java.lang.Double]("__ema_in")
+        if (x != null)
+          ema = if (ema == null) x
+                else java.lang.Double.valueOf(alpha * x + (1 - alpha) * ema)
+        Row.fromSeq(r.toSeq :+ ema)
+      }
+    }(Encoders.row(outSchema))
+      .drop("__ema_in", "__ema_pk")
   }
 
   /** Span of the sort column across a window frame, scaled by the

@@ -392,6 +392,39 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(out.toSeq == Seq(0L, 2L, 4L))
   }
 
+  test("$setWindowFields $locf / $linearFill / $expMovingAvg window operators") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0L, Some(10.0)), ("a", 1L, None), ("a", 2L, None),
+      ("a", 3L, Some(40.0)), ("b", 0L, Some(2.0)), ("b", 1L, None))
+      .toDF("g", "t", "v")
+    val out = MongoPipeline(df,
+      """[{"$setWindowFields": {"partitionBy": "$g", "sortBy": {"t": 1},
+           "output": {
+             "carried": {"$locf": "$v"},
+             "interp": {"$linearFill": "$v"},
+             "ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.5}}}}}]""")
+      .orderBy("g", "t").collect()
+    // locf carries 10 through the gap; linear interpolates 20, 30
+    assert(out(1).getAs[Double]("carried") == 10.0)
+    assert(out(1).getAs[Double]("interp") == 20.0)
+    assert(out(2).getAs[Double]("interp") == 30.0)
+    // ema: 10, (null input keeps 10), then 0.5*40 + 0.5*10 = 25
+    assert(out(0).getAs[Double]("ema") == 10.0)
+    assert(out(1).getAs[Double]("ema") == 10.0)
+    assert(out(3).getAs[Double]("ema") == 25.0)
+    // partition b independent: trailing null keeps 2.0, no interp anchor
+    assert(out(5).getAs[Double]("ema") == 2.0 && out(5).isNullAt(
+      out(5).fieldIndex("interp")))
+    // N form: alpha = 2/(N+1) = 0.5 gives the identical series
+    val n2 = MongoPipeline(df,
+      """[{"$setWindowFields": {"partitionBy": "$g", "sortBy": {"t": 1},
+           "output": {"ema": {"$expMovingAvg": {"input": "$v", "N": 3}}}}}]""")
+      .orderBy("g", "t").collect()
+    assert(n2.map(_.getAs[Double]("ema")).toSeq ==
+      out.map(_.getAs[Double]("ema")).toSeq)
+  }
+
   test("$densify explicit [lower, upper) bounds: literal grid, upper exclusive, originals kept") {
     import spark.implicits._
     val df = Seq((1L, "a"), (7L, "b")).toDF("x", "v")
