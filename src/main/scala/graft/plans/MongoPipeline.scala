@@ -486,6 +486,81 @@ object MongoPipeline {
       case "$getField" =>
         if (a.isTextual) col(a.asText()) // {$getField: "f"} on $$CURRENT
         else expression(a.get("input")).getField(a.get("field").asText())
+      case "$objectToArray" =>
+        // document → [{k, v}] via the JSON map normalization (values
+        // stringify — Spark arrays are homogeneous where BSON's are
+        // not; key order is the document's field order, preserved by
+        // to_json)
+        transform(
+          map_entries(from_json(to_json(expression(a)),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType))),
+          e => struct(e.getField("key").as("k"), e.getField("value").as("v")))
+      case "$arrayToObject" =>
+        // [{k, v}] → map (dotted-path reads resolve through GetMapValue)
+        map_from_entries(transform(expression(a),
+          e => struct(e.getField("k"), e.getField("v"))))
+      case "$replaceOne" =>
+        // first literal occurrence only — splice at locate, codegen'd
+        val in = expression(a.get("input"))
+        val find = a.get("find").asText()
+        val rep = a.get("replacement").asText()
+        val at = locate(find, in) // 1-based, 0 when absent
+        when(at === 0, in).otherwise(concat(
+          in.substr(lit(1), at - 1), lit(rep),
+          in.substr(at + find.length, length(in))))
+      case "$regexFind" =>
+        val in = expression(a.get("input"))
+        val pat = a.get("regex").asText()
+        when(in.rlike(pat), struct(
+          regexp_extract(in, pat, 0).as("match"),
+          (regexp_instr(in, lit(pat)) - 1).cast("int").as("idx")))
+      case "$regexFindAll" =>
+        regexp_extract_all(expression(a.get("input")),
+          lit(a.get("regex").asText()), lit(0))
+      case "$dateFromParts" =>
+        def part(name: String, dflt: Int): Column =
+          Option(a.get(name)).map(expression(_)).getOrElse(lit(dflt))
+        make_timestamp(part("year", 1970), part("month", 1), part("day", 1),
+          part("hour", 0), part("minute", 0),
+          part("second", 0).cast("double") +
+            part("millisecond", 0).cast("double") / 1000.0)
+      case "$dateToParts" =>
+        val d = expression(a.get("date"))
+        struct(year(d).as("year"), month(d).as("month"),
+          dayofmonth(d).as("day"), hour(d).as("hour"),
+          minute(d).as("minute"), second(d).as("second"),
+          ((d.cast("double") * 1000).cast("long") % 1000).cast("int")
+            .as("millisecond"))
+      case "$toBool" =>
+        // Mongo: numbers → x != 0, strings → true, bool → identity —
+        // branch on the ENGINE type via typeof (schema-agnostic)
+        val v = expression(a)
+        val t = typeof(v)
+        when(v.isNull, lit(null).cast("boolean"))
+          .when(t === "boolean", v.cast("boolean"))
+          .when(t.isin("tinyint", "smallint", "int", "bigint", "float",
+            "double") || t.startsWith("decimal"), v.cast("double") =!= 0.0)
+          .otherwise(lit(true))
+      case "$type" =>
+        // engine type → BSON type-name mapping
+        val t = typeof(expression(a))
+        when(expression(a).isNull, "null")
+          .when(t === "string", "string")
+          .when(t === "boolean", "bool")
+          .when(t.isin("tinyint", "smallint", "int"), "int")
+          .when(t === "bigint", "long")
+          .when(t.isin("float", "double") || t.startsWith("decimal"), "double")
+          .when(t.isin("date", "timestamp", "timestamp_ntz"), "date")
+          .when(t.startsWith("array"), "array")
+          .when(t.startsWith("struct") || t.startsWith("map"), "object")
+          .when(t === "binary", "binData")
+          .otherwise(t)
+      case "$rand" =>
+        // genuinely random per document (Mongo semantics) — the ONE
+        // non-reproducible operator; keep out of oracle queries
+        rand()
       case other =>
         throw new IllegalArgumentException(s"unsupported expression op: $other")
     }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.operators.Pipeline100TB
@@ -390,6 +391,40 @@ class ExtendedPipelineSpec extends SparkTestBase {
       """[{"$densify": {"field": "x", "range": {"step": 2}}}]""")
       .orderBy("x").collect().map(_.getLong(0))
     assert(out.toSeq == Seq(0L, 2L, 4L))
+  }
+
+  test("expression pack round 3: object/array conversion, regex find, replaceOne, date parts, toBool, type") {
+    import spark.implicits._
+    val df = Seq((1L, "a-b-a", 2.5, "2024-03-05 06:07:08")).toDF("k", "s", "d", "ts")
+    val out = MongoPipeline(df,
+      """[{"$set": {
+           "o2a": {"$objectToArray": {"x": "$k", "y": "$s"}},
+           "rep1": {"$replaceOne": {"input": "$s", "find": "a", "replacement": "z"}},
+           "rfind": {"$regexFind": {"input": "$s", "regex": "[b-c]"}},
+           "rall": {"$regexFindAll": {"input": "$s", "regex": "a"}},
+           "dfp": {"$dateFromParts": {"year": 2024, "month": 3, "day": 5,
+                                      "hour": 6, "minute": 7, "second": 8}},
+           "bool_n": {"$toBool": "$d"}, "bool_s": {"$toBool": "$s"},
+           "ty_s": {"$type": "$s"}, "ty_k": {"$type": "$k"}, "ty_d": {"$type": "$d"}}},
+         {"$set": {
+           "back": {"$arrayToObject": "$o2a"},
+           "dtp": {"$dateToParts": {"date": "$dfp"}}}}]""")
+      .collect()(0)
+    val o2a = out.getSeq[Row](out.fieldIndex("o2a"))
+    assert(o2a.map(r => (r.getString(0), r.getString(1))) ==
+      Seq(("x", "1"), ("y", "a-b-a")))
+    assert(out.getAs[Map[String, String]]("back") ==
+      Map("x" -> "1", "y" -> "a-b-a"))
+    assert(out.getAs[String]("rep1") == "z-b-a")
+    val rf = out.getAs[Row]("rfind")
+    assert(rf.getString(0) == "b" && rf.getInt(1) == 2)
+    assert(out.getSeq[String](out.fieldIndex("rall")) == Seq("a", "a"))
+    assert(out.getAs[java.sql.Timestamp]("dfp").toString.startsWith("2024-03-05 06:07:08"))
+    val dtp = out.getAs[Row]("dtp")
+    assert(dtp.getInt(0) == 2024 && dtp.getInt(1) == 3 && dtp.getInt(5) == 8)
+    assert(out.getAs[Boolean]("bool_n") && out.getAs[Boolean]("bool_s"))
+    assert(out.getAs[String]("ty_s") == "string" &&
+      out.getAs[String]("ty_k") == "long" && out.getAs[String]("ty_d") == "double")
   }
 
   test("$setWindowFields $locf / $linearFill / $expMovingAvg window operators") {
