@@ -16,6 +16,7 @@ final case class ConsumerConf(
     topics: Seq[String],
     format: String = "json-ext",
     bulkSize: Int = 100,
+    bulkFlushDuration: String = "5 seconds", // route81.go:1141-1197 ticker
     workers: Int = 4,
     documentRootPath: String = "",
     deleteIdPath: String = "")
@@ -90,6 +91,7 @@ object EngineConfig {
           strings(c.get("topics")),
           opt(c, "message-format").map(_.asText()).getOrElse("json-ext"),
           opt(c, "bulk-size").map(_.asInt()).getOrElse(100),
+          opt(c, "bulk-flush-duration").map(_.asText()).getOrElse("5 seconds"),
           opt(c, "workers").map(_.asInt()).getOrElse(4),
           opt(c, "document-root-path").map(_.asText()).getOrElse(""),
           opt(c, "delete-id-path").map(_.asText()).getOrElse(""))))

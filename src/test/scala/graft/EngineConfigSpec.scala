@@ -34,6 +34,11 @@ class EngineConfigSpec extends SparkTestBase {
     assert(cfg.pipelineFor("test.customer", stream = true).isEmpty)
     assert(cfg.pipelineFor("test.events", stream = true).isDefined)
     assert(cfg.consumers.head.bulkSize == 100) // default
+    assert(cfg.consumers.head.bulkFlushDuration == "5 seconds") // default
+    val explicit = EngineConfig.fromJson(
+      """{"consumer": [{"namespace": "a.b", "topics": ["t"],
+        |  "bulk-flush-duration": "250 milliseconds"}]}""".stripMargin)
+    assert(explicit.consumers.head.bulkFlushDuration == "250 milliseconds")
   }
 
   test("invalid consumer namespace fails validation like the reference") {
