@@ -117,6 +117,18 @@ object VecMath {
     }
     bucket
   }
+
+  /** Σ|x| over an int array, long accumulation in index order. */
+  def l1Int(v: ArrayData): Long = {
+    val n = v.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.abs(v.getInt(i).toLong)
+      i += 1
+    }
+    acc
+  }
 }
 
 private[graft] trait FloatArrayUnary extends UnaryExpression {
@@ -221,6 +233,38 @@ case class PlaneSignature(child: Expression, planes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       guarded(a, ev, s"graft.functions.VecMath.planeSig($a, $planes)"))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Σ|x| over an int-array column — the L1 norm of an int8 code
+  * vector, the integer ingredient of the quantization error bound in
+  * [[graft.operators.Similarity.exactPrunedTopK]]. All-integer
+  * accumulation: bit-identical on any engine, any partitioning.
+  */
+case class IntArrayL1(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${other.simpleString}")
+  }
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => false
+  }
+  override def nullable: Boolean = child.nullable || elementsNullable
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_array_l1"
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (elementsNullable && VecMath.hasNull(v)) null else VecMath.l1Int(v)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      if (elementsNullable)
+        s"""if (graft.functions.VecMath.hasNull($a)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.VecMath.l1Int($a); }""".stripMargin
+      else s"${ev.value} = graft.functions.VecMath.l1Int($a);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

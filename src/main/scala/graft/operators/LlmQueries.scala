@@ -34,6 +34,10 @@ object LlmQueries {
       val e = emb(s, dir)
       Similarity.lshTopK(s, e, e.filter(col("vec_id") < 10), k = 3, planes = 8)
     }),
+    "sim_topk_pruned" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.exactPrunedTopK(s, e, e.filter(col("vec_id") < 10), k = 5)
+    }),
     "embed_norms" -> ((s, dir) => Similarity.norms(emb(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
@@ -108,6 +112,18 @@ object LlmQueries {
 
   private val stopIn = "x -> x IN ('the', 'a', 'of', 'is')"
 
+  private val bruteTopKSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < 10),
+       |scored AS (SELECT q.query_id, e.vec_id,
+       |    round(${cosSql.format("q.q_emb", "e.embedding")}, 4) AS cos_r
+       |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_r DESC, vec_id) AS rank FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, cos_r,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS survivor, COUNT(*) AS n_copies
@@ -159,17 +175,10 @@ object LlmQueries {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cos_r >= 0.4""".stripMargin,
-    "sim_topk_bruteforce" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
-         |           FROM embeddings WHERE vec_id < 10),
-         |scored AS (SELECT q.query_id, e.vec_id,
-         |    round(${cosSql.format("q.q_emb", "e.embedding")}, 4) AS cos_r
-         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos_r DESC, vec_id) AS rank FROM scored)
-         |SELECT query_id, vec_id AS neighbor_id, cos_r,
-         |  CAST(rank AS INTEGER) AS rank
-         |FROM r WHERE rank <= 5""".stripMargin,
+    "sim_topk_bruteforce" -> bruteTopKSql,
+    // EXACT by construction (error-bounded prefilter + exact rerank)
+    // ⇒ the oracle is the brute-force SQL verbatim.
+    "sim_topk_pruned" -> bruteTopKSql,
     "sim_topk_lsh" ->
       s"""WITH dots AS (SELECT vec_id, p,
          |    SUM(CAST(embedding[d + 1] AS DOUBLE) *

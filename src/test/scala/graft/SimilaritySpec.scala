@@ -66,6 +66,24 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("exact pruned top-k equals brute force row-for-row AND actually prunes") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(spark, emb, queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    val pruned = Similarity.exactPrunedTopK(spark, emb, queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == brute,
+      s"pruned ≠ brute: only-pruned=${pruned -- brute}, only-brute=${brute -- pruned}")
+    // The error bound must do real work: most candidate pairs die in
+    // the int8 prefilter, never reaching the FP32 rerank.
+    val nQueries = queries.count()
+    val allPairs = (emb.count() - 1) * nQueries
+    val survivors = Similarity.prunedSurvivors(spark, emb, queries, k = 5).count()
+    assert(survivors >= 5 * nQueries, "must keep at least k per query")
+    assert(survivors < allPairs * 6 / 10,
+      s"prefilter kept $survivors of $allPairs pairs — bound too loose to prune")
+  }
+
   test("lsh top-k neighbors all share the query's bucket") {
     val out = Similarity.lshTopK(spark, emb, emb.filter(col("vec_id") < 10), k = 3)
     val sig = emb.withColumn("bucket", Similarity.planeSignature("embedding", 8))
