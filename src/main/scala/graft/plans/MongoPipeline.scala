@@ -691,53 +691,60 @@ object MongoPipeline {
         // field-wise merge, which has no order under a shuffle)
         max_by(expression(a), sortKey)
       case "$minN" =>
-        slice(array_sort(collect_list(expression(a.get("input")))),
-          1, a.get("n").asInt())
+        boundedTopN(Seq(expression(a.get("input"))), Seq(1),
+          expression(a.get("input")), a.get("n").asInt(),
+          keepLargest = false, emitDesc = false, skipNull = true)
       case "$maxN" =>
-        slice(reverse(array_sort(collect_list(expression(a.get("input"))))),
-          1, a.get("n").asInt())
+        boundedTopN(Seq(expression(a.get("input"))), Seq(1),
+          expression(a.get("input")), a.get("n").asInt(),
+          keepLargest = true, emitDesc = true, skipNull = true)
       case "$topN" =>
         // {output, sortBy, n}: the first n documents in sortBy order
         // (honoring 1/-1 per key), emitting output
-        val packed = sortedByKeys(a)
-        transform(slice(packed, 1, a.get("n").asInt()), x => x.getField("__out"))
+        val specs = sortBySpecs(a)
+        boundedTopN(specs.map(_._1), specs.map(_._2),
+          expression(a.get("output")), a.get("n").asInt(),
+          keepLargest = false, emitDesc = false, skipNull = false)
       case "$bottomN" =>
         // the last n documents in sortBy order, still in that order
-        val packed = reverse(sortedByKeys(a))
-        reverse(transform(slice(packed, 1, a.get("n").asInt()),
-          x => x.getField("__out")))
+        val specs = sortBySpecs(a)
+        boundedTopN(specs.map(_._1), specs.map(_._2),
+          expression(a.get("output")), a.get("n").asInt(),
+          keepLargest = true, emitDesc = false, skipNull = false)
+      case "$top" =>
+        val specs = sortBySpecs(a)
+        element_at(boundedTopN(specs.map(_._1), specs.map(_._2),
+          expression(a.get("output")), 1,
+          keepLargest = false, emitDesc = false, skipNull = false), 1)
+      case "$bottom" =>
+        val specs = sortBySpecs(a)
+        element_at(boundedTopN(specs.map(_._1), specs.map(_._2),
+          expression(a.get("output")), 1,
+          keepLargest = true, emitDesc = false, skipNull = false), 1)
       case other =>
         throw new IllegalArgumentException(s"unsupported accumulator: $other")
     }
   }
 
-  /** $topN/$bottomN helper: collect (keys..., output) structs and sort
-    * them by the sortBy spec with a comparator that honors each key's
-    * direction (1/-1); ties break on the output value ascending so the
-    * result is deterministic under any partitioning.
+  private def sortBySpecs(a: JsonNode): Seq[(Column, Int)] =
+    a.get("sortBy").properties().asScala.toSeq
+      .map(e => (expression(mapper.readTree(s""""$$${e.getKey}"""")),
+        e.getValue.asInt()))
+
+  /** $topN family → [[graft.functions.BoundedTopK]]: state is capped
+    * at n elements per group at EVERY stage (partial, shuffle, merge),
+    * unlike collect_list-then-slice whose partial state is the whole
+    * group — the difference between a bounded and an unbounded
+    * aggregation on a skewed 100 TB group.
     */
-  private def sortedByKeys(a: JsonNode): Column = {
-    val specs = a.get("sortBy").properties().asScala.toSeq
-      .map(e => (e.getKey, e.getValue.asInt()))
-    val keyed = struct(
-      (specs.zipWithIndex.map { case ((f, _), i) =>
-        expression(mapper.readTree(s""""$$$f"""")).as(s"__k$i")
-      } :+ expression(a.get("output")).as("__out")): _*)
-    def comparator(l: Column, r: Column): Column = {
-      val outTie = when(l.getField("__out") < r.getField("__out"), lit(-1))
-        .when(l.getField("__out") > r.getField("__out"), lit(1))
-        .otherwise(lit(0))
-      specs.zipWithIndex.reverse.foldLeft(outTie) {
-        case (acc, ((_, dir), i)) =>
-          val lk = l.getField(s"__k$i")
-          val rk = r.getField(s"__k$i")
-          // nulls sort lowest (Mongo BSON order), so direction applies
-          when(lk.isNull && rk.isNull, acc)
-            .when(lk.isNull, lit(-dir)).when(rk.isNull, lit(dir))
-            .when(lk < rk, lit(-dir)).when(lk > rk, lit(dir)).otherwise(acc)
-      }
-    }
-    array_sort(collect_list(keyed), comparator)
+  private def boundedTopN(keys: Seq[Column], dirs: Seq[Int], out: Column,
+                          n: Int, keepLargest: Boolean, emitDesc: Boolean,
+                          skipNull: Boolean): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.BoundedTopK(
+      GraftBridge.expression(struct(keys: _*)),
+      GraftBridge.expression(out), n, dirs,
+      keepLargest, emitDesc, skipNull).toAggregateExpression())
   }
 
   private def unwind(df: DataFrame, spec: JsonNode): DataFrame = {

@@ -59,6 +59,19 @@ object PipelineQueries {
          {"$group": {"_id": "$user_id",
            "first_type": {"$first": "$event_type"},
            "last_value": {"$last": "$value"}}}]""")),
+    "pipe_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      // Bounded top-n aggregate (BoundedTopK): ≤ n rows per group ship
+      // through the shuffle. Array serialized for the driver compare.
+      run(s, dir, "events",
+        """[{"$group": {"_id": "$event_type",
+             "top_ids": {"$topN": {"output": "$event_id",
+                                   "sortBy": {"value": -1}, "n": 3}},
+             "worst": {"$bottom": {"output": "$event_id",
+                                   "sortBy": {"value": -1}}}}}]""")
+        .withColumn("top_ids",
+          concat(lit("["), array_join(col("top_ids"), ","), lit("]")))
+    }),
     "pipe_sort_skip_limit" -> ((s, dir) => run(s, dir, "orders",
       """[{"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
          {"$skip": 5}, {"$limit": 10},
@@ -147,6 +160,14 @@ object PipelineQueries {
         |  arg_min(event_type, event_id) AS first_type,
         |  arg_max(value, event_id) AS last_value
         |FROM events GROUP BY 1""".stripMargin,
+    "pipe_topn" ->
+      """WITH l AS (SELECT event_type AS _id,
+        |  list(event_id ORDER BY value DESC, event_id) AS ids
+        |  FROM events GROUP BY 1)
+        |SELECT _id,
+        |  '[' || array_to_string(ids[1:3], ',') || ']' AS top_ids,
+        |  ids[-1] AS worst
+        |FROM l""".stripMargin,
     "pipe_sort_skip_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""".stripMargin,

@@ -370,6 +370,41 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(r2.getSeq[String](r2.fieldIndex("t")).toSeq == Seq("b", "a", "c"))
   }
 
+  test("$topN family is a bounded aggregate: correct across partial merges, plus $top/$bottom") {
+    import spark.implicits._
+    // 10k-row skewed group scattered over 16 partitions: every partial
+    // holds ≤ n elements and the merge+serialize path must reproduce
+    // the global answer (the old collect_list plan buffered all 10k).
+    val big = (1 to 10000).map(i => ("hot", (i * 7919) % 10007, s"t$i"))
+      .toDF("k", "v", "tag").repartition(16)
+    val r = MongoPipeline(big,
+      """[{"$group": {"_id": "$k",
+            "top3": {"$topN": {"output": "$v", "sortBy": {"v": 1}, "n": 3}},
+            "bot3": {"$bottomN": {"output": "$v", "sortBy": {"v": 1}, "n": 3}},
+            "mn3": {"$minN": {"input": "$v", "n": 3}},
+            "mx3": {"$maxN": {"input": "$v", "n": 3}},
+            "first": {"$top": {"output": "$tag", "sortBy": {"v": 1}}},
+            "last": {"$bottom": {"output": "$tag", "sortBy": {"v": 1}}}}}]""")
+      .collect()(0)
+    val vs = (1 to 10000).map(i => (i * 7919) % 10007).sorted
+    assert(r.getSeq[Int](r.fieldIndex("top3")).toSeq == vs.take(3))
+    assert(r.getSeq[Int](r.fieldIndex("bot3")).toSeq == vs.takeRight(3))
+    assert(r.getSeq[Int](r.fieldIndex("mn3")).toSeq == vs.take(3))
+    assert(r.getSeq[Int](r.fieldIndex("mx3")).toSeq == vs.takeRight(3).reverse)
+    val minI = (1 to 10000).minBy(i => (i * 7919) % 10007)
+    val maxI = (1 to 10000).maxBy(i => (i * 7919) % 10007)
+    assert(r.getAs[String]("first") == s"t$minI")
+    assert(r.getAs[String]("last") == s"t$maxI")
+    // null sortBy keys sort lowest (BSON order), null outputs survive
+    val withNulls = Seq(("g", Some(2), "x"), ("g", None, "n"), ("g", Some(1), "w"))
+      .toDF("k", "v", "tag")
+    val rn = MongoPipeline(withNulls,
+      """[{"$group": {"_id": "$k",
+            "t2": {"$topN": {"output": "$tag", "sortBy": {"v": 1}, "n": 2}}}}]""")
+      .collect()(0)
+    assert(rn.getSeq[String](rn.fieldIndex("t2")).toSeq == Seq("n", "w"))
+  }
+
   test("$densify preserves original documents that sit off the step grid") {
     import spark.implicits._
     // 5 is NOT on the min-anchored grid {0, 3, 6}; it must survive
