@@ -21,27 +21,31 @@ object Pipeline100TB {
     * 2-3 docs). At extreme scale swap the propagation body for the
     * large-star/small-star variant — the loop shape stays the same.
     * `localCheckpoint` cuts the per-iteration lineage so the plan
-    * doesn't grow quadratically.
+    * doesn't grow quadratically; checkpoints are LAZY and materialize
+    * inside the round's single changed-count job, so a d-round
+    * convergence costs d actions, not 2d+2 (the graphLookup fusion).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      // carry the previous label through so convergence is a filter on
-      // the checkpointed result, not another join
+      // carry the previous label through so convergence is a count on
+      // the checkpointed result, not another join; the count job also
+      // materializes the round's (and, in round 1, the input's)
+      // lazy checkpoints — one action per round total
       val next = labels.join(prop, col("node") === col("src"), "left")
         .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(eager = true)
-      converged = next.filter(col("label") =!= col("__old")).isEmpty
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("label") =!= col("__old")).count() == 0
       labels = next.select(col("node"), col("label"))
       i += 1
     }

@@ -118,6 +118,22 @@ class PlanSpec extends SparkTestBase {
       s"global sort crept into \\$$sample:\n$plan")
   }
 
+  test("top-k window shapes get WindowGroupLimit: partial per-partition pruning before the shuffle") {
+    import graft.operators.Similarity
+    val e = t.embeddings
+    // Spark's InferWindowGroupLimit must fire on every rank<=k filter
+    // shape so only ~k rows per map partition reach the exchange —
+    // the built-in partial top-k we deliberately do NOT hand-roll.
+    for (df <- Seq(
+      Similarity.bruteForceTopK(spark, e, e.filter(col("vec_id") < 3), k = 5),
+      Similarity.int8TopK(spark, e, e.filter(col("vec_id") < 3), k = 5),
+      Similarity.prunedSurvivors(spark, e, e.filter(col("vec_id") < 3), k = 5))) {
+      val plan = executed(df)
+      assert(plan.contains("WindowGroupLimit"),
+        s"no WindowGroupLimit (partial top-k) in:\n$plan")
+    }
+  }
+
   test("hash sampling is a pure map-side filter: zero shuffles") {
     val plan = executed(
       graft.plans.ExtendedQueries.queries("sample_hash")(spark, sfDir))
