@@ -54,6 +54,17 @@ object SparkEntry {
     }),
     "q6_revenue" -> ((s, dir) => Analytics.revenueForecast(cat(s, dir).lineitem)),
     "events_funnel" -> ((s, dir) => Analytics.eventsFunnel(cat(s, dir).events)),
+    "quantiles_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.Pipeline100TB.quantileSketch(
+        cat(s, dir).lineitem,
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")), ratePct = 5,
+        Seq(col("l_returnflag")), col("l_extendedprice"),
+        Seq("p50_est" -> 0.5, "p95_est" -> 0.95))
+    }),
+    "layout_zorder" -> ((s, dir) =>
+      graft.operators.Pipeline100TB.zorderStats(
+        cat(s, dir).lineitem, "l_partkey", "l_suppkey")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,7 +77,33 @@ object SparkEntry {
       graft.streaming.StreamQueries.oracleSql ++
       graft.plans.ExtendedQueries.oracleSql
 
+  /** DuckDB Morton code: unrolled Σ ((x»i)&1)·2^2i + ((y»i)&1)·2^2i+1
+    * — bit-identical to [[graft.functions.BitInterleave]].
+    */
+  private val mortonSql: String = (0 until 16).map(i =>
+    s"((((__x16 >> $i) & 1) << ${2 * i}) + (((__y16 >> $i) & 1) << ${2 * i + 1}))")
+    .mkString(" + ")
+
   private val baseOracle: Map[String, String] = Map(
+    "quantiles_sketch" ->
+      """SELECT l_returnflag, COUNT(*) AS sample_n,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_est,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_est
+        |FROM lineitem
+        |WHERE CAST('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 15) AS BIGINT) % 100 < 5
+        |GROUP BY 1""".stripMargin,
+    "layout_zorder" ->
+      s"""WITH m AS (SELECT MAX(l_partkey) AS __xmax, MAX(l_suppkey) AS __ymax
+         |           FROM lineitem),
+         |b AS (SELECT l_partkey, l_suppkey,
+         |        (l_partkey * 65536) // (__xmax + 1) AS __x16,
+         |        (l_suppkey * 65536) // (__ymax + 1) AS __y16
+         |      FROM lineitem, m),
+         |z AS (SELECT l_partkey, l_suppkey, $mortonSql AS __z FROM b)
+         |SELECT __z >> 24 AS file_id, COUNT(*) AS n_rows,
+         |  MIN(l_partkey) AS x_min, MAX(l_partkey) AS x_max,
+         |  MIN(l_suppkey) AS y_min, MAX(l_suppkey) AS y_max
+         |FROM z GROUP BY 1""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

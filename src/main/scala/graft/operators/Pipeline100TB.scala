@@ -86,6 +86,58 @@ object Pipeline100TB {
       .drop("__rk")
   }
 
+  /** G6d: approximate per-group quantiles over a DETERMINISTIC hash
+    * sample — the scale-out answer when exact per-group ranking
+    * (quantiles_exact) costs a full sort of 100 TB and a sketch with
+    * nondeterministic merge order (t-digest) can't be oracle-checked.
+    * The sample is a pure map-side filter on the shared 60-bit hash
+    * (same rows on any cluster/retry/partitioning), so the exact
+    * interpolated percentile OF THE SAMPLE is itself deterministic and
+    * cross-engine reproducible; error ~ 1/√(rate·group size). The
+    * per-group state is the sample only — pick `ratePct` so
+    * rate·maxgroup fits an executor; below that, fall back to the
+    * distributed-rank exact path.
+    */
+  def quantileSketch(df: DataFrame, sampleKey: Column, ratePct: Int,
+                     groupCols: Seq[Column], valCol: Column,
+                     ps: Seq[(String, Double)]): DataFrame = {
+    val sampled =
+      df.filter(pmod(hash60(sampleKey.cast("string")), lit(100)) < ratePct)
+    val aggs = count(lit(1)).as("sample_n") +:
+      ps.map { case (nm, p) => round(percentile(valCol, lit(p)), 4).as(nm) }
+    sampled.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Layout: Z-order (Morton) clustering stats — the data-layout step
+    * a 100 TB table needs so BOTH join/filter dimensions prune at scan
+    * time. Coordinates normalize to 16-bit space by their max (one
+    * 1-row aggregate, broadcast back — no driver action), interleave
+    * via the codegen'd [[graft.functions.BitInterleave]], and the top
+    * `fileBits` bits of the code become the target file id. The
+    * emitted per-file min/max of each dimension IS the proof of
+    * layout quality: narrow ranges on both axes ⇒ a predicate on
+    * either dimension skips most files. Plan: two narrow scans (data +
+    * max), one broadcast join, one hash aggregation — no global sort
+    * even at 100 TB (files claim z-RANGES, not z-ranks).
+    */
+  def zorderStats(df: DataFrame, xCol: String, yCol: String,
+                  fileBits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val maxes = df.agg(max(col(xCol)).as("__xmax"), max(col(yCol)).as("__ymax"))
+    val scaled = df.select(col(xCol), col(yCol))
+      .join(broadcast(maxes))
+      .withColumn("__x16", expr(s"($xCol * 65536) div (__xmax + 1)"))
+      .withColumn("__y16", expr(s"($yCol * 65536) div (__ymax + 1)"))
+    val z = GraftBridge.column(graft.functions.BitInterleave(
+      GraftBridge.expression(col("__x16")),
+      GraftBridge.expression(col("__y16"))))
+    scaled.withColumn("file_id", shiftright(z, 32 - fileBits))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
+        min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
+  }
+
   /** H9: PII / noise scrubbing — email, URL, then digit-run, applied
     * in that order so an address is one `<EMAIL>`, not fragments with
     * `<NUM>` inside. Codegen'd regexp chain, no UDF.

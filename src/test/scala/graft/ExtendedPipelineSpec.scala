@@ -636,6 +636,50 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(a == b && a.size == 5 * 3) // five event types
   }
 
+  test("morton code interleaves bits; z-order files cluster both dimensions") {
+    // bit-level semantics of the codegen kernel
+    assert(graft.functions.BitInterleave.morton(0L, 0L) == 0L)
+    assert(graft.functions.BitInterleave.morton(0xFFFFL, 0L) == 0x55555555L)
+    assert(graft.functions.BitInterleave.morton(0L, 0xFFFFL) == 0xAAAAAAAAL)
+    assert(graft.functions.BitInterleave.morton(3L, 1L) == 7L) // x:11 y:01 → 0111
+    // layout quality: every z-range file must cover a NARROW slab of
+    // each normalized dimension (that's the whole point of the layout —
+    // min/max file stats prune on either predicate)
+    val li = cat.lineitem
+    val stats = Pipeline100TB.zorderStats(li, "l_partkey", "l_suppkey").collect()
+    assert(stats.length > 1, "expected multiple z-range files")
+    val xSpan = li.agg(max("l_partkey")).collect()(0).getLong(0).toDouble
+    val ySpan = li.agg(max("l_suppkey")).collect()(0).getLong(0).toDouble
+    // top-8-bit file id fixes 4 high bits of each dim ⇒ each file spans
+    // ≤ 1/16 of each axis (plus normalization rounding)
+    stats.foreach { r =>
+      val xr = (r.getAs[Long]("x_max") - r.getAs[Long]("x_min")) / xSpan
+      val yr = (r.getAs[Long]("y_max") - r.getAs[Long]("y_min")) / ySpan
+      assert(xr <= 0.0725 && yr <= 0.0725,
+        s"file ${r.getAs[Long]("file_id")} spans x=$xr y=$yr of the axes")
+    }
+  }
+
+  test("hash-sample quantile sketch tracks the exact quantiles") {
+    val li = cat.lineitem
+    val sk = Pipeline100TB.quantileSketch(li,
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")), 5,
+        Seq(col("l_returnflag")), col("l_extendedprice"),
+        Seq("p50_est" -> 0.5, "p95_est" -> 0.95))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (flag, e) =>
+      val s = sk(flag)
+      val relErr50 = math.abs(s.getAs[Double]("p50_est") - e.getAs[Double]("p50")) /
+        e.getAs[Double]("p50")
+      assert(relErr50 < 0.15, s"$flag p50 rel err $relErr50")
+      assert(s.getAs[Long]("sample_n") > 0)
+    }
+  }
+
   test("round-2 stages reach the engine through config-driven pipelines") {
     val cfg = graft.config.EngineConfig.fromJson(
       """{"direct-read-namespaces": ["test.orders"],
