@@ -133,4 +133,92 @@ object Streams {
       .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000000L),
         TimeMode.None(), OutputMode.Update())
   }
+
+  final case class TimedEvent(user_id: Long, event_id: Long,
+                              ts: java.sql.Timestamp)
+  final case class SessionSummary(user_id: Long, n_events: Long,
+                                  start_ms: Long, end_ms: Long)
+
+  /** E9: timer-driven session CLOSE — the piece `assignSessionsTws`
+    * can't express without timers: a session ends when NO event
+    * arrives for `gap`, which only the advancing event-time watermark
+    * can prove. Each input batch (re)arms a per-key event-time timer
+    * at `last + gap`; when the watermark passes it, the expired-timer
+    * callback emits the closed session and clears state — so state for
+    * an idle key is always reclaimed, the property that keeps a 100 TB
+    * stream's state store bounded by ACTIVE keys, not ever-seen keys.
+    */
+  class SessionCloseProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TimedEvent, SessionSummary] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+                                 timerValues: TimerValues): Iterator[SessionSummary] = {
+      var (n, start, last) =
+        if (sess.exists()) sess.get() else (0L, Long.MaxValue, Long.MinValue)
+      var closed = List.empty[SessionSummary]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        if (n > 0 && t - last > gapMs) { // gap visible in-data: close now
+          closed ::= SessionSummary(key, n, start, last)
+          n = 0; start = Long.MaxValue
+        }
+        n += 1
+        start = math.min(start, t)
+        last = math.max(last, t)
+      }
+      // one armed timer per key: re-arm at the open session's deadline
+      getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(last + gapMs)
+      sess.update((n, start, last))
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSummary] =
+      if (sess.exists()) {
+        val (n, start, last) = sess.get()
+        sess.clear() // idle key: state fully reclaimed
+        if (n > 0) Iterator.single(SessionSummary(key, n, start, last))
+        else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** [[SessionCloseProcessor]] wiring: event-time mode (timers fire on
+    * watermark advance), append output (sessions emit once, closed).
+    */
+  def closeSessionsTws(
+      events: org.apache.spark.sql.Dataset[TimedEvent],
+      gapMinutes: Int = 30,
+      lateness: String = "0 seconds"): org.apache.spark.sql.Dataset[SessionSummary] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(gapMinutes * 60L * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** E3b: streaming dedup with BOUNDED state —
+    * `dropDuplicatesWithinWatermark` drops a key's state once the
+    * watermark passes its event time + delay, so the state store holds
+    * only the recent-horizon keys. Plain `dropDuplicates` on a stream
+    * keys state on every id ever seen — unbounded on a 100 TB firehose;
+    * this is the shape that survives. Uniqueness is guaranteed within
+    * the watermark delay (CDC retries/duplicates cluster in time, so
+    * that is the guarantee replay actually needs).
+    */
+  def dedupWithinWatermark(events: DataFrame,
+                           delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
 }

@@ -180,6 +180,87 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("E9: event-time timers close idle sessions and reclaim their state") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.{TimedEvent, closeSessionsTws}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[TimedEvent]
+    // +1h base: a row AT the initial watermark (0) would be dropped as late
+    def ts(min: Long) = new java.sql.Timestamp((60 + min) * 60000L)
+    val q = closeSessionsTws(ms.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart — session stays OPEN (watermark
+      // hasn't passed last+gap yet)
+      ms.addData(TimedEvent(1, 1, ts(0)), TimedEvent(1, 2, ts(5)))
+      q.processAllAvailable()
+      assert(spark.table("closed_sessions").isEmpty)
+      // user 2 event at t=90min advances the watermark past user 1's
+      // 5+30min deadline → user 1's timer fires, session emits closed
+      ms.addData(TimedEvent(2, 3, ts(90)))
+      q.processAllAvailable()
+      ms.addData(TimedEvent(2, 4, ts(91))) // one more batch: timers fire on the NEW watermark
+      q.processAllAvailable()
+      val closed = spark.table("closed_sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms")))
+      assert(closed.toSet == Set((1L, 2L, 60 * 60000L, 65 * 60000L)),
+        s"user 1's idle session must close via its timer: ${closed.mkString(",")}")
+      // a LATER user-1 event starts a FRESH session (state was cleared)
+      ms.addData(TimedEvent(1, 5, ts(95)), TimedEvent(3, 6, ts(200)))
+      q.processAllAvailable()
+      ms.addData(TimedEvent(3, 7, ts(201)))
+      q.processAllAvailable()
+      val closed2 = spark.table("closed_sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      assert(closed2.count(_._1 == 1L) == 2 &&
+        closed2.contains((1L, 1L)), s"fresh session after reclaim: ${closed2.mkString(",")}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("E3b: dropDuplicatesWithinWatermark dedups in-horizon, reclaims state after it") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.{TimedEvent, dedupWithinWatermark}
+    val ms = MemoryStream[TimedEvent]
+    // +1h base: a row AT the initial watermark (0) would be dropped as late
+    def ts(min: Long) = new java.sql.Timestamp((60 + min) * 60000L)
+    // key = (user_id, event_type): TimedEvent lacks event_type, derive one
+    val stream = ms.toDF().withColumn("event_type", lit("click"))
+    val q = dedupWithinWatermark(stream, delay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      // duplicate within the horizon: second occurrence dropped
+      ms.addData(TimedEvent(1, 1, ts(0)), TimedEvent(1, 2, ts(1)))
+      q.processAllAvailable()
+      // advance the watermark far past t=0+10min → user 1's dedup state evicts
+      ms.addData(TimedEvent(2, 3, ts(60)))
+      q.processAllAvailable()
+      // same key again, after eviction: emitted (bounded-state tradeoff)
+      ms.addData(TimedEvent(1, 4, ts(61)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm").collect()
+        .map(_.getAs[Long]("event_id")).toSet
+      // exactly ONE of the in-horizon duplicates {1,2} survives (which
+      // one is batch-order-dependent); the post-eviction occurrence
+      // (4) re-emits — the bounded-state tradeoff being demonstrated
+      assert(ids.size == 3 && ids.intersect(Set(1L, 2L)).size == 1 &&
+        Set(3L, 4L).subsetOf(ids),
+        s"in-horizon dup dropped, post-eviction occurrence re-emitted: $ids")
+    } finally q.stop()
+  }
+
   test("$facet runs sub-pipelines over one input (single combined row)") {
     val row = graft.plans.MongoPipeline(
       TableCatalog(spark, sfDir).events,
