@@ -99,14 +99,19 @@ object TextAnalysis {
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
     val perDoc = terms.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf_d"))
-    val dfreq = terms.groupBy(col("term"))
-      .agg(countDistinct(col("id")).as("df"))
+    // doc-frequency from the ALREADY-AGGREGATED per-doc rows (one row
+    // per (id,term) ⇒ df = partition row count over term): the raw
+    // token stream explodes and shuffles ONCE, and the join the
+    // two-branch formulation needed disappears — at 100 TB the second
+    // pass over the exploded corpus is the cost being deleted here.
+    val withDf = perDoc.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
     // corpus size N as a broadcast 1-row aggregate crossJoin — folded
     // into the one plan instead of a separate driver-side count()
     // (which would be a whole extra pass over the corpus at 100 TB)
     val nDf = broadcast(docs.agg(
       countDistinct(col(idCol)).cast("double").as("__n")))
-    perDoc.join(dfreq, "term")
+    withDf
       .crossJoin(nDf)
       .withColumn("score", col("tf_d").cast("double") * col("__n") / col("df"))
       .drop("__n")

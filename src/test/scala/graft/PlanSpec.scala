@@ -175,6 +175,10 @@ class PlanSpec extends SparkTestBase {
     // building the DataFrame runs no job at all (count() would have)
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
+    // doc-frequency is a window over the per-doc aggregate: the
+    // exploded token stream is built and shuffled exactly once
+    assert("Generate explode".r.findAllIn(plan).size == 1,
+      s"token stream must explode exactly once:\n$plan")
   }
 
   test("broker log append: offsets sequence per (topic, partition) — no global sort") {
