@@ -127,6 +127,19 @@ object ExtendedQueries {
             "subset": {"$setIsSubset": [{"$range": [1, 3]}, {"$range": [0, 5]}]}}},
           {"$set": {"set_u": {"$reduce": {"input": "$set_u", "initialValue": 0,
                               "in": {"$add": ["$$value", "$$this"]}}}}}]""")),
+    "pipe_expr_trig" -> ((s, dir) => run(s, dir, "lineitem",
+      """[{"$match": {"l_orderkey": {"$lte": 200}}},
+          {"$project": {
+            "l_orderkey": 1, "l_linenumber": 1,
+            "sn": {"$round": [{"$sin": "$l_quantity"}, 4]},
+            "cs": {"$round": [{"$cos": "$l_quantity"}, 4]},
+            "t2": {"$round": [{"$atan2": ["$l_quantity", "$l_linenumber"]}, 4]},
+            "rads": {"$round": [{"$degreesToRadians": "$l_quantity"}, 4]},
+            "degs": {"$round": [{"$radiansToDegrees": "$l_discount"}, 4]},
+            "tnh": {"$round": [{"$tanh": "$l_discount"}, 4]},
+            "atn": {"$round": [{"$atan": "$l_tax"}, 4]},
+            "asn": {"$round": [{"$asin": "$l_discount"}, 4]},
+            "lb": {"$strLenBytes": {"$concat": ["$l_returnflag", "$l_linestatus"]}}}}]""")),
     // —— F7: near-dup cluster assignment (CC over minhash pairs) ——
     "dedup_clusters" -> ((s, dir) => {
       val docs = TableCatalog(s, dir).documents
@@ -365,6 +378,18 @@ object ExtendedQueries {
         |  CAST(2 AS INTEGER) AS set_i_n,
         |  true AS subset
         |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
+    "pipe_expr_trig" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sin(l_quantity), 4) AS sn,
+        |  round(cos(l_quantity), 4) AS cs,
+        |  round(atan2(l_quantity, l_linenumber), 4) AS t2,
+        |  round(radians(l_quantity), 4) AS rads,
+        |  round(degrees(l_discount), 4) AS degs,
+        |  round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 4) AS tnh,
+        |  round(atan(l_tax), 4) AS atn,
+        |  round(asin(l_discount), 4) AS asn,
+        |  CAST(strlen(l_returnflag || l_linestatus) AS INTEGER) AS lb
+        |FROM lineitem WHERE l_orderkey <= 200""".stripMargin,
     "dedup_clusters" -> {
       val pairsSql = graft.operators.LlmQueries.oracleSql("dedup_minhash_lsh")
       s"""WITH RECURSIVE pairs AS ($pairsSql),

@@ -257,6 +257,7 @@ object MongoPipeline {
       case "$toUpper"  => upper(expression(a))
       case "$toLower"  => lower(expression(a))
       case "$strLenCP" => length(expression(a))
+      case "$strLenBytes" => octet_length(expression(a))
       case "$substrCP" =>
         val it = a.elements().asScala.toSeq
         // Mongo is 0-based, Spark substring 1-based
@@ -321,6 +322,19 @@ object MongoPipeline {
       case "$ln"    => log(expression(a))
       case "$log10" => log10(expression(a))
       case "$log"   => log(args.head) / log(args(1)) // $log: [num, base]
+      // —— trigonometry (IEEE libm on both engines; oracle rounds) ——
+      case "$sin"   => sin(expression(a))
+      case "$cos"   => cos(expression(a))
+      case "$tan"   => tan(expression(a))
+      case "$asin"  => asin(expression(a))
+      case "$acos"  => acos(expression(a))
+      case "$atan"  => atan(expression(a))
+      case "$atan2" => atan2(args.head, args(1))
+      case "$sinh"  => sinh(expression(a))
+      case "$cosh"  => cosh(expression(a))
+      case "$tanh"  => tanh(expression(a))
+      case "$degreesToRadians" => radians(expression(a))
+      case "$radiansToDegrees" => degrees(expression(a))
       case "$trunc" =>
         val it = a.elements().asScala.toSeq
         if (it.size > 1)
@@ -486,6 +500,15 @@ object MongoPipeline {
       case "$getField" =>
         if (a.isTextual) col(a.asText()) // {$getField: "f"} on $$CURRENT
         else expression(a.get("input")).getField(a.get("field").asText())
+      case "$setField" => // {field, input: <struct>, value}
+        expression(a.get("input"))
+          .withField(a.get("field").asText(), expression(a.get("value")))
+      case "$unsetField" => // {field, input: <struct>}
+        expression(a.get("input")).dropFields(a.get("field").asText())
+      // BSON timestamp {t, i} struct accessors (the $timestamp encode
+      // form in plans/ExtendedQueries produces this shape)
+      case "$tsSecond"    => expression(a).getField("t")
+      case "$tsIncrement" => expression(a).getField("i")
       case "$objectToArray" =>
         // document → [{k, v}] via the JSON map normalization (values
         // stringify — Spark arrays are homogeneous where BSON's are
@@ -690,6 +713,15 @@ object MongoPipeline {
         // non-null document wins (distributed stand-in for Mongo's
         // field-wise merge, which has no order under a shuffle)
         max_by(expression(a), sortKey)
+      case "$firstN" | "$lastN" =>
+        // first/last n documents in the preceding $sort order — the
+        // bounded-n generalization of $first/$last; BoundedTopK's
+        // per-key directions support mixed asc/desc sorts here.
+        require(lastSort.nonEmpty, s"$op requires a preceding $$sort stage")
+        boundedTopN(lastSort.map { case (f, _) => col(f) },
+          lastSort.map { case (_, asc) => if (asc) 1 else -1 },
+          expression(a.get("input")), a.get("n").asInt(),
+          keepLargest = op == "$lastN", emitDesc = false, skipNull = false)
       case "$minN" =>
         boundedTopN(Seq(expression(a.get("input"))), Seq(1),
           expression(a.get("input")), a.get("n").asInt(),

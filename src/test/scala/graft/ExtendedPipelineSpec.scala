@@ -636,6 +636,39 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(a == b && a.size == 5 * 3) // five event types
   }
 
+  test("$setField/$unsetField edit structs; $tsSecond/$tsIncrement read BSON timestamps") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 2L)).toDF("id", "t0", "i0")
+      .withColumn("ts", struct(col("t0").as("t"), col("i0").as("i")))
+      .drop("t0", "i0")
+    val r = MongoPipeline(df,
+      """[{"$project": {
+            "id": 1,
+            "sec": {"$tsSecond": "$ts"},
+            "inc": {"$tsIncrement": "$ts"},
+            "bump": {"$getField": {"input": {"$setField": {"field": "t", "input": "$ts", "value": 99}}, "field": "t"}},
+            "gone": {"$unsetField": {"field": "i", "input": "$ts"}}}}]""")
+      .collect()(0)
+    assert(r.getAs[Long]("sec") == 10L && r.getAs[Long]("inc") == 2L)
+    assert(r.getAs[Long]("bump") == 99L)
+    assert(r.getAs[Row]("gone").schema.fieldNames.toSeq == Seq("t"))
+  }
+
+  test("$firstN/$lastN follow the preceding $sort, including mixed directions") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, "w"), ("g", 2.0, "x"), ("g", 3.0, "y"), ("g", 6.0, "z"))
+      .toDF("k", "v", "tag")
+    val r = MongoPipeline(df,
+      """[{"$sort": {"v": -1}},
+          {"$group": {"_id": "$k",
+            "f2": {"$firstN": {"input": "$tag", "n": 2}},
+            "l2": {"$lastN": {"input": "$tag", "n": 2}}}}]""")
+      .collect()(0)
+    // sort v desc → z,y,x,w: firstN = [z,y], lastN = [x,w] (in order)
+    assert(r.getSeq[String](r.fieldIndex("f2")).toSeq == Seq("z", "y"))
+    assert(r.getSeq[String](r.fieldIndex("l2")).toSeq == Seq("x", "w"))
+  }
+
   test("morton code interleaves bits; z-order files cluster both dimensions") {
     // bit-level semantics of the codegen kernel
     assert(graft.functions.BitInterleave.morton(0L, 0L) == 0L)
