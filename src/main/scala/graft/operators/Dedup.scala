@@ -86,21 +86,29 @@ object Dedup {
     // duplicates costs one codegen'd intersect each, which is cheaper
     // than a full shuffle to distinct() millions of candidate rows —
     // so dedup happens after the τ filter, on the tiny survivor set.
-    // Verification: broadcast each doc's hashed shingle set and count
-    // the intersection per pair with codegen'd array_intersect — no
-    // postings re-join (which would shuffle |cand|·|A∩B| rows).
+    // Verification: the CANDIDATE side is the small, post-filter set —
+    // never the corpus — so the corpus's hashed shingle sets stream
+    // past it twice: scan 1 attaches the a-side set, scan 2 the
+    // b-side. No explicit broadcast() hints here: a hint on `cand`
+    // would propagate into its inner self-join and force the prefix
+    // table itself to broadcast (measured 10× slower); AQE sees the
+    // actual post-filter size at runtime and broadcast-downgrades the
+    // small side, leaving the corpus scans shuffle-free while nothing
+    // corpus-sized ever broadcasts. Intersections count via the
+    // codegen'd sorted-merge — no postings re-join (which would
+    // shuffle |cand|·|A∩B| rows).
     val hashed = docs
       .withColumn("toks", tokens(col(textCol)))
       .select(col(idCol).as("id"), shingleHashes("toks", n).as("hsh"))
-    val inter = cand
-      .join(broadcast(hashed.select(col("id").as("ia"), col("hsh").as("ha"))),
-        col("a") === col("ia"))
-      .join(broadcast(hashed.select(col("id").as("ib"), col("hsh").as("hb"))),
-        col("b") === col("ib"))
+    val withA = hashed
+      .join(cand, col("id") === col("a"))
+      .select(col("a"), col("b"), col("sza"), col("szb"), col("hsh").as("ha"))
+    val inter = hashed
+      .join(withA, col("id") === col("b"))
       .withColumn("i", {
         import org.apache.spark.sql.GraftBridge
         GraftBridge.column(graft.functions.SortedIntersectCount(
-          GraftBridge.expression(col("ha")), GraftBridge.expression(col("hb"))))
+          GraftBridge.expression(col("ha")), GraftBridge.expression(col("hsh"))))
       })
     inter
       .withColumn("jaccard",

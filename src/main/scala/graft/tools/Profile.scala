@@ -22,7 +22,10 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names; rep <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN") && rep == 1)
+        df.explain("formatted")
+      val n = df.count()
       println(f"PROF $name rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
