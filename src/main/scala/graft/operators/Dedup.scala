@@ -86,15 +86,16 @@ object Dedup {
     // duplicates costs one codegen'd intersect each, which is cheaper
     // than a full shuffle to distinct() millions of candidate rows —
     // so dedup happens after the τ filter, on the tiny survivor set.
-    // Verification: the CANDIDATE side is the small, post-filter set —
-    // never the corpus — so the corpus's hashed shingle sets stream
-    // past it twice: scan 1 attaches the a-side set, scan 2 the
-    // b-side. No explicit broadcast() hints here: a hint on `cand`
-    // would propagate into its inner self-join and force the prefix
-    // table itself to broadcast (measured 10× slower); AQE sees the
-    // actual post-filter size at runtime and broadcast-downgrades the
-    // small side, leaving the corpus scans shuffle-free while nothing
-    // corpus-sized ever broadcasts. Intersections count via the
+    // Verification: the corpus's hashed shingle sets attach to the
+    // candidates in two keyed joins (a-side, then b-side) with NO
+    // forced broadcasts — neither side is reliably small (candidates
+    // run ~100k+ rows pre-τ at sf0.1; the corpus is the corpus), so
+    // the strategy is left to the planner: AQE broadcast-downgrades
+    // whichever side is actually small at runtime, and at 100 TB both
+    // joins degrade gracefully to keyed shuffles of (id → set) rows.
+    // (An explicit broadcast() of the candidate subtree was measured
+    // 10× slower: the hint forces a ~300 MB build of candidate rows
+    // carrying their shingle arrays.) Intersections count via the
     // codegen'd sorted-merge — no postings re-join (which would
     // shuffle |cand|·|A∩B| rows).
     val hashed = docs
