@@ -483,6 +483,19 @@ object MongoPipeline {
         val input = expression(a.get("input"), binds)
         if (a.get("sortBy").asInt() >= 0) array_sort(input)
         else reverse(array_sort(input))
+      // array-expression forms of the N family (the accumulator forms
+      // live in accumulator() on the bounded top-n aggregate)
+      case "$firstN" =>
+        slice(expression(a.get("input"), binds), 1, a.get("n").asInt())
+      case "$lastN" =>
+        val in = expression(a.get("input"), binds)
+        val n = a.get("n").asInt()
+        slice(in, greatest(size(in) - (n - 1), lit(1)), lit(n))
+      case "$minN" =>
+        slice(array_sort(expression(a.get("input"), binds)), 1, a.get("n").asInt())
+      case "$maxN" =>
+        slice(reverse(array_sort(expression(a.get("input"), binds))), 1,
+          a.get("n").asInt())
       case "$zip" =>
         val inputs = a.get("inputs").elements().asScala
           .map(x => expression(x, binds)).toSeq

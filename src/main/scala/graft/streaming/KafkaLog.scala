@@ -94,4 +94,22 @@ object KafkaLog {
     */
   def subscribe(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(recordSchema).parquet(dir)
+
+  /** Log compaction (Kafka `cleanup.policy=compact`, the topic mode a
+    * CDC sync like the reference targets): retain only the LATEST
+    * record per key within each (topic, partition) — sound because the
+    * consumer folds to last-write-wins anyway — and drop keys whose
+    * latest record is a tombstone (null value), Kafka's delete marker.
+    * Offsets of survivors are preserved (compaction never renumbers).
+    * One keyed aggregation; since a key lives in exactly one partition
+    * (broker invariant 1), compaction shards perfectly at any scale.
+    */
+  def compact(records: DataFrame): DataFrame =
+    records
+      .groupBy(col("topic"), col("partition"), col("key"))
+      .agg(max_by(struct(col("value"), col("offset")), col("offset"))
+        .as("__last"))
+      .filter(col("__last.value").isNotNull)
+      .select(col("key"), col("__last.value").as("value"),
+        col("__last.offset").as("offset"), col("topic"), col("partition"))
 }

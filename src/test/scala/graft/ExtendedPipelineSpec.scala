@@ -654,6 +654,23 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(r.getAs[Row]("gone").schema.fieldNames.toSeq == Seq("t"))
   }
 
+  test("array-expression forms of $firstN/$lastN/$minN/$maxN") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(5L, 1L, 4L, 2L))).toDF("arr")
+    val r = MongoPipeline(df,
+      """[{"$project": {
+            "f2": {"$firstN": {"input": "$arr", "n": 2}},
+            "l2": {"$lastN": {"input": "$arr", "n": 2}},
+            "mn2": {"$minN": {"input": "$arr", "n": 2}},
+            "mx2": {"$maxN": {"input": "$arr", "n": 2}},
+            "l9": {"$lastN": {"input": "$arr", "n": 9}}}}]""")
+      .collect()(0)
+    def seq(f: String) = r.getSeq[Long](r.fieldIndex(f)).toSeq
+    assert(seq("f2") == Seq(5L, 1L) && seq("l2") == Seq(4L, 2L))
+    assert(seq("mn2") == Seq(1L, 2L) && seq("mx2") == Seq(5L, 4L))
+    assert(seq("l9") == Seq(5L, 1L, 4L, 2L)) // n > size: whole array
+  }
+
   test("$firstN/$lastN follow the preceding $sort, including mixed directions") {
     import spark.implicits._
     val df = Seq(("g", 1.0, "w"), ("g", 2.0, "x"), ("g", 3.0, "y"), ("g", 6.0, "z"))

@@ -103,6 +103,39 @@ class KafkaLogSpec extends SparkTestBase {
     oplog.unpersist()
   }
 
+  test("log compaction keeps the latest record per key, drops tombstones, preserves offsets") {
+    import spark.implicits._
+    // synthetic log: key k1 updated twice then alive; k2 ends in a
+    // tombstone (null value); k3 single record
+    val msgs = Seq(
+      ("t", "k1", "v1", 1L), ("t", "k2", "v2", 2L), ("t", "k1", "v3", 3L),
+      ("t", "k3", "v4", 4L), ("t", "k2", null, 5L), ("t", "k1", "v5", 6L))
+      .toDF("topic", "key", "value", "seq")
+    val log = KafkaLog.append(msgs, numPartitions = 4, seqCol = "seq")
+    val compacted = KafkaLog.compact(log).collect()
+    val byKey = compacted.map(r => r.getAs[String]("key") -> r).toMap
+    assert(compacted.length == 2, s"expected k1,k3 only: ${compacted.mkString(",")}")
+    assert(byKey("k1").getAs[String]("value") == "v5")
+    assert(byKey("k3").getAs[String]("value") == "v4")
+    // offsets/partitions preserved from the original records
+    val origK1 = log.filter(col("key") === "k1" && col("value") === "v5").first()
+    assert(byKey("k1").getAs[Long]("offset") == origK1.getAs[Long]("offset") &&
+      byKey("k1").getAs[Int]("partition") == origK1.getAs[Int]("partition"))
+
+    // real pipeline: consumer fold over the COMPACTED events log must
+    // equal the fold over the full log (Kafka's compaction guarantee)
+    val t = TableCatalog(spark, sfDir)
+    val oplog = Cdc.eventsAsOpLog(t.events)
+    val messages = ChangeStreamJob.produce(oplog,
+      maps = Seq(Router.ProducerMap("test", "events-topic")), topicPrefix = "g")
+    val full = KafkaLog.append(messages, numPartitions = 4, seqCol = "seq")
+    def folded(records: org.apache.spark.sql.DataFrame) =
+      MessageConsumer.fold(MessageConsumer.classify(records), "offset")
+        .select("user_id", "value", "props").collect().toSet
+    assert(folded(KafkaLog.compact(full)) == folded(full),
+      "fold over compacted log diverged from fold over full log")
+  }
+
   test("capstone: full daemon loop — envelope → broker log → streaming consume → merge into a LIVE parquet target ≡ direct fold") {
     import graft.plans.PipelineSinks
     val logDir = Files.createTempDirectory("graft-capstone-log").toString
