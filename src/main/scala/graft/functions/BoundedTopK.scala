@@ -54,6 +54,13 @@ case class BoundedTopK(
   private def elemTypes: Array[DataType] =
     (keyType.fields.map(_.dataType) :+ value.dataType).toArray
 
+  // one projection per operator instance, not per group buffer:
+  // serialize() runs once per group on the shuffle path this aggregate
+  // exists to slim down, so a per-call UnsafeProjection.create (codegen
+  // cache lookup + instance allocation) is avoidable overhead
+  @transient private lazy val serializeProj: UnsafeProjection =
+    UnsafeProjection.create(elemTypes)
+
   @transient private lazy val fieldOrds: Array[Ordering[Any]] =
     keyType.fields.map(f => GraftBridge.interpretedOrdering(f.dataType))
   @transient private lazy val valueOrd: Ordering[Any] =
@@ -119,7 +126,7 @@ case class BoundedTopK(
   }
 
   override def serialize(buf: BoundedTopK.Buffer): Array[Byte] = {
-    val proj = UnsafeProjection.create(elemTypes)
+    val proj = serializeProj
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)

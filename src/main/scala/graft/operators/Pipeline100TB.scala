@@ -66,11 +66,16 @@ object Pipeline100TB {
     * hash60(key)/2^60 < weight(row) — per-row inclusion probability
     * equals the weight (importance sampling for training-data mixes),
     * reproducible on any cluster/retry. Pure map-side filter.
-    * The comparison runs in exact integer space: h < w·2^60.
+    * The comparison runs in exact integer space: the weight is scaled
+    * to a 60-bit integer threshold ONCE (round(w·2^60) as long — the
+    * only FP step, identical in any IEEE engine) and compared against
+    * the integer hash, so no boundary row can flip on double
+    * precision (h itself spans 60 bits; a double compare is exact
+    * only to 2^53).
     */
   def weightedHashSample(df: DataFrame, keyCol: Column, weight: Column): DataFrame =
-    df.filter(hash60(keyCol.cast("string")).cast("double") <
-      weight * lit(1152921504606846976.0 /* 2^60 */))
+    df.filter(hash60(keyCol.cast("string")) <
+      round(weight * lit(1152921504606846976.0 /* 2^60 */)).cast("long"))
 
   /** G6c: deterministic k-per-stratum sample: the k smallest row
     * hashes within each stratum — a uniform-without-replacement draw

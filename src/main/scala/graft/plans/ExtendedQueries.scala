@@ -140,6 +140,40 @@ object ExtendedQueries {
             "atn": {"$round": [{"$atan": "$l_tax"}, 4]},
             "asn": {"$round": [{"$asin": "$l_discount"}, 4]},
             "lb": {"$strLenBytes": {"$concat": ["$l_returnflag", "$l_linestatus"]}}}}]""")),
+    // —— C31: bitwise ops, $dateSubtract, $substrBytes ——
+    "pipe_expr_bits" -> ((s, dir) => run(s, dir, "lineitem",
+      """[{"$match": {"l_orderkey": {"$lte": 300}}},
+          {"$project": {
+            "l_orderkey": 1, "l_linenumber": 1,
+            "band": {"$bitAnd": ["$l_orderkey", 255]},
+            "ored": {"$bitOr": ["$l_orderkey", {"$bitAnd": [{"$toLong": "$l_linenumber"}, 3]}]},
+            "xed": {"$bitXor": ["$l_orderkey", {"$toLong": "$l_linenumber"}]},
+            "flipped": {"$bitNot": {"$toLong": "$l_linenumber"}},
+            "back3d": {"$dateSubtract": {"startDate": "$l_shipdate", "unit": "day", "amount": 3}},
+            "back1mo": {"$dateSubtract": {"startDate": "$l_shipdate", "unit": "month", "amount": 1}},
+            "sb": {"$substrBytes": [{"$concat": ["$l_returnflag", "$l_linestatus", "XYZ"]}, 1, 3]}}}]""")),
+    // —— C32: $documents literal-source stage ——
+    "pipe_documents" -> ((s, dir) => run(s, dir, "region",
+      """[{"$documents": [
+            {"k": 1, "name": "alpha", "v": 10},
+            {"k": 2, "name": "beta",  "v": 5},
+            {"k": 3, "name": "gamma", "v": 7},
+            {"k": 4, "name": "delta", "v": 2}]},
+          {"$match": {"v": {"$gte": 5}}},
+          {"$set": {"vv": {"$multiply": ["$v", 2]}}},
+          {"$sort": {"k": 1}}]""")),
+    // —— C33: $redact (level-relative decisions over the doc tree) ——
+    "pipe_redact" -> ((s, dir) => run(s, dir, "events",
+      """[{"$match": {"event_id": {"$lte": 2000}}},
+          {"$set": {"lvl": {"$mod": ["$event_id", 5]},
+                    "detail": {"lvl": {"$mod": ["$user_id", 5]},
+                               "info": "$event_type"}}},
+          {"$redact": {"$switch": {"branches": [
+              {"case": {"$lt": ["$lvl", 1]}, "then": "$$KEEP"},
+              {"case": {"$lt": ["$lvl", 3]}, "then": "$$DESCEND"}],
+            "default": "$$PRUNE"}}},
+          {"$project": {"event_id": 1, "lvl": 1,
+                        "note": {"$ifNull": ["$detail.info", "REDACTED"]}}}]""")),
     // —— F7: near-dup cluster assignment (CC over minhash pairs) ——
     "dedup_clusters" -> ((s, dir) => {
       val docs = TableCatalog(s, dir).documents
@@ -390,6 +424,28 @@ object ExtendedQueries {
         |  round(asin(l_discount), 4) AS asn,
         |  CAST(strlen(l_returnflag || l_linestatus) AS INTEGER) AS lb
         |FROM lineitem WHERE l_orderkey <= 200""".stripMargin,
+    "pipe_expr_bits" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS band,
+        |  l_orderkey | (CAST(l_linenumber AS BIGINT) & 3) AS ored,
+        |  xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS xed,
+        |  ~CAST(l_linenumber AS BIGINT) AS flipped,
+        |  l_shipdate - INTERVAL 3 DAY AS back3d,
+        |  l_shipdate - INTERVAL 1 MONTH AS back1mo,
+        |  substr(l_returnflag || l_linestatus || 'XYZ', 2, 3) AS sb
+        |FROM lineitem WHERE l_orderkey <= 300""".stripMargin,
+    "pipe_documents" ->
+      """SELECT CAST(k AS BIGINT) AS k, name, CAST(v AS BIGINT) AS v,
+        |  CAST(v * 2 AS BIGINT) AS vv
+        |FROM (VALUES (1, 'alpha', 10), (2, 'beta', 5), (3, 'gamma', 7),
+        |             (4, 'delta', 2)) t(k, name, v)
+        |WHERE v >= 5 ORDER BY k""".stripMargin,
+    "pipe_redact" ->
+      """SELECT event_id, event_id % 5 AS lvl,
+        |  CASE WHEN event_id % 5 < 1 OR user_id % 5 < 3
+        |       THEN event_type ELSE 'REDACTED' END AS note
+        |FROM events
+        |WHERE event_id <= 2000 AND event_id % 5 < 3""".stripMargin,
     "dedup_clusters" -> {
       val pairsSql = graft.operators.LlmQueries.oracleSql("dedup_minhash_lsh")
       s"""WITH RECURSIVE pairs AS ($pairsSql),
@@ -502,8 +558,8 @@ object ExtendedQueries {
         |      < CASE WHEN event_type = 'purchase' THEN 50 ELSE 10 END""".stripMargin,
     "sample_weighted" ->
       """SELECT event_id, event_type, value FROM events
-        |WHERE CAST(CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT) AS DOUBLE)
-        |      < least(value / 100.0, 1.0) * 1152921504606846976.0""".stripMargin,
+        |WHERE CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT)
+        |      < CAST(round(least(value / 100.0, 1.0) * 1152921504606846976.0) AS BIGINT)""".stripMargin,
     "sample_stratified_k" ->
       """SELECT event_id, event_type FROM (
         |  SELECT event_id, event_type,

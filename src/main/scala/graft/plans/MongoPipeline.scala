@@ -127,6 +127,17 @@ object MongoPipeline {
         case "$densify" => cur = densify(cur, spec)
         case "$fill"    => cur = fill(cur, spec)
         case "$graphLookup" => cur = graphLookup(cur, spec, tables)
+        case "$documents" =>
+          // literal-source stage: replaces the input with the inline
+          // document array (Mongo: db.aggregate([{$documents: […]}])).
+          // Schema is inferred from the literals themselves; a handful
+          // of driver-side rows, never a data path.
+          require(spec.isArray, "$documents requires a document array")
+          val spark = cur.sparkSession
+          import spark.implicits._
+          val json = spec.elements().asScala.map(_.toString).toSeq
+          cur = spark.read.json(json.toDS)
+        case "$redact" => cur = redact(cur, spec)
         case "$facet" =>
           // each facet = a sub-pipeline over the same input; output is
           // one row with an array-of-struct column per facet
@@ -228,8 +239,15 @@ object MongoPipeline {
           s"unbound lambda variable: $$${parts.head}"))
       return parts.tail.foldLeft(base)(_ getField _)
     }
-    if (n.isTextual && n.asText().startsWith("$"))
-      return col(n.asText().drop(1))
+    if (n.isTextual && n.asText().startsWith("$")) {
+      // "$path" ≡ "$$CURRENT.path": when a bound CURRENT exists (the
+      // $redact recursion rebasing field refs onto a subdocument),
+      // resolve against it; at the root, CURRENT is the row itself.
+      return binds.get("CURRENT") match {
+        case Some(cu) => n.asText().drop(1).split('.').foldLeft(cu)(_ getField _)
+        case None     => col(n.asText().drop(1))
+      }
+    }
     if (n.isArray) // bare array in expression position = array literal
       return array(n.elements().asScala.map(x => expression(x, binds)).toSeq: _*)
     if (!n.isObject) return literal(n)
@@ -247,48 +265,62 @@ object MongoPipeline {
       case "$multiply" => args.reduce(_ * _)
       case "$divide"   => args.reduce(_ / _)
       case "$mod"      => args.reduce(_ % _)
-      case "$abs"      => abs(expression(a))
-      case "$ceil"     => ceil(expression(a))
-      case "$floor"    => floor(expression(a))
+      // —— bitwise (Mongo 6.3+): variadic and/or/xor, unary not; ——
+      // integer-only per Mongo, so operands pass through unchanged
+      case "$bitAnd"   => args.reduce(_ bitwiseAND _)
+      case "$bitOr"    => args.reduce(_ bitwiseOR _)
+      case "$bitXor"   => args.reduce(_ bitwiseXOR _)
+      case "$bitNot"   => bitwise_not(expression(a, binds))
+      case "$abs"      => abs(expression(a, binds))
+      case "$ceil"     => ceil(expression(a, binds))
+      case "$floor"    => floor(expression(a, binds))
       case "$round" =>
         val it = a.elements().asScala.toSeq
-        round(expression(it.head), if (it.size > 1) it(1).asInt() else 0)
+        round(expression(it.head, binds), if (it.size > 1) it(1).asInt() else 0)
       case "$concat"   => concat(args: _*)
-      case "$toUpper"  => upper(expression(a))
-      case "$toLower"  => lower(expression(a))
-      case "$strLenCP" => length(expression(a))
-      case "$strLenBytes" => octet_length(expression(a))
+      case "$toUpper"  => upper(expression(a, binds))
+      case "$toLower"  => lower(expression(a, binds))
+      case "$strLenCP" => length(expression(a, binds))
+      case "$strLenBytes" => octet_length(expression(a, binds))
       case "$substrCP" =>
         val it = a.elements().asScala.toSeq
         // Mongo is 0-based, Spark substring 1-based
-        expression(it.head).substr(expression(it(1)) + lit(1), expression(it(2)))
+        expression(it.head, binds).substr(expression(it(1), binds) + lit(1), expression(it(2), binds))
+      case "$substrBytes" | "$substr" =>
+        // byte-indexed substring ($substr is its legacy alias): Spark's
+        // substring over BINARY slices bytes, not code points, so a
+        // UTF-8 round trip through binary gives Mongo's byte semantics
+        // (caller owns char-boundary alignment, as in Mongo)
+        val it = a.elements().asScala.toSeq
+        substring(expression(it.head, binds).cast("binary"),
+          expression(it(1), binds) + lit(1), expression(it(2), binds)).cast("string")
       case "$split" =>
         val it = a.elements().asScala.toSeq
-        split(expression(it.head), java.util.regex.Pattern.quote(it(1).asText()))
-      case "$trim"     => trim(expression(a.get("input")))
+        split(expression(it.head, binds), java.util.regex.Pattern.quote(it(1).asText()))
+      case "$trim"     => trim(expression(a.get("input"), binds))
       case "$switch" =>
         val branches = a.get("branches").elements().asScala.toSeq
         val chain = branches.foldLeft[Option[Column]](None) { (acc, b) =>
-          val cond = expression(b.get("case"))
-          val thenV = expression(b.get("then"))
+          val cond = expression(b.get("case"), binds)
+          val thenV = expression(b.get("then"), binds)
           Some(acc match {
             case None => when(cond, thenV)
             case Some(c) => c.when(cond, thenV)
           })
         }.getOrElse(throw new IllegalArgumentException("$switch needs branches"))
         Option(a.get("default")).filterNot(_.isNull)
-          .map(d => chain.otherwise(expression(d))).getOrElse(chain)
+          .map(d => chain.otherwise(expression(d, binds))).getOrElse(chain)
       case "$dateToString" =>
         val fmt = Option(a.get("format")).map(_.asText())
           .getOrElse("%Y-%m-%dT%H:%M:%S.%LZ")
-        date_format(expression(a.get("date")), mongoDateFormat(fmt))
+        date_format(expression(a.get("date"), binds), mongoDateFormat(fmt))
       case "$cond" =>
         val (i, t, e) =
           if (a.isArray) {
             val it = a.elements().asScala.toSeq
             (it(0), it(1), it(2))
           } else (a.get("if"), a.get("then"), a.get("else"))
-        when(expression(i), expression(t)).otherwise(expression(e))
+        when(expression(i, binds), expression(t, binds)).otherwise(expression(e, binds))
       case "$ifNull"   => coalesce(args: _*)
       case "$eq"  => args.head === args(1)
       case "$ne"  => !(args.head <=> args(1))
@@ -300,64 +332,72 @@ object MongoPipeline {
         .when(args.head < args(1), -1).otherwise(0)
       case "$and" => args.reduce(_ && _)
       case "$or"  => args.reduce(_ || _)
-      case "$not" => !expression(if (a.isArray) a.get(0) else a)
-      case "$year"       => year(expression(a))
-      case "$month"      => month(expression(a))
-      case "$dayOfMonth" => dayofmonth(expression(a))
-      case "$hour"       => hour(expression(a))
-      case "$toString"   => expression(a).cast("string")
-      case "$toInt"      => expression(a).cast("int")
-      case "$toLong"     => expression(a).cast("long")
-      case "$toDouble"   => expression(a).cast("double")
-      case "$toDecimal"  => expression(a).cast("decimal(18,2)")
+      case "$not" => !expression(if (a.isArray) a.get(0) else a, binds)
+      case "$year"       => year(expression(a, binds))
+      case "$month"      => month(expression(a, binds))
+      case "$dayOfMonth" => dayofmonth(expression(a, binds))
+      case "$hour"       => hour(expression(a, binds))
+      case "$toString"   => expression(a, binds).cast("string")
+      case "$toInt"      => expression(a, binds).cast("int")
+      case "$toLong"     => expression(a, binds).cast("long")
+      case "$toDouble"   => expression(a, binds).cast("double")
+      case "$toDecimal"  => expression(a, binds).cast("decimal(18,2)")
       case "$literal"    => literal(a)
-      case "$size"       => size(expression(a))
+      case "$size"       => size(expression(a, binds))
       case "$arrayElemAt" =>
         val it = a.elements().asScala.toSeq
-        element_at(expression(it.head), it(1).asInt() + 1) // Mongo 0-based
+        element_at(expression(it.head, binds), it(1).asInt() + 1) // Mongo 0-based
       // —— math ——
       case "$pow"   => pow(args.head, args(1))
-      case "$sqrt"  => sqrt(expression(a))
-      case "$exp"   => exp(expression(a))
-      case "$ln"    => log(expression(a))
-      case "$log10" => log10(expression(a))
+      case "$sqrt"  => sqrt(expression(a, binds))
+      case "$exp"   => exp(expression(a, binds))
+      case "$ln"    => log(expression(a, binds))
+      case "$log10" => log10(expression(a, binds))
       case "$log"   => log(args.head) / log(args(1)) // $log: [num, base]
       // —— trigonometry (IEEE libm on both engines; oracle rounds) ——
-      case "$sin"   => sin(expression(a))
-      case "$cos"   => cos(expression(a))
-      case "$tan"   => tan(expression(a))
-      case "$asin"  => asin(expression(a))
-      case "$acos"  => acos(expression(a))
-      case "$atan"  => atan(expression(a))
+      case "$sin"   => sin(expression(a, binds))
+      case "$cos"   => cos(expression(a, binds))
+      case "$tan"   => tan(expression(a, binds))
+      case "$asin"  => asin(expression(a, binds))
+      case "$acos"  => acos(expression(a, binds))
+      case "$atan"  => atan(expression(a, binds))
       case "$atan2" => atan2(args.head, args(1))
-      case "$sinh"  => sinh(expression(a))
-      case "$cosh"  => cosh(expression(a))
-      case "$tanh"  => tanh(expression(a))
-      case "$degreesToRadians" => radians(expression(a))
-      case "$radiansToDegrees" => degrees(expression(a))
+      case "$sinh"  => sinh(expression(a, binds))
+      case "$cosh"  => cosh(expression(a, binds))
+      case "$tanh"  => tanh(expression(a, binds))
+      case "$degreesToRadians" => radians(expression(a, binds))
+      case "$radiansToDegrees" => degrees(expression(a, binds))
       case "$trunc" =>
         val it = a.elements().asScala.toSeq
         if (it.size > 1)
-          (expression(it.head) * pow(lit(10.0), it(1).asInt())).cast("long") /
+          (expression(it.head, binds) * pow(lit(10.0), it(1).asInt())).cast("long") /
             pow(lit(10.0), it(1).asInt())
-        else expression(it.head).cast("long")
+        else expression(it.head, binds).cast("long")
       // —— dates ——
-      case "$minute" => minute(expression(a))
-      case "$second" => second(expression(a))
-      case "$dayOfWeek" => dayofweek(expression(a))
-      case "$dayOfYear" => dayofyear(expression(a))
-      case "$week"      => weekofyear(expression(a))
+      case "$minute" => minute(expression(a, binds))
+      case "$second" => second(expression(a, binds))
+      case "$dayOfWeek" => dayofweek(expression(a, binds))
+      case "$dayOfYear" => dayofyear(expression(a, binds))
+      case "$week"      => weekofyear(expression(a, binds))
       case "$dateTrunc" =>
-        date_trunc(a.get("unit").asText(), expression(a.get("date")))
+        date_trunc(a.get("unit").asText(), expression(a.get("date"), binds))
       case "$dateAdd" =>
         val units = Set("YEAR", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND")
         val unit = a.get("unit").asText().toUpperCase
         require(units(unit), s"unsupported $$dateAdd unit: $unit")
-        timestamp_add(unit, expression(a.get("amount")),
-          expression(a.get("startDate")))
+        timestamp_add(unit, expression(a.get("amount"), binds),
+          expression(a.get("startDate"), binds))
+      case "$dateSubtract" =>
+        // $dateAdd's twin (route81 forwards both verbatim): negate the
+        // amount so both share timestamp_add's unit handling
+        val units = Set("YEAR", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND")
+        val unit = a.get("unit").asText().toUpperCase
+        require(units(unit), s"unsupported $$dateSubtract unit: $unit")
+        timestamp_add(unit, -expression(a.get("amount"), binds),
+          expression(a.get("startDate"), binds))
       case "$dateDiff" =>
-        val s = expression(a.get("startDate"))
-        val e = expression(a.get("endDate"))
+        val s = expression(a.get("startDate"), binds)
+        val e = expression(a.get("endDate"), binds)
         a.get("unit").asText() match {
           case "day"    => datediff(e.cast("date"), s.cast("date")).cast("long")
           case "hour"   => ((unix_timestamp(e) - unix_timestamp(s)) / 3600L).cast("long")
@@ -366,7 +406,7 @@ object MongoPipeline {
           case other => throw new IllegalArgumentException(
             s"unsupported $$dateDiff unit: $other")
         }
-      case "$toDate" => expression(a).cast("timestamp")
+      case "$toDate" => expression(a, binds).cast("timestamp")
       case "$convert" =>
         val input = expression(a.get("input"), binds)
         val to = a.get("to").asText() match {
@@ -389,68 +429,68 @@ object MongoPipeline {
         val fmt = Option(a.get("format")).map(f =>
           mongoDateFormat(f.asText())).getOrElse("yyyy-MM-dd HH:mm:ss")
         to_timestamp(expression(a.get("dateString"), binds), fmt)
-      case "$isoWeek" => weekofyear(expression(a))
+      case "$isoWeek" => weekofyear(expression(a, binds))
       case "$isoDayOfWeek" => // 1=Monday..7=Sunday
-        ((dayofweek(expression(a)) + 5) % 7) + 1
+        ((dayofweek(expression(a, binds)) + 5) % 7) + 1
       case "$millisecond" =>
-        (expression(a).cast("double") * 1000).cast("long") % 1000
+        (expression(a, binds).cast("double") * 1000).cast("long") % 1000
       // —— strings ——
-      case "$ltrim" => ltrim(expression(a.get("input")))
-      case "$rtrim" => rtrim(expression(a.get("input")))
+      case "$ltrim" => ltrim(expression(a.get("input"), binds))
+      case "$rtrim" => rtrim(expression(a.get("input"), binds))
       case "$replaceAll" =>
         // literal find/replace (regex-quoted), matching Mongo semantics
-        regexp_replace(expression(a.get("input")),
+        regexp_replace(expression(a.get("input"), binds),
           java.util.regex.Pattern.quote(a.get("find").asText()),
           java.util.regex.Matcher.quoteReplacement(a.get("replacement").asText()))
       case "$regexMatch" =>
-        expression(a.get("input")).rlike(a.get("regex").asText())
+        expression(a.get("input"), binds).rlike(a.get("regex").asText())
       case "$indexOfCP" =>
         val it = a.elements().asScala.toSeq
         // Mongo: 0-based index, -1 when absent; Spark instr is 1-based, 0-absent
-        (instr(expression(it.head), it(1).asText()) - 1).cast("int")
+        (instr(expression(it.head, binds), it(1).asText()) - 1).cast("int")
       case "$strcasecmp" =>
         val (x, y) = (lower(args.head), lower(args(1)))
         when(x > y, 1).when(x < y, -1).otherwise(0)
       case "$isNumber" =>
-        expression(a).cast("double").isNotNull
+        expression(a, binds).cast("double").isNotNull
       // —— arrays ——
       case "$concatArrays" => concat(args: _*)
       case "$slice" =>
         val it = a.elements().asScala.toSeq
         if (it.size == 2) {
           val n = it(1).asInt()
-          if (n >= 0) slice(expression(it.head), 1, n)
-          else slice(expression(it.head), n, -n)
-        } else slice(expression(it.head), it(1).asInt() + 1, it(2).asInt())
+          if (n >= 0) slice(expression(it.head, binds), 1, n)
+          else slice(expression(it.head, binds), n, -n)
+        } else slice(expression(it.head, binds), it(1).asInt() + 1, it(2).asInt())
       case "$in" => // {$in: [value, array]}
         array_contains(args(1), args.head)
       case "$indexOfArray" =>
         val it = a.elements().asScala.toSeq
         // array_position: 1-based, 0 when absent → Mongo 0-based/-1
-        (array_position(expression(it.head), expression(it(1))) - 1).cast("int")
-      case "$reverseArray" => reverse(expression(a))
+        (array_position(expression(it.head, binds), expression(it(1), binds)) - 1).cast("int")
+      case "$reverseArray" => reverse(expression(a, binds))
       case "$range" =>
         val it = a.elements().asScala.toSeq
-        val stepExpr = if (it.size > 2) expression(it(2)) else lit(1)
+        val stepExpr = if (it.size > 2) expression(it(2), binds) else lit(1)
         // Mongo $range is end-exclusive; Spark sequence is inclusive —
         // and sequence(0, -1) counts DOWN, so guard the empty case.
-        val s = expression(it.head).cast("int")
-        val e = expression(it(1)).cast("int")
+        val s = expression(it.head, binds).cast("int")
+        val e = expression(it(1), binds).cast("int")
         when(e <= s, array().cast("array<int>"))
           .otherwise(sequence(s, e - 1, stepExpr.cast("int")))
       case "$filter" =>
-        val input = expression(a.get("input"))
+        val input = expression(a.get("input"), binds)
         val asName = Option(a.get("as")).map(_.asText()).getOrElse("this")
-        filter(input, x => expression(a.get("cond"), Map(asName -> x)))
+        filter(input, x => expression(a.get("cond"), binds + (asName -> x)))
       case "$map" =>
-        val input = expression(a.get("input"))
+        val input = expression(a.get("input"), binds)
         val asName = Option(a.get("as")).map(_.asText()).getOrElse("this")
-        transform(input, x => expression(a.get("in"), Map(asName -> x)))
+        transform(input, x => expression(a.get("in"), binds + (asName -> x)))
       case "$reduce" =>
-        val input = expression(a.get("input"))
-        val init = expression(a.get("initialValue"))
+        val input = expression(a.get("input"), binds)
+        val init = expression(a.get("initialValue"), binds)
         aggregate(input, init,
-          (acc2, x) => expression(a.get("in"), Map("value" -> acc2, "this" -> x)))
+          (acc2, x) => expression(a.get("in"), binds ++ Map("value" -> acc2, "this" -> x)))
       // —— sets (Mongo set ops treat arrays as value sets) ——
       case "$setUnion" => array_sort(array_distinct(concat(args: _*)))
       case "$setIntersection" =>
@@ -460,9 +500,9 @@ object MongoPipeline {
       case "$setIsSubset" =>
         size(array_except(array_distinct(args.head), args(1))) === 0
       case "$allElementsTrue" =>
-        forall(expression(if (a.isArray) a.get(0) else a), x => x.cast("boolean"))
+        forall(expression(if (a.isArray) a.get(0) else a, binds), x => x.cast("boolean"))
       case "$anyElementTrue" =>
-        exists(expression(if (a.isArray) a.get(0) else a), x => x.cast("boolean"))
+        exists(expression(if (a.isArray) a.get(0) else a, binds), x => x.cast("boolean"))
       // —— dual-form aggregators: [exprs...] = pointwise, single arg = array fold ——
       case "$max" =>
         if (a.isArray) greatest(args: _*) else array_max(expression(a, binds))
@@ -512,34 +552,34 @@ object MongoPipeline {
         args.reduce((x, y) => coalesce(y, x))
       case "$getField" =>
         if (a.isTextual) col(a.asText()) // {$getField: "f"} on $$CURRENT
-        else expression(a.get("input")).getField(a.get("field").asText())
+        else expression(a.get("input"), binds).getField(a.get("field").asText())
       case "$setField" => // {field, input: <struct>, value}
-        expression(a.get("input"))
-          .withField(a.get("field").asText(), expression(a.get("value")))
+        expression(a.get("input"), binds)
+          .withField(a.get("field").asText(), expression(a.get("value"), binds))
       case "$unsetField" => // {field, input: <struct>}
-        expression(a.get("input")).dropFields(a.get("field").asText())
+        expression(a.get("input"), binds).dropFields(a.get("field").asText())
       // BSON timestamp {t, i} struct accessors (the $timestamp encode
       // form in plans/ExtendedQueries produces this shape)
-      case "$tsSecond"    => expression(a).getField("t")
-      case "$tsIncrement" => expression(a).getField("i")
+      case "$tsSecond"    => expression(a, binds).getField("t")
+      case "$tsIncrement" => expression(a, binds).getField("i")
       case "$objectToArray" =>
         // document → [{k, v}] via the JSON map normalization (values
         // stringify — Spark arrays are homogeneous where BSON's are
         // not; key order is the document's field order, preserved by
         // to_json)
         transform(
-          map_entries(from_json(to_json(expression(a)),
+          map_entries(from_json(to_json(expression(a, binds)),
             org.apache.spark.sql.types.MapType(
               org.apache.spark.sql.types.StringType,
               org.apache.spark.sql.types.StringType))),
           e => struct(e.getField("key").as("k"), e.getField("value").as("v")))
       case "$arrayToObject" =>
         // [{k, v}] → map (dotted-path reads resolve through GetMapValue)
-        map_from_entries(transform(expression(a),
+        map_from_entries(transform(expression(a, binds),
           e => struct(e.getField("k"), e.getField("v"))))
       case "$replaceOne" =>
         // first literal occurrence only — splice at locate, codegen'd
-        val in = expression(a.get("input"))
+        val in = expression(a.get("input"), binds)
         val find = a.get("find").asText()
         val rep = a.get("replacement").asText()
         val at = locate(find, in) // 1-based, 0 when absent
@@ -547,23 +587,23 @@ object MongoPipeline {
           in.substr(lit(1), at - 1), lit(rep),
           in.substr(at + find.length, length(in))))
       case "$regexFind" =>
-        val in = expression(a.get("input"))
+        val in = expression(a.get("input"), binds)
         val pat = a.get("regex").asText()
         when(in.rlike(pat), struct(
           regexp_extract(in, pat, 0).as("match"),
           (regexp_instr(in, lit(pat)) - 1).cast("int").as("idx")))
       case "$regexFindAll" =>
-        regexp_extract_all(expression(a.get("input")),
+        regexp_extract_all(expression(a.get("input"), binds),
           lit(a.get("regex").asText()), lit(0))
       case "$dateFromParts" =>
         def part(name: String, dflt: Int): Column =
-          Option(a.get(name)).map(expression(_)).getOrElse(lit(dflt))
+          Option(a.get(name)).map(expression(_, binds)).getOrElse(lit(dflt))
         make_timestamp(part("year", 1970), part("month", 1), part("day", 1),
           part("hour", 0), part("minute", 0),
           part("second", 0).cast("double") +
             part("millisecond", 0).cast("double") / 1000.0)
       case "$dateToParts" =>
-        val d = expression(a.get("date"))
+        val d = expression(a.get("date"), binds)
         struct(year(d).as("year"), month(d).as("month"),
           dayofmonth(d).as("day"), hour(d).as("hour"),
           minute(d).as("minute"), second(d).as("second"),
@@ -572,7 +612,7 @@ object MongoPipeline {
       case "$toBool" =>
         // Mongo: numbers → x != 0, strings → true, bool → identity —
         // branch on the ENGINE type via typeof (schema-agnostic)
-        val v = expression(a)
+        val v = expression(a, binds)
         val t = typeof(v)
         when(v.isNull, lit(null).cast("boolean"))
           .when(t === "boolean", v.cast("boolean"))
@@ -581,8 +621,8 @@ object MongoPipeline {
           .otherwise(lit(true))
       case "$type" =>
         // engine type → BSON type-name mapping
-        val t = typeof(expression(a))
-        when(expression(a).isNull, "null")
+        val t = typeof(expression(a, binds))
+        when(expression(a, binds).isNull, "null")
           .when(t === "string", "string")
           .when(t === "boolean", "bool")
           .when(t.isin("tinyint", "smallint", "int"), "int")
@@ -790,6 +830,47 @@ object MongoPipeline {
       GraftBridge.expression(struct(keys: _*)),
       GraftBridge.expression(out), n, dirs,
       keepLargest, emitDesc, skipNull).toAggregateExpression())
+  }
+
+  /** `$redact`: evaluate `spec` at every document level; the decision
+    * ($$PRUNE/$$KEEP/$$DESCEND) drops, keeps whole, or recurses into
+    * the (sub)document. Root-level PRUNE is a row filter; a pruned
+    * subdocument becomes null (the relational encoding of a removed
+    * field); pruned array elements are removed from the array. The
+    * recursion is compile-time over the SCHEMA — the emitted plan is
+    * one filter + one projection, so redaction rides whole-stage
+    * codegen like any other projection (no per-row interpretation of
+    * the document tree). Field refs inside `spec` are level-relative
+    * (Mongo semantics) via the CURRENT rebinding in [[expression]].
+    */
+  private def redact(df: DataFrame, spec: JsonNode): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    val sysBinds = Map("DESCEND" -> lit("__DESCEND__"),
+      "PRUNE" -> lit("__PRUNE__"), "KEEP" -> lit("__KEEP__"))
+    def decide(current: Option[Column]): Column =
+      expression(spec, sysBinds ++ current.map("CURRENT" -> _))
+    // value = a (sub)document-typed column; returns the redacted value
+    def rec(value: Column, dt: DataType): Column = dt match {
+      case st: StructType =>
+        val d = decide(Some(value))
+        val descended = struct(st.fields.toSeq.map(f =>
+          rec(value.getField(f.name), f.dataType).as(f.name)): _*)
+        when(value.isNull, lit(null).cast(st))
+          .when(d === "__PRUNE__", lit(null).cast(st))
+          .when(d === "__KEEP__", value)
+          .otherwise(descended)
+      case ArrayType(et: StructType, _) =>
+        // array of documents: drop pruned elements, recurse the rest
+        val kept = filter(value, x => decide(Some(x)) =!= "__PRUNE__")
+        transform(kept, x => rec(x, et))
+      case _ => value // scalars/arrays-of-scalars have no sub-levels
+    }
+    val rootD = decide(None)
+    val cols = df.schema.fields.toSeq.map { f =>
+      when(rootD === "__KEEP__", col(f.name))
+        .otherwise(rec(col(f.name), f.dataType)).as(f.name)
+    }
+    df.filter(rootD =!= "__PRUNE__").select(cols: _*)
   }
 
   private def unwind(df: DataFrame, spec: JsonNode): DataFrame = {

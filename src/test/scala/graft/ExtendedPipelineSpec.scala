@@ -767,4 +767,81 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Int]("n_tok")).toSeq == Seq(16, 12, 4))
     assert(rows.last.getAs[String]("chunk_text") == "t16 t17 t18 t19")
   }
+
+  test("$redact prunes array elements and nested subdocuments level-relatively") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L, Seq((0L, "a0"), (4L, "a4")), (0L, "n0")),
+      (2L, 2L, Seq((1L, "b1"), (3L, "b3")), (4L, "n4")),
+      (3L, 4L, Seq((0L, "c0")), (0L, "n0")))
+      .toDF("id", "lvl", "items", "detail")
+      .withColumn("items", expr(
+        "transform(items, x -> named_struct('lvl', x._1, 'tag', x._2))"))
+      .withColumn("detail", expr(
+        "named_struct('lvl', detail._1, 'tag', detail._2)"))
+    val out = MongoPipeline(df,
+      """[{"$redact": {"$cond": [{"$lt": ["$lvl", 3]}, "$$DESCEND", "$$PRUNE"]}}]""")
+      .orderBy("id").collect()
+    // id=3 pruned at the root; id=2's detail (lvl 4) pruned to null;
+    // array elements with lvl >= 3 removed from the array
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    val r1 = out(0)
+    assert(r1.getSeq[Row](r1.fieldIndex("items")).map(_.getAs[String]("tag")) == Seq("a0"))
+    assert(r1.getAs[Row]("detail").getAs[String]("tag") == "n0")
+    val r2 = out(1)
+    assert(r2.getSeq[Row](r2.fieldIndex("items")).map(_.getAs[String]("tag")) == Seq("b1"))
+    assert(r2.getAs[Row]("detail") == null)
+  }
+
+  test("$redact $$KEEP stops descent: kept subtree survives nested prunes") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, (9L, "deep")), (2L, 1L, (9L, "deep")))
+      .toDF("id", "lvl", "detail")
+      .withColumn("detail", expr(
+        "named_struct('lvl', detail._1, 'tag', detail._2)"))
+    val out = MongoPipeline(df,
+      """[{"$redact": {"$switch": {"branches": [
+            {"case": {"$lt": ["$lvl", 1]}, "then": "$$KEEP"},
+            {"case": {"$lt": ["$lvl", 5]}, "then": "$$DESCEND"}],
+          "default": "$$PRUNE"}}}]""").orderBy("id").collect()
+    // id=1: root KEEP — detail survives despite its lvl 9
+    assert(out(0).getAs[Row]("detail").getAs[String]("tag") == "deep")
+    // id=2: root DESCEND — detail (lvl 9) pruned
+    assert(out(1).getAs[Row]("detail") == null)
+  }
+
+  test("$substrBytes slices bytes, not code points") {
+    import spark.implicits._
+    val df = Seq(("héllo", 1)).toDF("s", "one")
+    // 'é' is 2 bytes in UTF-8: bytes [1,3) = "é", while substrCP [1,3) = "él"
+    val out = MongoPipeline(df,
+      """[{"$project": {"b": {"$substrBytes": ["$s", 1, 2]},
+                        "cp": {"$substrCP": ["$s", 1, 2]}}}]""").head()
+    assert(out.getAs[String]("b") == "é")
+    assert(out.getAs[String]("cp") == "él")
+  }
+
+  test("$dateSubtract mirrors $dateAdd with month clamping") {
+    import spark.implicits._
+    val df = Seq("2021-03-31 12:00:00").toDF("s")
+    val out = MongoPipeline(df,
+      """[{"$set": {"ts": {"$toDate": "$s"}}},
+          {"$project": {
+            "m1": {"$dateSubtract": {"startDate": "$ts", "unit": "month", "amount": 1}},
+            "d2": {"$dateSubtract": {"startDate": "$ts", "unit": "day", "amount": 2}}}}]""")
+      .head()
+    assert(out.getAs[java.sql.Timestamp]("m1").toString.startsWith("2021-02-28"))
+    assert(out.getAs[java.sql.Timestamp]("d2").toString.startsWith("2021-03-29"))
+  }
+
+  test("enclosing $let variables stay visible inside $filter/$map bodies") {
+    import spark.implicits._
+    val df = Seq((3L, Seq(1L, 2L, 3L, 4L, 5L))).toDF("cut", "xs")
+    val out = MongoPipeline(df,
+      """[{"$project": {"kept": {"$let": {
+            "vars": {"c": "$cut"},
+            "in": {"$size": {"$filter": {"input": "$xs", "as": "x",
+                    "cond": {"$gte": ["$$x", "$$c"]}}}}}}}}]""").head()
+    assert(out.getAs[Int]("kept") == 3)
+  }
 }
