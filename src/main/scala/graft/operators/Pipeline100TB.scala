@@ -18,8 +18,8 @@ object Pipeline100TB {
     * member (min reachable id). Iterative min-label propagation:
     * each round is one shuffle join keyed by node id; rounds needed =
     * cluster diameter, and near-dup clusters are shallow (most are
-    * 2-3 docs). At extreme scale swap the propagation body for the
-    * large-star/small-star variant — the loop shape stays the same.
+    * 2-3 docs). For deep graphs use [[connectedComponentsStar]] —
+    * same signature and output, O(log²) rounds instead of diameter.
     * `localCheckpoint` cuts the per-iteration lineage so the plan
     * doesn't grow quadratically; checkpoints are LAZY and materialize
     * inside the round's single changed-count job, so a d-round
@@ -50,6 +50,76 @@ object Pipeline100TB {
       i += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** F7b: connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * the drop-in for [[connectedComponents]] when cluster DIAMETER is
+    * large — propagation needs diameter rounds, star contraction
+    * needs O(log²) total because every round rewires whole neighbor
+    * sets toward the local minimum, not one hop.
+    *
+    *  - large-star (per node u over symmetric neighbors): connect every
+    *    neighbor v > u to m = min(Γ(u) ∪ {u});
+    *  - small-star (per node u over its smaller neighbors): connect
+    *    them all, and u, to their minimum.
+    *
+    * Both are one groupBy + one join keyed on node ids — the same
+    * shuffle shape as propagation, so skew/scale behavior is
+    * identical per round; there are just far fewer rounds on deep
+    * graphs. Convergence = the (count, label-sum) pair stops moving:
+    * the edge multiset only shrinks toward stars and label sums
+    * decrease monotonically, so the pair is a sound fixpoint check
+    * that costs one action per round (lazy checkpoints materialize
+    * inside it, like the propagation loop).
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val nodes = pairs.select(col("a").as("n"))
+      .union(pairs.select(col("b").as("n"))).distinct()
+      .localCheckpoint(eager = false)
+    // canonical (u > v) edges; self-loops drop out of the iteration
+    // and are restored as singleton stars at the end
+    var edges = pairs.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(eager = false)
+    var signature = (-1L, -1L)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetric neighbor view
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(minsL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star over the (u > v) edges large-star just produced
+      val minsS = large.groupBy(col("u"))
+        .agg(min(col("v")).as("m"))
+      val joined = large.join(minsS, "u")
+      val small = joined.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint(eager = false)
+      // fixpoint check = one action over two aggregates of the edge
+      // set: count + an order-free content hash (bit_xor of xxhash64;
+      // the set is distinct so XOR is a sound set fingerprint, and
+      // unlike an integer sum it can't overflow under ANSI mode)
+      val sig = small.agg(count(lit(1)),
+          bit_xor(xxhash64(col("u"), col("v"))))
+        .collect().head
+      val next = (sig.getLong(0), if (sig.isNullAt(1)) 0L else sig.getLong(1))
+      converged = next == signature
+      signature = next
+      edges = small
+    }
+    // at the fixpoint every component is a star rooted at its min id:
+    // non-root nodes appear as u pointing at the root; roots (and
+    // singletons from self-loop-only inputs) label themselves
+    nodes.join(edges, nodes("n") === edges("u"), "left")
+      .select(col("n").as("doc_id"),
+        coalesce(col("v"), col("n")).as("cluster"))
   }
 
   /** G6: reproducible stratified sampling — no RNG, no seed plumbing:

@@ -181,6 +181,13 @@ object ExtendedQueries {
         docs, "doc_id", "text", n = 2, k = 16, bands = 4)
       Pipeline100TB.connectedComponents(pairs)
     }),
+    // —— F7b: same clusters via large-star/small-star contraction ——
+    "dedup_clusters_star" -> ((s, dir) => {
+      val docs = TableCatalog(s, dir).documents
+      val pairs = graft.operators.Dedup.minhashCandidates(
+        docs, "doc_id", "text", n = 2, k = 16, bands = 4)
+      Pipeline100TB.connectedComponentsStar(pairs)
+    }),
     // —— G7: int8-quantized exact-integer top-k (native Int8Dot) ——
     "sim_topk_int8" -> ((s, dir) => {
       val e = TableCatalog(s, dir).embeddings
@@ -446,6 +453,20 @@ object ExtendedQueries {
         |       THEN event_type ELSE 'REDACTED' END AS note
         |FROM events
         |WHERE event_id <= 2000 AND event_id % 5 < 3""".stripMargin,
+    "dedup_clusters_star" -> {
+      // identical oracle to dedup_clusters: the star variant must
+      // produce byte-identical clusters, just in fewer rounds
+      val pairsSql = graft.operators.LlmQueries.oracleSql("dedup_minhash_lsh")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |e AS (SELECT a AS s, b AS d FROM pairs
+         |      UNION SELECT b, a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM e
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+         |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+         |FROM reach GROUP BY s""".stripMargin
+    },
     "dedup_clusters" -> {
       val pairsSql = graft.operators.LlmQueries.oracleSql("dedup_minhash_lsh")
       s"""WITH RECURSIVE pairs AS ($pairsSql),

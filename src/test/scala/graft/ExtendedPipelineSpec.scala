@@ -768,6 +768,32 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(rows.last.getAs[String]("chunk_text") == "t16 t17 t18 t19")
   }
 
+  test("star-contraction CC solves a 2000-node path in O(log) rounds") {
+    import spark.implicits._
+    // diameter 1999: min-label propagation would need ~2000 rounds;
+    // large-star/small-star must finish inside maxIter=50
+    val path = (0L until 1999L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Pipeline100TB.connectedComponentsStar(path).collect()
+    assert(out.length == 2000)
+    assert(out.forall(_.getAs[Long]("cluster") == 0L))
+  }
+
+  test("star-contraction CC is row-identical to min-label propagation") {
+    import spark.implicits._
+    // several components incl. a cycle, a self-loop-ish doubled edge,
+    // and reversed-order pairs
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (7L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 10L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("a", "b")
+    val prop = Pipeline100TB.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = Pipeline100TB.connectedComponentsStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == prop)
+    assert(star.filter(_._1 <= 3L).forall(_._2 == 1L))
+  }
+
   test("$redact prunes array elements and nested subdocuments level-relatively") {
     import spark.implicits._
     val df = Seq(
