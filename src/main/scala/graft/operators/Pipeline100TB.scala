@@ -49,6 +49,10 @@ object Pipeline100TB {
       labels = next.select(col("node"), col("label"))
       i += 1
     }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "labels are still moving; raise maxIter (graph diameter exceeds it) " +
+        "or use connectedComponentsStar for deep graphs")
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 
@@ -114,6 +118,12 @@ object Pipeline100TB {
       signature = next
       edges = small
     }
+    // A non-converged edge set is PARTIALLY contracted: the final join
+    // below would emit multiple (conflicting) labels per node, which
+    // downstream dedup consumers cannot detect — so refuse instead.
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "the star fixpoint was not reached; raise maxIter")
     // at the fixpoint every component is a star rooted at its min id:
     // non-root nodes appear as u pointing at the root; roots (and
     // singletons from self-loop-only inputs) label themselves

@@ -152,6 +152,18 @@ object ExtendedQueries {
             "back3d": {"$dateSubtract": {"startDate": "$l_shipdate", "unit": "day", "amount": 3}},
             "back1mo": {"$dateSubtract": {"startDate": "$l_shipdate", "unit": "month", "amount": 1}},
             "sb": {"$substrBytes": [{"$concat": ["$l_returnflag", "$l_linestatus", "XYZ"]}, 1, 3]}}}]""")),
+    // —— C34: long-tail expressions ($indexOfBytes, $toObjectId, ——
+    // ——       $isoWeekYear, $binarySize) ——
+    "pipe_expr_tail" -> ((s, dir) => run(s, dir, "lineitem",
+      """[{"$match": {"l_orderkey": {"$lte": 250}}},
+          {"$project": {
+            "l_orderkey": 1, "l_linenumber": 1,
+            "ib": {"$indexOfBytes": [{"$concat": ["$l_returnflag", "é", "$l_linestatus", "XFZ"]}, "F"]},
+            "ibr": {"$indexOfBytes": [{"$concat": ["$l_returnflag", "$l_linestatus", "XFZ"]}, "F", 2]},
+            "ibe": {"$indexOfBytes": [{"$concat": ["$l_returnflag", "$l_linestatus", "XFZ"]}, "F", 1, 3]},
+            "oid": {"$toObjectId": {"$cond": [{"$eq": ["$l_linestatus", "O"]}, "507F1F77BCF86CD799439011", "zz"]}},
+            "iwy": {"$isoWeekYear": "$l_shipdate"},
+            "bsz": {"$binarySize": {"$concat": ["$l_returnflag", "é"]}}}}]""")),
     // —— C32: $documents literal-source stage ——
     "pipe_documents" -> ((s, dir) => run(s, dir, "region",
       """[{"$documents": [
@@ -210,8 +222,8 @@ object ExtendedQueries {
     // —— C5b: $median / $percentile accumulators (exact interpolated) ——
     "pipe_group_median" -> ((s, dir) => run(s, dir, "lineitem",
       """[{"$group": {"_id": "$l_returnflag",
-           "med_qty": {"$median": {"input": "$l_quantity"}},
-           "p90_price": {"$percentile": {"input": "$l_extendedprice", "p": [0.9]}}}},
+           "med_qty": {"$median": {"input": "$l_quantity", "method": "approximate"}},
+           "p90_price": {"$percentile": {"input": "$l_extendedprice", "p": [0.9], "method": "approximate"}}}},
           {"$set": {"med_qty": {"$round": ["$med_qty", 4]},
                     "p90_price": {"$round": ["$p90_price", 4]}}}]""")),
     // —— I6: exact per-group quantiles (rank-defined, no sketch) ——
@@ -441,6 +453,22 @@ object ExtendedQueries {
         |  l_shipdate - INTERVAL 1 MONTH AS back1mo,
         |  substr(l_returnflag || l_linestatus || 'XYZ', 2, 3) AS sb
         |FROM lineitem WHERE l_orderkey <= 300""".stripMargin,
+    "pipe_expr_tail" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CASE WHEN strpos(l_returnflag || 'é' || l_linestatus || 'XFZ', 'F') > 0
+        |       THEN strlen(substr(l_returnflag || 'é' || l_linestatus || 'XFZ', 1,
+        |                          strpos(l_returnflag || 'é' || l_linestatus || 'XFZ', 'F') - 1))
+        |       ELSE -1 END AS INTEGER) AS ib,
+        |  CAST(CASE WHEN strpos(substr(l_returnflag || l_linestatus || 'XFZ', 3), 'F') > 0
+        |       THEN 1 + strpos(substr(l_returnflag || l_linestatus || 'XFZ', 3), 'F')
+        |       ELSE -1 END AS INTEGER) AS ibr,
+        |  CAST(CASE WHEN strpos(substr(l_returnflag || l_linestatus || 'XFZ', 2, 2), 'F') > 0
+        |       THEN strpos(substr(l_returnflag || l_linestatus || 'XFZ', 2, 2), 'F')
+        |       ELSE -1 END AS INTEGER) AS ibe,
+        |  CASE WHEN l_linestatus = 'O' THEN '507f1f77bcf86cd799439011' END AS oid,
+        |  CAST(isoyear(l_shipdate) AS BIGINT) AS iwy,
+        |  CAST(strlen(l_returnflag || 'é') AS INTEGER) AS bsz
+        |FROM lineitem WHERE l_orderkey <= 250""".stripMargin,
     "pipe_documents" ->
       """SELECT CAST(k AS BIGINT) AS k, name, CAST(v AS BIGINT) AS v,
         |  CAST(v * 2 AS BIGINT) AS vv

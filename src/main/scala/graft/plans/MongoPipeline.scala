@@ -48,7 +48,9 @@ object MongoPipeline {
     require(root.isArray, "pipeline must be a JSON array of stages")
     var cur = df
     var lastSort: Seq[(String, Boolean)] = Nil // (field, ascending)
+    var stageIdx = -1
     root.elements().asScala.foreach { stage =>
+      stageIdx += 1
       val fields = stage.properties().asScala.toSeq
       require(fields.size == 1, s"stage must have exactly one operator: $stage")
       val (op, spec) = (fields.head.getKey, fields.head.getValue)
@@ -130,13 +132,13 @@ object MongoPipeline {
         case "$documents" =>
           // literal-source stage: replaces the input with the inline
           // document array (Mongo: db.aggregate([{$documents: […]}])).
-          // Schema is inferred from the literals themselves; a handful
-          // of driver-side rows, never a data path.
+          // Mongo only permits it as the FIRST stage of a collectionless
+          // aggregate — a misplaced one would silently discard all prior
+          // stages' work, so fail loudly instead.
+          require(stageIdx == 0,
+            s"$$documents must be the first pipeline stage (found at stage $stageIdx)")
           require(spec.isArray, "$documents requires a document array")
-          val spark = cur.sparkSession
-          import spark.implicits._
-          val json = spec.elements().asScala.map(_.toString).toSeq
-          cur = spark.read.json(json.toDS)
+          cur = documentsSource(cur.sparkSession, spec)
         case "$redact" => cur = redact(cur, spec)
         case "$facet" =>
           // each facet = a sub-pipeline over the same input; output is
@@ -154,6 +156,73 @@ object MongoPipeline {
       }
     }
     cur
+  }
+
+  /** `$documents` source: a handful of driver-side literal rows. The
+    * schema is inferred in ONE pass over the Jackson tree (integral →
+    * long, float → double, conflicting scalars → string, struct keys
+    * sorted — the same surface `spark.read.json` produces) and the
+    * rows become a LocalRelation, so compiling the stage costs zero
+    * Spark jobs — the old read.json path ran an inference job plus a
+    * parse job even for a three-row literal.
+    */
+  private def documentsSource(spark: org.apache.spark.sql.SparkSession,
+                              spec: JsonNode): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def widen(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (NullType, x) => x
+      case (x, NullType) => x
+      case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+      case (x: StructType, y: StructType) =>
+        val names = (x.fieldNames ++ y.fieldNames).distinct.sorted
+        StructType(names.map { nm =>
+          val fa = x.fields.find(_.name == nm).map(_.dataType).getOrElse(NullType)
+          val fb = y.fields.find(_.name == nm).map(_.dataType).getOrElse(NullType)
+          StructField(nm, widen(fa, fb), nullable = true)
+        })
+      case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(widen(x, y), true)
+      case _ => StringType // read.json's conflicting-type fallback
+    }
+    def infer(n: JsonNode): DataType =
+      if (n == null || n.isNull) NullType
+      else if (n.isTextual) StringType
+      else if (n.isBoolean) BooleanType
+      else if (n.isIntegralNumber) LongType
+      else if (n.isNumber) DoubleType
+      else if (n.isArray)
+        ArrayType(n.elements().asScala.map(infer)
+          .foldLeft(NullType: DataType)(widen), true)
+      else StructType(n.properties().asScala.toSeq
+        .map(e => StructField(e.getKey, infer(e.getValue), nullable = true))
+        .sortBy(_.name))
+    def solidify(dt: DataType): DataType = dt match { // all-null → string
+      case NullType => StringType
+      case StructType(fs) =>
+        StructType(fs.map(f => f.copy(dataType = solidify(f.dataType))))
+      case ArrayType(et, _) => ArrayType(solidify(et), true)
+      case x => x
+    }
+    def convert(n: JsonNode, dt: DataType): Any =
+      if (n == null || n.isNull) null
+      else dt match {
+        case StringType => if (n.isTextual) n.asText() else n.toString
+        case BooleanType => n.asBoolean()
+        case LongType => n.asLong()
+        case DoubleType => n.asDouble()
+        case st: StructType =>
+          Row.fromSeq(st.fields.toSeq.map(f => convert(n.get(f.name), f.dataType)))
+        case ArrayType(et, _) => n.elements().asScala.map(convert(_, et)).toSeq
+        case other => throw new IllegalArgumentException(
+          s"unexpected $$documents type: $other")
+      }
+    val docs = spec.elements().asScala.toSeq
+    require(docs.nonEmpty && docs.forall(_.isObject),
+      "$documents requires a non-empty array of documents")
+    val schema = solidify(docs.map(infer).reduce(widen)).asInstanceOf[StructType]
+    val rows = docs.map(d => convert(d, schema).asInstanceOf[Row]).asJava
+    spark.createDataFrame(rows, schema)
   }
 
   // ——— $match query language ———
@@ -266,10 +335,12 @@ object MongoPipeline {
       case "$divide"   => args.reduce(_ / _)
       case "$mod"      => args.reduce(_ % _)
       // —— bitwise (Mongo 6.3+): variadic and/or/xor, unary not; ——
-      // integer-only per Mongo, so operands pass through unchanged
-      case "$bitAnd"   => args.reduce(_ bitwiseAND _)
-      case "$bitOr"    => args.reduce(_ bitwiseOR _)
-      case "$bitXor"   => args.reduce(_ bitwiseXOR _)
+      // integer-only per Mongo, so operands pass through unchanged.
+      // Empty operand arrays take Mongo's documented identities
+      // (-1 for and, 0 for or/xor) instead of reduce() throwing.
+      case "$bitAnd"   => args.reduceOption(_ bitwiseAND _).getOrElse(lit(-1L))
+      case "$bitOr"    => args.reduceOption(_ bitwiseOR _).getOrElse(lit(0L))
+      case "$bitXor"   => args.reduceOption(_ bitwiseXOR _).getOrElse(lit(0L))
       case "$bitNot"   => bitwise_not(expression(a, binds))
       case "$abs"      => abs(expression(a, binds))
       case "$ceil"     => ceil(expression(a, binds))
@@ -282,6 +353,7 @@ object MongoPipeline {
       case "$toLower"  => lower(expression(a, binds))
       case "$strLenCP" => length(expression(a, binds))
       case "$strLenBytes" => octet_length(expression(a, binds))
+      case "$binarySize" => octet_length(expression(a, binds))
       case "$substrCP" =>
         val it = a.elements().asScala.toSeq
         // Mongo is 0-based, Spark substring 1-based
@@ -407,6 +479,12 @@ object MongoPipeline {
             s"unsupported $$dateDiff unit: $other")
         }
       case "$toDate" => expression(a, binds).cast("timestamp")
+      case "$toObjectId" =>
+        // ObjectIds travel as their 24-hex string (the $oid Ext-JSON
+        // form, functions/ExtJson.scala); validate + canonicalize to
+        // lowercase, null on malformed input ($convert TRY convention)
+        val v = expression(a, binds)
+        when(v.rlike("^[0-9a-fA-F]{24}$"), lower(v))
       case "$convert" =>
         val input = expression(a.get("input"), binds)
         val to = a.get("to").asText() match {
@@ -430,6 +508,11 @@ object MongoPipeline {
           mongoDateFormat(f.asText())).getOrElse("yyyy-MM-dd HH:mm:ss")
         to_timestamp(expression(a.get("dateString"), binds), fmt)
       case "$isoWeek" => weekofyear(expression(a, binds))
+      case "$isoWeekYear" =>
+        // ISO week-numbering year = calendar year of that ISO week's
+        // Thursday (weekday(): Mon=0..Sun=6, so Thursday = d + 3 - wd)
+        val d = expression(a, binds).cast("date")
+        year(date_add(d, lit(3) - weekday(d))).cast("long")
       case "$isoDayOfWeek" => // 1=Monday..7=Sunday
         ((dayofweek(expression(a, binds)) + 5) % 7) + 1
       case "$millisecond" =>
@@ -448,6 +531,28 @@ object MongoPipeline {
         val it = a.elements().asScala.toSeq
         // Mongo: 0-based index, -1 when absent; Spark instr is 1-based, 0-absent
         (instr(expression(it.head, binds), it(1).asText()) - 1).cast("int")
+      case "$indexOfBytes" =>
+        // byte-indexed twin of $indexOfCP: locate the CHAR position,
+        // then count the bytes before it; the optional [start, end)
+        // byte bounds slice through binary first, exactly as
+        // $substrBytes does (caller owns char-boundary alignment)
+        val it = a.elements().asScala.toSeq
+        val sub = it(1).asText()
+        val whole = expression(it.head, binds)
+        val hasRange = it.size > 2
+        val target =
+          if (!hasRange) whole
+          else {
+            val start = expression(it(2), binds).cast("int")
+            val len =
+              if (it.size > 3) expression(it(3), binds).cast("int") - start
+              else octet_length(whole) - start
+            whole.cast("binary").substr(start + lit(1), len).cast("string")
+          }
+        val pos = instr(target, sub) // 1-based chars, 0 when absent
+        val byteIdx = octet_length(target.substr(lit(1), pos - 1))
+        val off = if (hasRange) expression(it(2), binds).cast("int") else lit(0)
+        when(pos === 0, lit(-1)).otherwise((byteIdx + off).cast("int"))
       case "$strcasecmp" =>
         val (x, y) = (lower(args.head), lower(args(1)))
         when(x > y, 1).when(x < y, -1).otherwise(0)
@@ -756,10 +861,12 @@ object MongoPipeline {
       case "$stdDevPop"  => stddev_pop(expression(a))
       case "$stdDevSamp" => stddev_samp(expression(a))
       case "$median" => // exact interpolated median (not Mongo's t-digest)
+        acceptPercentileMethod(a)
         percentile(expression(a.get("input")), lit(0.5))
       case "$percentile" =>
         val p = a.get("p").elements().asScala.toSeq
         require(p.size == 1, "$percentile here takes exactly one p")
+        acceptPercentileMethod(a)
         percentile(expression(a.get("input")), lit(p.head.asDouble()))
       case "$mergeObjects" =>
         // right-biased whole-value merge in sort order: the latest
@@ -832,6 +939,17 @@ object MongoPipeline {
       keepLargest, emitDesc, skipNull).toAggregateExpression())
   }
 
+  /** Mongo requires `method: "approximate"` on $median/$percentile
+    * (its only implementation is a t-digest); we acknowledge the flag
+    * but always compute the EXACT interpolated percentile — a strictly
+    * stronger answer whose distributed merge is deterministic.
+    */
+  private def acceptPercentileMethod(a: JsonNode): Unit =
+    Option(a.get("method")).filterNot(_.isNull).foreach { m =>
+      require(Set("approximate", "exact")(m.asText()),
+        s"unsupported percentile method: ${m.asText()}")
+    }
+
   /** `$redact`: evaluate `spec` at every document level; the decision
     * ($$PRUNE/$$KEEP/$$DESCEND) drops, keeps whole, or recurses into
     * the (sub)document. Root-level PRUNE is a row filter; a pruned
@@ -844,15 +962,58 @@ object MongoPipeline {
     * (Mongo semantics) via the CURRENT rebinding in [[expression]].
     */
   private def redact(df: DataFrame, spec: JsonNode): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
     val sysBinds = Map("DESCEND" -> lit("__DESCEND__"),
       "PRUNE" -> lit("__PRUNE__"), "KEEP" -> lit("__KEEP__"))
-    def decide(current: Option[Column]): Column =
-      expression(spec, sysBinds ++ current.map("CURRENT" -> _))
+    // Level-relative field paths the condition references ("$a.b" and
+    // "$$CURRENT.a.b" forms) — needed so a level that LACKS one of
+    // them evaluates it as null/missing (Mongo) instead of the
+    // analyzer throwing on getField against the sub-struct's schema.
+    def refs(n: JsonNode): Seq[Seq[String]] =
+      if (n.isTextual) {
+        val t = n.asText()
+        if (t.startsWith("$$CURRENT.")) Seq(t.drop(10).split('.').toSeq)
+        else if (t.startsWith("$$")) Nil
+        else if (t.startsWith("$")) Seq(t.drop(1).split('.').toSeq)
+        else Nil
+      }
+      else if (n.isArray) n.elements().asScala.toSeq.flatMap(refs)
+      else if (n.isObject)
+        n.properties().asScala.toSeq.flatMap(e => refs(e.getValue))
+      else Nil
+    val paths = refs(spec)
+    // Rebuild `value` (typed `st`) with every referenced-but-absent
+    // field added as a null column, recursively through sub-structs,
+    // so CURRENT-relative resolution in [[expression]] always finds
+    // the field. Purely compile-time: existing fields pass through.
+    def pad(value: Column, st: StructType, ps: Seq[Seq[String]]): Column = {
+      val byHead = ps.filter(_.nonEmpty).groupBy(_.head)
+      val missing = byHead.keys.toSeq.filterNot(st.fieldNames.contains).sorted
+      val needsDeepPad = st.fields.exists(f => f.dataType match {
+        case s: StructType =>
+          byHead.getOrElse(f.name, Nil).exists(_.tail.nonEmpty)
+        case _ => false
+      })
+      if (missing.isEmpty && !needsDeepPad) value
+      else {
+        val fields = st.fields.toSeq.map { f =>
+          val deeper = byHead.getOrElse(f.name, Nil).map(_.tail).filter(_.nonEmpty)
+          f.dataType match {
+            case s: StructType if deeper.nonEmpty =>
+              pad(value.getField(f.name), s, deeper).as(f.name)
+            case _ => value.getField(f.name).as(f.name)
+          }
+        }
+        struct(fields ++ missing.map(k => lit(null).cast("string").as(k)): _*)
+      }
+    }
+    def decide(current: Option[(Column, StructType)]): Column =
+      expression(spec, sysBinds ++
+        current.map { case (c, st) => "CURRENT" -> pad(c, st, paths) })
     // value = a (sub)document-typed column; returns the redacted value
     def rec(value: Column, dt: DataType): Column = dt match {
       case st: StructType =>
-        val d = decide(Some(value))
+        val d = decide(Some((value, st)))
         val descended = struct(st.fields.toSeq.map(f =>
           rec(value.getField(f.name), f.dataType).as(f.name)): _*)
         when(value.isNull, lit(null).cast(st))
@@ -861,11 +1022,22 @@ object MongoPipeline {
           .otherwise(descended)
       case ArrayType(et: StructType, _) =>
         // array of documents: drop pruned elements, recurse the rest
-        val kept = filter(value, x => decide(Some(x)) =!= "__PRUNE__")
+        val kept = filter(value, x => decide(Some((x, et))) =!= "__PRUNE__")
         transform(kept, x => rec(x, et))
+      case ArrayType(et: ArrayType, _) =>
+        // nested arrays: recurse so documents at any array depth are
+        // still redacted, never passed through unexamined
+        transform(value, x => rec(x, et))
+      case mt: MapType if mt.valueType.isInstanceOf[StructType] ||
+          mt.valueType.isInstanceOf[ArrayType] ||
+          mt.valueType.isInstanceOf[MapType] =>
+        // a map hiding documents cannot be redacted compile-time (keys
+        // are data, not schema) — failing beats silently leaking
+        throw new IllegalArgumentException(
+          s"$$redact cannot descend into map-typed documents: $mt")
       case _ => value // scalars/arrays-of-scalars have no sub-levels
     }
-    val rootD = decide(None)
+    val rootD = decide(Some((struct(df.columns.map(col): _*), df.schema)))
     val cols = df.schema.fields.toSeq.map { f =>
       when(rootD === "__KEEP__", col(f.name))
         .otherwise(rec(col(f.name), f.dataType)).as(f.name)
