@@ -19,6 +19,17 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "de"),
     "de" -> Seq("der", "die", "und", "das"))
 
+  /** Stopword occurrences via the native codegen'd
+    * [[graft.functions.InSetCount]] — the interpreted
+    * `filter(toks, t -> t IN (...))` lambda it replaces was the last
+    * per-token interpreted step on the text scan path.
+    */
+  private def stopCount(toks: Column, words: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.InSetCount(
+      GraftBridge.expression(toks), words))
+  }
+
   /** H1: stopword-profile language id: score(lang) = fraction of
     * tokens in that language's profile; argmax with fixed tie order.
     */
@@ -26,9 +37,8 @@ object TextAnalysis {
     val base = docs.withColumn("toks", tokens(col(textCol)))
       .withColumn("n", size(col("toks")).cast("double"))
     val scored = profiles.foldLeft(base) { case (df, (lang, words)) =>
-      val inList = words.map(w => s"'$w'").mkString(", ")
       df.withColumn(s"${lang}_score",
-        size(expr(s"filter(toks, t -> t IN ($inList))")) / col("n"))
+        stopCount(col("toks"), words) / col("n"))
     }
     val Seq(en, es, fr, de) = profiles.map(p => col(s"${p._1}_score"))
     scored.select(col(idCol),
@@ -43,9 +53,8 @@ object TextAnalysis {
     */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nw = size(tokens(col(textCol))).cast("double")
-    val stopRatio = size(expr(
-      s"filter(split(trim(lower($textCol)), ' +'), t -> t IN ('the', 'a', 'of', 'is'))"))
-      .cast("double") / nw
+    val stopRatio = stopCount(tokens(col(textCol)),
+      Seq("the", "a", "of", "is")).cast("double") / nw
     val alphaRatio =
       (length(regexp_replace(lower(col(textCol)), "[^a-z]", "")).cast("double") /
         length(col(textCol)))

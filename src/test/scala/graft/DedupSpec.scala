@@ -54,6 +54,23 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("in_set_count matches the filter-lambda semantics: duplicates count, nulls/misses don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    val df = Seq(
+      (1L, Seq("the", "cat", "the", "a")), // duplicates both count
+      (2L, Seq("dog", "fish")),            // no hits
+      (3L, Seq[String]())                  // empty array
+    ).toDF("id", "toks")
+      // null element: appended via expression so the array allows nulls
+      .withColumn("toks2", concat(col("toks"), array(lit(null).cast("string"))))
+    val counted = df.select(col("id"), GraftBridge.column(
+      graft.functions.InSetCount(GraftBridge.expression(col("toks2")),
+        Seq("the", "a", "of", "is"))).as("c"))
+      .orderBy("id").collect()
+    assert(counted.map(_.getInt(1)).toSeq == Seq(3, 0, 0))
+  }
+
   test("quality score stays in [0,1] and rewards longer docs") {
     val rows = TextAnalysis.quality(docs, "doc_id", "text").collect()
     rows.foreach(r => assert(r.getAs[Double]("quality") >= 0.0 &&

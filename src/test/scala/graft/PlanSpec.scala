@@ -168,6 +168,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("langid/quality: native stopword counting — no interpreted lambda, one codegen span") {
+    for (df <- Seq(
+      TextAnalysis.langId(t.documents, "doc_id", "text"),
+      TextAnalysis.quality(t.documents, "doc_id", "text"))) {
+      val plan = executed(df)
+      assert(plan.contains("in_set_count"), s"native counter missing:\n$plan")
+      assert(!plan.contains("lambdafunction"), s"interpreted HOF:\n$plan")
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      // the whole text scan rides one whole-stage-codegen span
+      assert(plan.startsWith("*(1)"), s"not one codegen span:\n$plan")
+    }
+  }
+
   test("tf-idf corpus count is folded in (broadcast), not a separate driver action") {
     val df = graft.operators.TextAnalysis.topTerms(t.documents, "doc_id", "text", 5)
     val plan = executed(df)
