@@ -117,6 +117,7 @@ object Pipeline100TB {
       converged = next == signature
       signature = next
       edges = small
+      i += 1
     }
     // A non-converged edge set is PARTIALLY contracted: the final join
     // below would emit multiple (conflicting) labels per node, which

@@ -778,6 +778,36 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(out.forall(_.getAs[Long]("cluster") == 0L))
   }
 
+  test("star-contraction CC handles a 10k-neighbor hub (skew) in a handful of rounds") {
+    import spark.implicits._
+    // one hub with 10,000 neighbors — the skewed shape a banded-LSH
+    // candidate graph produces around a boilerplate document. The hub
+    // is NOT the component minimum (neighbors are even ids, plus a
+    // tail edge 2—1), so labels must route through the hub, and the
+    // per-round groupBy on the hub key carries the whole neighbor set.
+    val hub = 999999L
+    val pairs = ((1L to 10000L).map(i => (hub, 2L * i)) :+ (2L, 1L)).toDF("a", "b")
+    val star = Pipeline100TB.connectedComponentsStar(pairs, maxIter = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.length == 10002) // hub + 10k evens + node 1
+    assert(star.forall(_._2 == 1L),
+      s"stray labels: ${star.filter(_._2 != 1L).take(5).toSeq}")
+    val prop = Pipeline100TB.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star.toSet == prop)
+  }
+
+  test("CC refuses to return a partially contracted result when maxIter is exhausted") {
+    import spark.implicits._
+    val path = (0L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Pipeline100TB.connectedComponentsStar(path, maxIter = 1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline100TB.connectedComponents(path, maxIter = 3).collect()
+    }
+  }
+
   test("star-contraction CC is row-identical to min-label propagation") {
     import spark.implicits._
     // several components incl. a cycle, a self-loop-ish doubled edge,
