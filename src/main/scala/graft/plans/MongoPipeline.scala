@@ -43,7 +43,15 @@ object MongoPipeline {
   def apply(df: DataFrame, pipelineJson: String,
             tables: String => DataFrame = name =>
               throw new IllegalArgumentException(s"no table resolver for $$lookup: $name"))
-      : DataFrame = {
+      : DataFrame = compile(df, pipelineJson, tables, documentsAllowed = true)
+
+  /** `documentsAllowed=false` inside `$facet` sub-pipelines: Mongo
+    * forbids `$documents` there (a facet reads its parent's stream; a
+    * literal source would silently discard it).
+    */
+  private def compile(df: DataFrame, pipelineJson: String,
+                      tables: String => DataFrame,
+                      documentsAllowed: Boolean): DataFrame = {
     val root = mapper.readTree(pipelineJson)
     require(root.isArray, "pipeline must be a JSON array of stages")
     var cur = df
@@ -135,6 +143,7 @@ object MongoPipeline {
           // Mongo only permits it as the FIRST stage of a collectionless
           // aggregate — a misplaced one would silently discard all prior
           // stages' work, so fail loudly instead.
+          require(documentsAllowed, "$documents is not allowed inside $facet")
           require(stageIdx == 0,
             s"$$documents must be the first pipeline stage (found at stage $stageIdx)")
           require(spec.isArray, "$documents requires a document array")
@@ -146,7 +155,7 @@ object MongoPipeline {
           // (value-sorted for distributed determinism).
           require(spec.properties().asScala.nonEmpty, "$facet needs at least one facet")
           val facets = spec.properties().asScala.toSeq.map { e =>
-            val sub = apply(cur, e.getValue.toString, tables)
+            val sub = compile(cur, e.getValue.toString, tables, documentsAllowed = false)
             sub.agg(array_sort(collect_list(struct(sub.columns.map(col): _*))))
               .toDF(e.getKey)
           }
@@ -218,9 +227,11 @@ object MongoPipeline {
           s"unexpected $$documents type: $other")
       }
     val docs = spec.elements().asScala.toSeq
-    require(docs.nonEmpty && docs.forall(_.isObject),
-      "$documents requires a non-empty array of documents")
-    val schema = solidify(docs.map(infer).reduce(widen)).asInstanceOf[StructType]
+    require(docs.forall(_.isObject), "$documents requires an array of documents")
+    // an empty literal array is legal in Mongo: zero documents
+    val schema = solidify(docs.map(infer)
+      .foldLeft(StructType(Nil): org.apache.spark.sql.types.DataType)(widen))
+      .asInstanceOf[StructType]
     val rows = docs.map(d => convert(d, schema).asInstanceOf[Row]).asJava
     spark.createDataFrame(rows, schema)
   }
@@ -529,15 +540,19 @@ object MongoPipeline {
         expression(a.get("input"), binds).rlike(a.get("regex").asText())
       case "$indexOfCP" =>
         val it = a.elements().asScala.toSeq
-        // Mongo: 0-based index, -1 when absent; Spark instr is 1-based, 0-absent
-        (instr(expression(it.head, binds), it(1).asText()) - 1).cast("int")
+        // Mongo: 0-based index, -1 when absent; Spark instr is 1-based,
+        // 0-absent. The needle is any string EXPRESSION (a JSON literal
+        // compiles to lit), so call_function reaches the two-column
+        // instr form the typed `functions.instr` doesn't expose.
+        (call_function("instr", expression(it.head, binds),
+          expression(it(1), binds)) - 1).cast("int")
       case "$indexOfBytes" =>
         // byte-indexed twin of $indexOfCP: locate the CHAR position,
         // then count the bytes before it; the optional [start, end)
         // byte bounds slice through binary first, exactly as
         // $substrBytes does (caller owns char-boundary alignment)
         val it = a.elements().asScala.toSeq
-        val sub = it(1).asText()
+        val sub = expression(it(1), binds)
         val whole = expression(it.head, binds)
         val hasRange = it.size > 2
         val target =
@@ -549,7 +564,7 @@ object MongoPipeline {
               else octet_length(whole) - start
             whole.cast("binary").substr(start + lit(1), len).cast("string")
           }
-        val pos = instr(target, sub) // 1-based chars, 0 when absent
+        val pos = call_function("instr", target, sub) // 1-based chars, 0 absent
         val byteIdx = octet_length(target.substr(lit(1), pos - 1))
         val off = if (hasRange) expression(it(2), binds).cast("int") else lit(0)
         when(pos === 0, lit(-1)).otherwise((byteIdx + off).cast("int"))
@@ -963,6 +978,13 @@ object MongoPipeline {
     */
   private def redact(df: DataFrame, spec: JsonNode): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    // can this type contain documents (structs) at any nesting depth?
+    def hidesDocs(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case ArrayType(et, _) => hidesDocs(et)
+      case MapType(_, v, _) => hidesDocs(v)
+      case _ => false
+    }
     val sysBinds = Map("DESCEND" -> lit("__DESCEND__"),
       "PRUNE" -> lit("__PRUNE__"), "KEEP" -> lit("__KEEP__"))
     // Level-relative field paths the condition references ("$a.b" and
@@ -982,17 +1004,35 @@ object MongoPipeline {
         n.properties().asScala.toSeq.flatMap(e => refs(e.getValue))
       else Nil
     val paths = refs(spec)
-    // Rebuild `value` (typed `st`) with every referenced-but-absent
-    // field added as a null column, recursively through sub-structs,
-    // so CURRENT-relative resolution in [[expression]] always finds
-    // the field. Purely compile-time: existing fields pass through.
+    // The struct shape a set of referenced path TAILS needs so every
+    // getField chain resolves: leaves are strings, interior segments
+    // structs. Used to null-pad paths the data doesn't carry.
+    def shapeOf(tails: Seq[Seq[String]]): org.apache.spark.sql.types.DataType = {
+      val deeper = tails.filter(_.nonEmpty)
+      if (deeper.isEmpty) org.apache.spark.sql.types.StringType
+      else StructType(deeper.groupBy(_.head).toSeq.sortBy(_._1).map {
+        case (h, ts) => org.apache.spark.sql.types.StructField(
+          h, shapeOf(ts.map(_.tail)), nullable = true)
+      })
+    }
+    // Rebuild `value` (typed `st`) so every referenced path resolves:
+    // absent fields become typed nulls (null STRUCTS when the path
+    // goes deeper, so multi-segment refs still resolve), and a deeper
+    // path THROUGH a scalar also reads as null (Mongo: a path through
+    // a non-document is missing) unless the same head is also read
+    // directly, which keeps the scalar. Purely compile-time.
     def pad(value: Column, st: StructType, ps: Seq[Seq[String]]): Column = {
       val byHead = ps.filter(_.nonEmpty).groupBy(_.head)
       val missing = byHead.keys.toSeq.filterNot(st.fieldNames.contains).sorted
+      def scalarRedirect(f: org.apache.spark.sql.types.StructField): Boolean = {
+        val refs = byHead.getOrElse(f.name, Nil)
+        !f.dataType.isInstanceOf[StructType] &&
+          refs.exists(_.tail.nonEmpty) && refs.forall(_.tail.nonEmpty)
+      }
       val needsDeepPad = st.fields.exists(f => f.dataType match {
         case s: StructType =>
           byHead.getOrElse(f.name, Nil).exists(_.tail.nonEmpty)
-        case _ => false
+        case _ => scalarRedirect(f)
       })
       if (missing.isEmpty && !needsDeepPad) value
       else {
@@ -1001,10 +1041,14 @@ object MongoPipeline {
           f.dataType match {
             case s: StructType if deeper.nonEmpty =>
               pad(value.getField(f.name), s, deeper).as(f.name)
+            case _ if scalarRedirect(f) =>
+              lit(null).cast(shapeOf(deeper)).as(f.name)
             case _ => value.getField(f.name).as(f.name)
           }
         }
-        struct(fields ++ missing.map(k => lit(null).cast("string").as(k)): _*)
+        val added = missing.map(k =>
+          lit(null).cast(shapeOf(byHead(k).map(_.tail))).as(k))
+        struct(fields ++ added: _*)
       }
     }
     def decide(current: Option[(Column, StructType)]): Column =
@@ -1028,13 +1072,12 @@ object MongoPipeline {
         // nested arrays: recurse so documents at any array depth are
         // still redacted, never passed through unexamined
         transform(value, x => rec(x, et))
-      case mt: MapType if mt.valueType.isInstanceOf[StructType] ||
-          mt.valueType.isInstanceOf[ArrayType] ||
-          mt.valueType.isInstanceOf[MapType] =>
-        // a map hiding documents cannot be redacted compile-time (keys
-        // are data, not schema) — failing beats silently leaking
+      case other if hidesDocs(other) =>
+        // a map hiding documents (at any nesting depth) cannot be
+        // redacted compile-time (keys are data, not schema) — failing
+        // beats silently leaking
         throw new IllegalArgumentException(
-          s"$$redact cannot descend into map-typed documents: $mt")
+          s"$$redact cannot descend into map-typed documents: $other")
       case _ => value // scalars/arrays-of-scalars have no sub-levels
     }
     val rootD = decide(Some((struct(df.columns.map(col): _*), df.schema)))

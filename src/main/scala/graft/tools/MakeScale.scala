@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * dedup/similarity families see a 10×-denser duplicate graph (more
   * output pairs per doc), which is the honest hard case, not a bug.
   *
+  * BENCH-ONLY output: `events.ts` is written as int64 nanos (Spark
+  * cannot write TIMESTAMP(NANOS)); `TableCatalog.events` reads both
+  * encodings identically, but the DuckDB oracle tooling
+  * (check_oracle/driver_compare) would see BIGINT where the generated
+  * testdata has TIMESTAMP_NS — run Bench against a scaled dir, never
+  * the oracle gate.
+  *
   * Usage: runMain graft.tools.MakeScale <srcDir> <dstDir> <copies>
   */
 object MakeScale {
@@ -40,8 +47,9 @@ object MakeScale {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def read(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
 
-    // key domain → (table, column) that defines the offset base
-    val domains = Map(
+    // key domain → (table, column) that defines the offset base;
+    // one agg JOB per table (not per domain) over the narrow key cols
+    val domains = Seq(
       "custkey" -> ("customer", "c_custkey"),
       "orderkey" -> ("orders", "o_orderkey"),
       "partkey" -> ("part", "p_partkey"),
@@ -50,9 +58,13 @@ object MakeScale {
       "user" -> ("events", "user_id"),
       "doc" -> ("documents", "doc_id"),
       "vec" -> ("embeddings", "vec_id"))
-    val bases: Map[String, Long] = domains.map { case (d, (t, c)) =>
-      d -> (read(t).agg(max(col(c))).head.getLong(0) + 1L)
-    }
+    val bases: Map[String, Long] = domains.groupBy(_._2._1).toSeq.flatMap {
+      case (table, ds) =>
+        val row = read(table)
+          .agg(max(col(ds.head._2._2)), ds.tail.map(d => max(col(d._2._2))): _*)
+          .head
+        ds.zipWithIndex.map { case ((domain, _), i) => domain -> (row.getLong(i) + 1L) }
+    }.toMap
     // table → its key columns and their domains
     val tableKeys: Seq[(String, Seq[(String, String)])] = Seq(
       "customer" -> Seq("c_custkey" -> "custkey"),
@@ -75,7 +87,7 @@ object MakeScale {
         }
       }.reduce(_ union _)
       scaled.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
-      println(s"[scale] $name: ${src.count()} x $copies rows")
+      println(s"[scale] $name: x$copies written")
     }
     spark.stop()
   }

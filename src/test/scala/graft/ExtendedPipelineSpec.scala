@@ -866,6 +866,66 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(out(1).getAs[Row]("detail") == null)
   }
 
+  test("$redact: refs to fields a level lacks read as null, including multi-segment paths") {
+    import spark.implicits._
+    // root has lvl + meta.level; detail has NEITHER — its decision
+    // must evaluate both refs as null (→ $$DESCEND via the $lt being
+    // null-false ... default branch), not throw at analysis
+    val df = Seq((1L, 0L, 7L, ("x", 1L)), (2L, 0L, 2L, ("y", 2L)))
+      .toDF("id", "lvl", "metalvl", "detail")
+      .withColumn("meta", expr("named_struct('level', metalvl)")).drop("metalvl")
+      .withColumn("detail", expr("named_struct('tag', detail._1, 'v', detail._2)"))
+    val out = MongoPipeline(df,
+      """[{"$redact": {"$switch": {"branches": [
+            {"case": {"$gte": ["$meta.level", 5]}, "then": "$$PRUNE"}],
+          "default": "$$DESCEND"}}}]""").orderBy("id").collect()
+    // id=1 pruned at root (meta.level=7); id=2 survives and its
+    // detail subdoc (which lacks both lvl and meta) descends intact
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(2L))
+    assert(out(0).getAs[Row]("detail").getAs[String]("tag") == "y")
+  }
+
+  test("$redact rejects documents hidden in maps at any nesting depth") {
+    import spark.implicits._
+    val df = Seq((1L, "k", "s"))
+      .toDF("id", "k", "s")
+      .withColumn("m", expr("array(map(k, named_struct('secret', s)))"))
+      .drop("k", "s")
+    val e = intercept[IllegalArgumentException] {
+      MongoPipeline(df,
+        """[{"$redact": {"$cond": [{"$eq": ["$id", 0]}, "$$KEEP", "$$PRUNE"]}}]""")
+    }
+    assert(e.getMessage.contains("map-typed"))
+  }
+
+  test("$documents: empty array yields zero documents; inside $facet it is rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val empty = MongoPipeline(df, """[{"$documents": []}]""")
+    assert(empty.count() == 0)
+    intercept[IllegalArgumentException] {
+      MongoPipeline(df,
+        """[{"$facet": {"f": [{"$documents": [{"x": 1}]}]}}]""")
+    }
+    intercept[IllegalArgumentException] { // and never mid-pipeline
+      MongoPipeline(df,
+        """[{"$match": {"k": 1}}, {"$documents": [{"x": 1}]}]""")
+    }
+  }
+
+  test("$indexOfCP/$indexOfBytes accept expression needles, not just literals") {
+    import spark.implicits._
+    val df = Seq(("abcFdé", "F"), ("xyz", "q")).toDF("s", "needle")
+    val out = MongoPipeline(df,
+      """[{"$project": {
+            "cp": {"$indexOfCP": ["$s", "$needle"]},
+            "by": {"$indexOfBytes": [{"$concat": ["é", "$s"]}, "$needle"]}}}]""")
+      .collect()
+    assert(out.map(_.getAs[Int]("cp")).toSeq == Seq(3, -1))
+    // é prefix is 2 bytes, so the byte index shifts +2 vs the char form
+    assert(out.map(_.getAs[Int]("by")).toSeq == Seq(5, -1))
+  }
+
   test("$substrBytes slices bytes, not code points") {
     import spark.implicits._
     val df = Seq(("héllo", 1)).toDF("s", "one")
