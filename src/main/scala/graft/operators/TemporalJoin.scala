@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins (SURVEY.md §2 group I) — the two join shapes Spark
+  * has no native operator for, each built so the cost stays one
+  * keyed shuffle instead of the quadratic inequality theta-join the
+  * naive `ON l.key = r.key AND r.t <= l.t` formulation plans
+  * (BroadcastNestedLoopJoin — a scale-killer at any real size).
+  */
+object TemporalJoin {
+
+  /** As-of join: for every left row, the single right row whose
+    * timestamp is the latest at-or-before the left timestamp
+    * (`direction = "backward"`), or earliest at-or-after
+    * (`"forward"`). Left rows with no qualifying right row survive
+    * with null payload (left-outer semantics).
+    *
+    * Implementation is the union-and-window shape: tag both sides,
+    * union, sort each key partition by (time, side, seq), and carry
+    * the most recent right payload across with a running
+    * `last(ignoreNulls)` window — ONE shuffle on the key plus one
+    * partition-local sort, the same cost as a `groupBy(key)`. No
+    * join node appears in the plan at all.
+    *
+    * Tie rules (deterministic): an equal-time right row IS visible
+    * to the left row (>= / <= semantics); among right rows tied on
+    * (key, time), the highest `rightSeq` wins for backward and the
+    * lowest for forward.
+    *
+    * `tolerance`: optional max time distance. A match farther than
+    * `tolerance` from the left timestamp is nulled out; the left row
+    * is kept.
+    *
+    * `right` must already be projected to `keys ++ rightTime ++
+    * rightSeq ++ payload`, with payload column names disjoint from
+    * `left`'s (rename upstream — this operator doesn't prefix).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String, rightSeq: String,
+               payload: Seq[String], direction: String = "backward",
+               tolerance: Option[Column] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asOfJoin direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
+    val overlap = left.columns.toSet
+      .intersect((rightTime +: payload).toSet)
+    require(overlap.isEmpty,
+      s"asOfJoin right payload collides with left columns: $overlap")
+
+    val rightCarried = rightTime +: payload
+    val rPay = struct(rightCarried.map(col): _*)
+    val rPayType = right.select(rPay.as("__r")).schema("__r").dataType
+    val lRow = struct(left.columns.map(col).toIndexedSeq: _*)
+    val lRowType = left.select(lRow.as("__l")).schema("__l").dataType
+
+    val rSide = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__side"),
+        col(rightSeq).cast("long").as("__seq"),
+        lit(null).cast(lRowType).as("__l"), rPay.as("__r")): _*)
+    val lSide = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(0L).as("__seq"),
+        lRow.as("__l"), lit(null).cast(rPayType).as("__r")): _*)
+
+    // Sort so every right row visible to a left row precedes it and
+    // the tie-winning right row is scanned last: backward = time asc
+    // (ties: seq asc, highest wins), forward = time desc (ties: seq
+    // desc, lowest wins). Side 0 < 1 keeps equal-time right rows
+    // visible in both directions.
+    val ord =
+      if (backward) Seq(col("__t").asc, col("__side").asc, col("__seq").asc)
+      else Seq(col("__t").desc, col("__side").asc, col("__seq").desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = rSide.unionByName(lSide)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val mt = col("__m").getField(rightTime)
+    val inRange = tolerance match {
+      case None => lit(true)
+      case Some(tol) =>
+        if (backward) mt >= col("__t") - tol else mt <= col("__t") + tol
+    }
+    val m = when(col("__m").isNotNull && inRange, col("__m"))
+    matched.select(
+      left.columns.toIndexedSeq.map(c => col("__l").getField(c).as(c)) ++
+        rightCarried.map(c => m.getField(c).as(c)): _*)
+  }
+
+  /** Interval (range) join: every (left, right) pair with equal keys
+    * and right time in `(l.t, l.t + widthSec]` — strictly after, at
+    * most `widthSec` seconds later. Emits one row per pair: all left
+    * columns plus `rightTime` and `payload`.
+    *
+    * Bucketed equi-join, not a theta-join: both sides bucket time by
+    * `widthSec`; a qualifying right row can only sit in the left
+    * row's own bucket or the next one, so the left side fans out to
+    * exactly those two candidate buckets and the join runs on
+    * `(keys, bucket)` — a plain hash-partitioned equi-join whose
+    * candidate set is bounded by per-bucket co-occupancy, never
+    * |left|×|right|. The exact interval predicate then filters
+    * candidates. Right rows match at most once per left row (each
+    * right row owns exactly one bucket).
+    */
+  def rangeJoinPairs(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTime: String, rightTime: String,
+                     payload: Seq[String], widthSec: Long): DataFrame = {
+    require(widthSec > 0, s"rangeJoinPairs width must be positive: $widthSec")
+    val overlap = left.columns.toSet.intersect((rightTime +: payload).toSet)
+    require(overlap.isEmpty,
+      s"rangeJoinPairs right payload collides with left columns: $overlap")
+    val wUs = widthSec * 1000000L
+    // integer `div`, not float floor: bucket ids must be exact for
+    // the two-candidate-bucket argument to hold at every boundary
+    val lb = left
+      .withColumn("__lb", expr(s"unix_micros($leftTime) div ${wUs}L"))
+      .withColumn("__b", explode(array(col("__lb"), col("__lb") + 1)))
+      .drop("__lb")
+    val rb = right
+      .select((keys ++ (rightTime +: payload)).map(col): _*)
+      .withColumn("__b", expr(s"unix_micros($rightTime) div ${wUs}L"))
+    lb.join(rb, keys :+ "__b")
+      .filter(col(rightTime) > col(leftTime) &&
+        unix_micros(col(rightTime)) <= unix_micros(col(leftTime)) + wUs)
+      .drop("__b")
+  }
+}
