@@ -174,4 +174,36 @@ object Dedup {
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** F8: benchmark decontamination — flag corpus documents sharing
+    * any word n-gram with a benchmark/eval set, the standard guard
+    * against test-set leakage into training data. `benchPred` selects
+    * the benchmark rows out of `docs`; everything else is corpus.
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT 60-bit
+    * shingle hashes and is explicitly broadcast — an eval suite is
+    * a few MB of hashes no matter how big the corpus is — so the
+    * corpus streams through a broadcast hash join once, with NO
+    * corpus-sized shuffle anywhere. Per-doc shingles come from the
+    * native [[graft.functions.ShingleHashes]] (sorted distinct, one
+    * codegen pass).
+    *
+    * Emits one row per contaminated doc: distinct-shingle count,
+    * hit count, and the contaminated fraction.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, benchPred: org.apache.spark.sql.Column): DataFrame = {
+    val withSh = docs
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("sh", shingleHashes("toks", n))
+    val bench = withSh.filter(benchPred)
+      .select(explode(col("sh")).as("h")).distinct()
+    withSh.filter(!benchPred)
+      .select(col(idCol), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("contamination", round(col("n_hit") / col("n_shingles"), 6))
+  }
 }

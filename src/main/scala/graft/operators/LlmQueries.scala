@@ -57,6 +57,19 @@ object LlmQueries {
     }),
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(docs(s, dir), "doc_id", "text")),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir), "doc_id", "text")),
+    // —— F8: benchmark decontamination (trigram overlap vs eval set) ——
+    "decon_ngram" -> ((s, dir) =>
+      Dedup.decontaminate(docs(s, dir), "doc_id", "text", n = 3,
+        benchPred = col("doc_id") % 20 === 0)),
+    // —— F9: SemDeDup pass: cosine pairs → CC → survivors ——
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(s, emb(s, dir), tau = 0.4)),
+    // —— H15: greedy sequence packing at a 512-token budget ——
+    "pack_sequences" -> ((s, dir) =>
+      graft.operators.Pipeline100TB.packSequences(
+        docs(s, dir), "doc_id", "text", shardCol = "source", cap = 512)),
+    // —— H16: Gopher-style structural quality rules ——
+    "text_gopher" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")),
   )
 
   // ——— shared oracle fragments ———
@@ -307,5 +320,63 @@ object LlmQueries {
         |FROM documents, s
         |WHERE length(text) > 0 AND i % 4 = 0
         |  AND i <= CAST(floor((length(text) - 1) / 256.0) AS INTEGER)""".stripMargin,
+    "decon_ngram" ->
+      s"""WITH t AS ($toksCte),
+         |sh0 AS (SELECT doc_id,
+         |  list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                 for i in generate_series(1, len(toks)-2)]) AS sharr
+         |  FROM t),
+         |sh AS (SELECT doc_id, CAST(len(sharr) AS INTEGER) AS n_shingles,
+         |         unnest(sharr) AS shingle
+         |       FROM sh0 WHERE len(sharr) > 0),
+         |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+         |c AS (SELECT * FROM sh WHERE doc_id % 20 <> 0)
+         |SELECT c.doc_id, c.n_shingles, COUNT(*) AS n_hit,
+         |  round(COUNT(*) / c.n_shingles, 6) AS contamination
+         |FROM c JOIN b USING (shingle)
+         |GROUP BY 1, 2""".stripMargin,
+    "dedup_semantic" -> {
+      val pairsSql =
+        s"""SELECT a.vec_id AS a, b.vec_id AS b
+           |FROM embeddings a JOIN embeddings b
+           |  ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE round(${cosSql.format("a.embedding", "b.embedding")}, 4) >= 0.4"""
+          .stripMargin
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |e AS (SELECT a AS s, b AS d FROM pairs
+         |      UNION SELECT b, a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM e
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+         |SELECT s AS vec_id, LEAST(s, MIN(d)) AS cluster,
+         |  s = LEAST(s, MIN(d)) AS keep
+         |FROM reach GROUP BY s""".stripMargin
+    },
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source AS shard,
+         |  CAST(len(string_split_regex(trim(lower(text)), ' +')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, n_tok,
+         |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before
+         |  FROM t)
+         |SELECT doc_id, shard, n_tok, cum_before,
+         |  cum_before // 512 AS bin, cum_before % 512 AS off_tok
+         |FROM c""".stripMargin,
+    "text_gopher" ->
+      s"""WITH t AS ($toksCte)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  round(length(array_to_string(toks, '')) / len(toks), 6)
+         |    AS mean_word_len,
+         |  round(len(list_distinct(toks)) / len(toks), 6) AS type_token_ratio,
+         |  CAST(len(list_filter(toks, $stopIn)) AS INTEGER) AS stop_hits,
+         |  (len(toks) BETWEEN 50 AND 100000
+         |   AND length(array_to_string(toks, '')) / len(toks) BETWEEN 3.0 AND 10.0
+         |   AND len(list_distinct(toks)) / len(toks) >= 0.2
+         |   AND len(list_filter(toks, $stopIn)) >= 2) AS pass
+         |FROM t""".stripMargin,
   )
 }

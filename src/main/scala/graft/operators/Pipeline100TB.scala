@@ -256,4 +256,30 @@ object Pipeline100TB {
   }
 
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** H15: greedy sequence packing for training batches: documents are
+    * concatenated per shard in id order and cut every `cap` tokens —
+    * each doc gets the bin where its first token lands, plus its
+    * offset inside that bin (the writer's cursor). This is the
+    * streaming concat-and-split packer (pack then split at the token
+    * budget), not bin-packing search: assignment is a pure running
+    * sum, so it's ONE shuffle on the shard key plus a partition-local
+    * sort — no iteration, no driver loop, and shards pack
+    * independently so the operator parallelizes across any number of
+    * executors. Shard by a bounded-cardinality key (source, or
+    * hash(id) % nShards) so each shard's sort fits an executor.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 0, s"packSequences cap must be positive: $cap")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(shardCol).as("shard"),
+        size_(split(trim(lower(col(textCol))), " +")).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $cap"))
+      .withColumn("off_tok", col("cum_before") % cap)
+  }
 }

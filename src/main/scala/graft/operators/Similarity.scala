@@ -308,4 +308,21 @@ object Similarity {
       .filter(col("cos_r") >= tau)
       .select(col("label"), col("a"), col("b"), col("cos_r"))
   }
+
+  /** F9: SemDeDup-style semantic dedup, end to end: cosine near-dup
+    * pairs from the label-blocked pass ([[nearDupPairs]] — pairs only
+    * form inside a coarse-quantizer cell, never all-pairs), connected
+    * components over the pair graph (star contraction, O(log²)
+    * rounds), min-id survivor per component. One row per clustered
+    * vector: its cluster root and whether it's the kept
+    * representative. Vectors with no near-dup don't appear (they are
+    * trivially kept). Every stage is the bounded-shuffle shape its
+    * standalone operator already audits.
+    */
+  def semanticDedup(s: SparkSession, emb: DataFrame, tau: Double): DataFrame = {
+    val pairs = nearDupPairs(s, emb, tau).select(col("a"), col("b"))
+    Pipeline100TB.connectedComponentsStar(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("keep"))
+  }
 }

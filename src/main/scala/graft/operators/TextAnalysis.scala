@@ -170,4 +170,30 @@ object TextAnalysis {
       lineCount(clean).as("kept_lines"),
       clean.as("clean_text"))
   }
+
+  /** H16: Gopher-style quality rule pack — the per-document structural
+    * filters from the Gopher/MassiveText curation recipe, evaluated in
+    * one pass: word-count bounds, mean word length bounds, type-token
+    * ratio floor, and a minimum stopword presence. Emits the metrics
+    * plus the composite keep/drop verdict so downstream passes can
+    * either filter on `pass` or re-threshold the raw signals.
+    * Rational arithmetic only (int/int division in IEEE double) —
+    * bit-identical to the DuckDB oracle; stopword hits via the native
+    * codegen'd [[graft.functions.InSetCount]]. Zero shuffles.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.withColumn("__toks", tokens(col(textCol)))
+    val n = size(col("__toks")).cast("double")
+    val mwl = length(array_join(col("__toks"), "")).cast("double") / n
+    val ttr = size(array_distinct(col("__toks"))).cast("double") / n
+    val stops = stopCount(col("__toks"), Seq("the", "a", "of", "is"))
+    base.select(col(idCol),
+      n.cast("long").as("n_words"),
+      round(mwl, 6).as("mean_word_len"),
+      round(ttr, 6).as("type_token_ratio"),
+      stops.as("stop_hits"),
+      (n >= 50 && n <= 100000 &&
+        mwl >= 3.0 && mwl <= 10.0 &&
+        ttr >= 0.2 && stops >= 2).as("pass"))
+  }
 }

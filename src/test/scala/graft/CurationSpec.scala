@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Pipeline100TB, Similarity, TextAnalysis}
+import graft.sources.TableCatalog
+
+/** Round-6 curation operators: benchmark decontamination, sequence
+  * packing, Gopher rules, and the composed SemDeDup pass — kernel
+  * semantics on constructed inputs plus the plan shapes that hold at
+  * scale.
+  */
+class CurationSpec extends SparkTestBase {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ——— decontaminate ———
+
+  test("decontaminate flags exactly the docs sharing a trigram with the bench set") {
+    // doc 0 is the benchmark; doc 1 shares the trigram "a b c"; doc 2
+    // shares bigrams only; doc 3 is disjoint
+    val docs = docsDf(
+      0L -> "a b c d e",
+      1L -> "x a b c y",
+      2L -> "b c x d e",
+      3L -> "p q r s t")
+    val out = Dedup.decontaminate(docs, "doc_id", "text", n = 3,
+        benchPred = col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == ((3, 1L))) // 3 trigrams, 1 hit
+  }
+
+  test("decontaminate counts distinct overlapping shingles, not occurrences") {
+    val docs = docsDf(
+      0L -> "a b c a b c",      // bench: trigrams {abc, bca, cab}
+      1L -> "a b c a b c a b c") // corpus: same 3 distinct trigrams
+    val out = Dedup.decontaminate(docs, "doc_id", "text", n = 3,
+        benchPred = col("doc_id") === 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3, 3)))
+  }
+
+  test("decontaminate broadcasts the bench side — corpus never shuffles into a join") {
+    val t = TableCatalog(spark, sfDir).documents
+    val plan = Dedup.decontaminate(t, "doc_id", "text", n = 3,
+        benchPred = col("doc_id") % 20 === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  // ——— packSequences ———
+
+  test("packSequences: concat-and-split bins and offsets are exact") {
+    import spark.implicits._
+    // one shard, docs of 3/4/5 tokens, cap 6:
+    // cum_before 0,3,7,12 → bins 0,0,1,2; offsets 0,3,1,0
+    val docs = Seq(
+      (1L, "s", "a b c"), (2L, "s", "a b c d"),
+      (3L, "s", "a b c d e"), (4L, "s", "a b")
+    ).toDF("doc_id", "src", "text")
+    val out = Pipeline100TB.packSequences(docs, "doc_id", "text", "src", cap = 6)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tok", "cum_before", "bin", "off_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L), (2L, 4L, 3L, 0L, 3L),
+      (3L, 5L, 7L, 1L, 1L), (4L, 2L, 12L, 2L, 0L)))
+  }
+
+  test("packSequences: shards pack independently; exact-cap doc starts the next bin") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "a b c d e f"), // exactly cap → next doc starts bin 1 offset 0
+      (2L, "x", "g"),
+      (1L, "y", "a")            // other shard restarts at bin 0
+    ).toDF("doc_id", "src", "text")
+    val out = Pipeline100TB.packSequences(docs, "doc_id", "text", "src", cap = 6)
+      .select("shard", "doc_id", "bin", "off_tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(("x", 1L, 0L, 0L), ("x", 2L, 1L, 0L), ("y", 1L, 0L, 0L)))
+  }
+
+  test("packSequences rejects a non-positive cap") {
+    intercept[IllegalArgumentException] {
+      Pipeline100TB.packSequences(
+        TableCatalog(spark, sfDir).documents, "doc_id", "text", "source", cap = 0)
+    }
+  }
+
+  test("packSequences plans one shuffle (the shard key), nothing else") {
+    val plan = Pipeline100TB.packSequences(
+        TableCatalog(spark, sfDir).documents, "doc_id", "text", "source", cap = 512)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, plan)
+  }
+
+  // ——— gopherRules ———
+
+  test("gopherRules: each rule gates the composite verdict") {
+    val fifty = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = docsDf(
+      // 50 in-range words, the/a/of stopwords, healthy ttr → pass
+      1L -> ((1 to 47).map(i => s"word$i").mkString(" ") + " the a of"),
+      2L -> "the a of is tiny",                    // n_words < 50
+      3L -> fifty,                                 // no stopwords
+      4L -> ("the a " + Array.fill(48)("of").mkString(" "))) // ttr floor
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("gopherRules metrics are the documented ratios") {
+    val out = TextAnalysis.gopherRules(docsDf(1L -> "aa bb aa cccc"), "doc_id", "text")
+      .collect().head
+    assert(out.getLong(1) == 4)              // n_words
+    assert(out.getDouble(2) == 2.5)          // (2+2+2+4)/4
+    assert(out.getDouble(3) == 0.75)         // 3 distinct / 4
+    assert(out.getInt(4) == 0)               // stop_hits
+  }
+
+  test("gopherRules plans zero shuffles") {
+    val plan = TextAnalysis.gopherRules(
+        TableCatalog(spark, sfDir).documents, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ——— semanticDedup ———
+
+  test("semanticDedup keeps exactly the min id of every cosine cluster") {
+    val emb = TableCatalog(spark, sfDir).embeddings
+    val out = Similarity.semanticDedup(spark, emb, tau = 0.4)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // keep ⇔ vec_id == cluster root, one keeper per cluster
+    assert(rows.forall { case (v, c, k) => k == (v == c) })
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.values.forall(_.count(_._3) == 1))
+    assert(byCluster.forall { case (c, members) => members.map(_._1).min == c })
+    // identical clustering to the propagation CC over the same pairs
+    val pairs = Similarity.nearDupPairs(spark, emb, tau = 0.4)
+      .select(col("a"), col("b"))
+    val prop = Pipeline100TB.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == prop)
+  }
+}
