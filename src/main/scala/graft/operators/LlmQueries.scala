@@ -70,6 +70,20 @@ object LlmQueries {
         docs(s, dir), "doc_id", "text", shardCol = "source", cap = 512)),
     // —— H16: Gopher-style structural quality rules ——
     "text_gopher" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")),
+    // —— G12: deterministic source-mixture balancing (600-token budget) ——
+    "mix_balance" -> ((s, dir) => {
+      import graft.functions.Hash60.tokens
+      val d = docs(s, dir)
+      graft.operators.Pipeline100TB.mixBalance(d, "source",
+          keyCol = col("doc_id"),
+          tokCol = size(tokens(col("text"))).cast("long"),
+          targetToks = 600L)
+        .select(col("doc_id"), col("source"), col("__tok").as("n_tok"))
+    }),
+    // —— H17: BM25 scoring over a fixed query-term set, top-20 ——
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+        terms = Seq("spark", "query", "stream"), k = 20)),
   )
 
   // ——— shared oracle fragments ———
@@ -378,5 +392,41 @@ object LlmQueries {
          |   AND len(list_distinct(toks)) / len(toks) >= 0.2
          |   AND len(list_filter(toks, $stopIn)) >= 2) AS pass
          |FROM t""".stripMargin,
+    "mix_balance" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len(string_split_regex(trim(lower(text)), ' +')) AS BIGINT)
+         |    AS n_tok
+         |  FROM documents),
+         |r AS (SELECT source,
+         |  least(1.0, CAST(600 AS DOUBLE) / CAST(SUM(n_tok) AS BIGINT)) AS rate
+         |  FROM t GROUP BY 1)
+         |SELECT t.doc_id, t.source, t.n_tok
+         |FROM t JOIN r USING (source)
+         |WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+         |      < CAST(round(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin,
+    "text_bm25" -> {
+      val terms = Seq("spark", "query", "stream")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n  ")
+      val dfs = terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(",\n  ")
+      val score = terms.indices.map(i =>
+        s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2 / " +
+          s"(tf$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))")
+        .mkString(" + ")
+      s"""WITH t AS ($toksCte),
+         |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         |  $tfs
+         |  FROM t),
+         |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) AS sumdl,
+         |  $dfs
+         |  FROM d),
+         |sc AS (SELECT d.doc_id AS id, round($score, 6) AS score FROM d, s)
+         |SELECT id, score FROM sc WHERE score > 0
+         |ORDER BY score DESC, id LIMIT 20""".stripMargin
+    },
   )
 }

@@ -257,6 +257,33 @@ object Pipeline100TB {
 
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 
+  /** G12: deterministic source-mixture balancing — down-sample every
+    * stratum (source/domain/language) toward a shared token budget:
+    * rate(s) = min(1, target / tokens(s)), applied with the exact
+    * integer-space hash60 comparator [[weightedHashSample]] uses, so
+    * the surviving mixture is reproducible on any cluster, any
+    * partitioning, any retry. Over-represented sources shrink to the
+    * budget, under-represented ones pass through whole — the
+    * standard mixture-flattening step before training-data blending.
+    *
+    * Cost: one partial-aggregated groupBy over the stratum key for
+    * the totals (a handful of rows), broadcast back; the filter
+    * itself is map-side. No corpus-sized shuffle.
+    */
+  def mixBalance(df: DataFrame, stratumCol: String, keyCol: Column,
+                 tokCol: Column, targetToks: Long): DataFrame = {
+    require(targetToks > 0, s"mixBalance target must be positive: $targetToks")
+    val base = df.withColumn("__tok", tokCol)
+    val rates = base.groupBy(col(stratumCol))
+      .agg(sum(col("__tok")).cast("long").as("__tot"))
+      .select(col(stratumCol),
+        least(lit(1.0), lit(targetToks.toDouble) / col("__tot")).as("__rate"))
+    base.join(broadcast(rates), Seq(stratumCol))
+      .filter(hash60(keyCol.cast("string")) <
+        round(col("__rate") * lit(1152921504606846976.0 /* 2^60 */)).cast("long"))
+      .drop("__rate")
+  }
+
   /** H15: greedy sequence packing for training batches: documents are
     * concatenated per shard in id order and cut every `cap` tokens —
     * each doc gets the bin where its first token lands, plus its

@@ -56,7 +56,10 @@ object TemporalJoin {
     val lRow = struct(left.columns.map(col).toIndexedSeq: _*)
     val lRowType = left.select(lRow.as("__l")).schema("__l").dataType
 
-    val rSide = right.select(
+    // a null right timestamp would sort before every row (nulls
+    // first) and become "visible" to all left rows — drop them, as
+    // every as-of implementation does
+    val rSide = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
         col(rightSeq).cast("long").as("__seq"),
@@ -88,7 +91,10 @@ object TemporalJoin {
       case Some(tol) =>
         if (backward) mt >= col("__t") - tol else mt <= col("__t") + tol
     }
-    val m = when(col("__m").isNotNull && inRange, col("__m"))
+    // null left timestamps match nothing (in forward order they sort
+    // last and would otherwise see every right row)
+    val m = when(col("__t").isNotNull && col("__m").isNotNull && inRange,
+      col("__m"))
     matched.select(
       left.columns.toIndexedSeq.map(c => col("__l").getField(c).as(c)) ++
         rightCarried.map(c => m.getField(c).as(c)): _*)

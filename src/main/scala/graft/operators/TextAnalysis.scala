@@ -171,6 +171,46 @@ object TextAnalysis {
       clean.as("clean_text"))
   }
 
+  /** H17: BM25 retrieval scoring for a fixed term set — the ranking
+    * pass a corpus-search / example-selection pipeline runs over
+    * documents. Per-doc term frequencies come from the native
+    * [[graft.functions.InSetCount]] in ONE zero-shuffle projection;
+    * corpus stats (N, Σdl, df per term) fold into a single broadcast
+    * 1-row aggregate crossJoin (no second corpus pass, no driver
+    * action); the final top-k is `orderBy().limit(k)` — Spark plans
+    * TakeOrderedAndProject, a distributed partial top-k, never a
+    * single-partition global window. Σdl is exact (integer token
+    * counts) so avgdl is order-independent; the score is rounded
+    * before the tie-broken ranking so the cut is deterministic.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val base = docs.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol).as("id") +:
+        size(col("__toks")).cast("double").as("dl") +:
+        terms.indices.map(i =>
+          stopCount(col("__toks"), Seq(terms(i))).cast("double").as(s"tf$i")): _*)
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      sum(col("dl")).cast("long").cast("double").as("__sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"__df$i"))
+    val stats = broadcast(base.agg(aggs.head, aggs.tail: _*))
+    // BM25 with k1=1.2, b=0.75 — every literal and the operation
+    // order mirror the DuckDB oracle exactly, so the doubles match
+    val score = terms.indices.map { i =>
+      val (tf, df) = (col(s"tf$i"), col(s"__df$i"))
+      log(lit(1.0) + (col("__n") - df + 0.5) / (df + 0.5)) *
+        tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+          (col("__sumdl") / col("__n"))))
+    }.reduce(_ + _)
+    base.crossJoin(stats)
+      .select(col("id"), round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** H16: Gopher-style quality rule pack — the per-document structural
     * filters from the Gopher/MassiveText curation recipe, evaluated in
     * one pass: word-count bounds, mean word length bounds, type-token

@@ -131,6 +131,71 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  // ——— mixBalance ———
+
+  test("mixBalance: under-budget strata pass whole, over-budget strata shrink") {
+    import spark.implicits._
+    // source "big": 100 docs × 10 tokens = 1000 tokens; "small": 3 docs
+    val docs = ((1L to 100L).map(i => (i, "big", Seq.fill(10)("w").mkString(" "))) ++
+      Seq((201L, "small", "a b"), (202L, "small", "c d"), (203L, "small", "e f")))
+      .toDF("doc_id", "src", "text")
+    val kept = Pipeline100TB.mixBalance(docs, "src", col("doc_id"),
+        size(split(col("text"), " ")).cast("long"), targetToks = 300L)
+      .select("doc_id", "src").collect().map(r => (r.getLong(0), r.getString(1)))
+    val (big, small) = kept.partition(_._2 == "big")
+    assert(small.map(_._1).toSet == Set(201L, 202L, 203L)) // rate 1: all kept
+    // rate 0.3 over 100 docs: strictly down-sampled, not emptied
+    assert(big.length < 60 && big.length > 5, s"kept ${big.length} of big")
+  }
+
+  test("mixBalance is deterministic across runs and rejects a non-positive target") {
+    val d = TableCatalog(spark, sfDir).documents
+    def run() = Pipeline100TB.mixBalance(d, "source", col("doc_id"),
+        size(split(col("text"), " +")).cast("long"), targetToks = 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(run() == run())
+    intercept[IllegalArgumentException] {
+      Pipeline100TB.mixBalance(d, "source", col("doc_id"), lit(1L), 0L)
+    }
+  }
+
+  test("mixBalance broadcasts the rate table — the corpus is filtered map-side") {
+    val plan = Pipeline100TB.mixBalance(TableCatalog(spark, sfDir).documents,
+        "source", col("doc_id"),
+        size(split(col("text"), " +")).cast("long"), targetToks = 300L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  // ——— bm25 ———
+
+  test("bm25: term-bearing docs outrank term-free docs; tf raises the score") {
+    val docs = docsDf(
+      1L -> "spark spark spark alpha beta gamma",
+      2L -> "spark alpha beta gamma delta eps",
+      3L -> "alpha beta gamma delta eps zeta")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 scores 0, cut
+    assert(out(0)._2 > out(1)._2)              // tf 3 beats tf 1 at equal dl
+  }
+
+  test("bm25 rejects an empty term set") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(TableCatalog(spark, sfDir).documents,
+        "doc_id", "text", Seq.empty)
+    }
+  }
+
+  test("bm25 top-k is a distributed TakeOrdered, not a global window") {
+    val plan = TextAnalysis.bm25(TableCatalog(spark, sfDir).documents,
+        "doc_id", "text", Seq("spark", "query"), k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   // ——— semanticDedup ———
 
   test("semanticDedup keeps exactly the min id of every cosine cluster") {

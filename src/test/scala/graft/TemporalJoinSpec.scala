@@ -110,6 +110,24 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(out.size == 3)        // every left row survives
   }
 
+  test("as-of null timestamps: null right rows are dropped, null left rows match nothing") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, Some(ts("2024-01-01 10:00:00"))),
+      (2L, 10L, None: Option[Timestamp]))
+      .toDF("id", "k", "t")
+    val r = Seq((10L, Some(ts("2024-01-01 09:00:00")), 1L, "ok"),
+      (10L, None: Option[Timestamp], 2L, "poison"))
+      .toDF("k", "rt", "seq", "tag")
+    for (dir <- Seq("backward", "forward")) {
+      val out = TemporalJoin.asOfJoin(l, r, Seq("k"), "t", "rt", "seq",
+        Seq("tag"), direction = dir)
+        .select(col("id"), col("tag")).collect()
+        .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+      assert(out(2L) == None, s"dir=$dir")            // null left time
+      assert(out(1L) != Some("poison"), s"dir=$dir")  // null right time
+    }
+  }
+
   test("as-of payload collision with a left column is rejected") {
     intercept[IllegalArgumentException] {
       TemporalJoin.asOfJoin(tieLeft, tieRight.withColumnRenamed("tag", "t"),
