@@ -278,9 +278,8 @@ object Pipeline100TB {
       .agg(sum(col("__tok")).cast("long").as("__tot"))
       .select(col(stratumCol),
         least(lit(1.0), lit(targetToks.toDouble) / col("__tot")).as("__rate"))
-    base.join(broadcast(rates), Seq(stratumCol))
-      .filter(hash60(keyCol.cast("string")) <
-        round(col("__rate") * lit(1152921504606846976.0 /* 2^60 */)).cast("long"))
+    weightedHashSample(base.join(broadcast(rates), Seq(stratumCol)),
+        keyCol, col("__rate"))
       .drop("__rate")
   }
 

@@ -49,6 +49,12 @@ object TemporalJoin {
       .intersect((rightTime +: payload).toSet)
     require(overlap.isEmpty,
       s"asOfJoin right payload collides with left columns: $overlap")
+    // a non-numeric seq would cast to all-NULL and silently turn the
+    // documented deterministic tie-break into shuffle-order luck
+    val seqType = right.schema(rightSeq).dataType
+    require(seqType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"asOfJoin rightSeq must be numeric for the tie-break, " +
+        s"got $rightSeq: $seqType")
 
     val rightCarried = rightTime +: payload
     val rPay = struct(rightCarried.map(col): _*)
@@ -58,8 +64,13 @@ object TemporalJoin {
 
     // a null right timestamp would sort before every row (nulls
     // first) and become "visible" to all left rows — drop them, as
-    // every as-of implementation does
-    val rSide = right.filter(col(rightTime).isNotNull).select(
+    // every as-of implementation does. Null JOIN KEYS also go: the
+    // window partition would group null with null, but this operator
+    // replaces an equi-join, where NULL never matches anything.
+    val rightKeysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val rSide = right
+      .filter(col(rightTime).isNotNull && rightKeysNotNull)
+      .select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
         col(rightSeq).cast("long").as("__seq"),

@@ -1004,56 +1004,118 @@ object MongoPipeline {
         n.properties().asScala.toSeq.flatMap(e => refs(e.getValue))
       else Nil
     val paths = refs(spec)
-    // The struct shape a set of referenced path TAILS needs so every
-    // getField chain resolves: leaves are strings, interior segments
-    // structs. Used to null-pad paths the data doesn't carry.
-    def shapeOf(tails: Seq[Seq[String]]): org.apache.spark.sql.types.DataType = {
-      val deeper = tails.filter(_.nonEmpty)
-      if (deeper.isEmpty) org.apache.spark.sql.types.StringType
-      else StructType(deeper.groupBy(_.head).toSeq.sortBy(_._1).map {
-        case (h, ts) => org.apache.spark.sql.types.StructField(
-          h, shapeOf(ts.map(_.tail)), nullable = true)
-      })
+    // Root-schema type of a path, following Spark's field-projection
+    // rules (a path through array<struct> projects element-wise to an
+    // array). Null pads reuse this type where the path resolves at
+    // the root, so array-consuming operators ($in, $max, $size) stay
+    // analyzable on levels that lack the field.
+    def rootTypeOf(path: Seq[String]): Option[DataType] = {
+      def walk(dt: DataType, p: Seq[String]): Option[DataType] = p match {
+        case Seq() => Some(dt)
+        case _ => dt match {
+          case s: StructType =>
+            s.fields.find(_.name == p.head)
+              .flatMap(f => walk(f.dataType, p.tail))
+          case ArrayType(et, _) => walk(et, p).map(ArrayType(_, true))
+          case _ => None
+        }
+      }
+      walk(df.schema, path)
     }
+    // The type a null pad at `prefix` needs so every referenced TAIL
+    // resolves: start from the root-resolved type of `prefix` when
+    // there is one (preserving array wrappers, so array-consuming
+    // operators stay analyzable), graft in any referenced fields it
+    // lacks; with no root shape, synthesize structs with string
+    // leaves. `prefix` = the segments already consumed above `tails`.
+    def shape(dt: Option[DataType], tails: Seq[Seq[String]]): DataType = {
+      import org.apache.spark.sql.types.{StringType, StructField}
+      val deeper = tails.filter(_.nonEmpty)
+      dt match {
+        case Some(t) if deeper.isEmpty => t
+        case Some(ArrayType(et, n)) => ArrayType(shape(Some(et), deeper), n)
+        case Some(s: StructType) =>
+          val byH = deeper.groupBy(_.head)
+          StructType(
+            s.fields.map { f =>
+              byH.get(f.name) match {
+                case Some(ts) =>
+                  StructField(f.name,
+                    shape(Some(f.dataType), ts.map(_.tail)), nullable = true)
+                case None => f
+              }
+            } ++ byH.keys.toSeq.filterNot(s.fieldNames.contains).sorted.map(h =>
+              StructField(h, shape(None, byH(h).map(_.tail)), nullable = true)))
+        case _ => // no root shape, or a path through a scalar
+          if (deeper.isEmpty) StringType
+          else StructType(deeper.groupBy(_.head).toSeq.sortBy(_._1).map {
+            case (h, ts) =>
+              StructField(h, shape(None, ts.map(_.tail)), nullable = true)
+          })
+      }
+    }
+    def shapeOf(tails: Seq[Seq[String]], prefix: Seq[String]): DataType =
+      shape(rootTypeOf(prefix), tails)
     // Rebuild `value` (typed `st`) so every referenced path resolves:
     // absent fields become typed nulls (null STRUCTS when the path
     // goes deeper, so multi-segment refs still resolve), and a deeper
     // path THROUGH a scalar also reads as null (Mongo: a path through
     // a non-document is missing) unless the same head is also read
     // directly, which keeps the scalar. Purely compile-time.
-    def pad(value: Column, st: StructType, ps: Seq[Seq[String]]): Column = {
+    // a path can resolve THROUGH arrays when documents sit at the
+    // leaf (Spark projects `arr.field` element-wise) — those fields
+    // are documents for padding purposes, not scalars
+    def structLeaf(dt: DataType): Option[StructType] = dt match {
+      case s: StructType => Some(s)
+      case ArrayType(et, _) => structLeaf(et)
+      case _ => None
+    }
+    def pad(value: Column, st: StructType, ps: Seq[Seq[String]],
+            prefix: Seq[String]): Column = {
       val byHead = ps.filter(_.nonEmpty).groupBy(_.head)
       val missing = byHead.keys.toSeq.filterNot(st.fieldNames.contains).sorted
       def scalarRedirect(f: org.apache.spark.sql.types.StructField): Boolean = {
         val refs = byHead.getOrElse(f.name, Nil)
-        !f.dataType.isInstanceOf[StructType] &&
+        structLeaf(f.dataType).isEmpty &&
           refs.exists(_.tail.nonEmpty) && refs.forall(_.tail.nonEmpty)
       }
-      val needsDeepPad = st.fields.exists(f => f.dataType match {
-        case s: StructType =>
+      // pad element documents in place through any array nesting, so
+      // `$arr.field` still projects element-wise after the rebuild
+      def padThrough(c: Column, dt: DataType, deeper: Seq[Seq[String]],
+                     pfx: Seq[String]): Column =
+        dt match {
+          case s: StructType => pad(c, s, deeper, pfx)
+          case at: ArrayType =>
+            transform(c, x => padThrough(x, at.elementType, deeper, pfx))
+          case _ => c
+        }
+      val needsDeepPad = st.fields.exists(f =>
+        if (structLeaf(f.dataType).isDefined)
           byHead.getOrElse(f.name, Nil).exists(_.tail.nonEmpty)
-        case _ => scalarRedirect(f)
-      })
+        else scalarRedirect(f))
       if (missing.isEmpty && !needsDeepPad) value
       else {
         val fields = st.fields.toSeq.map { f =>
           val deeper = byHead.getOrElse(f.name, Nil).map(_.tail).filter(_.nonEmpty)
           f.dataType match {
             case s: StructType if deeper.nonEmpty =>
-              pad(value.getField(f.name), s, deeper).as(f.name)
+              pad(value.getField(f.name), s, deeper, prefix :+ f.name).as(f.name)
+            case at: ArrayType if deeper.nonEmpty && structLeaf(at).isDefined =>
+              padThrough(value.getField(f.name), at, deeper, prefix :+ f.name)
+                .as(f.name)
             case _ if scalarRedirect(f) =>
-              lit(null).cast(shapeOf(deeper)).as(f.name)
+              lit(null).cast(shapeOf(deeper, prefix :+ f.name)).as(f.name)
             case _ => value.getField(f.name).as(f.name)
           }
         }
         val added = missing.map(k =>
-          lit(null).cast(shapeOf(byHead(k).map(_.tail))).as(k))
+          lit(null).cast(shapeOf(byHead(k).map(_.tail), prefix :+ k)).as(k))
         struct(fields ++ added: _*)
       }
     }
     def decide(current: Option[(Column, StructType)]): Column =
       expression(spec, sysBinds ++
-        current.map { case (c, st) => "CURRENT" -> pad(c, st, paths) })
+        current.map { case (c, st) => "CURRENT" -> pad(c, st, paths, Nil) })
     // value = a (sub)document-typed column; returns the redacted value
     def rec(value: Column, dt: DataType): Column = dt match {
       case st: StructType =>

@@ -885,6 +885,35 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(out(0).getAs[Row]("detail").getAs[String]("tag") == "y")
   }
 
+  test("$redact: a deeper path THROUGH an array of documents projects element-wise") {
+    import spark.implicits._
+    // spec references $items.qty (array<struct>.field): the pad
+    // rebuild must keep the element-wise projection working — and
+    // still null out a deeper ref the elements genuinely lack
+    val df = Seq(
+      (1L, Seq((5L, "x1"), (2L, "x2"))),
+      (2L, Seq((1L, "y1"))),
+      (3L, Seq.empty[(Long, String)]))
+      .toDF("id", "items")
+      .withColumn("items", expr(
+        "transform(items, x -> named_struct('qty', x._1, 'tag', x._2))"))
+    val out = MongoPipeline(df,
+      """[{"$redact": {"$cond": [{"$in": [5, "$items.qty"]},
+           "$$PRUNE", "$$DESCEND"]}}]""")
+      .orderBy("id").collect()
+    // id=1 carries qty 5 → pruned at the root; 2 and 3 survive whole
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(2L, 3L))
+    assert(out(0).getSeq[Row](1).map(_.getAs[String]("tag")) == Seq("y1"))
+    // a ref the elements lack projects as a null array (never
+    // matches) instead of throwing at analysis — the pad grafts the
+    // missing field into the root-resolved array<struct> shape
+    val out2 = MongoPipeline(df,
+      """[{"$redact": {"$cond": [{"$in": ["z", "$items.missing"]},
+           "$$PRUNE", "$$DESCEND"]}}]""")
+      .orderBy("id").collect()
+    assert(out2.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("$redact rejects documents hidden in maps at any nesting depth") {
     import spark.implicits._
     val df = Seq((1L, "k", "s"))

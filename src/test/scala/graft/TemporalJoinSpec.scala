@@ -128,6 +128,28 @@ class TemporalJoinSpec extends SparkTestBase {
     }
   }
 
+  test("as-of null keys never match — equi-join semantics, not null-groups-with-null") {
+    import spark.implicits._
+    val l = Seq((1L, Some(10L), ts("2024-01-01 10:00:00")),
+      (2L, None: Option[Long], ts("2024-01-01 10:00:00")))
+      .toDF("id", "k", "t")
+    val r = Seq((Some(10L), ts("2024-01-01 09:00:00"), 1L, "ok"),
+      (None: Option[Long], ts("2024-01-01 09:00:00"), 2L, "phantom"))
+      .toDF("k", "rt", "seq", "tag")
+    val out = TemporalJoin.asOfJoin(l, r, Seq("k"), "t", "rt", "seq", Seq("tag"))
+      .select(col("id"), col("tag")).collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(out == Map(1L -> Some("ok"), 2L -> None))
+  }
+
+  test("as-of rejects a non-numeric seq column instead of a silent null tie-break") {
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asOfJoin(tieLeft,
+        tieRight.withColumn("seq", col("seq").cast("string")),
+        Seq("k"), "t", "rt", "seq", Seq("tag"))
+    }
+  }
+
   test("as-of payload collision with a left column is rejected") {
     intercept[IllegalArgumentException] {
       TemporalJoin.asOfJoin(tieLeft, tieRight.withColumnRenamed("tag", "t"),
