@@ -84,6 +84,9 @@ object LlmQueries {
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
         terms = Seq("spark", "query", "stream"), k = 20)),
+    // —— H18: unigram LM quality score (avg token log-prob) ——
+    "text_unigram_lp" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")),
   )
 
   // ——— shared oracle fragments ———
@@ -428,5 +431,18 @@ object LlmQueries {
          |SELECT id, score FROM sc WHERE score > 0
          |ORDER BY score DESC, id LIMIT 20""".stripMargin
     },
+    "text_unigram_lp" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |cf AS (SELECT doc_id, tok, tf,
+        |         SUM(tf) OVER (PARTITION BY tok) AS cf
+        |       FROM tf),
+        |nt AS (SELECT CAST(SUM(tf) AS DOUBLE) AS nt FROM tf)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+        |  round(SUM(CAST(tf AS DOUBLE) * ln(CAST(cf AS DOUBLE) / nt))
+        |        / SUM(tf), 4) AS avg_logp
+        |FROM cf, nt GROUP BY doc_id""".stripMargin,
   )
 }

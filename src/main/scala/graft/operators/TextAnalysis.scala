@@ -171,6 +171,34 @@ object TextAnalysis {
       clean.as("clean_text"))
   }
 
+  /** H18: unigram language-model score — the CCNet-style LM quality
+    * filter: avg per-token log-probability under the corpus's own
+    * unigram distribution. Gibberish and boilerplate-heavy docs score
+    * low (rare-token mass), natural text scores near the corpus
+    * mean. Shape mirrors tf-idf: ONE explode+shuffle builds
+    * per-(doc,term) counts, the corpus frequency comes from a window
+    * over those already-aggregated rows (no second corpus pass), the
+    * corpus total folds in as a broadcast 1-row aggregate.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val docTf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val withCf = docTf.withColumn("cf",
+      sum(col("tf")).over(Window.partitionBy(col("tok"))))
+    val nTot = broadcast(docTf.agg(sum(col("tf")).cast("double").as("__nt")))
+    withCf.crossJoin(nTot)
+      .withColumn("__c", col("tf").cast("double") *
+        log(col("cf").cast("double") / col("__nt")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"), sum(col("__c")).as("__lp"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("__lp") / col("n_tok"), 4).as("avg_logp"))
+  }
+
   /** H17: BM25 retrieval scoring for a fixed term set — the ranking
     * pass a corpus-search / example-selection pipeline runs over
     * documents. Per-doc term frequencies come from the native

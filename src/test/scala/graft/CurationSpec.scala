@@ -196,6 +196,37 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  // ——— unigramLogProb ———
+
+  test("unigram LM score: rare-token docs score below common-token docs") {
+    val docs = docsDf(
+      1L -> "the the the the",     // all high-frequency mass
+      2L -> "the the qzx wvut")    // half rare singletons
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 4 && out(2L)._1 == 4)
+    assert(out(1L)._2 > out(2L)._2)
+    // doc 1: every token has cf=6/nt=8 → avg = ln(0.75)
+    assert(math.abs(out(1L)._2 - math.round(math.log(0.75) * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("unigram LM score: the (doc,term) shuffle is computed once and reused") {
+    val df = TextAnalysis.unigramLogProb(
+      TableCatalog(spark, sfDir).documents, "doc_id", "text")
+    val static = df.queryExecution.executedPlan.toString
+    assert(!static.contains("SortMergeJoin"), static)
+    // corpus-total branch is a broadcast 1-row cross join
+    assert(static.contains("BroadcastNestedLoopJoin"), static)
+    // the per-(doc,term) aggregate feeds both the window branch and
+    // the corpus-total branch: statically that prints 4 exchanges,
+    // at runtime AQE's exchange reuse collapses the duplicate
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") ||
+      "Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 3,
+      s"duplicate (doc,term) shuffle not reused:\n$finalPlan")
+  }
+
   // ——— semanticDedup ———
 
   test("semanticDedup keeps exactly the min id of every cosine cluster") {
