@@ -87,6 +87,9 @@ object LlmQueries {
     // —— H18: unigram LM quality score (avg token log-prob) ——
     "text_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")),
+    // —— G13: deterministic contrastive negative sampling, k=4 ——
+    "embed_negatives" -> ((s, dir) =>
+      Similarity.negativeSamples(emb(s, dir), k = 4)),
   )
 
   // ——— shared oracle fragments ———
@@ -444,5 +447,15 @@ object LlmQueries {
         |  round(SUM(CAST(tf AS DOUBLE) * ln(CAST(cf AS DOUBLE) / nt))
         |        / SUM(tf), 4) AS avg_logp
         |FROM cf, nt GROUP BY doc_id""".stripMargin,
+    "embed_negatives" ->
+      """WITH n AS (SELECT MAX(vec_id) + 1 AS nv FROM embeddings),
+        |j AS (SELECT e.vec_id AS anchor, e.label AS a_label,
+        |        CAST(s.j AS INTEGER) AS draw,
+        |        CAST('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || '-'
+        |          || CAST(s.j AS VARCHAR)), 1, 15) AS BIGINT) % nv AS partner
+        |      FROM embeddings e, generate_series(1, 4) s(j), n)
+        |SELECT j.anchor, j.draw, b.vec_id AS negative, b.label AS neg_label
+        |FROM j JOIN embeddings b ON b.vec_id = j.partner
+        |WHERE b.vec_id <> j.anchor AND b.label <> j.a_label""".stripMargin,
   )
 }

@@ -309,6 +309,35 @@ object Similarity {
       .select(col("label"), col("a"), col("b"), col("cos_r"))
   }
 
+  /** G13: deterministic negative sampling for contrastive training:
+    * k pseudo-random partners per anchor via the shared 60-bit hash
+    * (`hash60(anchor + "-" + draw) mod N`), self-pairs and same-label
+    * pairs filtered (the standard "in-batch negatives, different
+    * class" draw) — identical picks on any cluster/partitioning/
+    * retry, unlike `rand(seed)`. Cost: the anchor set fans out ×k,
+    * then ONE equi-join on the partner id brings in the negative's
+    * row; N folds in as a broadcast 1-row aggregate. Draws landing
+    * on id gaps simply drop (ids need not be dense) — callers get
+    * ≤ k negatives per anchor, deterministically.
+    */
+  def negativeSamples(emb: DataFrame, k: Int): DataFrame = {
+    import graft.functions.Hash60.hash60
+    require(k > 0, s"negativeSamples k must be positive: $k")
+    val nv = broadcast(emb.agg((max(col("vec_id")) + 1).as("__nv")))
+    val anchors = emb.select(col("vec_id").as("anchor"), col("label").as("a_label"))
+      .crossJoin(nv)
+      .withColumn("draw", explode(sequence(lit(1), lit(k))))
+      .withColumn("partner",
+        hash60(concat(col("anchor").cast("string"), lit("-"),
+          col("draw").cast("string"))) % col("__nv"))
+    anchors.join(emb.select(col("vec_id"), col("label")),
+        col("vec_id") === col("partner"))
+      .filter(col("vec_id") =!= col("anchor") &&
+        col("label") =!= col("a_label"))
+      .select(col("anchor"), col("draw"),
+        col("vec_id").as("negative"), col("label").as("neg_label"))
+  }
+
   /** F9: SemDeDup-style semantic dedup, end to end: cosine near-dup
     * pairs from the label-blocked pass ([[nearDupPairs]] — pairs only
     * form inside a coarse-quantizer cell, never all-pairs), connected

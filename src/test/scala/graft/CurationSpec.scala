@@ -227,6 +227,34 @@ class CurationSpec extends SparkTestBase {
       s"duplicate (doc,term) shuffle not reused:\n$finalPlan")
   }
 
+  // ——— negativeSamples ———
+
+  test("negative sampling: deterministic, capped at k, never self or same-label") {
+    val emb = TableCatalog(spark, sfDir).embeddings
+    def run() = graft.operators.Similarity.negativeSamples(emb, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val a = run()
+    assert(a.nonEmpty)
+    assert(a.toSeq == run().toSeq || a.toSet == run().toSet) // same picks
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(a.forall { case (anchor, _, neg, negLabel) =>
+      neg != anchor && labels(anchor) != negLabel })
+    assert(a.groupBy(_._1).values.forall(_.length <= 4))
+    // k is validated
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.negativeSamples(emb, k = 0)
+    }
+  }
+
+  test("negative sampling joins on the partner id — no cartesian blowup") {
+    val plan = graft.operators.Similarity.negativeSamples(
+        TableCatalog(spark, sfDir).embeddings, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop is the broadcast 1-row N aggregate
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1, plan)
+  }
+
   // ——— semanticDedup ———
 
   test("semanticDedup keeps exactly the min id of every cosine cluster") {
