@@ -90,6 +90,11 @@ object LlmQueries {
     // —— G13: deterministic contrastive negative sampling, k=4 ——
     "embed_negatives" -> ((s, dir) =>
       Similarity.negativeSamples(emb(s, dir), k = 4)),
+    // —— G14: reproducible global shuffle order for training export ——
+    "corpus_shuffle" -> ((s, dir) =>
+      graft.operators.Pipeline100TB.shuffleOrder(
+          docs(s, dir).select("doc_id", "source"), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"))),
   )
 
   // ——— shared oracle fragments ———
@@ -457,5 +462,12 @@ object LlmQueries {
         |SELECT j.anchor, j.draw, b.vec_id AS negative, b.label AS neg_label
         |FROM j JOIN embeddings b ON b.vec_id = j.partner
         |WHERE b.vec_id <> j.anchor AND b.label <> j.a_label""".stripMargin,
+    "corpus_shuffle" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (
+        |    ORDER BY CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)
+        |               AS BIGINT),
+        |             doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
   )
 }

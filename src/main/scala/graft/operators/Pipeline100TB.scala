@@ -283,6 +283,39 @@ object Pipeline100TB {
       .drop("__rate")
   }
 
+  /** G14: deterministic global shuffle order for training export —
+    * every row gets a stable position in a pseudo-random permutation
+    * (rank under (hash60(key), key)), reproducible on any cluster/
+    * retry, with NO global sort and NO single-partition window:
+    * range buckets on the hash's top bits make bucket order equal
+    * hash order, so global rank = broadcast running bucket offsets +
+    * a within-bucket rank (each bucket ~uniform by construction).
+    * One shuffle on the bucket key; the offsets table is `buckets`
+    * rows. This is the "shuffle the corpus once, stream it in order
+    * forever" step before sequence packing.
+    */
+  def shuffleOrder(df: DataFrame, keyCol: Column,
+                   bucketBits: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketBits > 0 && bucketBits < 60,
+      s"shuffleOrder bucketBits must be in (0, 60): $bucketBits")
+    val base = df
+      .withColumn("__h", hash60(keyCol.cast("string")))
+      .withColumn("__b", shiftright(col("__h"), 60 - bucketBits))
+    val offs = base.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      // running offsets over ≤2^bucketBits tiny rows — the single
+      // partition here holds bucket COUNTS, never data
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    base.join(broadcast(offs), Seq("__b"))
+      .withColumn("pos",
+        col("__off") + row_number().over(
+          Window.partitionBy(col("__b")).orderBy(col("__h"), keyCol)) - 1)
+      .drop("__h", "__b", "__off")
+  }
+
   /** H15: greedy sequence packing for training batches: documents are
     * concatenated per shard in id order and cut every `cap` tokens —
     * each doc gets the bin where its first token lands, plus its

@@ -255,6 +255,40 @@ class CurationSpec extends SparkTestBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1, plan)
   }
 
+  // ——— shuffleOrder ———
+
+  test("shuffleOrder: a bijective 0..N-1 permutation equal to the global hash rank") {
+    import graft.functions.Hash60.hash60
+    val docs = TableCatalog(spark, sfDir).documents.select("doc_id")
+    val out = Pipeline100TB.shuffleOrder(docs, col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(out.size == n)
+    assert(out.values.toSet == (0L until n).toSet) // bijection onto 0..N-1
+    // equals the naive single-window global rank (fine at spec scale)
+    val naive = docs
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(hash60(col("doc_id").cast("string")), col("doc_id")))
+        .cast("long") - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == naive)
+  }
+
+  test("shuffleOrder: only bucket COUNTS hit a single partition, never data rows") {
+    val plan = Pipeline100TB.shuffleOrder(
+        TableCatalog(spark, sfDir).documents.select("doc_id"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    // the data-side window is partitioned by the hash bucket
+    assert(plan.contains("windowspecdefinition(__b"), plan)
+    // offsets branch is broadcast back, not joined by shuffle
+    assert(plan.contains("BroadcastExchange"), plan)
+    intercept[IllegalArgumentException] {
+      Pipeline100TB.shuffleOrder(
+        TableCatalog(spark, sfDir).documents, col("doc_id"), bucketBits = 0)
+    }
+  }
+
   // ——— semanticDedup ———
 
   test("semanticDedup keeps exactly the min id of every cosine cluster") {
