@@ -191,6 +191,52 @@ class TemporalJoinSpec extends SparkTestBase {
       out.select(col("event_id"), col("p_ts"), col("p_value")).distinct().count())
   }
 
+  test("randomized: as-of and range joins match the naive joins on adversarial data") {
+    import spark.implicits._
+    // seeded generator: tight key domain + second-granularity times
+    // force heavy (key, time) collisions — the tie/boundary cases
+    val rnd = new scala.util.Random(42)
+    val lRows = (1L to 300L).map(i =>
+      (i, rnd.nextInt(5).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(600) * 1000L)))
+    val rRows = (1L to 300L).map(i =>
+      (rnd.nextInt(5).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(600) * 1000L), i,
+        s"p$i"))
+    val l = lRows.toDF("id", "k", "t")
+    val r = rRows.toDF("k", "rt", "seq", "tag")
+    for (dir <- Seq("backward", "forward")) {
+      val got = TemporalJoin.asOfJoin(l, r, Seq("k"), "t", "rt", "seq",
+          Seq("tag"), direction = dir)
+        .select(col("id"), col("rt"), col("tag")).collect()
+        .map(x => (x.getLong(0), x.get(1), x.get(2))).toSet
+      val cond = col("r.k") === col("l.k") &&
+        (if (dir == "backward") col("rt") <= col("t") else col("rt") >= col("t"))
+      val ord =
+        if (dir == "backward") Seq(col("rt").desc, col("seq").desc)
+        else Seq(col("rt").asc, col("seq").asc)
+      val want = l.as("l").join(r.as("r"), cond, "left")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l.id")).orderBy(ord: _*)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("rt"), col("tag")).collect()
+        .map(x => (x.getLong(0), x.get(1), x.get(2))).toSet
+      assert(got == want, s"direction=$dir")
+    }
+    for (w <- Seq(1L, 59L, 60L, 3600L)) {
+      val got = TemporalJoin.rangeJoinPairs(l, r, Seq("k"), "t", "rt",
+          Seq("seq", "tag"), widthSec = w)
+        .select(col("id"), col("seq")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val want = l.as("l").join(r.as("r"),
+          col("r.k") === col("l.k") && col("rt") > col("t") &&
+            col("rt") <= col("t") + expr(s"INTERVAL $w SECONDS"))
+        .select(col("id"), col("seq")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == want, s"width=$w")
+    }
+  }
+
   test("range join plans an equi-join — no nested loop, no cartesian") {
     val plan = TemporalJoin.rangeJoinPairs(clicks, purch2, Seq("user_id"),
         "ts", "p_ts", Seq("p_value"), widthSec = 21600L)
