@@ -125,8 +125,11 @@ object Dedup {
     * (k mins via partial agg), one band-key join. Band keys are
     * near-uniform by construction — no skew hot-spot.
     */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 2, k: Int = 16, bands: Int = 4): DataFrame = {
+  /** MinHash LSH band-key table (id, band, key) — the shared indexing
+    * step behind [[minhashCandidates]] and [[decontaminateFuzzy]].
+    */
+  private def bandKeyTable(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0,
       s"k ($k) must be divisible by bands ($bands) or trailing hashes are dead")
     val r = k / bands
@@ -135,17 +138,44 @@ object Dedup {
     val sigs = post.groupBy(col("id"))
       .agg(min(perm(col("h"), 0)).as("h0"),
         (1 until k).map(i => min(perm(col("h"), i)).as(s"h$i")): _*)
-    val bandKeys = sigs.select(col("id"),
+    sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(",", (0 until r).map(j => col(s"h${b * r + j}")): _*).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2, k: Int = 16, bands: Int = 4): DataFrame = {
+    val bandKeys = bandKeyTable(docs, idCol, textCol, n, k, bands)
     bandKeys.as("x").join(bandKeys.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+  }
+
+  /** F8b: FUZZY benchmark decontamination — corpus docs whose MinHash
+    * signature shares any LSH band with a benchmark doc, the guard
+    * for paraphrased/near-duplicate eval leakage that exact n-gram
+    * overlap ([[decontaminate]]) misses. Same asymmetric shape: the
+    * benchmark side reduces to DISTINCT (band, key) rows and
+    * broadcasts, so the corpus band table streams through one
+    * broadcast hash join — no corpus-sized shuffle beyond its own
+    * signature build. Emits (doc, bands hit); bands hit of `bands`
+    * is a collision-strength signal.
+    */
+  def decontaminateFuzzy(docs: DataFrame, idCol: String, textCol: String,
+                         benchPred: org.apache.spark.sql.Column,
+                         n: Int = 2, k: Int = 16, bands: Int = 4): DataFrame = {
+    val bench = bandKeyTable(docs.filter(benchPred), idCol, textCol, n, k, bands)
+      .select(col("band"), col("key")).distinct()
+    bandKeyTable(docs.filter(!benchPred), idCol, textCol, n, k, bands)
+      .join(broadcast(bench), Seq("band", "key"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bands_hit"))
+      .select(col("id").as(idCol), col("n_bands_hit"))
   }
 
   /** F5: 60-bit SimHash per document: per-token 60-bit hash, each bit

@@ -90,6 +90,10 @@ object LlmQueries {
     // —— G13: deterministic contrastive negative sampling, k=4 ——
     "embed_negatives" -> ((s, dir) =>
       Similarity.negativeSamples(emb(s, dir), k = 4)),
+    // —— F8b: fuzzy (MinHash-band) benchmark decontamination ——
+    "decon_fuzzy" -> ((s, dir) =>
+      Dedup.decontaminateFuzzy(docs(s, dir), "doc_id", "text",
+        benchPred = col("doc_id") % 20 === 0)),
     // —— G14: reproducible global shuffle order for training export ——
     "corpus_shuffle" -> ((s, dir) =>
       graft.operators.Pipeline100TB.shuffleOrder(
@@ -462,6 +466,16 @@ object LlmQueries {
         |SELECT j.anchor, j.draw, b.vec_id AS negative, b.label AS neg_label
         |FROM j JOIN embeddings b ON b.vec_id = j.partner
         |WHERE b.vec_id <> j.anchor AND b.label <> j.a_label""".stripMargin,
+    "decon_fuzzy" ->
+      s"""WITH $shingleCtes,
+         |$minhashSigSql,
+         |bandkeys AS (
+         |$bandKeysSql),
+         |b AS (SELECT DISTINCT band, key FROM bandkeys WHERE doc_id % 20 = 0),
+         |c AS (SELECT * FROM bandkeys WHERE doc_id % 20 <> 0)
+         |SELECT c.doc_id, COUNT(*) AS n_bands_hit
+         |FROM c JOIN b USING (band, key)
+         |GROUP BY 1""".stripMargin,
     "corpus_shuffle" ->
       """SELECT doc_id, source,
         |  CAST(row_number() OVER (

@@ -53,6 +53,29 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("fuzzy decontamination flags near-duplicates of the bench set by shared bands") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = docsDf(
+      0L -> benchText,                                   // benchmark
+      1L -> benchText,                                   // exact dup: all bands
+      2L -> (benchText + " iota"),                       // near-dup: most shingles shared
+      3L -> "one two three four five six seven eight")   // unrelated
+    val out = Dedup.decontaminateFuzzy(docs, "doc_id", "text",
+        benchPred = col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.getOrElse(1L, 0L) == 4L) // exact dup collides on every band
+    assert(out.contains(2L))            // near-dup shares at least one band
+    assert(!out.contains(3L))           // unrelated never collides
+  }
+
+  test("fuzzy decontamination broadcasts the bench bands") {
+    val plan = Dedup.decontaminateFuzzy(TableCatalog(spark, sfDir).documents,
+        "doc_id", "text", benchPred = col("doc_id") % 20 === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   // ——— packSequences ———
 
   test("packSequences: concat-and-split bins and offsets are exact") {
