@@ -90,6 +90,11 @@ object LlmQueries {
     // —— G13: deterministic contrastive negative sampling, k=4 ——
     "embed_negatives" -> ((s, dir) =>
       Similarity.negativeSamples(emb(s, dir), k = 4)),
+    // —— G6d: deterministic train/val/test split (98/1/1) ——
+    "split_assign" -> ((s, dir) =>
+      graft.operators.Pipeline100TB.splitAssign(
+          docs(s, dir).select("doc_id", "source"), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("split"))),
     // —— F8b: fuzzy (MinHash-band) benchmark decontamination ——
     "decon_fuzzy" -> ((s, dir) =>
       Dedup.decontaminateFuzzy(docs(s, dir), "doc_id", "text",
@@ -466,6 +471,14 @@ object LlmQueries {
         |SELECT j.anchor, j.draw, b.vec_id AS negative, b.label AS neg_label
         |FROM j JOIN embeddings b ON b.vec_id = j.partner
         |WHERE b.vec_id <> j.anchor AND b.label <> j.a_label""".stripMargin,
+    "split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)
+        |            AS BIGINT) % 1000 < 980 THEN 'train'
+        |       WHEN CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)
+        |            AS BIGINT) % 1000 < 990 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "decon_fuzzy" ->
       s"""WITH $shingleCtes,
          |$minhashSigSql,

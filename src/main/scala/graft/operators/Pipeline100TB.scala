@@ -158,6 +158,25 @@ object Pipeline100TB {
     df.filter(hash60(keyCol.cast("string")) <
       round(weight * lit(1152921504606846976.0 /* 2^60 */)).cast("long"))
 
+  /** G6d: deterministic train/val/test split assignment — the
+    * hash-range rule every training pipeline needs: split by
+    * hash60(key) mod 1000 against cumulative per-mille cutoffs, so a
+    * row's split never changes across runs, clusters, or data
+    * additions (new rows land in splits without moving old ones).
+    * Pure map-side projection, zero shuffle.
+    */
+  def splitAssign(df: DataFrame, keyCol: Column,
+                  trainPermille: Int = 980, valPermille: Int = 10): DataFrame = {
+    require(trainPermille > 0 && valPermille >= 0 &&
+      trainPermille + valPermille < 1000,
+      s"splitAssign cutoffs invalid: train=$trainPermille val=$valPermille")
+    val h = pmod(hash60(keyCol.cast("string")), lit(1000))
+    df.withColumn("split",
+      when(h < trainPermille, "train")
+        .when(h < trainPermille + valPermille, "val")
+        .otherwise("test"))
+  }
+
   /** G6c: deterministic k-per-stratum sample: the k smallest row
     * hashes within each stratum — a uniform-without-replacement draw
     * that never changes across runs. One shuffle on the stratum key.

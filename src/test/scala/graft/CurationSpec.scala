@@ -278,6 +278,26 @@ class CurationSpec extends SparkTestBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1, plan)
   }
 
+  // ——— splitAssign ———
+
+  test("splitAssign: stable hash-range splits, zero shuffle, cutoffs validated") {
+    val docs = TableCatalog(spark, sfDir).documents.select("doc_id")
+    val df = Pipeline100TB.splitAssign(docs, col("doc_id"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(out.values.count(_ == "train") > out.size / 2)
+    // adding rows never moves an existing row's split
+    val half = Pipeline100TB.splitAssign(
+        docs.filter(col("doc_id") < 50), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (id, sp) => out(id) == sp })
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    intercept[IllegalArgumentException] {
+      Pipeline100TB.splitAssign(docs, col("doc_id"), trainPermille = 995,
+        valPermille = 10)
+    }
+  }
+
   // ——— shuffleOrder ———
 
   test("shuffleOrder: a bijective 0..N-1 permutation equal to the global hash rank") {
