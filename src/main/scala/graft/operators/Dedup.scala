@@ -171,7 +171,13 @@ object Dedup {
                          n: Int = 2, k: Int = 16, bands: Int = 4): DataFrame = {
     val bench = bandKeyTable(docs.filter(benchPred), idCol, textCol, n, k, bands)
       .select(col("band"), col("key")).distinct()
-    bandKeyTable(docs.filter(!benchPred), idCol, textCol, n, k, bands)
+    // fail closed, as in [[decontaminate]]: NULL-predicate rows are
+    // checked as corpus, never silently skipped. (Each branch
+    // tokenizes only its own subset — the filter sits below the
+    // shingle projection — so total work is one corpus pass plus the
+    // small bench pass, at the cost of scanning the source twice.)
+    bandKeyTable(docs.filter(!coalesce(benchPred, lit(false))),
+        idCol, textCol, n, k, bands)
       .join(broadcast(bench), Seq("band", "key"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bands_hit"))
@@ -228,7 +234,10 @@ object Dedup {
       .withColumn("sh", shingleHashes("toks", n))
     val bench = withSh.filter(benchPred)
       .select(explode(col("sh")).as("h")).distinct()
-    withSh.filter(!benchPred)
+    // fail closed: a row where benchPred is NULL is NOT bench, so it
+    // must be CHECKED as corpus — `!NULL` would silently skip it,
+    // the worst failure mode for a leakage guard
+    withSh.filter(!coalesce(benchPred, lit(false)))
       .select(col(idCol), size(col("sh")).as("n_shingles"),
         explode(col("sh")).as("h"))
       .join(broadcast(bench), "h")

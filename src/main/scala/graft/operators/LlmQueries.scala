@@ -92,7 +92,7 @@ object LlmQueries {
       Similarity.negativeSamples(emb(s, dir), k = 4)),
     // —— G6d: deterministic train/val/test split (98/1/1) ——
     "split_assign" -> ((s, dir) =>
-      graft.operators.Pipeline100TB.splitAssign(
+      Pipeline100TB.splitAssign(
           docs(s, dir).select("doc_id", "source"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("split"))),
     // —— F8b: fuzzy (MinHash-band) benchmark decontamination ——
@@ -101,9 +101,9 @@ object LlmQueries {
         benchPred = col("doc_id") % 20 === 0)),
     // —— G14: reproducible global shuffle order for training export ——
     "corpus_shuffle" -> ((s, dir) =>
-      graft.operators.Pipeline100TB.shuffleOrder(
+      Pipeline100TB.shuffleOrder(
           docs(s, dir).select("doc_id", "source"), col("doc_id"))
-        .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"))),
+        .select(col("doc_id"), col("source"), col("pos"))),
   )
 
   // ——— shared oracle fragments ———
@@ -456,11 +456,16 @@ object LlmQueries {
         |cf AS (SELECT doc_id, tok, tf,
         |         SUM(tf) OVER (PARTITION BY tok) AS cf
         |       FROM tf),
-        |nt AS (SELECT CAST(SUM(tf) AS DOUBLE) AS nt FROM tf)
+        |nt AS (SELECT CAST(SUM(tf) AS DOUBLE) AS nt FROM tf),
+        |c AS (SELECT doc_id, tf,
+        |        CAST(round(CAST(tf AS DOUBLE)
+        |               * ln(CAST(cf AS DOUBLE) / nt) * 1000000.0) AS BIGINT)
+        |          AS micronats
+        |      FROM cf, nt)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
-        |  round(SUM(CAST(tf AS DOUBLE) * ln(CAST(cf AS DOUBLE) / nt))
-        |        / SUM(tf), 4) AS avg_logp
-        |FROM cf, nt GROUP BY doc_id""".stripMargin,
+        |  round(CAST(SUM(micronats) AS BIGINT) / 1000000.0 / SUM(tf), 4)
+        |    AS avg_logp
+        |FROM c GROUP BY doc_id""".stripMargin,
     "embed_negatives" ->
       """WITH n AS (SELECT MAX(vec_id) + 1 AS nv FROM embeddings),
         |j AS (SELECT e.vec_id AS anchor, e.label AS a_label,

@@ -163,14 +163,17 @@ object Pipeline100TB {
     * hash60(key) mod 1000 against cumulative per-mille cutoffs, so a
     * row's split never changes across runs, clusters, or data
     * additions (new rows land in splits without moving old ones).
-    * Pure map-side projection, zero shuffle.
+    * Pure map-side projection, zero shuffle. Null keys hash as the
+    * empty string — they all land together in one deterministic
+    * split rather than silently pooling in `test` (which would
+    * contaminate the smallest split with exactly the malformed rows).
     */
   def splitAssign(df: DataFrame, keyCol: Column,
                   trainPermille: Int = 980, valPermille: Int = 10): DataFrame = {
     require(trainPermille > 0 && valPermille >= 0 &&
       trainPermille + valPermille < 1000,
       s"splitAssign cutoffs invalid: train=$trainPermille val=$valPermille")
-    val h = pmod(hash60(keyCol.cast("string")), lit(1000))
+    val h = pmod(hash60(coalesce(keyCol.cast("string"), lit(""))), lit(1000))
     df.withColumn("split",
       when(h < trainPermille, "train")
         .when(h < trainPermille + valPermille, "val")
@@ -312,6 +315,13 @@ object Pipeline100TB {
     * One shuffle on the bucket key; the offsets table is `buckets`
     * rows. This is the "shuffle the corpus once, stream it in order
     * forever" step before sequence packing.
+    *
+    * Contract: positions are fully reproducible iff `keyCol` values
+    * are UNIQUE (the usual doc-id case) — ties between equal keys
+    * fall back to row arrival order, which no engine can pin down.
+    * Null keys hash as the empty string so the row is kept (a null
+    * hash would silently drop the row at the bucket join and shift
+    * every later position); multiple null keys tie like equal keys.
     */
   def shuffleOrder(df: DataFrame, keyCol: Column,
                    bucketBits: Int = 10): DataFrame = {
@@ -319,7 +329,7 @@ object Pipeline100TB {
     require(bucketBits > 0 && bucketBits < 60,
       s"shuffleOrder bucketBits must be in (0, 60): $bucketBits")
     val base = df
-      .withColumn("__h", hash60(keyCol.cast("string")))
+      .withColumn("__h", hash60(coalesce(keyCol.cast("string"), lit(""))))
       .withColumn("__b", shiftright(col("__h"), 60 - bucketBits))
     val offs = base.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
       // running offsets over ≤2^bucketBits tiny rows — the single

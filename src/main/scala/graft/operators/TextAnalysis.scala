@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.functions.Hash60.tokens
 
 /** Text analysis for training-data pipelines (SURVEY.md §2 group H).
-  * All formulas use only rational arithmetic and comparisons — no
-  * transcendentals — so results are bit-identical to the DuckDB
-  * oracle regardless of libm. Every operator is a narrow projection:
-  * zero shuffles, full codegen, scales linearly with input splits.
+  * The per-document signal operators (langId, quality, tokenCounts,
+  * fingerprints, repetition, gopherRules, filterLines) use only
+  * rational arithmetic — no transcendentals, so results are
+  * bit-identical to the DuckDB oracle regardless of libm — and plan
+  * as narrow zero-shuffle codegen projections. The corpus-statistics
+  * operators (vocabulary, topTerms, bm25, unigramLogProb) shuffle
+  * once for their term aggregates, and the scoring ones use `ln`
+  * behind fixed-point or rounded outputs (precision notes on each).
   */
 object TextAnalysis {
 
@@ -179,6 +183,12 @@ object TextAnalysis {
     * per-(doc,term) counts, the corpus frequency comes from a window
     * over those already-aggregated rows (no second corpus pass), the
     * corpus total folds in as a broadcast 1-row aggregate.
+    *
+    * Determinism: per-term contributions are fixed-pointed to int64
+    * MICRONATS before the per-doc sum, so the aggregation is an
+    * exact integer sum — immune to the float-reassociation drift a
+    * shuffled double sum carries (the same exact-integer-sum move
+    * the HLL sketch makes) — and divided back out once at the end.
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
@@ -191,19 +201,19 @@ object TextAnalysis {
       sum(col("tf")).over(Window.partitionBy(col("tok"))))
     val nTot = broadcast(docTf.agg(sum(col("tf")).cast("double").as("__nt")))
     withCf.crossJoin(nTot)
-      .withColumn("__c", col("tf").cast("double") *
-        log(col("cf").cast("double") / col("__nt")))
+      .withColumn("__c", round(col("tf").cast("double") *
+        log(col("cf").cast("double") / col("__nt")) * lit(1e6)).cast("long"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tok"), sum(col("__c")).as("__lp"))
       .select(col("doc_id"), col("n_tok"),
-        round(col("__lp") / col("n_tok"), 4).as("avg_logp"))
+        round(col("__lp") / lit(1e6) / col("n_tok"), 4).as("avg_logp"))
   }
 
   /** H17: BM25 retrieval scoring for a fixed term set — the ranking
     * pass a corpus-search / example-selection pipeline runs over
     * documents. Per-doc term frequencies come from the native
     * [[graft.functions.InSetCount]] in ONE zero-shuffle projection;
-    * corpus stats (N, Σdl, df per term) fold into a single broadcast
+    * corpus stats (N, Σdl, df per term) fold into one broadcast
     * 1-row aggregate crossJoin (no second corpus pass, no driver
     * action); the final top-k is `orderBy().limit(k)` — Spark plans
     * TakeOrderedAndProject, a distributed partial top-k, never a

@@ -76,6 +76,24 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("decontamination guards fail closed: NULL-predicate rows are checked as corpus") {
+    import spark.implicits._
+    // doc 1's source is NULL: benchPred is NULL there — it must be
+    // treated as corpus (and flagged, since it duplicates the bench
+    // doc), never silently skipped
+    val docs = Seq(
+      (0L, Some("eval"), "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, None: Option[String], "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "src", "text")
+    val pred = col("src") === "eval"
+    val exact = Dedup.decontaminate(docs, "doc_id", "text", n = 3, pred)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L))
+    val fuzzy = Dedup.decontaminateFuzzy(docs, "doc_id", "text", pred)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fuzzy == Set(1L))
+  }
+
   // ——— packSequences ———
 
   test("packSequences: concat-and-split bins and offsets are exact") {
@@ -296,6 +314,19 @@ class CurationSpec extends SparkTestBase {
       Pipeline100TB.splitAssign(docs, col("doc_id"), trainPermille = 995,
         valPermille = 10)
     }
+  }
+
+  test("null keys: splitAssign routes them to one deterministic split; shuffleOrder keeps them") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None: Option[String]), (3L, Some("c")))
+      .toDF("id", "k")
+    val splits = Pipeline100TB.splitAssign(df, col("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(Set("train", "val", "test").contains(splits(2L))) // not lost
+    val pos = Pipeline100TB.shuffleOrder(df, col("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pos.size == 3)                       // null-key row kept
+    assert(pos.values.toSet == Set(0L, 1L, 2L)) // bijection intact
   }
 
   // ——— shuffleOrder ———
