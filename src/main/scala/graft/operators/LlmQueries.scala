@@ -84,6 +84,9 @@ object LlmQueries {
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
         terms = Seq("spark", "query", "stream"), k = 20)),
+    // —— H7b: BPE pair-merge statistics, top-20 adjacent pairs ——
+    "vocab_pairs" -> ((s, dir) =>
+      TextAnalysis.pairCounts(docs(s, dir), "doc_id", "text", k = 20)),
     // —— H18: unigram LM quality score (avg token log-prob) ——
     "text_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")),
@@ -448,6 +451,15 @@ object LlmQueries {
          |SELECT id, score FROM sc WHERE score > 0
          |ORDER BY score DESC, id LIMIT 20""".stripMargin
     },
+    "vocab_pairs" ->
+      s"""WITH t AS ($toksCte),
+         |p0 AS (SELECT [toks[i] || ' ' || toks[i+1]
+         |               for i in generate_series(1, len(toks)-1)] AS pairs
+         |       FROM t),
+         |p AS (SELECT unnest(pairs) AS pair FROM p0)
+         |SELECT pair, COUNT(*) AS n
+         |FROM p GROUP BY 1
+         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "text_unigram_lp" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

@@ -175,6 +175,27 @@ object TextAnalysis {
       clean.as("clean_text"))
   }
 
+  /** H7b: BPE-style adjacent-pair statistics — the inner loop of a
+    * pair-merge tokenizer training round: corpus-wide counts of
+    * ADJACENT token pairs as a multiset (every occurrence counts —
+    * unlike the dedup family's per-doc DISTINCT shingle sets), top-k
+    * by count with a deterministic tie order. One explode+shuffle
+    * for the counts; the top-k plans as TakeOrderedAndProject.
+    */
+  def pairCounts(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 20): DataFrame = {
+    require(k > 0, s"pairCounts k must be positive: $k")
+    val toks = tokens(col(textCol))
+    docs
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))).as("p"))
+      .select(concat_ws(" ", col("p.0"), col("p.1")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** H18: unigram language-model score — the CCNet-style LM quality
     * filter: avg per-token log-probability under the corpus's own
     * unigram distribution. Gibberish and boilerplate-heavy docs score

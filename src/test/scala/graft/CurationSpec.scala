@@ -237,6 +237,27 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  // ——— pairCounts ———
+
+  test("pairCounts: adjacent-pair multiset, not distinct shingles; deterministic top-k") {
+    val docs = docsDf(
+      1L -> "a b a b a b", // pair "a b" ×3, "b a" ×2
+      2L -> "a b c")       // "a b" ×1, "b c" ×1
+    val out = TextAnalysis.pairCounts(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a b", 4L), ("b a", 2L), ("a b c".split(" ").slice(1, 3).mkString(" "), 1L)))
+    // single-token and empty docs contribute nothing
+    val edge = TextAnalysis.pairCounts(docsDf(1L -> "solo"), "doc_id", "text")
+    assert(edge.count() == 0)
+  }
+
+  test("pairCounts top-k plans as TakeOrderedAndProject") {
+    val plan = TextAnalysis.pairCounts(
+        TableCatalog(spark, sfDir).documents, "doc_id", "text", k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   // ——— unigramLogProb ———
 
   test("unigram LM score: rare-token docs score below common-token docs") {
