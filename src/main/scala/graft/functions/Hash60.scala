@@ -20,6 +20,14 @@ object Hash60 {
   def perm(h: Column, i: Int): Column =
     (((h % Prime) * (1L + 7L * i) + (13L + 11L * i)) % Prime)
 
+  /** Null-safe row key for hashing: a NULL key stringifies as "" so
+    * hash-keyed operators (samplers, splits, shuffle order) treat the
+    * row deterministically instead of silently dropping it —
+    * `hash60(NULL)` is NULL, and NULL comparisons exclude the row
+    * from every hash-range filter without a trace.
+    */
+  def rowKey(c: Column): Column = coalesce(c.cast("string"), lit(""))
+
   /** Tokens of a document: lower, trim, split on whitespace runs. */
   def tokens(text: Column): Column = split(trim(lower(text)), " +")
 

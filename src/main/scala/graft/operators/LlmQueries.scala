@@ -425,7 +425,7 @@ object LlmQueries {
          |  FROM t GROUP BY 1)
          |SELECT t.doc_id, t.source, t.n_tok
          |FROM t JOIN r USING (source)
-         |WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+         |WHERE CAST('0x'||substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')),1,15) AS BIGINT)
          |      < CAST(round(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin,
     "text_bm25" -> {
       val terms = Seq("spark", "query", "stream")
@@ -490,9 +490,9 @@ object LlmQueries {
         |WHERE b.vec_id <> j.anchor AND b.label <> j.a_label""".stripMargin,
     "split_assign" ->
       """SELECT doc_id, source,
-        |  CASE WHEN CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)
+        |  CASE WHEN CAST('0x'||substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')),1,15)
         |            AS BIGINT) % 1000 < 980 THEN 'train'
-        |       WHEN CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)
+        |       WHEN CAST('0x'||substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')),1,15)
         |            AS BIGINT) % 1000 < 990 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
@@ -509,7 +509,7 @@ object LlmQueries {
     "corpus_shuffle" ->
       """SELECT doc_id, source,
         |  CAST(row_number() OVER (
-        |    ORDER BY CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)
+        |    ORDER BY CAST('0x'||substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')),1,15)
         |               AS BIGINT),
         |             doc_id) - 1 AS BIGINT) AS pos
         |FROM documents""".stripMargin,

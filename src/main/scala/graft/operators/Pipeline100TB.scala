@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hash60.hash60
+import graft.functions.Hash60.{hash60, rowKey}
 
 /** Training-data pipeline operators beyond the dedup/similarity
   * families: near-dup cluster assignment, reproducible sampling,
@@ -141,7 +141,7 @@ object Pipeline100TB {
     * run). Pure map-side filter: zero shuffle at any scale.
     */
   def hashSample(df: DataFrame, keyCol: Column, ratePct: Column): DataFrame =
-    df.filter(pmod(hash60(keyCol.cast("string")), lit(100)) < ratePct)
+    df.filter(pmod(hash60(rowKey(keyCol)), lit(100)) < ratePct)
 
   /** G6b: deterministic WEIGHTED Bernoulli sampling: keep a row iff
     * hash60(key)/2^60 < weight(row) — per-row inclusion probability
@@ -155,7 +155,7 @@ object Pipeline100TB {
     * only to 2^53).
     */
   def weightedHashSample(df: DataFrame, keyCol: Column, weight: Column): DataFrame =
-    df.filter(hash60(keyCol.cast("string")) <
+    df.filter(hash60(rowKey(keyCol)) <
       round(weight * lit(1152921504606846976.0 /* 2^60 */)).cast("long"))
 
   /** G6d: deterministic train/val/test split assignment — the
@@ -173,7 +173,7 @@ object Pipeline100TB {
     require(trainPermille > 0 && valPermille >= 0 &&
       trainPermille + valPermille < 1000,
       s"splitAssign cutoffs invalid: train=$trainPermille val=$valPermille")
-    val h = pmod(hash60(coalesce(keyCol.cast("string"), lit(""))), lit(1000))
+    val h = pmod(hash60(rowKey(keyCol)), lit(1000))
     df.withColumn("split",
       when(h < trainPermille, "train")
         .when(h < trainPermille + valPermille, "val")
@@ -187,7 +187,7 @@ object Pipeline100TB {
   def stratifiedK(df: DataFrame, stratumCol: Column, keyCol: Column,
                   k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = hash60(keyCol.cast("string"))
+    val h = hash60(rowKey(keyCol))
     df.withColumn("__rk", row_number().over(
         Window.partitionBy(stratumCol).orderBy(h)))
       .filter(col("__rk") <= k)
@@ -210,7 +210,7 @@ object Pipeline100TB {
                      groupCols: Seq[Column], valCol: Column,
                      ps: Seq[(String, Double)]): DataFrame = {
     val sampled =
-      df.filter(pmod(hash60(sampleKey.cast("string")), lit(100)) < ratePct)
+      df.filter(pmod(hash60(rowKey(sampleKey)), lit(100)) < ratePct)
     val aggs = count(lit(1)).as("sample_n") +:
       ps.map { case (nm, p) => round(percentile(valCol, lit(p)), 4).as(nm) }
     sampled.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
@@ -329,7 +329,7 @@ object Pipeline100TB {
     require(bucketBits > 0 && bucketBits < 60,
       s"shuffleOrder bucketBits must be in (0, 60): $bucketBits")
     val base = df
-      .withColumn("__h", hash60(coalesce(keyCol.cast("string"), lit(""))))
+      .withColumn("__h", hash60(rowKey(keyCol)))
       .withColumn("__b", shiftright(col("__h"), 60 - bucketBits))
     val offs = base.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
       // running offsets over ≤2^bucketBits tiny rows — the single

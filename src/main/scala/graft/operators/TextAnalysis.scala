@@ -11,9 +11,10 @@ import graft.functions.Hash60.tokens
   * rational arithmetic — no transcendentals, so results are
   * bit-identical to the DuckDB oracle regardless of libm — and plan
   * as narrow zero-shuffle codegen projections. The corpus-statistics
-  * operators (vocabulary, topTerms, bm25, unigramLogProb) shuffle
-  * once for their term aggregates, and the scoring ones use `ln`
-  * behind fixed-point or rounded outputs (precision notes on each).
+  * operators (vocabulary, topTerms, pairCounts, bm25, unigramLogProb)
+  * shuffle once for their term aggregates, and the scoring ones use
+  * `ln` behind fixed-point or rounded outputs (precision notes on
+  * each).
   */
 object TextAnalysis {
 

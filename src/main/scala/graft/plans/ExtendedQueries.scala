@@ -603,17 +603,17 @@ object ExtendedQueries {
         |FROM ranked WHERE rk <= 5""".stripMargin,
     "sample_hash" ->
       """SELECT event_id, user_id, event_type FROM events
-        |WHERE CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT) % 100
+        |WHERE CAST('0x'||substr(md5(COALESCE(CAST(event_id AS VARCHAR), '')),1,15) AS BIGINT) % 100
         |      < CASE WHEN event_type = 'purchase' THEN 50 ELSE 10 END""".stripMargin,
     "sample_weighted" ->
       """SELECT event_id, event_type, value FROM events
-        |WHERE CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT)
+        |WHERE CAST('0x'||substr(md5(COALESCE(CAST(event_id AS VARCHAR), '')),1,15) AS BIGINT)
         |      < CAST(round(least(value / 100.0, 1.0) * 1152921504606846976.0) AS BIGINT)""".stripMargin,
     "sample_stratified_k" ->
       """SELECT event_id, event_type FROM (
         |  SELECT event_id, event_type,
         |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT)) AS rk
+        |      ORDER BY CAST('0x'||substr(md5(COALESCE(CAST(event_id AS VARCHAR), '')),1,15) AS BIGINT)) AS rk
         |  FROM events)
         |WHERE rk <= 3""".stripMargin,
     "text_scrub" ->

@@ -339,15 +339,20 @@ class CurationSpec extends SparkTestBase {
 
   test("null keys: splitAssign routes them to one deterministic split; shuffleOrder keeps them") {
     import spark.implicits._
-    val df = Seq((1L, Some("a")), (2L, None: Option[String]), (3L, Some("c")))
+    val df = Seq((1L, Some("a")), (2L, None: Option[String]), (3L, Some("c")),
+      (4L, Some("")))
       .toDF("id", "k")
     val splits = Pipeline100TB.splitAssign(df, col("k"))
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
-    assert(Set("train", "val", "test").contains(splits(2L))) // not lost
+    // the null key hashes exactly like the empty string — the pre-fix
+    // behavior (when-chain falls through, pooling nulls into "test")
+    // would fail this equality unless "" also lands in test
+    assert(splits(2L) == splits(4L))
+    assert(splits(2L) != "test") // hash60("") mod 1000 = 424 → train
     val pos = Pipeline100TB.shuffleOrder(df, col("k"))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(pos.size == 3)                       // null-key row kept
-    assert(pos.values.toSet == Set(0L, 1L, 2L)) // bijection intact
+    assert(pos.size == 4)                           // null-key row kept
+    assert(pos.values.toSet == Set(0L, 1L, 2L, 3L)) // bijection intact
   }
 
   // ——— shuffleOrder ———
