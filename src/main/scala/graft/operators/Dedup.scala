@@ -32,6 +32,52 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_copies"))
       .select(col("fp"), col("survivor"), col("n_copies"))
 
+  /** Duplicate-dense guard (F2∘F3/F6 composition): collapse exact-
+    * fingerprint duplicate groups to their min-id representative row
+    * BEFORE near-dup pair generation. Pair generators emit every true
+    * near-dup pair, so a corpus with copy factor c grows candidates
+    * ~quadratically in c (measured: 10× replication → 7× pair-stage
+    * cost, SURVEY §8); collapsing first makes one representative carry
+    * the whole copy group, so pair volume is quadratic only in the
+    * count of DISTINCT contents — the standard production composition
+    * for crawl-heavy corpora.
+    *
+    * Keeps every original column and adds `n_members` (the collapsed
+    * group size, so downstream stages can re-weight or re-expand).
+    * One fingerprint-keyed shuffle: both window functions share the
+    * same partitioning, so the exchange is planned once.
+    */
+  def collapseFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = md5(to_binary(
+      array_join(array_sort(array_distinct(tokens(col(textCol)))), " "),
+      lit("utf-8")))
+    val byFp = Window.partitionBy(col("__fp"))
+    docs
+      .withColumn("__fp", fp)
+      .withColumn("__rn", row_number().over(byFp.orderBy(col(idCol))))
+      .withColumn("n_members", count(lit(1)).over(byFp))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** F3 over the fingerprint-collapsed corpus: near-dup pairs between
+    * REPRESENTATIVES only, each side carrying its collapsed group size
+    * — pair volume no longer grows with the exact-duplicate copy
+    * factor. A pair (a, b, n_a, n_b) stands for the n_a·n_b underlying
+    * document pairs. The member-count re-attach is two keyed joins on
+    * the (already collapsed) id set, free for the planner to broadcast
+    * when small.
+    */
+  def ngramJaccardCollapsed(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 2, tau: Double = 0.8): DataFrame = {
+    val reps = collapseFingerprints(docs, idCol, textCol)
+    val members = reps.select(col(idCol), col("n_members"))
+    ngramJaccard(reps.drop("n_members"), idCol, textCol, n, tau)
+      .join(members.select(col(idCol).as("a"), col("n_members").as("n_a")), "a")
+      .join(members.select(col(idCol).as("b"), col("n_members").as("n_b")), "b")
+      .select(col("a"), col("b"), col("jaccard"), col("n_a"), col("n_b"))
+  }
+
   /** (id, shingle) postings with per-doc shingle-set size. */
   private def postings(docs: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame =

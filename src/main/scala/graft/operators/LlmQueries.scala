@@ -26,6 +26,13 @@ object LlmQueries {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
     "dedup_embed_cosine" -> ((s, dir) =>
       Similarity.nearDupPairs(s, emb(s, dir), tau = 0.4)),
+    // —— F3∘F2: duplicate-dense guard — pairs over the fingerprint-
+    //    collapsed corpus, each side carrying its group size ——
+    "dedup_pairs_collapsed" -> ((s, dir) =>
+      Dedup.ngramJaccardCollapsed(docs(s, dir), "doc_id", "text", n = 2, tau = 0.8)),
+    // —— F6∘collapse: cosine pairs over exact-duplicate-collapsed vectors ——
+    "dedup_embed_collapsed" -> ((s, dir) =>
+      Similarity.nearDupPairsCollapsed(s, emb(s, dir), tau = 0.4)),
     "sim_topk_bruteforce" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(s, e, e.filter(col("vec_id") < 10), k = 5)
@@ -114,15 +121,46 @@ object LlmQueries {
   private val toksCte =
     "SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks FROM documents"
 
-  /** bigram shingle postings: (doc_id, sz, shingle) */
+  /** bigram shingle postings over a `t(doc_id, toks)` CTE that the
+    * caller supplies: (doc_id, sz, shingle)
+    */
+  private val shingleBody =
+    """sh0 AS (SELECT doc_id,
+      |  list_distinct([toks[i] || ' ' || toks[i+1]
+      |                 for i in generate_series(1, len(toks)-1)]) AS sharr
+      |  FROM t),
+      |sh AS (SELECT doc_id, len(sharr) AS sz, unnest(sharr) AS shingle
+      |       FROM sh0 WHERE len(sharr) > 0)""".stripMargin
+
+  /** bigram shingle postings over the full corpus: (doc_id, sz, shingle) */
   private val shingleCtes =
     s"""t AS ($toksCte),
-       |sh0 AS (SELECT doc_id,
-       |  list_distinct([toks[i] || ' ' || toks[i+1]
-       |                 for i in generate_series(1, len(toks)-1)]) AS sharr
-       |  FROM t),
-       |sh AS (SELECT doc_id, len(sharr) AS sz, unnest(sharr) AS shingle
-       |       FROM sh0 WHERE len(sharr) > 0)""".stripMargin
+       |$shingleBody""".stripMargin
+
+  /** the exact PPJoin pair pipeline of `dedup_ngram_jaccard`, as CTEs
+    * downstream of `sh0`/`sh` (emits `inter(a, b, sza, szb, i)`)
+    */
+  private val jaccardPairBody =
+    """df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+      |rk AS (SELECT s.doc_id, s.sz, s.shingle,
+      |         row_number() OVER (PARTITION BY s.doc_id
+      |                            ORDER BY d.df, s.shingle) AS rk
+      |       FROM sh s JOIN df d USING (shingle)),
+      |pref AS (SELECT * FROM rk WHERE rk <= floor(sz - 0.8 * sz) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS a, a.sz AS sza,
+      |                b.doc_id AS b, b.sz AS szb
+      |         FROM pref a JOIN pref b
+      |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          AND least(a.sz, b.sz) >= 0.8 * greatest(a.sz, b.sz)),
+      |hsh AS (SELECT doc_id,
+      |          list_sort([CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+      |                     for s in sharr]) AS h
+      |        FROM sh0 WHERE len(sharr) > 0),
+      |inter AS (SELECT c.a, c.b, c.sza, c.szb,
+      |            len(list_intersect(xa.h, xb.h)) AS i
+      |          FROM cand c
+      |          JOIN hsh xa ON xa.doc_id = c.a
+      |          JOIN hsh xb ON xb.doc_id = c.b)""".stripMargin
 
   private val hash60Sql = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
 
@@ -185,30 +223,29 @@ object LlmQueries {
          |FROM t GROUP BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCtes,
-         |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
-         |rk AS (SELECT s.doc_id, s.sz, s.shingle,
-         |         row_number() OVER (PARTITION BY s.doc_id
-         |                            ORDER BY d.df, s.shingle) AS rk
-         |       FROM sh s JOIN df d USING (shingle)),
-         |pref AS (SELECT * FROM rk WHERE rk <= floor(sz - 0.8 * sz) + 1),
-         |cand AS (SELECT DISTINCT a.doc_id AS a, a.sz AS sza,
-         |                b.doc_id AS b, b.sz AS szb
-         |         FROM pref a JOIN pref b
-         |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |          AND least(a.sz, b.sz) >= 0.8 * greatest(a.sz, b.sz)),
-         |hsh AS (SELECT doc_id,
-         |          list_sort([CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
-         |                     for s in sharr]) AS h
-         |        FROM sh0 WHERE len(sharr) > 0),
-         |inter AS (SELECT c.a, c.b, c.sza, c.szb,
-         |            len(list_intersect(xa.h, xb.h)) AS i
-         |          FROM cand c
-         |          JOIN hsh xa ON xa.doc_id = c.a
-         |          JOIN hsh xb ON xb.doc_id = c.b)
+         |$jaccardPairBody
          |SELECT a, b,
          |  round(CAST(i AS DOUBLE) / (sza + szb - i), 6) AS jaccard
          |FROM inter
          |WHERE round(CAST(i AS DOUBLE) / (sza + szb - i), 6) >= 0.8""".stripMargin,
+    "dedup_pairs_collapsed" ->
+      s"""WITH t0 AS ($toksCte),
+         |fpt AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |  FROM t0),
+         |grp AS (SELECT fp, min(doc_id) AS rep, COUNT(*) AS n_members
+         |        FROM fpt GROUP BY 1),
+         |t AS (SELECT t0.doc_id, t0.toks
+         |      FROM t0 JOIN grp g ON t0.doc_id = g.rep),
+         |$shingleBody,
+         |$jaccardPairBody
+         |SELECT i.a, i.b,
+         |  round(CAST(i.i AS DOUBLE) / (i.sza + i.szb - i.i), 6) AS jaccard,
+         |  ga.n_members AS n_a, gb.n_members AS n_b
+         |FROM inter i
+         |JOIN grp ga ON ga.rep = i.a
+         |JOIN grp gb ON gb.rep = i.b
+         |WHERE round(CAST(i.i AS DOUBLE) / (i.sza + i.szb - i.i), 6) >= 0.8""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCtes,
          |$minhashSigSql,
@@ -224,6 +261,16 @@ object LlmQueries {
          |    round(${cosSql.format("a.embedding", "b.embedding")}, 4) AS cos_r
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cos_r >= 0.4""".stripMargin,
+    "dedup_embed_collapsed" ->
+      s"""WITH g AS (SELECT label, embedding, min(vec_id) AS rep,
+         |             COUNT(*) AS n_members
+         |           FROM embeddings GROUP BY 1, 2)
+         |SELECT label, a, b, cos_r, n_a, n_b FROM (
+         |  SELECT x.label, x.rep AS a, y.rep AS b,
+         |    round(${cosSql.format("x.embedding", "y.embedding")}, 4) AS cos_r,
+         |    x.n_members AS n_a, y.n_members AS n_b
+         |  FROM g x JOIN g y ON x.label = y.label AND x.rep < y.rep)
          |WHERE cos_r >= 0.4""".stripMargin,
     "sim_topk_bruteforce" -> bruteTopKSql,
     // EXACT by construction (error-bounded prefilter + exact rerank)

@@ -309,6 +309,33 @@ object Similarity {
       .select(col("label"), col("a"), col("b"), col("cos_r"))
   }
 
+  /** F6 over an exact-duplicate-collapsed corpus (the duplicate-dense
+    * guard, mirroring [[Dedup.ngramJaccardCollapsed]]): identical
+    * (label, vector) rows collapse to their min-id representative
+    * first, so cosine pair volume is quadratic only in DISTINCT
+    * vectors per label cell, not in the copy factor. Each emitted pair
+    * carries both collapsed group sizes (`n_a`, `n_b`) — it stands for
+    * n_a·n_b underlying pairs. One (label, vector)-keyed shuffle for
+    * the collapse (both windows share the exchange), then the usual
+    * label-blocked pair join. At 100 TB the collapse key would be a
+    * 128-bit content hash of the vector rather than the 64-float
+    * vector itself (narrower shuffle rows, collision-negligible); here
+    * the raw vector keeps the oracle byte-exact.
+    */
+  def nearDupPairsCollapsed(s: SparkSession, emb: DataFrame, tau: Double): DataFrame = {
+    val byVec = Window.partitionBy(col("label"), col("embedding"))
+    val reps = emb
+      .withColumn("__rn", row_number().over(byVec.orderBy(col("vec_id"))))
+      .withColumn("n_members", count(lit(1)).over(byVec))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val members = reps.select(col("vec_id"), col("n_members"))
+    nearDupPairs(s, reps.drop("n_members"), tau)
+      .join(members.select(col("vec_id").as("a"), col("n_members").as("n_a")), "a")
+      .join(members.select(col("vec_id").as("b"), col("n_members").as("n_b")), "b")
+      .select(col("label"), col("a"), col("b"), col("cos_r"), col("n_a"), col("n_b"))
+  }
+
   /** G13: deterministic negative sampling for contrastive training:
     * k pseudo-random partners per anchor via the shared 60-bit hash
     * (`hash60(anchor + "-" + draw) mod N`), self-pairs and same-label

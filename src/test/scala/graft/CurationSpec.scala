@@ -409,4 +409,32 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows.map(r => (r._1, r._2)).toSet == prop)
   }
+
+  // ——— nearDupPairsCollapsed (duplicate-dense guard) ———
+
+  test("collapsed cosine pairs are copy-factor invariant and account for every underlying pair") {
+    import spark.implicits._
+    // two distinct vectors above tau of each other, replicated 4× and 2×
+    val va = Array(1.0f, 0.0f, 0.1f)
+    val vb = Array(0.9f, 0.1f, 0.1f)
+    val vfar = Array(-1.0f, 0.5f, 0.0f)
+    val rows =
+      (0 until 4).map(i => (10L + i, va, 1)) ++
+      (0 until 2).map(i => (20L + i, vb, 1)) ++
+      Seq((30L, vfar, 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val collapsed = Similarity.nearDupPairsCollapsed(spark, emb, tau = 0.8).collect()
+    // one representative pair (10, 20) carrying both group sizes
+    assert(collapsed.length == 1)
+    val p = collapsed.head
+    assert(p.getAs[Long]("a") == 10L && p.getAs[Long]("b") == 20L)
+    assert(p.getAs[Long]("n_a") == 4L && p.getAs[Long]("n_b") == 2L)
+    // cross pairs (n_a·n_b) + intra-group pairs (cos=1 for exact copies)
+    // = everything the uncollapsed generator emits
+    val uncollapsed = Similarity.nearDupPairs(spark, emb, tau = 0.8).count()
+    val cross = collapsed.map(r => r.getAs[Long]("n_a") * r.getAs[Long]("n_b")).sum
+    val intra = Seq(4L, 2L).map(n => n * (n - 1) / 2).sum
+    assert(uncollapsed == cross + intra,
+      s"uncollapsed=$uncollapsed cross=$cross intra=$intra")
+  }
 }

@@ -34,6 +34,50 @@ class DedupSpec extends SparkTestBase {
       s"missed pairs: ${truth.diff(cand).take(5)}")
   }
 
+  test("collapseFingerprints keeps the min-id rep per group with the group size") {
+    import spark.implicits._
+    val d = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "alpha beta gamma delta"),   // exact duplicate of 10
+      (12L, "delta gamma beta alpha"),   // permutation: same fingerprint
+      (20L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val reps = Dedup.collapseFingerprints(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(reps.map(_.getLong(0)).toSeq == Seq(10L, 20L))
+    assert(reps.map(_.getAs[Long]("n_members")).toSeq == Seq(3L, 1L))
+    // original columns survive the collapse
+    assert(reps.head.getAs[String]("text") == "alpha beta gamma delta")
+  }
+
+  test("collapsed pair generation is invariant to the copy factor and accounts for every underlying pair") {
+    import spark.implicits._
+    // two distinct contents that are near-dups of each other (J >= 0.8),
+    // replicated 5× and 3× — the duplicate-dense shape that makes the
+    // uncollapsed generator quadratic in the copy factor
+    val textA = "the quick brown fox jumps over the lazy dog again today"
+    val textB = "the quick brown fox jumps over the lazy dog again tomorrow"
+    val rows =
+      (0 until 5).map(i => (100L + i, textA)) ++
+      (0 until 3).map(i => (200L + i, textB))
+    val d = rows.toDF("doc_id", "text")
+    val collapsed = Dedup.ngramJaccardCollapsed(d, "doc_id", "text", n = 2, tau = 0.8)
+      .collect()
+    // exactly one representative pair, between the two min-id reps
+    assert(collapsed.length == 1)
+    val p = collapsed.head
+    assert(p.getAs[Long]("a") == 100L && p.getAs[Long]("b") == 200L)
+    assert(p.getAs[Long]("n_a") == 5L && p.getAs[Long]("n_b") == 3L)
+    // accounting identity: cross-group pairs (n_a·n_b) plus intra-group
+    // pairs (C(n,2) per fingerprint group, J=1 for exact copies) must
+    // equal every pair the uncollapsed generator emits
+    val uncollapsed = Dedup.ngramJaccard(d, "doc_id", "text", n = 2, tau = 0.8).count()
+    val cross = collapsed.map(r => r.getAs[Long]("n_a") * r.getAs[Long]("n_b")).sum
+    val intra = Seq(5L, 3L).map(n => n * (n - 1) / 2).sum
+    assert(uncollapsed == cross + intra,
+      s"uncollapsed=$uncollapsed cross=$cross intra=$intra")
+  }
+
   test("simhash of near-dup docs has small hamming distance; random pairs large") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
     val near = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, tau = 0.9)
