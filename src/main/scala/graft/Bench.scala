@@ -38,7 +38,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the COMPLETE per-query artifact: the driver's log capture
+    // truncates long stdout tails, which has silently cost past rounds
+    // half their round-over-round timing comparison. This file is the
+    // durable record; commit it once per round.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -25,6 +25,14 @@ object Hash60 {
     * row deterministically instead of silently dropping it —
     * `hash60(NULL)` is NULL, and NULL comparisons exclude the row
     * from every hash-range filter without a trace.
+    *
+    * Known collision: a NULL key and a genuine empty-string key (or
+    * any key whose string cast is "") hash IDENTICALLY, so they land
+    * in the same sample/split/shuffle position together, always.
+    * This is deliberate — any in-band sentinel could equally collide
+    * with a real cast value, and "" is the one callers can audit for
+    * — but callers with string keys should know malformed rows pool
+    * with empty-key rows rather than spreading uniformly.
     */
   def rowKey(c: Column): Column = coalesce(c.cast("string"), lit(""))
 

@@ -471,7 +471,7 @@ object LlmQueries {
          |  least(1.0, CAST(600 AS DOUBLE) / CAST(SUM(n_tok) AS BIGINT)) AS rate
          |  FROM t GROUP BY 1)
          |SELECT t.doc_id, t.source, t.n_tok
-         |FROM t JOIN r USING (source)
+         |FROM t JOIN r ON t.source IS NOT DISTINCT FROM r.source
          |WHERE CAST('0x'||substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')),1,15) AS BIGINT)
          |      < CAST(round(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin,
     "text_bm25" -> {

@@ -291,6 +291,12 @@ object Pipeline100TB {
     * Cost: one partial-aggregated groupBy over the stratum key for
     * the totals (a handful of rows), broadcast back; the filter
     * itself is map-side. No corpus-sized shuffle.
+    *
+    * NULL strata form their own stratum (groupBy already buckets
+    * them together; the rate re-attach is a null-safe `<=>` join),
+    * so malformed rows are sampled at their own rate instead of
+    * silently vanishing through an equi-join — the same fail-closed
+    * treatment the samplers give null keys.
     */
   def mixBalance(df: DataFrame, stratumCol: String, keyCol: Column,
                  tokCol: Column, targetToks: Long): DataFrame = {
@@ -298,11 +304,12 @@ object Pipeline100TB {
     val base = df.withColumn("__tok", tokCol)
     val rates = base.groupBy(col(stratumCol))
       .agg(sum(col("__tok")).cast("long").as("__tot"))
-      .select(col(stratumCol),
+      .select(col(stratumCol).as("__stratum"),
         least(lit(1.0), lit(targetToks.toDouble) / col("__tot")).as("__rate"))
-    weightedHashSample(base.join(broadcast(rates), Seq(stratumCol)),
+    weightedHashSample(
+        base.join(broadcast(rates), col(stratumCol) <=> col("__stratum")),
         keyCol, col("__rate"))
-      .drop("__rate")
+      .drop("__rate", "__stratum")
   }
 
   /** G14: deterministic global shuffle order for training export —

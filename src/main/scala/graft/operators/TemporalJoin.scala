@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoin {
 
+  /** Both joins stage working columns under the `__` prefix
+    * (`__t`/`__side`/`__seq`/`__l`/`__r`/`__m`/`__b`…). A user column
+    * with that prefix would be silently shadowed — reject it loudly,
+    * like the payload-overlap require.
+    */
+  private def requireNoReserved(left: DataFrame, right: DataFrame): Unit = {
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"temporal joins reserve the __ column-name prefix for internal " +
+        s"columns; rename: ${reserved.mkString(", ")}")
+  }
+
   /** As-of join: for every left row, the single right row whose
     * timestamp is the latest at-or-before the left timestamp
     * (`direction = "backward"`), or earliest at-or-after
@@ -44,6 +56,7 @@ object TemporalJoin {
                tolerance: Option[Column] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"asOfJoin direction must be backward|forward, got $direction")
+    requireNoReserved(left, right)
     val backward = direction == "backward"
     val overlap = left.columns.toSet
       .intersect((rightTime +: payload).toSet)
@@ -125,27 +138,56 @@ object TemporalJoin {
     * |left|×|right|. The exact interval predicate then filters
     * candidates. Right rows match at most once per left row (each
     * right row owns exactly one bucket).
+    *
+    * Skew: the shuffle key is `(keys, bucket)`, so a hot key in a
+    * hot time window co-locates all its candidates in ONE task. Two
+    * levers: AQE's skew-join split applies as-is (this is a plain
+    * shuffle join), and `salt > 1` splits every (key, bucket) cell
+    * across `salt` reducers deterministically — the left side picks
+    * one content-hashed salt, the right side replicates across all
+    * `salt` values, so each qualifying pair still meets exactly
+    * once and results are IDENTICAL for any salt (spec-checked).
+    * Cost: `salt`× right-side shuffle fan-out — pay it when a hot
+    * cell is known, not by default.
     */
   def rangeJoinPairs(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTime: String, rightTime: String,
-                     payload: Seq[String], widthSec: Long): DataFrame = {
+                     payload: Seq[String], widthSec: Long,
+                     salt: Int = 1): DataFrame = {
     require(widthSec > 0, s"rangeJoinPairs width must be positive: $widthSec")
+    require(salt >= 1, s"rangeJoinPairs salt must be >= 1: $salt")
     val overlap = left.columns.toSet.intersect((rightTime +: payload).toSet)
     require(overlap.isEmpty,
       s"rangeJoinPairs right payload collides with left columns: $overlap")
+    requireNoReserved(left, right)
     val wUs = widthSec * 1000000L
     // integer `div`, not float floor: bucket ids must be exact for
-    // the two-candidate-bucket argument to hold at every boundary
-    val lb = left
-      .withColumn("__lb", expr(s"unix_micros($leftTime) div ${wUs}L"))
+    // the two-candidate-bucket argument to hold at every boundary.
+    // The user column reaches SQL only through col() (never string-
+    // interpolated into expr), so names needing backticks survive;
+    // div itself runs on the internal __tus column.
+    val lb0 = left
+      .withColumn("__tus", unix_micros(col(leftTime)))
+      .withColumn("__lb", expr(s"__tus div ${wUs}L"))
       .withColumn("__b", explode(array(col("__lb"), col("__lb") + 1)))
-      .drop("__lb")
-    val rb = right
+      .drop("__lb", "__tus")
+    val rb0 = right
       .select((keys ++ (rightTime +: payload)).map(col): _*)
-      .withColumn("__b", expr(s"unix_micros($rightTime) div ${wUs}L"))
-    lb.join(rb, keys :+ "__b")
+      .withColumn("__tus", unix_micros(col(rightTime)))
+      .withColumn("__b", expr(s"__tus div ${wUs}L"))
+      .drop("__tus")
+    val (lb, rb, joinCols) =
+      if (salt == 1) (lb0, rb0, keys :+ "__b")
+      else {
+        val ls = lb0.withColumn("__s",
+          pmod(xxhash64((keys :+ leftTime).map(col): _*), lit(salt.toLong)))
+        val rs = rb0.withColumn("__s",
+          explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+        (ls, rs, keys :+ "__b" :+ "__s")
+      }
+    lb.join(rb, joinCols)
       .filter(col(rightTime) > col(leftTime) &&
         unix_micros(col(rightTime)) <= unix_micros(col(leftTime)) + wUs)
-      .drop("__b")
+      .drop("__b", "__s")
   }
 }

@@ -211,6 +211,11 @@ object TextAnalysis {
     * exact integer sum — immune to the float-reassociation drift a
     * shuffled double sum carries (the same exact-integer-sum move
     * the HLL sketch makes) — and divided back out once at the end.
+    * One parity assumption survives the fixed-pointing: JVM Math.log
+    * vs DuckDB's libm ln. They agree on this data, but a 1-ulp
+    * difference on a value whose micronat product lands within half
+    * an integer of a rounding boundary could shift one micronat on
+    * another platform; the fixed-point mitigates, it doesn't prove.
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
@@ -257,7 +262,11 @@ object TextAnalysis {
         sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"__df$i"))
     val stats = broadcast(base.agg(aggs.head, aggs.tail: _*))
     // BM25 with k1=1.2, b=0.75 — every literal and the operation
-    // order mirror the DuckDB oracle exactly, so the doubles match
+    // order mirror the DuckDB oracle exactly. The remaining parity
+    // assumption is ln itself: JVM Math.log and DuckDB's libm agree
+    // on this data, but a 1-ulp libm difference near a round(,6)
+    // boundary could flip a rounded score on another platform — the
+    // round is a mitigation, not a proof.
     val score = terms.indices.map { i =>
       val (tf, df) = (col(s"tf$i"), col(s"__df$i"))
       log(lit(1.0) + (col("__n") - df + 0.5) / (df + 0.5)) *

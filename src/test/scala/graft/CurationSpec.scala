@@ -189,6 +189,25 @@ class CurationSpec extends SparkTestBase {
     assert(big.length < 60 && big.length > 5, s"kept ${big.length} of big")
   }
 
+  test("mixBalance: NULL strata form their own stratum instead of vanishing") {
+    import spark.implicits._
+    // 3 null-stratum docs, tiny token mass: rate 1, all must survive —
+    // an equi-join on the stratum would silently drop every one
+    val docs = ((1L to 100L).map(i =>
+        (i, Some("big"), Seq.fill(10)("w").mkString(" "))) ++
+      Seq((201L, None, "a b"), (202L, None, "c d"), (203L, None, "e f")))
+      .toDF("doc_id", "src", "text")
+    val kept = Pipeline100TB.mixBalance(docs, "src", col("doc_id"),
+        size(split(col("text"), " ")).cast("long"), targetToks = 300L)
+      .select("doc_id", "src").collect()
+    val nulls = kept.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    assert(nulls == Set(201L, 202L, 203L), s"null-stratum rows kept: $nulls")
+    // and the null stratum is rated on its OWN mass, not pooled into
+    // another stratum: big still strictly down-samples
+    val big = kept.filter(r => !r.isNullAt(1)).length
+    assert(big < 60 && big > 5, s"kept $big of big")
+  }
+
   test("mixBalance is deterministic across runs and rejects a non-positive target") {
     val d = TableCatalog(spark, sfDir).documents
     def run() = Pipeline100TB.mixBalance(d, "source", col("doc_id"),

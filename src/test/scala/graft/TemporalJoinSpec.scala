@@ -244,4 +244,38 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("salted range join emits identical pairs for any salt, still as an equi-join") {
+    val unsalted = TemporalJoin.rangeJoinPairs(clicks, purch2, Seq("user_id"),
+        "ts", "p_ts", Seq("p_value"), widthSec = 21600L)
+      .select(col("event_id"), col("p_ts"), col("p_value")).collect().toSet
+    for (s <- Seq(2, 4, 7)) {
+      val salted = TemporalJoin.rangeJoinPairs(clicks, purch2, Seq("user_id"),
+          "ts", "p_ts", Seq("p_value"), widthSec = 21600L, salt = s)
+      assert(salted.select(col("event_id"), col("p_ts"), col("p_value"))
+        .collect().toSet == unsalted, s"salt=$s")
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+      // the salt is part of the shuffle key: a hot (key, bucket) cell
+      // now spreads across `s` reducers
+      assert(plan.contains("__s"), plan)
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.rangeJoinPairs(clicks, purch2, Seq("user_id"),
+        "ts", "p_ts", Seq("p_value"), widthSec = 21600L, salt = 0)
+    }
+  }
+
+  test("temporal joins reject user columns under the reserved __ prefix") {
+    val badLeft = clicks.withColumnRenamed("event_id", "__id")
+    intercept[IllegalArgumentException] {
+      TemporalJoin.rangeJoinPairs(badLeft, purch2, Seq("user_id"),
+        "ts", "p_ts", Seq("p_value"), widthSec = 60L)
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asOfJoin(badLeft, purch2, Seq("user_id"),
+        "ts", "p_ts", "p_value", Seq("p_value"))
+    }
+  }
 }
