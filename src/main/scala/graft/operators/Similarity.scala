@@ -236,6 +236,16 @@ object Similarity {
     * the driver and broadcasts — the data never collects. Search
     * probes the query's `nprobe` closest cells and reranks exactly,
     * so cost is (n/nlist)·nprobe per query instead of n.
+    *
+    * `iters = 0` runs the SAME search path under a FIXED quantizer
+    * (cells = the first `nlist` vectors, no training): every stage —
+    * assignment, probe selection, exact rerank — is then plain
+    * column algebra over raw stored vectors, which is what lets the
+    * `sim_topk_ivf_fixed` query hash-match a DuckDB oracle
+    * end-to-end. The TRAINED variant stays rows-only by design: the
+    * centroid per-dim means are shuffle-order-dependent double sums
+    * cast to float, so no SQL re-derivation can promise the same
+    * last ulp.
     */
   def ivfTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 8, nprobe: Int = 4, iters: Int = 2): DataFrame = {

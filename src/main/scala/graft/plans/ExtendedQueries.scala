@@ -271,12 +271,24 @@ object ExtendedQueries {
       graft.operators.Sketches.hllDistinct(
         ev, Seq("event_type"), col("user_id"), p = 8)
     }),
-    // —— G2b: IVF ANN — registered rows-only (k-means training isn't
-    //    SQL-expressible; SimilaritySpec checks recall vs brute force) ——
+    // —— G2b: IVF ANN — registered rows-only: the trained quantizer's
+    //    per-dim means are shuffle-order-dependent double sums cast to
+    //    float, so an SQL re-derivation could differ in the last ulp
+    //    and flip a rounded cosine; iterative k-means is also not
+    //    SQL-expressible. SimilaritySpec checks recall vs brute force.
+    //    The SEARCH path is fully hash-checked via sim_topk_ivf_fixed. ——
     "sim_topk_ivf" -> ((s, dir) => {
       val e = TableCatalog(s, dir).embeddings
       graft.operators.Similarity.ivfTopK(
         s, e, e.filter(col("vec_id") < 10), k = 3)
+    }),
+    // —— G2b search path under a FIXED quantizer (iters = 0: cells =
+    //    the first nlist vectors): assignment → nprobe probe → exact
+    //    rerank, end-to-end hash-checked against DuckDB ——
+    "sim_topk_ivf_fixed" -> ((s, dir) => {
+      val e = TableCatalog(s, dir).embeddings
+      graft.operators.Similarity.ivfTopK(
+        s, e, e.filter(col("vec_id") < 10), k = 3, iters = 0)
     }),
     // —— G6: reproducible stratified hash sampling ——
     "sample_hash" -> ((s, dir) => {
@@ -575,6 +587,33 @@ object ExtendedQueries {
         |             THEN 256.0 * ln(256.0 / (256 - registers_used))
         |             ELSE r END, 4) AS hll_est
         |FROM raw""".stripMargin,
+    "sim_topk_ivf_fixed" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+        |           FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT e.vec_id, e.embedding, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                 CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
+        |  FROM embeddings e CROSS JOIN c),
+        |cells AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+        |probes AS (SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cid,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                 CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS prn
+        |  FROM embeddings q CROSS JOIN c WHERE q.vec_id < 10),
+        |cand AS (SELECT p.query_id, p.q_emb, s.vec_id, s.embedding
+        |  FROM (SELECT * FROM probes WHERE prn <= 4) p
+        |  JOIN cells s USING (cid)
+        |  WHERE s.vec_id <> p.query_id),
+        |sc AS (SELECT query_id, vec_id,
+        |    round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+        |            CAST(embedding AS DOUBLE[])), 4) AS cos_r
+        |  FROM cand),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_r DESC, vec_id) AS rank FROM sc)
+        |SELECT query_id, vec_id AS neighbor_id, cos_r,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
     "sim_topk_int8" ->
       """WITH m AS (
         |  SELECT e.vec_id, MAX(abs(CAST(e.embedding[d] AS DOUBLE))) AS max_abs

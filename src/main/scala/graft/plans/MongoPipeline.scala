@@ -1173,6 +1173,18 @@ object MongoPipeline {
     * foreign side is pre-aggregated per key so the join is 1:1 — at
     * scale this is one shuffle on the foreign key, never a row
     * explosion, and AQE broadcast-downgrades a small foreign side.
+    *
+    * ARRAY-valued localField (Mongo semantics: the equality match
+    * treats the array as "any element matches foreignField"): the
+    * local side explodes its DISTINCT elements to a scalar equi-key,
+    * joins the same packed foreign table, and re-aggregates per local
+    * row — still a pure equi-join (never an `array_contains`
+    * theta-join, which would plan a nested loop), at the cost of one
+    * element-wise fan-out + one re-grouping shuffle. Distinct
+    * elements guarantee each matching foreign doc appears once, as
+    * in Mongo. Whole-array equality against an array-typed
+    * foreignField is NOT modeled (schema-typed columns can't mix
+    * scalar and array values the way BSON can).
     */
   private def lookup(df: DataFrame, spec: JsonNode,
                      tables: String => DataFrame): DataFrame = {
@@ -1185,11 +1197,27 @@ object MongoPipeline {
     val packed = foreign
       .groupBy(col(foreignField).as("__graft_key"))
       .agg(array_sort(collect_list(struct(foreign.columns.map(col): _*))).as(as))
-    // Deviation from Mongo: an unmatched local row gets NULL in `as`
-    // (not []) — a typed empty-array literal would need internal APIs;
-    // a following `$unwind` treats both the same.
-    df.join(packed, col(localField) === col("__graft_key"), "left")
-      .drop("__graft_key")
+    val localIsArray = df.select(col(localField)).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    // Deviation from Mongo (both paths): an unmatched local row gets
+    // NULL in `as` (not []) — a typed empty-array literal would need
+    // internal APIs; a following `$unwind` treats both the same.
+    if (!localIsArray)
+      df.join(packed, col(localField) === col("__graft_key"), "left")
+        .drop("__graft_key")
+    else {
+      val localCols = df.columns.toSeq
+      val joined = df
+        .withColumn("__rid", monotonically_increasing_id())
+        .withColumn("__graft_lk", explode_outer(array_distinct(col(localField))))
+        .join(packed.withColumnRenamed(as, "__graft_arr"),
+          col("__graft_lk") === col("__graft_key"), "left")
+      joined.groupBy((col("__rid") +: localCols.map(col)): _*)
+        .agg(flatten(collect_list(col("__graft_arr"))).as("__graft_all"))
+        .withColumn(as,
+          when(size(col("__graft_all")) > 0, array_sort(col("__graft_all"))))
+        .drop("__rid", "__graft_all")
+    }
   }
 
   /** Correlated `$lookup` with `let` + `pipeline`. Supported pipeline

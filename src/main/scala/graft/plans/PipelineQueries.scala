@@ -86,6 +86,16 @@ object PipelineQueries {
                        "foreignField": "c_custkey", "as": "cust"}},
          {"$unwind": "$cust"},
          {"$project": {"o_orderkey": 1, "cname": "$cust.c_name"}}]""")),
+    // array-valued localField: Mongo's "any element matches" equality
+    "pipe_lookup_array" -> ((s, dir) => run(s, dir, "orders",
+      """[{"$match": {"o_orderkey": {"$lt": 3000}}},
+         {"$set": {"cks": [{"$toLong": "$o_custkey"},
+                           {"$add": [{"$toLong": "$o_custkey"}, 1]}]}},
+         {"$lookup": {"from": "customer", "localField": "cks",
+                      "foreignField": "c_custkey", "as": "cust"}},
+         {"$unwind": "$cust"},
+         {"$group": {"_id": "$o_orderkey", "n": {"$sum": 1},
+           "bal_cents": {"$sum": {"$toLong": {"$round": [{"$multiply": ["$cust.c_acctbal", 100]}, 0]}}}}}]""")),
     "pipe_count" -> ((s, dir) => run(s, dir, "lineitem",
       """[{"$match": {"l_quantity": {"$gt": 45}}}, {"$count": "big"}]""")),
     "pipe_bucket" -> ((s, dir) => run(s, dir, "orders",
@@ -179,6 +189,14 @@ object PipelineQueries {
     "pipe_lookup" ->
       """SELECT o_orderkey, c_name AS cname FROM orders
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "pipe_lookup_array" ->
+      """SELECT o_orderkey AS _id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM orders JOIN customer
+        |  ON c_custkey = o_custkey OR c_custkey = o_custkey + 1
+        |WHERE o_orderkey < 3000
+        |GROUP BY 1""".stripMargin,
     "pipe_count" ->
       "SELECT COUNT(*) AS big FROM lineitem WHERE l_quantity > 45",
     "pipe_bucket" ->

@@ -95,6 +95,46 @@ object KafkaLog {
   def subscribe(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(recordSchema).parquet(dir)
 
+  /** The exact DataFrame schema the `spark-sql-kafka-0-10` connector
+    * presents for a real broker subscription (public connector
+    * contract; `headers` appears only under `includeHeaders=true` and
+    * is omitted here like the connector's default). Field names,
+    * types, and order all match, so swapping this modeled log for
+    * `spark.readStream.format("kafka")` is a source-config change,
+    * not a refactor — KafkaLogSpec asserts the parity.
+    */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** Adapt log records (batch or streaming) to [[wireSchema]]:
+    * key/value as the UTF-8 bytes a broker would return (consumers
+    * downstream `CAST(value AS STRING)` exactly as they would against
+    * the real connector). `timestamp` is a MODELED CreateTime —
+    * deterministic `timestamp_micros(offset)`, monotone per partition
+    * like a broker's append clock; a real broker supplies wall-clock
+    * time here, which no offline model can reproduce. timestampType 0
+    * = CreateTime.
+    */
+  def toWire(records: DataFrame): DataFrame =
+    records.select(
+      col("key").cast("binary").as("key"),
+      col("value").cast("binary").as("value"),
+      col("topic"),
+      col("partition"),
+      col("offset"),
+      timestamp_micros(col("offset")).as("timestamp"),
+      lit(0).as("timestampType"))
+
+  /** [[subscribe]] presented through the real connector's schema. */
+  def subscribeWire(spark: SparkSession, dir: String): DataFrame =
+    toWire(subscribe(spark, dir))
+
   /** Log compaction (Kafka `cleanup.policy=compact`, the topic mode a
     * CDC sync like the reference targets): retain only the LATEST
     * record per key within each (topic, partition) — sound because the

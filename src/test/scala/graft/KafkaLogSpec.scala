@@ -103,6 +103,35 @@ class KafkaLogSpec extends SparkTestBase {
     oplog.unpersist()
   }
 
+  test("wire contract: subscribeWire presents exactly the spark-sql-kafka-0-10 schema") {
+    val logDir = Files.createTempDirectory("graft-kafka-wire").toString
+    import spark.implicits._
+    val msgs = Seq(("k1", "v1", 1L), ("k2", "v2", 2L), ("k1", "v3", 3L))
+      .toDF("key", "value", "seq")
+      .withColumn("topic", lit("t"))
+    KafkaLog.appendTo(spark, logDir, msgs, numPartitions = 2, seqCol = "seq")
+
+    // schema parity with the real connector: names, types, AND order —
+    // a consumer query written against format("kafka") must analyze
+    // unchanged against this source
+    val wire = KafkaLog.subscribeWire(spark, logDir)
+    assert(wire.isStreaming)
+    assert(wire.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      KafkaLog.wireSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"wire schema drift: ${wire.schema.treeString}")
+
+    // the canonical connector consumer expression round-trips values
+    val batchWire = KafkaLog.toWire(
+      spark.read.schema(KafkaLog.recordSchema).parquet(logDir))
+    val back = batchWire
+      .selectExpr("CAST(key AS STRING) AS k", "CAST(value AS STRING) AS v",
+        "timestampType", "timestamp")
+      .collect()
+    assert(back.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("k1", "v1"), ("k2", "v2"), ("k1", "v3")))
+    assert(back.forall(r => r.getInt(2) == 0 && r.getTimestamp(3) != null))
+  }
+
   test("log compaction keeps the latest record per key, drops tombstones, preserves offsets") {
     import spark.implicits._
     // synthetic log: key k1 updated twice then alive; k2 ends in a

@@ -39,6 +39,34 @@ class MongoPipelineSpec extends SparkTestBase {
     assert(rows.forall(r => r.schema.fieldNames.contains("sups")))
   }
 
+  test("$lookup array localField: any element matches, each foreign doc once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, size => asize}
+    val local = Seq(
+      (1L, Seq(10L, 20L)),        // matches two foreign keys
+      (2L, Seq(10L, 10L, 10L)),   // duplicate elements: docs appear ONCE
+      (3L, Seq(99L)),             // no match
+      (4L, Seq.empty[Long])       // empty array
+    ).toDF("id", "keys")
+    val foreign = Seq((10L, "x"), (10L, "x2"), (20L, "y"), (30L, "z"))
+      .toDF("fk", "tag")
+    val out = MongoPipeline(local,
+      """[{"$lookup": {"from": "f", "localField": "keys",
+                       "foreignField": "fk", "as": "m"}}]""",
+      Map("f" -> foreign).apply)
+    val got = out.select(col("id"),
+        org.apache.spark.sql.functions.coalesce(asize(col("m")), lit(-1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // id 1: fk 10 packs 2 docs + fk 20 packs 1 = 3; id 2: 2 (once,
+    // despite three copies of the element); unmatched/empty → null
+    // (size coalesced to -1), the documented NULL-not-[] deviation
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> -1, 4L -> -1), got.toString)
+    // scale shape: the match runs as an equi-join, never a nested loop
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("$first/$last require a preceding $sort") {
     val ex = intercept[IllegalArgumentException] {
       MongoPipeline(t.table("events"),
