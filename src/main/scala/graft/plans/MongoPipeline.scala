@@ -1182,9 +1182,14 @@ object MongoPipeline {
     * theta-join, which would plan a nested loop), at the cost of one
     * element-wise fan-out + one re-grouping shuffle. Distinct
     * elements guarantee each matching foreign doc appears once, as
-    * in Mongo. Whole-array equality against an array-typed
-    * foreignField is NOT modeled (schema-typed columns can't mix
-    * scalar and array values the way BSON can).
+    * in Mongo.
+    *
+    * ARRAY-valued foreignField is symmetric: the foreign side
+    * explodes its distinct elements before packing (a doc owns one
+    * join key per element), and the per-row re-aggregation
+    * de-duplicates docs reached through several keys. Whole-array
+    * equality between the two arrays is NOT modeled (schema-typed
+    * columns can't mix scalar and array values the way BSON can).
     */
   private def lookup(df: DataFrame, spec: JsonNode,
                      tables: String => DataFrame): DataFrame = {
@@ -1194,28 +1199,48 @@ object MongoPipeline {
     val foreignField = spec.get("foreignField").asText()
     val as = spec.get("as").asText()
     val foreign = tables(from)
-    val packed = foreign
-      .groupBy(col(foreignField).as("__graft_key"))
-      .agg(array_sort(collect_list(struct(foreign.columns.map(col): _*))).as(as))
-    val localIsArray = df.select(col(localField)).schema.head.dataType
-      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    def isArray(d: DataFrame, c: String) =
+      d.select(col(c)).schema.head.dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    // ARRAY-valued foreignField (Mongo: a foreign doc matches when ANY
+    // of its elements equals the key): explode distinct elements
+    // before packing, so one doc may own several join keys. A doc the
+    // local side reaches through MULTIPLE keys must still appear once
+    // — the array-localField branch below de-duplicates the flattened
+    // result for exactly that case.
+    val foreignIsArray = isArray(foreign, foreignField)
+    val packed =
+      (if (foreignIsArray)
+         foreign.withColumn("__graft_key",
+           explode(array_distinct(col(foreignField))))
+       else foreign.withColumn("__graft_key", col(foreignField)))
+        .groupBy(col("__graft_key"))
+        .agg(array_sort(collect_list(
+          struct(foreign.columns.map(col): _*))).as(as))
     // Deviation from Mongo (both paths): an unmatched local row gets
     // NULL in `as` (not []) — a typed empty-array literal would need
     // internal APIs; a following `$unwind` treats both the same.
-    if (!localIsArray)
+    if (!isArray(df, localField) && !foreignIsArray)
       df.join(packed, col(localField) === col("__graft_key"), "left")
         .drop("__graft_key")
     else {
       val localCols = df.columns.toSeq
+      val lk =
+        if (isArray(df, localField))
+          explode_outer(array_distinct(col(localField)))
+        else col(localField)
       val joined = df
         .withColumn("__rid", monotonically_increasing_id())
-        .withColumn("__graft_lk", explode_outer(array_distinct(col(localField))))
+        .withColumn("__graft_lk", lk)
         .join(packed.withColumnRenamed(as, "__graft_arr"),
           col("__graft_lk") === col("__graft_key"), "left")
       joined.groupBy((col("__rid") +: localCols.map(col)): _*)
         .agg(flatten(collect_list(col("__graft_arr"))).as("__graft_all"))
+        // array_distinct: an array-valued foreignField can hand the
+        // same foreign doc to several of this row's keys
         .withColumn(as,
-          when(size(col("__graft_all")) > 0, array_sort(col("__graft_all"))))
+          when(size(col("__graft_all")) > 0,
+            array_sort(array_distinct(col("__graft_all")))))
         .drop("__rid", "__graft_all")
     }
   }

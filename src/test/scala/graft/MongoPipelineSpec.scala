@@ -67,6 +67,34 @@ class MongoPipelineSpec extends SparkTestBase {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("$lookup array foreignField: a doc matching via several elements appears once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, size => asize}
+    val local = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("id", "k")
+    val foreign = Seq(
+      ("fa", Seq(10L, 20L)),   // owns two keys
+      ("fb", Seq(10L)),
+      ("fc", Seq.empty[Long])  // matches nothing
+    ).toDF("tag", "fks")
+    val out = MongoPipeline(local,
+      """[{"$lookup": {"from": "f", "localField": "k",
+                       "foreignField": "fks", "as": "m"}}]""",
+      Map("f" -> foreign).apply)
+    val got = out.select(col("id"),
+        org.apache.spark.sql.functions.coalesce(asize(col("m")), lit(-1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 1, 3L -> -1), got.toString)
+
+    // BOTH sides array: local [10, 20] reaches doc fa through two
+    // different keys — still exactly one copy of fa in the result
+    val local2 = Seq((1L, Seq(10L, 20L))).toDF("id", "ks")
+    val out2 = MongoPipeline(local2,
+      """[{"$lookup": {"from": "f", "localField": "ks",
+                       "foreignField": "fks", "as": "m"}}]""",
+      Map("f" -> foreign).apply)
+    assert(out2.select(asize(col("m"))).head().getInt(0) == 2) // fa once + fb once
+  }
+
   test("$first/$last require a preceding $sort") {
     val ex = intercept[IllegalArgumentException] {
       MongoPipeline(t.table("events"),

@@ -181,6 +181,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("fingerprint collapse: both windows share ONE fingerprint exchange") {
+    val plan = executed(graft.operators.Dedup.collapseFingerprints(
+      t.documents, "doc_id", "text"))
+    // row_number and the group-size count partition identically, so
+    // the planner must reuse a single hashpartitioning exchange on the
+    // fingerprint — a second full-corpus shuffle here would double the
+    // collapse cost at 100 TB
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle:\n$plan")
+  }
+
   test("tf-idf corpus count is folded in (broadcast), not a separate driver action") {
     val df = graft.operators.TextAnalysis.topTerms(t.documents, "doc_id", "text", 5)
     val plan = executed(df)
