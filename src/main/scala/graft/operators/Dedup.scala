@@ -20,17 +20,56 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_copies"))
       .select(col("survivor"), col("n_copies"))
 
+  /** Canonical content fingerprint: md5 over the sorted distinct
+    * token set (word-order permutations collapse together) — the one
+    * expression F2, the collapse guard, and incremental dedup share.
+    */
+  def fingerprintOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(to_binary(
+      array_join(array_sort(array_distinct(tokens(text))), " "),
+      lit("utf-8")))
+
   /** F2: canonical-fingerprint dedup: md5 over the sorted distinct
     * token set, so word-order permutations collapse to one group.
     * Same single-shuffle shape as exact dedup.
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .withColumn("toks", tokens(col(textCol)))
-      .groupBy(md5(to_binary(array_join(array_sort(array_distinct(col("toks"))), " "),
-        lit("utf-8"))).as("fp"))
+      .groupBy(fingerprintOf(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_copies"))
       .select(col("fp"), col("survivor"), col("n_copies"))
+
+  /** The standing fingerprint index of an already-deduped corpus —
+    * the artifact an incremental pipeline PERSISTS between batches
+    * (ideally as a parquet table bucketed on `fp`, so the per-batch
+    * join below never re-shuffles the index side).
+    */
+  def fingerprintIndex(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(fingerprintOf(col(textCol)).as("fp")).distinct()
+
+  /** F12: INCREMENTAL dedup — dedupe an arriving batch against the
+    * standing corpus index without touching corpus rows: a batch doc
+    * survives iff its fingerprint is absent from the index (anti
+    * join) AND it is the min-id holder of that fingerprint within
+    * the batch. Emits (fp, survivor, n_copies) — F2's shape over the
+    * genuinely-new batch content; union the emitted fps into the
+    * index to advance it.
+    *
+    * Scale: per increment this does batch-sized hashing plus one
+    * keyed anti join against the index. Spark has no point-lookup
+    * store, so the index side is a scan — persist it bucketed on
+    * `fp` and the join needs no index shuffle; the batch (small by
+    * definition) shuffles to the index's bucketing, or broadcasts
+    * when tiny. Never corpus-ROW-sized work, and never a rescan of
+    * corpus text.
+    */
+  def incrementalFingerprint(batch: DataFrame, index: DataFrame,
+                             idCol: String, textCol: String): DataFrame =
+    batch
+      .withColumn("fp", fingerprintOf(col(textCol)))
+      .join(index, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_copies"))
 
   /** Duplicate-dense guard (F2∘F3/F6 composition): collapse exact-
     * fingerprint duplicate groups to their min-id representative row
@@ -48,9 +87,7 @@ object Dedup {
     * same partitioning, so the exchange is planned once.
     */
   def collapseFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = md5(to_binary(
-      array_join(array_sort(array_distinct(tokens(col(textCol)))), " "),
-      lit("utf-8")))
+    val fp = fingerprintOf(col(textCol))
     val byFp = Window.partitionBy(col("__fp"))
     docs
       .withColumn("__fp", fp)

@@ -33,6 +33,22 @@ object LlmQueries {
     // —— F6∘collapse: cosine pairs over exact-duplicate-collapsed vectors ——
     "dedup_embed_collapsed" -> ((s, dir) =>
       Similarity.nearDupPairsCollapsed(s, emb(s, dir), tau = 0.4)),
+    // —— F12: incremental dedup of a batch vs the standing corpus index ——
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalFingerprint(
+        d.filter(col("doc_id") % 10 === 0),
+        Dedup.fingerprintIndex(d.filter(col("doc_id") % 10 =!= 0), "text"),
+        "doc_id", "text")
+    }),
+    // —— G15: token-balanced shard assignment in the global hash order ——
+    "shard_tokens" -> ((s, dir) => {
+      import graft.functions.Hash60.tokens
+      Pipeline100TB.tokenBalancedShards(
+          docs(s, dir).select("doc_id", "source", "text"), col("doc_id"),
+          size(tokens(col("text"))).cast("long"), nShards = 8)
+        .select(col("doc_id"), col("source"), col("shard"))
+    }),
     "sim_topk_bruteforce" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(s, e, e.filter(col("vec_id") < 10), k = 5)
@@ -262,6 +278,34 @@ object LlmQueries {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cos_r >= 0.4""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH t AS ($toksCte),
+         |fpt AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |  FROM t),
+         |b AS (SELECT * FROM fpt WHERE doc_id % 10 = 0)
+         |SELECT fp, min(doc_id) AS survivor, COUNT(*) AS n_copies
+         |FROM b
+         |WHERE NOT EXISTS (SELECT 1 FROM fpt i
+         |                  WHERE i.doc_id % 10 <> 0 AND i.fp = b.fp)
+         |GROUP BY fp""".stripMargin,
+    "shard_tokens" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(lower(text)), ' +')) AS BIGINT)
+        |      AS n_tok,
+        |    CAST('0x'||substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')),1,15)
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cb,
+        |    CAST(SUM(n_tok) OVER () AS BIGINT) AS tot
+        |  FROM t)
+        |SELECT doc_id, source,
+        |  CAST(CASE WHEN tot <= 0 THEN 0
+        |       ELSE LEAST((cb * 8) // tot, 7) END AS BIGINT) AS shard
+        |FROM c""".stripMargin,
     "dedup_embed_collapsed" ->
       s"""WITH g AS (SELECT label, embedding, min(vec_id) AS rep,
          |             COUNT(*) AS n_members

@@ -352,6 +352,49 @@ object Pipeline100TB {
       .drop("__h", "__b", "__off")
   }
 
+  /** G15: deterministic TOKEN-BALANCED shard assignment for training
+    * export — every row gets a shard in [0, nShards) such that shards
+    * carry near-equal token MASS (not row counts), rows land in the
+    * same pseudo-random hash order [[shuffleOrder]] defines, and the
+    * whole assignment reproduces on any cluster/partitioning/retry.
+    * shard = ⌊cumTokensBefore · nShards / totalTokens⌋ over the hash
+    * order, so shard boundaries deviate from perfect balance by at
+    * most one document.
+    *
+    * Same no-global-sort machinery as [[shuffleOrder]]: range buckets
+    * on the hash's top bits make bucket order = hash order; per-bucket
+    * token SUMS (≤2^bucketBits tiny rows, never data) produce running
+    * offsets + the grand total, broadcast back; the within-bucket
+    * cumulative sum is a bucket-partitioned window. One data shuffle.
+    * Zero-token tails clamp to the last shard; an all-empty corpus
+    * lands in shard 0.
+    */
+  def tokenBalancedShards(df: DataFrame, keyCol: Column, tokCol: Column,
+                          nShards: Int, bucketBits: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, s"tokenBalancedShards nShards must be positive: $nShards")
+    require(bucketBits > 0 && bucketBits < 60,
+      s"tokenBalancedShards bucketBits must be in (0, 60): $bucketBits")
+    val base = df
+      .withColumn("__tok", tokCol.cast("long"))
+      .withColumn("__h", hash60(rowKey(keyCol)))
+      .withColumn("__b", shiftright(col("__h"), 60 - bucketBits))
+    val offs = base.groupBy(col("__b")).agg(sum(col("__tok")).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__tot", sum(col("__c")).over())
+      .select(col("__b"), col("__off"), col("__tot"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__h"), keyCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offs), Seq("__b"))
+      .withColumn("__cb", col("__off") + coalesce(sum(col("__tok")).over(wIn), lit(0L)))
+      .withColumn("shard",
+        when(col("__tot") <= 0, lit(0L)).otherwise(
+          least(expr(s"(__cb * ${nShards}L) div __tot"), lit(nShards - 1L))))
+      .drop("__h", "__b", "__off", "__tot", "__cb", "__tok")
+  }
+
   /** H15: greedy sequence packing for training batches: documents are
     * concatenated per shard in id order and cut every `cap` tokens —
     * each doc gets the bin where its first token lands, plus its

@@ -429,6 +429,75 @@ class CurationSpec extends SparkTestBase {
     assert(rows.map(r => (r._1, r._2)).toSet == prop)
   }
 
+  // ——— tokenBalancedShards ———
+
+  test("tokenBalancedShards: near-equal token mass, equal to the naive global cumsum, null keys kept") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Hash60.{hash60, rowKey, tokens}
+    val d = TableCatalog(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val n = 8
+    val out = Pipeline100TB.tokenBalancedShards(
+      d, col("doc_id"), size(tokens(col("text"))).cast("long"), nShards = n)
+    // every row lands in [0, n); all shards populated on 500 docs
+    val byShard = out
+      .withColumn("__t", size(tokens(col("text"))).cast("long"))
+      .groupBy("shard").agg(sum(col("__t")).as("mass"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard.keySet == (0L until n).toSet, byShard.toString)
+    // balance: masses deviate by at most the largest single document
+    val maxDoc = d.select(max(size(tokens(col("text"))).cast("long"))).head().getLong(0)
+    assert(byShard.values.max - byShard.values.min <= maxDoc,
+      s"imbalance ${byShard.values.max - byShard.values.min} > maxDoc $maxDoc")
+    // exactly the naive single-partition global cumsum assignment
+    val naive = d
+      .withColumn("__t", size(tokens(col("text"))).cast("long"))
+      .withColumn("__h", hash60(rowKey(col("doc_id"))))
+      .withColumn("__cb", coalesce(sum(col("__t")).over(
+        Window.orderBy(col("__h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(d.agg(sum(size(tokens(col("text")))
+        .cast("long")).as("__tot"))))
+      .selectExpr("doc_id", s"least((__cb * ${n}L) div __tot, ${n - 1}L) AS shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = out.select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+    // null keys are kept (rowKey), not dropped
+    import spark.implicits._
+    val withNull = Seq((Some(1L), 5L), (None, 7L), (Some(2L), 3L))
+      .toDF("k", "nt")
+    val outN = Pipeline100TB.tokenBalancedShards(withNull, col("k"), col("nt"), 2)
+    assert(outN.count() == 3)
+    intercept[IllegalArgumentException] {
+      Pipeline100TB.tokenBalancedShards(withNull, col("k"), col("nt"), 0)
+    }
+  }
+
+  // ——— incrementalFingerprint ———
+
+  test("incremental dedup ≡ full-corpus dedup restricted to novel fingerprints; index advances") {
+    val d = TableCatalog(spark, sfDir).documents
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    val index = Dedup.fingerprintIndex(corpus, "text")
+    val inc = Dedup.incrementalFingerprint(batch, index, "doc_id", "text")
+    // novel = batch-only dedup minus fingerprints the corpus already has
+    val batchOnly = Dedup.fingerprint(batch, "doc_id", "text")
+    val want = batchOnly.join(index, Seq("fp"), "left_anti")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = inc.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // advancing the index with the new fps = rebuilding it from scratch
+    val advanced = index.union(inc.select("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val rebuilt = Dedup.fingerprintIndex(d, "text")
+      .collect().map(_.getString(0)).toSet
+    assert(advanced == rebuilt)
+  }
+
   // ——— nearDupPairsCollapsed (duplicate-dense guard) ———
 
   test("collapsed cosine pairs are copy-factor invariant and account for every underlying pair") {
