@@ -62,6 +62,12 @@ object Dedup {
     * definition) shuffles to the index's bucketing, or broadcasts
     * when tiny. Never corpus-ROW-sized work, and never a rescan of
     * corpus text.
+    *
+    * NULL fingerprints (null text): an anti join never matches a
+    * null key, so null-fp batch rows always count as novel and pool
+    * into one emitted group — conservative-keep, mirrored by the
+    * oracle's NOT EXISTS. Callers who treat null text as junk should
+    * filter before, not after.
     */
   def incrementalFingerprint(batch: DataFrame, index: DataFrame,
                              idCol: String, textCol: String): DataFrame =

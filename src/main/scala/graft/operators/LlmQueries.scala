@@ -71,6 +71,9 @@ object LlmQueries {
     "text_tfidf" -> ((s, dir) => TextAnalysis.topTerms(docs(s, dir), "doc_id", "text")),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text")),
+    // —— H19: cross-document duplicated n-gram (boilerplate) fraction ——
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplate(docs(s, dir), "doc_id", "text", n = 3, minDf = 2)),
     "embed_quantize" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       // Serialize the int8 vector: the driver's pandas compare can't
@@ -420,6 +423,21 @@ object LlmQueries {
          |    round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / total, 6)
          |  END AS dup_frac
          |FROM g""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH t AS ($toksCte),
+         |sh0 AS (SELECT doc_id,
+         |  list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                 for i in generate_series(1, len(toks)-2)]) AS sharr
+         |  FROM t),
+         |sh AS (SELECT doc_id, unnest(sharr) AS sh
+         |       FROM sh0 WHERE len(sharr) > 0),
+         |d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common,
+         |  round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |        / COUNT(*), 6) AS dup_frac
+         |FROM d GROUP BY 1""".stripMargin,
     "embed_quantize" ->
       """WITH m AS (
         |  SELECT e.vec_id, MAX(abs(CAST(e.embedding[d] AS DOUBLE))) AS max_abs

@@ -156,6 +156,39 @@ object TextAnalysis {
         .as("dup_frac"))
   }
 
+  /** H19: CROSS-document duplicated n-gram fraction — the
+    * RefinedWeb-style boilerplate signal: what share of a document's
+    * distinct n-grams also occur in ≥ `minDf` documents corpus-wide.
+    * High values mark template/boilerplate-heavy docs whose content
+    * is mostly shared with the rest of the corpus — orthogonal to
+    * within-doc repetition (H13) and to benchmark decontamination
+    * (F8, which compares against a designated eval set, not the
+    * corpus itself).
+    *
+    * Shape: one explode of per-doc DISTINCT shingles (native
+    * [[graft.functions.WordShingles]]), document frequency as a
+    * window over the shingle partition (the same
+    * aggregate-then-window move tf-idf uses — no second corpus
+    * pass), one groupBy back to the doc. Two keyed shuffles total,
+    * both on near-uniform content-derived keys.
+    */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minDf >= 1, s"boilerplate minDf must be >= 1: $minDf")
+    val post = docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.Hash60.shingles("__toks", n)).as("sh"))
+    post
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("dup_frac",
+        round(col("n_common") / col("n_shingles"), 6))
+  }
+
   /** H14: C4-style boilerplate line filter — keep only lines that end
     * in terminal punctuation (`.` `!` `?` `"`), drop the rest
     * (nav/menu/code debris). One multiline regex pass per document —

@@ -90,6 +90,30 @@ class DedupSpec extends SparkTestBase {
       s"near-dup pair with hamming ${r.getAs[Int]("d")}"))
   }
 
+  test("boilerplate: corpus-shared n-grams raise dup_frac; unique content stays low") {
+    import spark.implicits._
+    val template = "copyright notice all rights reserved contact us"
+    val d = Seq(
+      (1L, s"$template unique alpha beta"),
+      (2L, s"$template unique gamma delta"),
+      (3L, s"$template unique epsilon zeta"),
+      (4L, "completely original content nothing shared here at all today")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplate(d, "doc_id", "text", n = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("dup_frac"))).toMap
+    // template trigrams (the 5 wholly inside the template) occur in 3
+    // docs; the unique tails occur once each
+    assert(out(4L)._1 == 0L && out(4L)._2 == 0.0, out.toString)
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(out(id)._1 >= 5L, s"doc $id: ${out(id)}")
+      assert(out(id)._2 > 0.5, s"doc $id: ${out(id)}")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.boilerplate(d, "doc_id", "text", minDf = 0)
+    }
+  }
+
   test("language id scores are consistent ratios in [0,1]") {
     val rows = TextAnalysis.langId(docs, "doc_id", "text").collect()
     rows.foreach { r =>

@@ -192,6 +192,20 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges == 1, s"expected exactly 1 shuffle:\n$plan")
   }
 
+  test("tokenBalancedShards: one data shuffle; the global window holds bucket SUMS, never rows") {
+    import graft.functions.Hash60.tokens
+    val plan = executed(graft.operators.Pipeline100TB.tokenBalancedShards(
+      t.documents.select(col("doc_id"), col("text")), col("doc_id"),
+      size(tokens(col("text"))).cast("long"), nShards = 8))
+    // data shuffles: the bucket-partitioned window (1) and the bucket
+    // aggregation feeding the offsets (1); offsets come back by
+    // broadcast, never by joining a shuffled corpus
+    assert(plan.contains("BroadcastExchange"), plan)
+    // the only single-partition window is over the ≤2^bucketBits
+    // bucket sums (partitioned windows show `windowspecdefinition(__b`)
+    assert(plan.contains("windowspecdefinition(__b"), plan)
+  }
+
   test("tf-idf corpus count is folded in (broadcast), not a separate driver action") {
     val df = graft.operators.TextAnalysis.topTerms(t.documents, "doc_id", "text", 5)
     val plan = executed(df)
