@@ -77,6 +77,17 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_copies"))
 
+  /** Persist the standing index as a BUCKETED table on `fp`, so the
+    * per-batch anti join reads the index pre-partitioned: only the
+    * (small) batch shuffles — DedupSpec asserts the index side joins
+    * with zero Exchange. This is the artifact layout the F12 loop
+    * should maintain at 100 TB.
+    */
+  def persistIndexBucketed(index: DataFrame, table: String,
+                           buckets: Int = 64): Unit =
+    index.write.mode("overwrite")
+      .bucketBy(buckets, "fp").sortBy("fp").saveAsTable(table)
+
   /** Duplicate-dense guard (F2∘F3/F6 composition): collapse exact-
     * fingerprint duplicate groups to their min-id representative row
     * BEFORE near-dup pair generation. Pair generators emit every true

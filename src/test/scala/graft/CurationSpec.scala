@@ -498,6 +498,32 @@ class CurationSpec extends SparkTestBase {
     assert(advanced == rebuilt)
   }
 
+  test("bucketed index: the incremental anti join shuffles ONLY the batch side") {
+    val d = TableCatalog(spark, sfDir).documents
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    Dedup.persistIndexBucketed(
+      Dedup.fingerprintIndex(corpus, "text"), "graft_fp_index", buckets = 8)
+    try {
+      val idx = spark.table("graft_fp_index")
+      val inc = Dedup.incrementalFingerprint(batch, idx, "doc_id", "text")
+      val plan = inc.queryExecution.executedPlan.toString
+      // the bucketed scan satisfies the join's hash requirement: the
+      // index subtree must contribute NO exchange — only the batch
+      // shuffles into the bucket layout (+1 for the final groupBy)
+      assert(plan.contains("Bucketed: true"), plan)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 2, s"expected <=2 shuffles (batch + groupBy):\n$plan")
+      // and the results are identical to the unbucketed path
+      val want = Dedup.incrementalFingerprint(batch,
+          Dedup.fingerprintIndex(corpus, "text"), "doc_id", "text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = inc.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_fp_index")
+  }
+
   // ——— nearDupPairsCollapsed (duplicate-dense guard) ———
 
   test("collapsed cosine pairs are copy-factor invariant and account for every underlying pair") {

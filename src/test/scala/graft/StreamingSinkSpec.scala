@@ -132,6 +132,58 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(flushed.size() >= 4) // 10 rows / bulk 3 needs ≥ 4 writes
   }
 
+  test("curation capstone: streamed gate → incremental dedup → live corpus ≡ batch curation") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    import graft.streaming.CurationJob
+    // 60-word docs that pass every Gopher rule; pool of 4-6 letter
+    // words + periodic stopwords; seed varies the content
+    val pool = Vector("quick", "brown", "foxes", "jumped", "fences",
+      "little", "garden", "stones", "rivers", "bright", "clouds",
+      "forest", "meadow", "silver", "golden", "branch")
+    // the i*5 walk visits the whole pool for every seed, so a
+    // seed-unique token is what makes the distinct-token SET (and
+    // hence the fingerprint) differ between seeds
+    def doc(seed: Int): String = (0 until 60).map { i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of"
+      else if (i % 17 == 2) s"word$seed"
+      else pool((seed * 13 + i * 5) % pool.size)
+    }.mkString(" ")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-curation-ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = CurationJob.run(ms.toDF().toDF("doc_id", "text"), dir, ckpt)
+    val allRows = scala.collection.mutable.ListBuffer[(Long, String)]()
+    def feed(rows: (Long, String)*): Unit = {
+      allRows ++= rows; ms.addData(rows: _*); q.processAllAvailable()
+    }
+    try {
+      // batch 1: three distinct docs, one same-batch duplicate (id 6
+      // copies id 1 → min-id wins), one junk doc (fails Gopher)
+      feed((1L, doc(1)), (2L, doc(2)), (3L, doc(3)), (6L, doc(1)),
+        (99L, "too short"))
+      // batch 2: a cross-batch duplicate (id 7 copies id 2 → the
+      // standing index drops it) and one genuinely new doc
+      feed((7L, doc(2)), (8L, doc(8)))
+    } finally q.stop()
+
+    val corpusIds = spark.read.parquet(s"$dir/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds == Set(1L, 2L, 3L, 8L), corpusIds.toString)
+    // the standing index holds exactly the accepted fingerprints
+    assert(spark.read.parquet(s"$dir/index").distinct().count() == 4)
+    // ids arrived in increasing order ⇒ the streamed fold must equal
+    // batch-mode curation of the whole input
+    val all = allRows.toSeq.toDF("doc_id", "text")
+    val gated = all.join(TextAnalysis.gopherRules(all, "doc_id", "text")
+      .filter(col("pass")).select("doc_id"), Seq("doc_id"))
+    val batchMode = Dedup.fingerprint(gated, "doc_id", "text")
+      .select("survivor").collect().map(_.getLong(0)).toSet
+    assert(corpusIds == batchMode)
+  }
+
   test("D4: bulk-flush-duration — a partial buffer flushes at the tick, not at bulk-size") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
