@@ -102,6 +102,10 @@ object Dedup {
     * group size, so downstream stages can re-weight or re-expand).
     * One fingerprint-keyed shuffle: both window functions share the
     * same partitioning, so the exchange is planned once.
+    *
+    * Contract: the representative ROW is deterministic iff `idCol`
+    * values are unique — rows tied on id within a fingerprint group
+    * break arbitrarily (the usual unique-doc-id case never ties).
     */
   def collapseFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = fingerprintOf(col(textCol))

@@ -368,6 +368,11 @@ object Pipeline100TB {
     * cumulative sum is a bucket-partitioned window. One data shuffle.
     * Zero-token tails clamp to the last shard; an all-empty corpus
     * lands in shard 0.
+    *
+    * Contract (same as [[shuffleOrder]]): assignments reproduce
+    * fully iff `keyCol` values are unique — rows tied on (hash, key)
+    * fall back to arrival order, and a shard boundary can land
+    * between them differently across runs.
     */
   def tokenBalancedShards(df: DataFrame, keyCol: Column, tokCol: Column,
                           nShards: Int, bucketBits: Int = 10): DataFrame = {
