@@ -169,11 +169,21 @@ class StreamingSinkSpec extends SparkTestBase {
       feed((7L, doc(2)), (8L, doc(8)))
     } finally q.stop()
 
-    val corpusIds = spark.read.parquet(s"$dir/data")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def corpus() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/data")
+    val corpusIds = corpus().select("doc_id").collect().map(_.getLong(0)).toSet
     assert(corpusIds == Set(1L, 2L, 3L, 8L), corpusIds.toString)
     // the standing index holds exactly the accepted fingerprints
-    assert(spark.read.parquet(s"$dir/index").distinct().count() == 4)
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/index").distinct().count() == 4)
+    // exactly-once: re-delivering batch 1 (same batchId) is a no-op —
+    // the index read excludes the batch's own shard, so the retry
+    // rewrites identical content instead of dropping the batch
+    graft.streaming.CurationJob.applyBatch(
+      Seq((7L, doc(2)), (8L, doc(8))).toDF("doc_id", "text"),
+      dir, "doc_id", "text", batchId = 1L)
+    assert(corpus().select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 8L))
     // ids arrived in increasing order ⇒ the streamed fold must equal
     // batch-mode curation of the whole input
     val all = allRows.toSeq.toDF("doc_id", "text")
