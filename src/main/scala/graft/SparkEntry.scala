@@ -81,6 +81,23 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"), col("value"),
           unix_micros(col("v_ts")).as("v_ts_us"), col("v_id"))
     }),
+    // —— I7 forward + tolerance: next view within 1 h after purchase ——
+    "join_asof_fwd" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = cat(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+      graft.operators.TemporalJoin.asOfJoin(
+          purchases, views, keys = Seq("user_id"),
+          leftTime = "ts", rightTime = "v_ts", rightSeq = "v_id",
+          payload = Seq("v_id"), direction = "forward",
+          tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          unix_micros(col("v_ts")).as("v_ts_us"), col("v_id"))
+    }),
     // —— I8: interval join (purchases within 6 h after each click) ——
     "join_range" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -96,6 +113,27 @@ object SparkEntry {
       val agg = pairs.groupBy(col("event_id"))
         .agg(count(lit(1)).as("__n"),
           // decimal sum: order-independent, bit-equal to the oracle
+          sum(col("p_value").cast("decimal(18,2)")).cast("double").as("__v"))
+      clicks.join(agg, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("__n"), lit(0L)).as("n_purch"),
+          col("__v").as("purch_value"))
+    }),
+    // —— I8 salted (salt = 4): pairs must be IDENTICAL to unsalted,
+    //    so the oracle is join_range's SQL verbatim ——
+    "join_range_salted" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = cat(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      val pairs = graft.operators.TemporalJoin.rangeJoinPairs(
+        clicks, purchases, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "p_ts",
+        payload = Seq("p_value"), widthSec = 21600L, salt = 4)
+      val agg = pairs.groupBy(col("event_id"))
+        .agg(count(lit(1)).as("__n"),
           sum(col("p_value").cast("decimal(18,2)")).cast("double").as("__v"))
       clicks.join(agg, Seq("event_id"), "left")
         .select(col("event_id"), col("user_id"),
@@ -135,7 +173,34 @@ object SparkEntry {
         |        ON v.user_id = p.user_id AND v.v_ts <= p.ts)
         |SELECT event_id, user_id, ts_us, value, v_ts_us, v_id
         |FROM j WHERE rn = 1""".stripMargin,
+    "join_asof_fwd" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS v_ts, event_id AS v_id FROM events
+        |      WHERE event_type = 'view'),
+        |j AS (SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+        |        epoch_us(v.v_ts) AS v_ts_us, v.v_id,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |                           ORDER BY v.v_ts ASC, v.v_id ASC) AS rn
+        |      FROM p LEFT JOIN v
+        |        ON v.user_id = p.user_id AND v.v_ts >= p.ts)
+        |SELECT event_id, user_id, ts_us, value,
+        |  CASE WHEN v_ts_us <= ts_us + 3600000000 THEN v_ts_us END AS v_ts_us,
+        |  CASE WHEN v_ts_us <= ts_us + 3600000000 THEN v_id END AS v_id
+        |FROM j WHERE rn = 1""".stripMargin,
     "join_range" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, value AS p_value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |  count(p.p_ts) AS n_purch,
+        |  CAST(SUM(CAST(p.p_value AS DECIMAL(18,2))) AS DOUBLE) AS purch_value
+        |FROM c LEFT JOIN p
+        |  ON p.user_id = c.user_id AND p.p_ts > c.ts
+        | AND p.p_ts <= c.ts + INTERVAL 6 HOUR
+        |GROUP BY 1, 2""".stripMargin,
+    "join_range_salted" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts AS p_ts, value AS p_value FROM events

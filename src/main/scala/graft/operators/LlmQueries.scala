@@ -33,6 +33,12 @@ object LlmQueries {
     // —— F6∘collapse: cosine pairs over exact-duplicate-collapsed vectors ——
     "dedup_embed_collapsed" -> ((s, dir) =>
       Similarity.nearDupPairsCollapsed(s, emb(s, dir), tau = 0.4)),
+    // —— F10 for the LSH generator: band candidates over the collapsed corpus ——
+    "dedup_minhash_collapsed" -> ((s, dir) => {
+      val reps = Dedup.collapseFingerprints(docs(s, dir), "doc_id", "text")
+        .drop("n_members")
+      Dedup.minhashCandidates(reps, "doc_id", "text", n = 2, k = 16, bands = 4)
+    }),
     // —— F12: incremental dedup of a batch vs the standing corpus index ——
     "dedup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -281,6 +287,21 @@ object LlmQueries {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cos_r >= 0.4""".stripMargin,
+    "dedup_minhash_collapsed" ->
+      s"""WITH t0 AS ($toksCte),
+         |fpt AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |  FROM t0),
+         |grp AS (SELECT fp, min(doc_id) AS rep FROM fpt GROUP BY 1),
+         |t AS (SELECT t0.doc_id, t0.toks
+         |      FROM t0 JOIN grp g ON t0.doc_id = g.rep),
+         |$shingleBody,
+         |$minhashSigSql,
+         |bandkeys AS (
+         |$bandKeysSql)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bandkeys x JOIN bandkeys y
+         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin,
     "dedup_incremental" ->
       s"""WITH t AS ($toksCte),
          |fpt AS (SELECT doc_id,
