@@ -1217,32 +1217,40 @@ object MongoPipeline {
         .groupBy(col("__graft_key"))
         .agg(array_sort(collect_list(
           struct(foreign.columns.map(col): _*))).as(as))
+    // Mongo OVERWRITES an existing `as` field. Stash the join key
+    // first (`as` may BE the localField) and drop the old column, so
+    // neither branch emits a duplicate column name.
+    val (local0, lk0) =
+      if (!df.columns.contains(as)) (df, col(localField))
+      else (df.withColumn("__graft_lkey", col(localField)).drop(as),
+        col("__graft_lkey"))
     // Deviation from Mongo (both paths): an unmatched local row gets
     // NULL in `as` (not []) — a typed empty-array literal would need
     // internal APIs; a following `$unwind` treats both the same.
-    if (!isArray(df, localField) && !foreignIsArray)
-      df.join(packed, col(localField) === col("__graft_key"), "left")
-        .drop("__graft_key")
-    else {
-      val localCols = df.columns.toSeq
-      val lk =
-        if (isArray(df, localField))
-          explode_outer(array_distinct(col(localField)))
-        else col(localField)
-      val joined = df
-        .withColumn("__rid", monotonically_increasing_id())
-        .withColumn("__graft_lk", lk)
-        .join(packed.withColumnRenamed(as, "__graft_arr"),
-          col("__graft_lk") === col("__graft_key"), "left")
-      joined.groupBy((col("__rid") +: localCols.map(col)): _*)
-        .agg(flatten(collect_list(col("__graft_arr"))).as("__graft_all"))
-        // array_distinct: an array-valued foreignField can hand the
-        // same foreign doc to several of this row's keys
-        .withColumn(as,
-          when(size(col("__graft_all")) > 0,
-            array_sort(array_distinct(col("__graft_all")))))
-        .drop("__rid", "__graft_all")
-    }
+    val out =
+      if (!isArray(df, localField) && !foreignIsArray)
+        local0.join(packed, lk0 === col("__graft_key"), "left")
+          .drop("__graft_key")
+      else {
+        val localCols = local0.columns.toSeq
+        val lk =
+          if (isArray(df, localField)) explode_outer(array_distinct(lk0))
+          else lk0
+        val joined = local0
+          .withColumn("__rid", monotonically_increasing_id())
+          .withColumn("__graft_lk", lk)
+          .join(packed.withColumnRenamed(as, "__graft_arr"),
+            col("__graft_lk") === col("__graft_key"), "left")
+        joined.groupBy((col("__rid") +: localCols.map(col)): _*)
+          .agg(flatten(collect_list(col("__graft_arr"))).as("__graft_all"))
+          // array_distinct: an array-valued foreignField can hand the
+          // same foreign doc to several of this row's keys
+          .withColumn(as,
+            when(size(col("__graft_all")) > 0,
+              array_sort(array_distinct(col("__graft_all")))))
+          .drop("__rid", "__graft_all")
+      }
+    if (out.columns.contains("__graft_lkey")) out.drop("__graft_lkey") else out
   }
 
   /** Correlated `$lookup` with `let` + `pipeline`. Supported pipeline

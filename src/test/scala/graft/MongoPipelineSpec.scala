@@ -67,6 +67,28 @@ class MongoPipelineSpec extends SparkTestBase {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("$lookup overwrites an existing `as` field — even when `as` IS the localField") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val foreign = Seq((10L, "x"), (20L, "y")).toDF("fk", "tag")
+    // `as` collides with an unrelated existing column
+    val l1 = Seq((1L, 10L, "old")).toDF("id", "k", "m")
+    val o1 = MongoPipeline(l1,
+      """[{"$lookup": {"from": "f", "localField": "k",
+                       "foreignField": "fk", "as": "m"}}]""",
+      Map("f" -> foreign).apply)
+    assert(o1.columns.count(_ == "m") == 1)
+    assert(o1.select(col("m").getItem(0).getField("tag")).head().getString(0) == "x")
+    // `as` IS the localField: key must still drive the match
+    val l2 = Seq((2L, 20L)).toDF("id", "k")
+    val o2 = MongoPipeline(l2,
+      """[{"$lookup": {"from": "f", "localField": "k",
+                       "foreignField": "fk", "as": "k"}}]""",
+      Map("f" -> foreign).apply)
+    assert(o2.columns.sorted.toSeq == Seq("id", "k"))
+    assert(o2.select(col("k").getItem(0).getField("tag")).head().getString(0) == "y")
+  }
+
   test("$lookup array foreignField: a doc matching via several elements appears once") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, size => asize}
