@@ -39,6 +39,9 @@ object LlmQueries {
         .drop("n_members")
       Dedup.minhashCandidates(reps, "doc_id", "text", n = 2, k = 16, bands = 4)
     }),
+    // —— G16: per-source KL divergence from the corpus distribution ——
+    "mix_divergence" -> ((s, dir) =>
+      Pipeline100TB.sourceDivergence(docs(s, dir), "source", "text")),
     // —— F12: incremental dedup of a batch vs the standing corpus index ——
     "dedup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -287,6 +290,25 @@ object LlmQueries {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cos_r >= 0.4""".stripMargin,
+    "mix_divergence" ->
+      """WITH t AS (SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |x AS (SELECT source, tok, tf,
+        |    CAST(SUM(tf) OVER (PARTITION BY tok) AS BIGINT) AS cf,
+        |    CAST(SUM(tf) OVER (PARTITION BY source) AS BIGINT) AS ns,
+        |    CAST(SUM(tf) OVER () AS BIGINT) AS nc
+        |  FROM tf),
+        |c AS (SELECT source, tf,
+        |    CAST(round(ln((CAST(tf AS DOUBLE) * nc)
+        |           / (CAST(ns AS DOUBLE) * cf)) * 1000000.0) AS BIGINT) * tf
+        |      AS mn
+        |  FROM x)
+        |SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tok,
+        |  round(CAST(SUM(mn) AS BIGINT) / 1000000.0 / SUM(tf), 6) AS kl
+        |FROM c GROUP BY 1""".stripMargin,
     "dedup_minhash_collapsed" ->
       s"""WITH t0 AS ($toksCte),
          |fpt AS (SELECT doc_id,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hash60.{hash60, rowKey}
+import graft.functions.Hash60.{hash60, rowKey, tokens}
 
 /** Training-data pipeline operators beyond the dedup/similarity
   * families: near-dup cluster assignment, reproducible sampling,
@@ -310,6 +310,42 @@ object Pipeline100TB {
         base.join(broadcast(rates), col(stratumCol) <=> col("__stratum")),
         keyCol, col("__rate"))
       .drop("__rate", "__stratum")
+  }
+
+  /** G16: mixture diagnostics — per-source KL divergence of the
+    * source's unigram token distribution from the corpus-wide one:
+    * KL(source ‖ corpus) = Σ_t (tf/ns)·ln((tf·nc)/(ns·cf)). High-KL
+    * sources are the ones skewing a training blend; the standard
+    * companion readout to [[mixBalance]].
+    *
+    * Shape: ONE explode+shuffle to (source, term) counts; corpus
+    * term frequency and source totals come from windows over those
+    * aggregated rows (tf-idf's move — no second corpus pass); the
+    * grand total folds in as a broadcast 1-row aggregate. Per-term
+    * contributions are fixed-pointed to int64 micronats scaled by
+    * tf before the per-source sum, so aggregation is an exact
+    * integer sum (order-independent); the ln itself carries the
+    * same JVM-vs-libm parity assumption bm25 documents.
+    */
+  def sourceDivergence(docs: DataFrame, sourceCol: String,
+                       textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+    val nc = broadcast(tf.agg(sum(col("tf")).cast("double").as("__nc")))
+    tf
+      .withColumn("cf", sum(col("tf")).over(Window.partitionBy(col("tok"))))
+      .withColumn("ns", sum(col("tf")).over(Window.partitionBy(col("source"))))
+      .crossJoin(nc)
+      .withColumn("__mn",
+        round(log((col("tf").cast("double") * col("__nc")) /
+          (col("ns").cast("double") * col("cf"))) * lit(1e6)).cast("long") *
+          col("tf"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_tok"), sum(col("__mn")).as("__kl"))
+      .select(col("source"), col("n_tok"),
+        round(col("__kl") / lit(1e6) / col("n_tok"), 6).as("kl"))
   }
 
   /** G14: deterministic global shuffle order for training export —

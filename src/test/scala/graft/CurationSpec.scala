@@ -474,6 +474,25 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  // ——— sourceDivergence ———
+
+  test("sourceDivergence: the more skewed source diverges more; values are ~non-negative") {
+    import spark.implicits._
+    // source a: 50/50 x,y — source b: all x. Corpus = 150x/50y, so
+    // KL(a)=0.5·ln(0.5/0.75)+0.5·ln(0.5/0.25)≈0.1438, KL(b)=ln(1/0.75)≈0.2877
+    val d = ((1L to 50L).map(i => (i, "a", "x y")) ++
+      (101L to 150L).map(i => (i, "b", "x x")))
+      .toDF("doc_id", "source", "text")
+    val out = Pipeline100TB.sourceDivergence(d, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out("a") - 0.143841) < 1e-4, out.toString)
+    assert(math.abs(out("b") - 0.287682) < 1e-4, out.toString)
+    assert(out("b") > out("a"))
+    // KL against a mixture containing the source is >= 0 up to
+    // micronat rounding
+    assert(out.values.forall(_ >= -1e-6))
+  }
+
   // ——— incrementalFingerprint ———
 
   test("incremental dedup ≡ full-corpus dedup restricted to novel fingerprints; index advances") {
