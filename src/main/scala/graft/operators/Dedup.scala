@@ -260,6 +260,28 @@ object Dedup {
       .distinct()
   }
 
+  /** F13: cross-corpus near-dup candidates — the MinHash band join
+    * between TWO corpora of comparable size, where NEITHER side
+    * reduces to a broadcastable set (the big×big complement of
+    * [[decontaminateFuzzy]], whose eval side is a few MB by
+    * assumption): band-key tables on both sides, ONE symmetric
+    * shuffle equi-join on (band, key), distinct (left, right) pairs.
+    * Candidate volume is bounded by band-bucket co-occupancy — the
+    * keys are near-uniform by construction — and the planner remains
+    * free to broadcast-downgrade whichever side turns out small.
+    * The dataset-overlap / corpus-alignment primitive.
+    */
+  def crossCorpusCandidates(left: DataFrame, right: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 2, k: Int = 16, bands: Int = 4): DataFrame = {
+    val bl = bandKeyTable(left, idCol, textCol, n, k, bands)
+    val br = bandKeyTable(right, idCol, textCol, n, k, bands)
+    bl.as("x").join(br.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.id").as("left_id"), col("y.id").as("right_id"))
+      .distinct()
+  }
+
   /** F8b: FUZZY benchmark decontamination — corpus docs whose MinHash
     * signature shares any LSH band with a benchmark doc, the guard
     * for paraphrased/near-duplicate eval leakage that exact n-gram

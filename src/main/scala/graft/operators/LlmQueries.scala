@@ -39,6 +39,13 @@ object LlmQueries {
         .drop("n_members")
       Dedup.minhashCandidates(reps, "doc_id", "text", n = 2, k = 16, bands = 4)
     }),
+    // —— F13: cross-corpus MinHash band join (two big sides) ——
+    "dedup_cross_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossCorpusCandidates(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+    }),
     // —— G16: per-source KL divergence from the corpus distribution ——
     "mix_divergence" -> ((s, dir) =>
       Pipeline100TB.sourceDivergence(docs(s, dir), "source", "text")),
@@ -290,6 +297,15 @@ object LlmQueries {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cos_r >= 0.4""".stripMargin,
+    "dedup_cross_corpus" ->
+      s"""WITH $shingleCtes,
+         |$minhashSigSql,
+         |bandkeys AS (
+         |$bandKeysSql)
+         |SELECT DISTINCT x.doc_id AS left_id, y.doc_id AS right_id
+         |FROM bandkeys x JOIN bandkeys y
+         |  ON x.band = y.band AND x.key = y.key
+         | AND x.doc_id % 2 = 0 AND y.doc_id % 2 = 1""".stripMargin,
     "mix_divergence" ->
       """WITH t AS (SELECT source,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

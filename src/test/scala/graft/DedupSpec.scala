@@ -78,6 +78,24 @@ class DedupSpec extends SparkTestBase {
       s"uncollapsed=$uncollapsed cross=$cross intra=$intra")
   }
 
+  test("cross-corpus candidates cover every true cross-half near-dup pair") {
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val cand = Dedup.crossCorpusCandidates(even, odd, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // truth: high-jaccard pairs with one side in each half (either order)
+    val truth = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, tau = 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (a % 2 == 0 && b % 2 == 1) Some((a, b))
+        else if (b % 2 == 0 && a % 2 == 1) Some((b, a))
+        else None
+      }.toSet
+    assert(truth.subsetOf(cand), s"missed: ${truth.diff(cand).take(5)}")
+    // and it only ever pairs across the two corpora
+    assert(cand.forall { case (l, r) => l % 2 == 0 && r % 2 == 1 })
+  }
+
   test("simhash of near-dup docs has small hamming distance; random pairs large") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
     val near = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, tau = 0.9)
