@@ -206,6 +206,15 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("windowspecdefinition(__b"), plan)
   }
 
+  test("cross-corpus band join: an equi-join on (band, key) — no nested loop, no cartesian") {
+    val d = t.documents
+    val plan = executed(graft.operators.Dedup.crossCorpusCandidates(
+      d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("tf-idf corpus count is folded in (broadcast), not a separate driver action") {
     val df = graft.operators.TextAnalysis.topTerms(t.documents, "doc_id", "text", 5)
     val plan = executed(df)
