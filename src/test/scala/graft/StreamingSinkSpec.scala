@@ -194,6 +194,24 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(corpusIds == batchMode)
   }
 
+  test("curation loop survives an all-rejected batch: empty shards don't poison later reads") {
+    import spark.implicits._
+    import graft.streaming.CurationJob
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-empty").toString
+    // batch 0: everything fails the Gopher gate → empty corpus+index shards
+    CurationJob.applyBatch(Seq((1L, "too short")).toDF("doc_id", "text"),
+      dir, "doc_id", "text", batchId = 0L)
+    // batch 1 must read the (empty) index shard without schema errors
+    val words = (0 until 60).map(i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of" else s"word${i % 13}")
+      .mkString(" ")
+    CurationJob.applyBatch(Seq((2L, words)).toDF("doc_id", "text"),
+      dir, "doc_id", "text", batchId = 1L)
+    val ids = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/data").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L), ids.toString)
+  }
+
   test("D4: bulk-flush-duration — a partial buffer flushes at the tick, not at bulk-size") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
