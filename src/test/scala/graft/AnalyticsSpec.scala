@@ -7,6 +7,10 @@ class AnalyticsSpec extends SparkTestBase {
 
   private lazy val t = TableCatalog(spark, sfDir)
 
+  test("driver contract: SparkEntry.entry returns rows (the smoke check the driver runs)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q1 pricing summary has the 2x2 flag/status groups with positive sums") {
     val rows = Analytics.pricingSummary(t.lineitem).collect()
     assert(rows.length >= 4)
