@@ -100,22 +100,29 @@ object Dedup {
     *
     * Keeps every original column and adds `n_members` (the collapsed
     * group size, so downstream stages can re-weight or re-expand).
-    * One fingerprint-keyed shuffle: both window functions share the
-    * same partitioning, so the exchange is planned once.
+    *
+    * Shape: `groupBy(fp).agg(min_by(struct(*), id), count)` — NOT a
+    * fingerprint-partitioned window. The hottest duplicate group
+    * (empty pages, boilerplate — the adversarial input this guard
+    * exists for) is by construction the hottest fp key; a window
+    * would route every copy, full document rows included, into ONE
+    * unsplittable task. The aggregate partial-combines map-side
+    * (each map task emits one candidate row per fp it saw), so the
+    * post-shuffle volume is bounded by distinct-contents regardless
+    * of copy factor — skew-immune by construction.
     *
     * Contract: the representative ROW is deterministic iff `idCol`
     * values are unique — rows tied on id within a fingerprint group
     * break arbitrarily (the usual unique-doc-id case never ties).
     */
   def collapseFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = fingerprintOf(col(textCol))
-    val byFp = Window.partitionBy(col("__fp"))
+    val cols = docs.columns.toSeq
     docs
-      .withColumn("__fp", fp)
-      .withColumn("__rn", row_number().over(byFp.orderBy(col(idCol))))
-      .withColumn("n_members", count(lit(1)).over(byFp))
-      .filter(col("__rn") === 1)
-      .drop("__fp", "__rn")
+      .withColumn("__fp", fingerprintOf(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__rep"),
+        count(lit(1)).as("n_members"))
+      .select(cols.map(c => col("__rep." + c)) :+ col("n_members"): _*)
   }
 
   /** F3 over the fingerprint-collapsed corpus: near-dup pairs between

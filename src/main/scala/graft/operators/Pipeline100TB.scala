@@ -319,9 +319,15 @@ object Pipeline100TB {
     * companion readout to [[mixBalance]].
     *
     * Shape: ONE explode+shuffle to (source, term) counts; corpus
-    * term frequency and source totals come from windows over those
-    * aggregated rows (tf-idf's move — no second corpus pass); the
-    * grand total folds in as a broadcast 1-row aggregate. Per-term
+    * term frequency is a partial-aggregated groupBy over those
+    * aggregated rows joined back on the token (a token-partitioned
+    * window would pin Zipf-hot tokens to one unsplittable task at
+    * web scale; the groupBy combines map-side and the join is
+    * AQE-skew-splittable), per-source totals are a tiny groupBy
+    * joined back by broadcast (sources are few); the (source, term)
+    * exchange is shared by all branches, so the corpus still
+    * shuffles once. The grand total folds in as a broadcast 1-row
+    * aggregate. Per-term
     * contributions are fixed-pointed to int64 micronats scaled by
     * tf before the per-source sum, so aggregation is an exact
     * integer sum (order-independent); the ln itself carries the
@@ -329,14 +335,21 @@ object Pipeline100TB {
     */
   def sourceDivergence(docs: DataFrame, sourceCol: String,
                        textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // the explicit non-null source filter (null sources carry no KL
+    // meaning) sits at the BASE so every derived branch (tf/cf/ns/nc)
+    // canonicalizes identically — otherwise join-inferred IsNotNull
+    // filters land on some branches only and the shared (source, tok)
+    // exchange stops being reusable, forking extra corpus passes
     val tf = docs
+      .filter(col(sourceCol).isNotNull)
       .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
     val nc = broadcast(tf.agg(sum(col("tf")).cast("double").as("__nc")))
+    val cfT = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
+    val nsT = tf.groupBy(col("source")).agg(sum(col("tf")).as("ns"))
     tf
-      .withColumn("cf", sum(col("tf")).over(Window.partitionBy(col("tok"))))
-      .withColumn("ns", sum(col("tf")).over(Window.partitionBy(col("source"))))
+      .join(cfT, "tok")
+      .join(broadcast(nsT), "source")
       .crossJoin(nc)
       .withColumn("__mn",
         round(log((col("tf").cast("double") * col("__nc")) /

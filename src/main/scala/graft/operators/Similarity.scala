@@ -325,20 +325,25 @@ object Similarity {
     * first, so cosine pair volume is quadratic only in DISTINCT
     * vectors per label cell, not in the copy factor. Each emitted pair
     * carries both collapsed group sizes (`n_a`, `n_b`) — it stands for
-    * n_a·n_b underlying pairs. One (label, vector)-keyed shuffle for
-    * the collapse (both windows share the exchange), then the usual
-    * label-blocked pair join. At 100 TB the collapse key would be a
-    * 128-bit content hash of the vector rather than the 64-float
-    * vector itself (narrower shuffle rows, collision-negligible); here
-    * the raw vector keeps the oracle byte-exact.
+    * n_a·n_b underlying pairs. The collapse is a partial-aggregated
+    * `groupBy(label, embedding).agg(min_by(struct(*), id), count)` —
+    * never a (label, vector)-partitioned window, which would route
+    * every copy of the most-duplicated vector (the adversarial case
+    * this guard exists for) into ONE unsplittable task; the aggregate
+    * map-side-combines, bounding post-shuffle volume by distinct
+    * vectors. Then the usual label-blocked pair join. At 100 TB the
+    * collapse key would be a 128-bit content hash of the vector
+    * rather than the 64-float vector itself (narrower shuffle rows,
+    * collision-negligible); here the raw vector keeps the oracle
+    * byte-exact.
     */
   def nearDupPairsCollapsed(s: SparkSession, emb: DataFrame, tau: Double): DataFrame = {
-    val byVec = Window.partitionBy(col("label"), col("embedding"))
+    val cols = emb.columns.toSeq
     val reps = emb
-      .withColumn("__rn", row_number().over(byVec.orderBy(col("vec_id"))))
-      .withColumn("n_members", count(lit(1)).over(byVec))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(col("label"), col("embedding"))
+      .agg(min_by(struct(cols.map(col): _*), col("vec_id")).as("__rep"),
+        count(lit(1)).as("n_members"))
+      .select(cols.map(c => col("__rep." + c)) :+ col("n_members"): _*)
     val members = reps.select(col("vec_id"), col("n_members"))
     nearDupPairs(s, reps.drop("n_members"), tau)
       .join(members.select(col("vec_id").as("a"), col("n_members").as("n_a")), "a")

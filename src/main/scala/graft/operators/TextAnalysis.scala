@@ -103,8 +103,8 @@ object TextAnalysis {
   /** H8: top-k salient terms per document by tf·idf, with a rational
     * idf (N/df — no logarithm, so the score is exact and the DuckDB
     * oracle bit-matches; the ranking is monotone in the usual log
-    * form anyway). Shuffles: per-doc term counts, global df (both
-    * partial-aggregated), a broadcastable df join, one window.
+    * form anyway). Shuffles: per-doc term counts, a df groupBy over
+    * those aggregated rows, the df join-back, one per-doc window.
     */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 3): DataFrame = {
@@ -113,13 +113,25 @@ object TextAnalysis {
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
     val perDoc = terms.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf_d"))
-    // doc-frequency from the ALREADY-AGGREGATED per-doc rows (one row
-    // per (id,term) ⇒ df = partition row count over term): the raw
-    // token stream explodes and shuffles ONCE, and the join the
-    // two-branch formulation needed disappears — at 100 TB the second
-    // pass over the exploded corpus is the cost being deleted here.
-    val withDf = perDoc.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
+    // doc-frequency as a partial-aggregated groupBy over the ALREADY-
+    // AGGREGATED per-doc rows (one row per (id,term) ⇒ df = row count
+    // per term), joined back on term. Token keys are Zipf-distributed:
+    // a window partitioned by term would route every (doc,term) row
+    // for a stopword into ONE unsplittable task (~the whole corpus for
+    // "the" at web scale); the groupBy partial-aggregates map-side and
+    // the equi-join is AQE-skew-splittable, so the hot key spreads.
+    // df counts `when(tf_d > 0, 1)` — identical to count(*) since
+    // tf_d ≥ 1 by construction — rather than lit(1) ON PURPOSE: with
+    // count(1) (or any expression the optimizer can prove non-null,
+    // e.g. plain count(tf_d)) tf_d gets pruned from this branch and
+    // the aggregate rewritten to a distinct, so the two perDoc
+    // subtrees stop canonicalizing equal and the corpus tokenizes and
+    // shuffles TWICE; the opaque predicate keeps tf_d referenced, the
+    // branches share one ReusedExchange — one corpus pass, still
+    // (spec-asserted).
+    val dfT = perDoc.groupBy(col("term"))
+      .agg(count(when(col("tf_d") > 0, 1)).as("df"))
+    val withDf = perDoc.join(dfT, "term")
     // corpus size N as a broadcast 1-row aggregate crossJoin — folded
     // into the one plan instead of a separate driver-side count()
     // (which would be a whole extra pass over the corpus at 100 TB)
@@ -166,22 +178,31 @@ object TextAnalysis {
     * corpus itself).
     *
     * Shape: one explode of per-doc DISTINCT shingles (native
-    * [[graft.functions.WordShingles]]), document frequency as a
-    * window over the shingle partition (the same
-    * aggregate-then-window move tf-idf uses — no second corpus
-    * pass), one groupBy back to the doc. Two keyed shuffles total,
-    * both on near-uniform content-derived keys.
+    * [[graft.functions.WordShingles]]), shingle document frequency
+    * as a partial-aggregated groupBy over those rows joined back on
+    * the shingle, one groupBy back to the doc. Boilerplate shingles
+    * are BY DEFINITION the hottest keys in this stream — a window
+    * partitioned by `sh` would put every occurrence of the most
+    * common template n-gram into one unsplittable task; the groupBy
+    * collapses them map-side and the join-back is AQE-skew-splittable.
+    * Cost note: the postings are narrow (no exchange below the join
+    * when the df side broadcasts), so there is no shared exchange to
+    * reuse and the corpus is scanned+shingled twice — a deliberate
+    * trade: both passes are embarrassingly parallel and skew-free,
+    * where the single-pass window alternative pins the hottest
+    * shingle to one task and a postings pre-shuffle would move the
+    * same bytes the second scan saves.
     */
   def boilerplate(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, minDf: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(minDf >= 1, s"boilerplate minDf must be >= 1: $minDf")
     val post = docs
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.Hash60.shingles("__toks", n)).as("sh"))
+    val dfT = post.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     post
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .join(dfT, "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
@@ -235,9 +256,13 @@ object TextAnalysis {
     * unigram distribution. Gibberish and boilerplate-heavy docs score
     * low (rare-token mass), natural text scores near the corpus
     * mean. Shape mirrors tf-idf: ONE explode+shuffle builds
-    * per-(doc,term) counts, the corpus frequency comes from a window
-    * over those already-aggregated rows (no second corpus pass), the
-    * corpus total folds in as a broadcast 1-row aggregate.
+    * per-(doc,term) counts; corpus frequency is a partial-aggregated
+    * groupBy over those already-aggregated rows joined back on the
+    * token (never a token-partitioned window — Zipf-hot tokens would
+    * pin one unsplittable task; the groupBy combines map-side and
+    * the join is AQE-skew-splittable); the corpus total folds in as
+    * a broadcast 1-row aggregate. The per-(doc,term) exchange is
+    * shared by both branches, so the corpus shuffles once.
     *
     * Determinism: per-term contributions are fixed-pointed to int64
     * MICRONATS before the per-doc sum, so the aggregation is an
@@ -252,13 +277,12 @@ object TextAnalysis {
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
     val docTf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val withCf = docTf.withColumn("cf",
-      sum(col("tf")).over(Window.partitionBy(col("tok"))))
+    val cfT = docTf.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
+    val withCf = docTf.join(cfT, "tok")
     val nTot = broadcast(docTf.agg(sum(col("tf")).cast("double").as("__nt")))
     withCf.crossJoin(nTot)
       .withColumn("__c", round(col("tf").cast("double") *

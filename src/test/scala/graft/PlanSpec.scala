@@ -181,15 +181,56 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("fingerprint collapse: both windows share ONE fingerprint exchange") {
+  test("fingerprint collapse: partial-aggregated min_by, one shuffle, never a window") {
     val plan = executed(graft.operators.Dedup.collapseFingerprints(
       t.documents, "doc_id", "text"))
-    // row_number and the group-size count partition identically, so
-    // the planner must reuse a single hashpartitioning exchange on the
-    // fingerprint — a second full-corpus shuffle here would double the
-    // collapse cost at 100 TB
+    // the collapse must be a map-side-combinable aggregate: each map
+    // task emits at most one candidate row per fingerprint it saw, so
+    // the hottest duplicate group (the adversarial input this guard
+    // exists for) spreads across map tasks instead of landing in one
+    // unsplittable fingerprint-partitioned window task
+    assert(plan.contains("partial_min_by"),
+      s"collapse lost its partial aggregation:\n$plan")
+    assert(!plan.contains("Window"),
+      s"skew-prone window crept back into the collapse:\n$plan")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected exactly 1 shuffle:\n$plan")
+  }
+
+  test("embedding collapse: partial-aggregated min_by, never a window") {
+    val plan = executed(graft.operators.Similarity.nearDupPairsCollapsed(
+      spark, t.embeddings, 0.9))
+    assert(plan.contains("partial_min_by"),
+      s"collapse lost its partial aggregation:\n$plan")
+    // the only acceptable window is none — the pair join carries no
+    // ranking; a (label, embedding)-partitioned window would pin the
+    // most-duplicated vector's copies to one task
+    assert(!plan.contains("Window"),
+      s"skew-prone window crept back into the collapse:\n$plan")
+  }
+
+  test("hot-key stress: collapsing 100k copies of ONE text partial-aggregates (no single-task group)") {
+    import spark.implicits._
+    // the adversarial duplicate-dense input: one fingerprint owns
+    // ~99.9% of all rows, spread over 8 input partitions
+    val hot = spark.range(100000).select(col("id").as("doc_id"),
+      lit("the same boilerplate page text repeated everywhere").as("text"))
+    val tail = spark.range(100).select((col("id") + 200000).as("doc_id"),
+      concat(lit("unique document body "), col("id")).as("text"))
+    val docs = hot.unionAll(tail).repartition(8)
+    val collapsed = graft.operators.Dedup.collapseFingerprints(docs, "doc_id", "text")
+    val plan = executed(collapsed)
+    // partial aggregation proves each of the 8 map tasks emits ONE
+    // candidate row for the hot fingerprint — post-shuffle, the hot
+    // key's reduce task merges 8 rows, not 100k
+    assert(plan.contains("partial_min_by"), s"no map-side combine:\n$plan")
+    assert(!plan.contains("Window"), plan)
+    val rows = collapsed.select(col("doc_id"), col("n_members")).collect()
+    assert(rows.length == 101)
+    val hotRow = rows.filter(_.getLong(1) == 100000L)
+    assert(hotRow.length == 1 && hotRow.head.getLong(0) == 0L,
+      "hot group must collapse to its min-id representative")
+    assert(rows.filter(_.getLong(1) == 1L).length == 100)
   }
 
   test("tokenBalancedShards: one data shuffle; the global window holds bucket SUMS, never rows") {
@@ -222,10 +263,52 @@ class PlanSpec extends SparkTestBase {
     // building the DataFrame runs no job at all (count() would have)
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
-    // doc-frequency is a window over the per-doc aggregate: the
-    // exploded token stream is built and shuffled exactly once
-    assert("Generate explode".r.findAllIn(plan).size == 1,
-      s"token stream must explode exactly once:\n$plan")
+  }
+
+  test("df/cf statistics never window on token-derived keys; the corpus tokenizes once") {
+    import graft.operators.{Pipeline100TB, TextAnalysis}
+    // token/shingle keys are Zipf-distributed: a window partitioned by
+    // them routes every row for a stopword/boilerplate key into ONE
+    // unsplittable task at web scale. df/cf must be groupBy+join
+    // (map-side partial agg, AQE-skew-splittable join) instead.
+    val docs = t.documents
+    val tokenWindow = "windowspecdefinition\\((term|tok|sh|source)#".r
+
+    // topTerms keeps exactly one window — the per-doc top-k rank
+    val tt = TextAnalysis.topTerms(docs, "doc_id", "text", 5)
+    tt.collect()
+    val ttPlan = tt.queryExecution.executedPlan.toString
+    assert(tokenWindow.findFirstIn(ttPlan).isEmpty,
+      s"token-partitioned window in topTerms:\n$ttPlan")
+    assert(ttPlan.contains("windowspecdefinition(id#"), ttPlan)
+    // the df branch must REUSE the per-(doc,term) exchange — exactly
+    // one executed tokenize pass over the corpus
+    assert(ttPlan.contains("ReusedExchange"),
+      s"df branch forked a second corpus pass:\n$ttPlan")
+    assert("\\*\\(\\d+\\) Generate explode".r.findAllIn(ttPlan).size == 1,
+      s"token stream must explode exactly once at runtime:\n$ttPlan")
+
+    // unigram LM and source-KL: no window at all; cf/ns branches
+    // reuse the one corpus exchange
+    val ul = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+    ul.collect()
+    val ulPlan = ul.queryExecution.executedPlan.toString
+    assert(!ulPlan.contains("Window"), s"window in unigramLogProb:\n$ulPlan")
+    assert(ulPlan.contains("ReusedExchange"), s"cf forked a second pass:\n$ulPlan")
+    assert("\\*\\(\\d+\\) Generate explode".r.findAllIn(ulPlan).size == 1, ulPlan)
+
+    val sd = Pipeline100TB.sourceDivergence(docs, "source", "text")
+    sd.collect()
+    val sdPlan = sd.queryExecution.executedPlan.toString
+    assert(!sdPlan.contains("Window"), s"window in sourceDivergence:\n$sdPlan")
+    assert(sdPlan.contains("ReusedExchange"), s"cf/ns forked extra passes:\n$sdPlan")
+    assert("\\*\\(\\d+\\) Generate explode".r.findAllIn(sdPlan).size == 1, sdPlan)
+
+    // boilerplate: no window; two deliberate narrow scans (documented
+    // at the code site), both skew-free
+    val bp = TextAnalysis.boilerplate(docs, "doc_id", "text")
+    assert(!executed(bp).contains("Window"),
+      s"window in boilerplate:\n${executed(bp)}")
   }
 
   test("broker log append: offsets sequence per (topic, partition) — no global sort") {
