@@ -32,47 +32,80 @@ import graft.operators.{Dedup, TextAnalysis}
   * a half-committed attempt would see its own fps in the index and
   * silently drop the whole batch. Re-delivery of a batchId is
   * therefore a no-op rewrite of identical content (spec-checked).
+  *
+  * Index compaction: without it every micro-batch lists and reads
+  * ALL prior `b*` shards — O(N) small files per batch, O(N²)
+  * cumulative, the classic small-files death of a long-running
+  * daemon. Once the shard count reaches `compactEvery`, the batch
+  * folds every shard EXCEPT its own into one generation dir
+  * `g<batchId>` (write `.tmp` → atomic rename → delete sources, the
+  * E9 swap), so the index directory never holds more than
+  * compactEvery+1 entries. Exactly-once survives compaction because
+  * (a) the current batch's own shard is never folded while its
+  * batchId can still be re-delivered, (b) sources are deleted only
+  * after the generation is live, and a retry that finds the
+  * generation already present just finishes the deletes (the
+  * sources' fps are a subset of the generation by construction),
+  * and (c) duplicate fps transiently visible during a half-finished
+  * swap are harmless to the anti-join.
   */
 object CurationJob {
 
   /** Start the loop over a streaming `incoming` frame. The corpus
     * lives under `corpusDir/data/b*`, the standing index under
-    * `corpusDir/index/b*` (read both with `recursiveFileLookup`).
+    * `corpusDir/index/{b*,g*}` (read both with
+    * `recursiveFileLookup`).
     */
   def run(incoming: DataFrame, corpusDir: String, checkpoint: String,
-          idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+          idCol: String = "doc_id", textCol: String = "text",
+          compactEvery: Int = 8): StreamingQuery =
     incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, corpusDir, idCol, textCol, batchId)
+        applyBatch(batch, corpusDir, idCol, textCol, batchId, compactEvery)
       }
       .start()
 
   /** One micro-batch of the loop — pure batch logic, testable alone:
     * gate → dedupe vs the index-so-far → overwrite this batch's
-    * corpus + index shards.
+    * corpus + index shards → maybe compact the index. `gated` and
+    * `novel` are persisted for the duration of the two shard writes
+    * (both actions consume them) and unpersisted after — without
+    * this every micro-batch runs the Gopher gate and the anti-join
+    * twice.
     */
   def applyBatch(batch: DataFrame, corpusDir: String,
-                 idCol: String, textCol: String, batchId: Long): Unit = {
+                 idCol: String, textCol: String, batchId: Long,
+                 compactEvery: Int = 8): Unit = {
     val spark = batch.sparkSession
     val gated = batch.join(
       TextAnalysis.gopherRules(batch, idCol, textCol)
         .filter(col("pass")).select(col(idCol)),
-      Seq(idCol))
+      Seq(idCol)).persist()
     val index = readIndexExcept(spark, s"$corpusDir/index", s"b$batchId")
     val novel = Dedup.incrementalFingerprint(gated, index, idCol, textCol)
-    // survivors carry their batch rows into the corpus; the emitted
-    // fps advance the index so the NEXT batch sees them
-    gated.join(novel.select(col("survivor").as(idCol)), Seq(idCol))
-      .write.mode("overwrite").parquet(s"$corpusDir/data/b$batchId")
-    novel.select("fp")
-      .write.mode("overwrite").parquet(s"$corpusDir/index/b$batchId")
+      .persist()
+    try {
+      // survivors carry their batch rows into the corpus; the emitted
+      // fps advance the index so the NEXT batch sees them
+      gated.join(novel.select(col("survivor").as(idCol)), Seq(idCol))
+        .write.mode("overwrite").parquet(s"$corpusDir/data/b$batchId")
+      novel.select("fp")
+        .write.mode("overwrite").parquet(s"$corpusDir/index/b$batchId")
+    } finally {
+      novel.unpersist()
+      gated.unpersist()
+    }
+    if (compactEvery > 0)
+      compactIndex(spark, s"$corpusDir/index", s"b$batchId", batchId,
+        compactEvery)
   }
 
   /** The standing index minus the named batch shard (empty before
     * the first batch). Listing is one metadata call over per-batch
-    * subdirectories.
+    * shards and compacted generations; in-flight `.tmp` fold
+    * targets are invisible until their atomic rename.
     */
   private def readIndexExcept(spark: SparkSession, path: String,
                               ownShard: String): DataFrame = {
@@ -83,8 +116,43 @@ object CurationJob {
     if (!fs.exists(p)) empty
     else {
       val shards = fs.listStatus(p).map(_.getPath)
-        .filter(_.getName != ownShard).map(_.toString)
+        .filter(s => s.getName != ownShard && !s.getName.endsWith(".tmp"))
+        .map(_.toString)
       if (shards.isEmpty) empty else spark.read.parquet(shards.toIndexedSeq: _*)
     }
+  }
+
+  /** Fold all index shards except the current batch's own into one
+    * generation `g<batchId>` once `compactEvery` sources have
+    * accumulated. Crash-safe at every boundary: a stale `.tmp` is
+    * overwritten on retry; sources are deleted only AFTER the
+    * atomic rename makes the generation live; a retry that finds
+    * the generation already present only finishes the deletes
+    * (every remaining source was an input to that generation, so
+    * its fps are already covered).
+    */
+  private def compactIndex(spark: SparkSession, path: String,
+                           ownShard: String, batchId: Long,
+                           compactEvery: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return
+    val gen = new org.apache.hadoop.fs.Path(p, s"g$batchId")
+    val sources = fs.listStatus(p).map(_.getPath)
+      .filter(s => s.getName != ownShard && s.getName != gen.getName &&
+        !s.getName.endsWith(".tmp"))
+    if (fs.exists(gen)) { // finish a half-committed fold from a retry
+      sources.foreach(fs.delete(_, true))
+      return
+    }
+    if (sources.length < compactEvery) return
+    val tmp = new org.apache.hadoop.fs.Path(p, s"g$batchId.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(sources.map(_.toString).toIndexedSeq: _*)
+      .select(col("fp")).distinct()
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, gen))
+      sys.error(s"index compaction rename failed: $tmp -> $gen")
+    sources.foreach(fs.delete(_, true))
   }
 }

@@ -194,6 +194,64 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(corpusIds == batchMode)
   }
 
+  test("curation index compaction: shard count stays bounded, dedup and exactly-once survive the fold") {
+    import spark.implicits._
+    import graft.streaming.CurationJob
+    // same Gopher-passing doc generator as the capstone spec
+    val pool = Vector("quick", "brown", "foxes", "jumped", "fences",
+      "little", "garden", "stones", "rivers", "bright", "clouds",
+      "forest", "meadow", "silver", "golden", "branch")
+    def doc(seed: Int): String = (0 until 60).map { i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of"
+      else if (i % 17 == 2) s"word$seed"
+      else pool((seed * 13 + i * 5) % pool.size)
+    }.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-compact").toString
+    val K = 3
+    def indexEntries() = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/index")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).map(_.getPath.getName).toSeq.sorted
+    }
+    def corpusIds() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/data").select("doc_id").collect().map(_.getLong(0)).toSet
+    // 12 micro-batches (= 4K): each brings one fresh doc and one
+    // duplicate of a doc accepted ~3 batches earlier — by then the
+    // original's fp lives only inside a compacted generation, so a
+    // drop proves the fold preserved the fingerprints
+    def rows(b: Int): Seq[(Long, String)] = {
+      val fresh = (100L + b, doc(b))
+      if (b >= 3) Seq(fresh, (900L + b, doc(b - 3))) else Seq(fresh)
+    }
+    (0 until 6).foreach { b =>
+      CurationJob.applyBatch(rows(b).toDF("doc_id", "text"), dir,
+        "doc_id", "text", batchId = b.toLong, compactEvery = K)
+    }
+    // with K=3 the folds fire at batches 3 and 5; batch 5's first
+    // attempt folded {g3, b3, b4} into g5. Re-deliver batch 5 (the
+    // only batch the streaming protocol can retry at this point):
+    // its own shard is excluded from the index read and was NOT
+    // folded, so the retry must rewrite identical content — not
+    // drop the batch against its own fingerprints
+    val before = corpusIds()
+    assert(indexEntries().contains("g5"), indexEntries().toString)
+    CurationJob.applyBatch(rows(5).toDF("doc_id", "text"), dir,
+      "doc_id", "text", batchId = 5L, compactEvery = K)
+    assert(corpusIds() == before, "compaction-boundary retry dropped rows")
+    (6 until 12).foreach { b =>
+      CurationJob.applyBatch(rows(b).toDF("doc_id", "text"), dir,
+        "doc_id", "text", batchId = b.toLong, compactEvery = K)
+    }
+    // every fresh doc accepted, every lagged duplicate dropped —
+    // including those whose originals were folded generations ago
+    assert(corpusIds() == (0 until 12).map(100L + _).toSet, corpusIds().toString)
+    // the index never holds more than K+1 entries and exactly the
+    // accepted fingerprints (no loss, no double-count after distinct)
+    assert(indexEntries().size <= K + 1, indexEntries().toString)
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/index").distinct().count() == 12)
+  }
+
   test("curation loop survives an all-rejected batch: empty shards don't poison later reads") {
     import spark.implicits._
     import graft.streaming.CurationJob
