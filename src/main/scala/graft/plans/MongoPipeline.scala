@@ -1186,10 +1186,24 @@ object MongoPipeline {
     *
     * ARRAY-valued foreignField is symmetric: the foreign side
     * explodes its distinct elements before packing (a doc owns one
-    * join key per element), and the per-row re-aggregation
-    * de-duplicates docs reached through several keys. Whole-array
-    * equality between the two arrays is NOT modeled (schema-typed
-    * columns can't mix scalar and array values the way BSON can).
+    * join key per element), and the per-key re-aggregation
+    * de-duplicates docs reached through several keys.
+    *
+    * When BOTH sides are arrays, BSON `{F: L}` equality also matches
+    * the whole local array against the whole foreign array — an
+    * additional exact (order-sensitive) array-equality join.
+    * Observable beyond element overlap exactly when both arrays are
+    * EMPTY (equal non-empty arrays already share elements), which is
+    * precisely Mongo's empty-array match behavior. Scalar-vs-whole-
+    * array equality stays unmodeled: schema-typed columns cannot mix
+    * scalar and array values the way BSON can.
+    *
+    * Determinism & retry safety: matches are aggregated per DISTINCT
+    * local key VALUE and equi-joined back on that value — never
+    * grouped by a synthetic row id (`monotonically_increasing_id`
+    * can differ between task retries) and never grouping the local
+    * rows themselves (map-typed local columns stay legal, duplicate
+    * local rows each keep their own output row).
     */
   private def lookup(df: DataFrame, spec: JsonNode,
                      tables: String => DataFrame): DataFrame = {
@@ -1227,28 +1241,54 @@ object MongoPipeline {
     // Deviation from Mongo (both paths): an unmatched local row gets
     // NULL in `as` (not []) — a typed empty-array literal would need
     // internal APIs; a following `$unwind` treats both the same.
+    val localIsArray = isArray(df, localField)
     val out =
-      if (!isArray(df, localField) && !foreignIsArray)
+      if (!localIsArray && !foreignIsArray)
         local0.join(packed, lk0 === col("__graft_key"), "left")
           .drop("__graft_key")
       else {
-        val localCols = local0.columns.toSeq
-        val lk =
-          if (isArray(df, localField)) explode_outer(array_distinct(lk0))
-          else lk0
-        val joined = local0
-          .withColumn("__rid", monotonically_increasing_id())
-          .withColumn("__graft_lk", lk)
+        // matches per DISTINCT local key value (scalar or array):
+        // explode the key's distinct elements, pull each element's
+        // packed foreign list, re-flatten per key value
+        val keyT = local0.select(lk0.as("__graft_lkval")).distinct()
+        val elems =
+          if (localIsArray)
+            keyT.select(col("__graft_lkval"),
+              explode_outer(array_distinct(col("__graft_lkval"))).as("__graft_lk"))
+          else keyT.select(col("__graft_lkval"),
+            col("__graft_lkval").as("__graft_lk"))
+        val elemMatches = elems
           .join(packed.withColumnRenamed(as, "__graft_arr"),
             col("__graft_lk") === col("__graft_key"), "left")
-        joined.groupBy((col("__rid") +: localCols.map(col)): _*)
-          .agg(flatten(collect_list(col("__graft_arr"))).as("__graft_all"))
-          // array_distinct: an array-valued foreignField can hand the
-          // same foreign doc to several of this row's keys
+          .groupBy(col("__graft_lkval"))
+          .agg(flatten(collect_list(col("__graft_arr"))).as("__graft_els"))
+        val withWhole =
+          if (localIsArray && foreignIsArray) {
+            // BSON {F: L} also equality-matches the WHOLE local array
+            // against the whole foreign array (the empty-array match;
+            // equal non-empty arrays already overlap element-wise)
+            val whole = foreign
+              .groupBy(col(foreignField).as("__graft_wk"))
+              .agg(array_sort(collect_list(
+                struct(foreign.columns.map(col): _*))).as("__graft_warr"))
+            elemMatches
+              .join(whole, col("__graft_lkval") === col("__graft_wk"), "left")
+              .select(col("__graft_lkval"),
+                flatten(array_compact(array(
+                  col("__graft_els"), col("__graft_warr")))).as("__graft_all"))
+          } else
+            elemMatches.select(col("__graft_lkval"),
+              col("__graft_els").as("__graft_all"))
+        // array_distinct: an array-valued foreignField (or the whole-
+        // array rule) can hand the same foreign doc to several of one
+        // key's elements
+        val mapping = withWhole
           .withColumn(as,
             when(size(col("__graft_all")) > 0,
               array_sort(array_distinct(col("__graft_all")))))
-          .drop("__rid", "__graft_all")
+          .select(col("__graft_lkval"), col(as))
+        local0.join(mapping, lk0 === col("__graft_lkval"), "left")
+          .drop("__graft_lkval")
       }
     if (out.columns.contains("__graft_lkey")) out.drop("__graft_lkey") else out
   }

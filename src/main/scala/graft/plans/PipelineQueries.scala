@@ -96,6 +96,49 @@ object PipelineQueries {
          {"$unwind": "$cust"},
          {"$group": {"_id": "$o_orderkey", "n": {"$sum": 1},
            "bal_cents": {"$sum": {"$toLong": {"$round": [{"$multiply": ["$cust.c_acctbal", 100]}, 0]}}}}}]""")),
+    // array-valued foreignField over REAL array data: per-order part
+    // lists derived from lineitem resolve as the `from` table, so the
+    // foreign-array explode+pack path is oracle-checked end-to-end
+    "pipe_lookup_array_fk" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val cat = TableCatalog(s, dir)
+      val orderParts = cat.table("lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("pks"))
+      val tables: String => DataFrame = {
+        case "order_parts" => orderParts
+        case n => cat.table(n)
+      }
+      MongoPipeline(cat.table("part"),
+        """[{"$match": {"p_partkey": {"$lte": 400}}},
+           {"$lookup": {"from": "order_parts", "localField": "p_partkey",
+                        "foreignField": "pks", "as": "ords"}},
+           {"$unwind": "$ords"},
+           {"$group": {"_id": "$p_partkey", "n_orders": {"$sum": 1},
+                       "okey_sum": {"$sum": "$ords.ok"}}}]""", tables)
+    }),
+    // BOTH sides array-valued (self-lookup of sparse per-order part
+    // lists): element-overlap matches plus the whole-array equality
+    // rule, which the deliberately-empty lists make observable
+    // (empty pks match exactly the other empty-pks orders)
+    "pipe_lookup_array_whole" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val cat = TableCatalog(s, dir)
+      val op = cat.table("lineitem").filter(col("l_orderkey") < 1500)
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(array_sort(array_compact(collect_set(
+          when(col("l_partkey") % 7 === 0, col("l_partkey"))))).as("pks"))
+      val tables: String => DataFrame = {
+        case "op2" => op
+        case n => cat.table(n)
+      }
+      MongoPipeline(op,
+        """[{"$lookup": {"from": "op2", "localField": "pks",
+                         "foreignField": "pks", "as": "m"}},
+           {"$unwind": "$m"},
+           {"$group": {"_id": "$ok", "n": {"$sum": 1},
+                       "ok_sum": {"$sum": "$m.ok"}}}]""", tables)
+    }),
     "pipe_count" -> ((s, dir) => run(s, dir, "lineitem",
       """[{"$match": {"l_quantity": {"$gt": 45}}}, {"$count": "big"}]""")),
     "pipe_bucket" -> ((s, dir) => run(s, dir, "orders",
@@ -196,6 +239,23 @@ object PipelineQueries {
         |FROM orders JOIN customer
         |  ON c_custkey = o_custkey OR c_custkey = o_custkey + 1
         |WHERE o_orderkey < 3000
+        |GROUP BY 1""".stripMargin,
+    "pipe_lookup_array_fk" ->
+      """WITH m AS (SELECT DISTINCT l_partkey, l_orderkey FROM lineitem)
+        |SELECT p_partkey AS _id, COUNT(*) AS n_orders,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS okey_sum
+        |FROM part JOIN m ON l_partkey = p_partkey
+        |WHERE p_partkey <= 400
+        |GROUP BY 1""".stripMargin,
+    "pipe_lookup_array_whole" ->
+      """WITH op AS (
+        |  SELECT l_orderkey AS ok,
+        |    COALESCE(list_sort(list(DISTINCT l_partkey)
+        |      FILTER (WHERE l_partkey % 7 = 0)), []) AS pks
+        |  FROM lineitem WHERE l_orderkey < 1500 GROUP BY 1)
+        |SELECT a.ok AS _id, COUNT(*) AS n, CAST(SUM(b.ok) AS BIGINT) AS ok_sum
+        |FROM op a JOIN op b
+        |  ON len(list_intersect(a.pks, b.pks)) > 0 OR a.pks = b.pks
         |GROUP BY 1""".stripMargin,
     "pipe_count" ->
       "SELECT COUNT(*) AS big FROM lineitem WHERE l_quantity > 45",
