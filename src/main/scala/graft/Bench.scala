@@ -15,7 +15,8 @@ object Bench {
     // compilation.
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     spark.catalog.clearCache()
     System.gc()
@@ -30,7 +31,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val best = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case scala.util.control.NonFatal(_) => -1L }
         (System.nanoTime() - t0) / 1e9
       }.min
       name -> best
@@ -43,10 +45,16 @@ object Bench {
     // Persist the COMPLETE per-query artifact: the driver's log capture
     // truncates long stdout tails, which has silently cost past rounds
     // half their round-over-round timing comparison. This file is the
-    // durable record; commit it once per round.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case e: Throwable =>
+    // durable record; commit it once per round. Default under
+    // java.io.tmpdir so an ad-hoc run never silently clobbers the
+    // committed per-round artifact — export SPARK_GRAFT_BENCH_OUT=
+    // bench_full.json (repo root) for the round-final run.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File(sys.props("java.io.tmpdir"), "bench_full.json").getPath)
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      System.err.println(s"[bench] full artifact: $out")
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()

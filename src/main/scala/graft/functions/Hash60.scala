@@ -39,6 +39,19 @@ object Hash60 {
   /** Tokens of a document: lower, trim, split on whitespace runs. */
   def tokens(text: Column): Column = split(trim(lower(text)), " +")
 
+  /** Opt-in production tokenizer: Unicode-normalize (NFC/NFKC/...)
+    * BEFORE case-folding, then the same trim+split — so composed and
+    * decomposed spellings of one word tokenize identically. The
+    * default [[tokens]] stays normalization-free on purpose: it is
+    * the oracle-shared parity definition every existing query uses.
+    */
+  def tokensNormalized(text: Column, form: String): Column = {
+    import org.apache.spark.sql.GraftBridge
+    val norm = GraftBridge.column(
+      UnicodeNormalize(GraftBridge.expression(text), form))
+    split(trim(lower(norm)), " +")
+  }
+
   /** Distinct word n-gram shingles of a token-array column — the
     * native [[WordShingles]] expression (codegen'd single pass).
     */

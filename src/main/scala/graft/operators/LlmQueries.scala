@@ -81,6 +81,18 @@ object LlmQueries {
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
+    // the opt-in NFC+casefold tokenizer, made load-bearing by
+    // appending DECOMPOSED mixed-case tokens (e + combining acute,
+    // i + combining diaeresis) to every document: after NFC + lower
+    // they must count as the composed lowercase probe words on both
+    // engines (DuckDB side uses its native nfc_normalize)
+    "text_tokens_nfc" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text",
+        concat(col("text"),
+          lit(" CafÉ naïve FIANCÉE")))
+      TextAnalysis.tokenCountsNormalized(d, "doc_id", "text", "NFC",
+        Seq("café", "naïve", "fiancée"))
+    }),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
     "text_vocab" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text")),
@@ -444,6 +456,20 @@ object LlmQueries {
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS re_tokens,
         |  (length(text) + 3) // 4 AS bpe_est
         |FROM documents""".stripMargin,
+    // decomposed suffix built with chr() (769 = combining acute,
+    // 776 = combining diaeresis) and composed probes with chr(233/239)
+    // so the SQL stays ASCII-safe through the JSON dump; DuckDB's
+    // native nfc_normalize is the oracle for the engine's NFC mode
+    "text_tokens_nfc" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(nfc_normalize(
+        |    text || ' CafE' || chr(769) || ' nai' || chr(776) ||
+        |    've FIANCE' || chr(769) || 'E'))), ' +') AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS INTEGER) AS ws_tokens,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('caf' || chr(233), 'na' || chr(239) || 've',
+        |     'fianc' || chr(233) || 'e'))) AS INTEGER) AS probe_hits
+        |FROM t""".stripMargin,
     "text_fingerprint" ->
       s"""WITH t AS ($toksCte)
          |SELECT doc_id,

@@ -142,13 +142,21 @@ object TemporalJoin {
     * Skew: the shuffle key is `(keys, bucket)`, so a hot key in a
     * hot time window co-locates all its candidates in ONE task. Two
     * levers: AQE's skew-join split applies as-is (this is a plain
-    * shuffle join), and `salt > 1` splits every (key, bucket) cell
+    * shuffle join), and `salt > 1` spreads a (key, bucket) cell
     * across `salt` reducers deterministically — the left side picks
-    * one content-hashed salt, the right side replicates across all
+    * one content-hashed salt (over the key, the timestamp, and every
+    * other atomic-typed left column, so rows identical only in key
+    * and time still spread), the right side replicates across all
     * `salt` values, so each qualifying pair still meets exactly
     * once and results are IDENTICAL for any salt (spec-checked).
-    * Cost: `salt`× right-side shuffle fan-out — pay it when a hot
-    * cell is known, not by default.
+    * The salt must be DETERMINISTIC (a random salt is a
+    * nondeterministic shuffle key — a partial stage retry after a
+    * fetch failure could then double-count or lose rows), so left
+    * rows identical in EVERY atomic column do share a salt; a hot
+    * cell made purely of full-row duplicates is the collapse
+    * guards' job (F10), not the salt's. Cost: `salt`× right-side
+    * shuffle fan-out — pay it when a hot cell is known, not by
+    * default.
     */
   def rangeJoinPairs(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTime: String, rightTime: String,
@@ -179,8 +187,23 @@ object TemporalJoin {
     val (lb, rb, joinCols) =
       if (salt == 1) (lb0, rb0, keys :+ "__b")
       else {
+        // salt hash: (keys, leftTime) plus every other atomic left
+        // column — maps/arrays/structs excluded (xxhash64 rejects or
+        // mis-hashes them), which keeps the operator total while
+        // spreading any rows that differ in some scalar
+        import org.apache.spark.sql.types._
+        val atomic = left.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[NumericType] ||
+            (f.dataType match {
+              case StringType | BooleanType | DateType | TimestampType |
+                   TimestampNTZType | BinaryType => true
+              case _ => false
+            }) => f.name
+        }.toSeq
+        val saltCols = (keys :+ leftTime) ++
+          atomic.filterNot((keys :+ leftTime).contains)
         val ls = lb0.withColumn("__s",
-          pmod(xxhash64((keys :+ leftTime).map(col): _*), lit(salt.toLong)))
+          pmod(xxhash64(saltCols.map(col): _*), lit(salt.toLong)))
         val rs = rb0.withColumn("__s",
           explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
         (ls, rs, keys :+ "__b" :+ "__s")

@@ -80,6 +80,24 @@ object TextAnalysis {
       regexp_count(col(textCol), lit("[a-z]+")).as("re_tokens"),
       expr(s"(length($textCol) + 3) div 4").as("bpe_est"))
 
+  /** H3 with the OPT-IN production tokenizer
+    * ([[graft.functions.Hash60.tokensNormalized]]): Unicode-normalize
+    * (NFC/NFKC/...) before case-folding, so composed and decomposed
+    * spellings of one word tokenize identically. `probes` counts
+    * occurrences of given (normalized) words via the native
+    * [[graft.functions.InSetCount]] — the oracle-visible proof the
+    * normalization actually unified the forms. The default
+    * [[tokenCounts]] stays normalization-free: it is the shared
+    * parity definition every other query uses (SURVEY §6).
+    */
+  def tokenCountsNormalized(docs: DataFrame, idCol: String, textCol: String,
+                            form: String, probes: Seq[String]): DataFrame = {
+    val toks = graft.functions.Hash60.tokensNormalized(col(textCol), form)
+    docs.select(col(idCol),
+      size(toks).as("ws_tokens"),
+      stopCount(toks, probes).as("probe_hits"))
+  }
+
   /** H4: canonical document fingerprint: md5 of the sorted distinct
     * token set (word-order and duplication invariant).
     */

@@ -132,6 +132,38 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("unicode_normalize tokenizer: NFC composes+casefolds; NFKC also folds compatibility chars") {
+    import spark.implicits._
+    import graft.functions.Hash60
+    // decomposed E+acute, fi-ligature (U+FB01), superscript two
+    val df = Seq(("CafÉ ﬁne 2²", 1)).toDF("t", "k")
+    val row = df.select(
+      Hash60.tokensNormalized(col("t"), "NFC").as("nfc"),
+      Hash60.tokensNormalized(col("t"), "NFKC").as("nfkc")).head()
+    // NFC: combining sequence composes (then casefolds); ligature and
+    // superscript are COMPATIBILITY chars, untouched
+    assert(row.getSeq[String](0) == Seq("café", "ﬁne", "2²"))
+    // NFKC additionally folds them to their compatibility forms
+    assert(row.getSeq[String](1) == Seq("café", "fine", "22"))
+    // null-safety and the no-op fast path on plain ASCII
+    val asciiNull = Seq((null.asInstanceOf[String], 1), ("Plain Words", 2))
+      .toDF("t", "k")
+      .select(col("k"), Hash60.tokensNormalized(col("t"), "NFKC").as("toks"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(asciiNull(1).isEmpty)
+    assert(asciiNull(2).get.asInstanceOf[scala.collection.Seq[String]] ==
+      Seq("plain", "words"))
+    // the normalized scan stays inside whole-stage codegen on a real
+    // table read — no interpreted lambda, no UDF boundary
+    val t = graft.sources.TableCatalog(spark, sfDir)
+    val plan = graft.operators.TextAnalysis.tokenCountsNormalized(
+      t.documents, "doc_id", "text", "NFC", Seq("the"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("unicode_normalize"), plan)
+    assert(!plan.contains("lambdafunction"), plan)
+    assert(plan.startsWith("*(1)"), s"not one codegen span:\n$plan")
+  }
+
   test("language id scores are consistent ratios in [0,1]") {
     val rows = TextAnalysis.langId(docs, "doc_id", "text").collect()
     rows.foreach { r =>

@@ -38,8 +38,24 @@ def canon(rows, cols):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # driver testdata is one file per table; MakeScale-scaled dirs
+        # are parquet DIRECTORIES of part files
+        pat = (f"{sfdir}/{t}.parquet/*.parquet"
+               if os.path.isdir(f"{sfdir}/{t}.parquet") else f"{sfdir}/{t}.parquet")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    # scaled dirs (graft.tools.MakeScale) store events.ts as int64
+    # epoch-nanos (Spark cannot write TIMESTAMP(NANOS)); mirror
+    # TableCatalog.events exactly: integer-divide to micros, convert
+    (tstype,) = con.sql("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+    if tstype == "BIGINT":
+        evpat = (f"{sfdir}/events.parquet/*.parquet"
+                 if os.path.isdir(f"{sfdir}/events.parquet") else f"{sfdir}/events.parquet")
+        con.sql("DROP VIEW events")
+        con.sql(f"CREATE VIEW events AS SELECT * REPLACE"
+                f" (make_timestamp(ts // 1000) AS ts)"
+                f" FROM read_parquet('{evpat}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = 0
     for name, sql in sorted(oracle.items()):
@@ -48,6 +64,10 @@ def main():
             gcols, grows = canon(got.fetchall(), got.columns)
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            try:  # a missing-file IO error can abort the implicit txn
+                con.execute("ROLLBACK")
+            except Exception:
+                pass
             continue
         try:
             want = con.sql(sql)
