@@ -27,10 +27,15 @@ object Analytics {
       .agg(
         sum(dec("l_quantity")).cast("double").as("sum_qty"),
         sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(dec("l_extendedprice") * (one - dec("l_discount")))
+        // scale-4/6 sums are rounded to CENTS before the double cast:
+        // at sf1+ a 17-significant-digit decimal exceeds double's
+        // mantissa, and DuckDB's decimal->double cast is off by 1 ulp
+        // there (int128/10^scale through float), while a cents-rounded
+        // sum stays exactly representable on both engines at any SF
+        round(sum(dec("l_extendedprice") * (one - dec("l_discount"))), 2)
           .cast("double").as("sum_disc_price"),
-        sum(dec("l_extendedprice") * (one - dec("l_discount")) *
-            (one + dec("l_tax"))).cast("double").as("sum_charge"),
+        round(sum(dec("l_extendedprice") * (one - dec("l_discount")) *
+            (one + dec("l_tax"))), 2).cast("double").as("sum_charge"),
         (sum(dec("l_quantity")).cast("double") / count(lit(1)))
           .as("avg_qty"),
         (sum(dec("l_extendedprice")).cast("double") / count(lit(1)))

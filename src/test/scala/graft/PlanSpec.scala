@@ -311,6 +311,21 @@ class PlanSpec extends SparkTestBase {
       s"window in boilerplate:\n${executed(bp)}")
   }
 
+  test("array $lookup family: pure equi-joins — no nested loop, no cartesian, no row-id window") {
+    for (name <- Seq("pipe_lookup_array", "pipe_lookup_array_fk",
+      "pipe_lookup_array_whole")) {
+      val plan = executed(
+        graft.plans.PipelineQueries.queries(name)(spark, sfDir))
+      // any-element matching must stay an exploded equi-join (an
+      // array_contains theta-join would plan BroadcastNestedLoopJoin);
+      // the per-key re-aggregation must key on the local VALUE, never
+      // a synthetic row id (retry-nondeterministic)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(!plan.contains("monotonically_increasing_id"), s"$name:\n$plan")
+    }
+  }
+
   test("broker log append: offsets sequence per (topic, partition) — no global sort") {
     import graft.streaming.KafkaLog
     val msgs = t.events.selectExpr("'t' as topic",

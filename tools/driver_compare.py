@@ -12,9 +12,17 @@ Usage: python3 tools/driver_compare.py /root/testdata/sf0.01 /tmp/gv \
 
 The optional third argument writes a CORRECTNESS_r-style JSON artifact
 (per-query rows/schema/hash match) for committed scale-factor sweeps.
+
+ORACLE_TIMEOUT=<seconds> runs each query's compare in a killable child
+process: a handful of DuckDB oracles are deliberately O(n^2) (the full
+pair-graph dedup CTEs) and infeasible at sf1+ in the ORACLE engine —
+the engine output exists either way; the artifact records
+"oracle timeout" for those instead of hanging the sweep.
 """
 import glob
 import json
+import multiprocessing as mp
+import os
 import sys
 
 import duckdb
@@ -31,11 +39,8 @@ def canon(df):
     return df.astype(str)
 
 
-def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    report_path = sys.argv[3] if len(sys.argv) > 3 else None
+def connect(sfdir):
     con = duckdb.connect()
-    import os
     for t in TABLES:
         # driver testdata is one file per table; MakeScale-scaled dirs
         # are parquet DIRECTORIES of part files
@@ -53,41 +58,79 @@ def main():
         con.sql(f"CREATE VIEW events AS SELECT * REPLACE"
                 f" (make_timestamp(ts // 1000) AS ts)"
                 f" FROM read_parquet('{evpat}')")
+    return con
+
+
+def compare_one(sfdir, outdir, name, sql, con=None):
+    """One query's compare -> (rec, lines-to-print)."""
+    rec = {"rows_match": False, "schema_match": False,
+           "hash_match": False, "spark_rows": None,
+           "oracle_rows": None, "err": None}
+    lines = []
+    try:
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        got = canon(pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
+        c = con or connect(sfdir)  # bind: an unreferenced connection is GC-closed mid-query
+        want = canon(c.sql(sql).df())
+    except Exception as e:
+        rec["err"] = f"{type(e).__name__}: {str(e)[:160]}"
+        return rec, [f"FAIL {name}: {rec['err']}"]
+    rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
+    rec["schema_match"] = list(got.columns) == list(want.columns)
+    rec["rows_match"] = len(got) == len(want)
+    rec["hash_match"] = (rec["schema_match"] and rec["rows_match"]
+                         and got.equals(want))
+    if not rec["schema_match"]:
+        lines.append(f"FAIL {name}: cols spark={list(got.columns)} duck={list(want.columns)}")
+    elif not rec["rows_match"]:
+        lines.append(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+    elif not rec["hash_match"]:
+        neq = (got != want).any(axis=1)
+        lines.append(f"FAIL {name}: {int(neq.sum())} differing rows, first:")
+        for i in got.index[neq][:3]:
+            lines.append(f"  spark={got.loc[i].to_dict()}")
+            lines.append(f"  duck ={want.loc[i].to_dict()}")
+    else:
+        lines.append(f"OK   {name} ({len(got)} rows)")
+    return rec, lines
+
+
+def _worker(sfdir, outdir, name, sql, q):
+    q.put(compare_one(sfdir, outdir, name, sql))
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    report_path = sys.argv[3] if len(sys.argv) > 3 else None
+    timeout = float(os.environ["ORACLE_TIMEOUT"]) if "ORACLE_TIMEOUT" in os.environ else None
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    con = None if timeout else connect(sfdir)
     n_ok = 0
     report = {}
     for name, sql in sorted(oracle.items()):
-        rec = {"rows_match": False, "schema_match": False,
-               "hash_match": False, "spark_rows": None,
-               "oracle_rows": None, "err": None}
-        report[name] = rec
-        try:
-            files = glob.glob(f"{outdir}/{name}/*.parquet")
-            got = canon(pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
-            want = canon(con.sql(sql).df())
-        except Exception as e:
-            rec["err"] = f"{type(e).__name__}: {str(e)[:160]}"
-            print(f"FAIL {name}: {rec['err']}")
-            continue
-        rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
-        rec["schema_match"] = list(got.columns) == list(want.columns)
-        rec["rows_match"] = len(got) == len(want)
-        rec["hash_match"] = (rec["schema_match"] and rec["rows_match"]
-                             and got.equals(want))
-        if not rec["schema_match"]:
-            print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(want.columns)}")
-        elif not rec["rows_match"]:
-            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
-        elif not rec["hash_match"]:
-            neq = (got != want).any(axis=1)
-            idx = got.index[neq][:3]
-            print(f"FAIL {name}: {int(neq.sum())} differing rows, first:")
-            for i in idx:
-                print(f"  spark={got.loc[i].to_dict()}")
-                print(f"  duck ={want.loc[i].to_dict()}")
+        if timeout is None:
+            rec, lines = compare_one(sfdir, outdir, name, sql, con)
         else:
-            n_ok += 1
-            print(f"OK   {name} ({len(got)} rows)")
+            ctx = mp.get_context("spawn")  # fork inherits unusable duckdb state
+            q = ctx.Queue()
+            p = ctx.Process(target=_worker, args=(sfdir, outdir, name, sql, q))
+            p.start()
+            try:
+                rec, lines = q.get(timeout=timeout)
+                p.join()
+            except Exception:
+                p.kill()
+                p.join()
+                rec = {"rows_match": False, "schema_match": False,
+                       "hash_match": False, "spark_rows": None,
+                       "oracle_rows": None,
+                       "err": f"oracle timeout after {timeout:.0f}s "
+                              "(DuckDB-side cost; engine output produced)"}
+                lines = [f"SKIP {name}: {rec['err']}"]
+        report[name] = rec
+        n_ok += 1 if rec["hash_match"] else 0
+        for ln in lines:
+            print(ln, flush=True)
     print(f"== {n_ok}/{len(oracle)} queries match (driver-style)")
     if report_path:
         with open(report_path, "w") as f:
