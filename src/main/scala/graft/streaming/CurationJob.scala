@@ -97,9 +97,12 @@ object CurationJob {
       novel.unpersist()
       gated.unpersist()
     }
-    if (compactEvery > 0)
+    if (compactEvery > 0) {
       compactIndex(spark, s"$corpusDir/index", s"b$batchId", batchId,
         compactEvery)
+      compactData(spark, s"$corpusDir/data", s"b$batchId", batchId,
+        compactEvery)
+    }
   }
 
   /** The standing index minus the named batch shard (empty before
@@ -131,6 +134,53 @@ object CurationJob {
     * (every remaining source was an input to that generation, so
     * its fps are already covered).
     */
+  /** DATA-side small-file compaction — TIERED, not chained like the
+    * index: every `compactEvery` per-batch data shards fold ONCE
+    * into a write-once generation `h<batchId>` and prior `h*`
+    * generations are never rewritten, so total write amplification
+    * is a flat 2× (each corpus byte: its b-shard, then one fold).
+    * The index refolds its generations instead (bounded K+1-entry
+    * directory) because fingerprints are tiny next to corpus bytes;
+    * refolding the DATA that way would rewrite the whole corpus
+    * every K batches — O(N²/K) bytes over the daemon's life. Data
+    * directory entries grow O(N/K), but each is a well-sized
+    * parquet dir instead of N tiny per-batch shards.
+    *
+    * Exactly-once: only shards of COMMITTED batches fold (every
+    * b<id> with id < the current batch — streaming applies batches
+    * in order, so only the current one can be re-delivered, and its
+    * own shard is excluded); sources are deleted only after the
+    * atomic rename, and a retry that finds `h<batchId>` live just
+    * finishes the deletes (batch shards are disjoint novel-row
+    * sets, so the fold is an exact union — no dedupe on read).
+    */
+  private def compactData(spark: SparkSession, path: String,
+                          ownShard: String, batchId: Long,
+                          compactEvery: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return
+    val gen = new org.apache.hadoop.fs.Path(p, s"h$batchId")
+    val sources = fs.listStatus(p).map(_.getPath)
+      .filter(s => s.getName != ownShard && s.getName.startsWith("b"))
+    if (fs.exists(gen)) { // finish a half-committed fold from a retry
+      sources.foreach(fs.delete(_, true))
+      return
+    }
+    if (sources.length < compactEvery) return
+    val nonEmpty = sources.filter(s =>
+      fs.listStatus(s).exists(_.getPath.getName.endsWith(".parquet")))
+    val tmp = new org.apache.hadoop.fs.Path(p, s"h$batchId.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (nonEmpty.nonEmpty) {
+      spark.read.parquet(nonEmpty.map(_.toString).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, gen))
+        sys.error(s"data compaction rename failed: $tmp -> $gen")
+    } else fs.mkdirs(gen) // all-empty tier: a marker dir keeps retries idempotent
+    sources.foreach(fs.delete(_, true))
+  }
+
   private def compactIndex(spark: SparkSession, path: String,
                            ownShard: String, batchId: Long,
                            compactEvery: Int): Unit = {

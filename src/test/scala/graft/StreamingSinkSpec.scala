@@ -208,11 +208,12 @@ class StreamingSinkSpec extends SparkTestBase {
     }.mkString(" ")
     val dir = java.nio.file.Files.createTempDirectory("graft-curation-compact").toString
     val K = 3
-    def indexEntries() = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/index")
+    def entries(sub: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       fs.listStatus(p).map(_.getPath.getName).toSeq.sorted
     }
+    def indexEntries() = entries("index")
     def corpusIds() = spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$dir/data").select("doc_id").collect().map(_.getLong(0)).toSet
     // 12 micro-batches (= 4K): each brings one fresh doc and one
@@ -250,6 +251,14 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(indexEntries().size <= K + 1, indexEntries().toString)
     assert(spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$dir/index").distinct().count() == 12)
+    // DATA shards fold tiered (write-once h* generations, b-shards
+    // only between folds): with K=3 over 12 batches the folds fire
+    // at 3/6/9 (each folding the three shards BEFORE its own), so
+    // the tail b9..b11 stays un-folded (batch 11 sees only
+    // {b9, b10} — below K). The corpusIds assertion above already
+    // proved the folds lost nothing.
+    assert(entries("data") == Seq("b10", "b11", "b9", "h3", "h6", "h9"),
+      entries("data").toString)
   }
 
   test("curation loop survives an all-rejected batch: empty shards don't poison later reads") {
