@@ -88,6 +88,59 @@ object Dedup {
     index.write.mode("overwrite")
       .bucketBy(buckets, "fp").sortBy("fp").saveAsTable(table)
 
+  /** The STANDING fuzzy index for the F14 incremental loop: distinct
+    * (band, key) rows of a corpus's MinHash LSH banding — two narrow
+    * columns, the fuzzy analogue of [[fingerprintIndex]]. Persist it
+    * bucketed on (band, key) (same move as [[persistIndexBucketed]])
+    * and the per-batch anti join reads it pre-partitioned.
+    */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 2, k: Int = 16, bands: Int = 4): DataFrame =
+    bandKeyTable(docs, idCol, textCol, n, k, bands)
+      .select(col("band"), col("key")).distinct()
+
+  /** F14: INCREMENTAL fuzzy dedup — the near-dup complement of F12's
+    * exact-fingerprint path (a curation daemon runs both gates:
+    * exact fp first, bands second; F12 alone admits paraphrases and
+    * light edits of already-accepted content). A batch doc is VETOED
+    * when ANY of its LSH bands already exists in the standing index —
+    * candidate-level and recall-oriented, the same acceptance rule
+    * the fuzzy decontaminator (F8b) uses; a verifying composition
+    * would re-check candidates with [[ngramJaccard]] against stored
+    * representatives. Batch-internal near-dups then collapse to
+    * their band-connected-component min-id representative. Emits
+    * (survivor, n_members); advance the index by unioning
+    * `bandIndex(survivor rows)`.
+    *
+    * Scale: batch-sized signature build; one left-anti-shaped join
+    * of batch band keys against the index (bucketed index ⇒ only the
+    * batch shuffles); candidate pairs and the CC run over the BATCH
+    * only — never corpus-sized work, never a corpus-text rescan.
+    *
+    * Empty/blank documents produce no shingles, hence no band keys:
+    * they are invisible to this gate (neither vetoed nor emitted) —
+    * route them through the exact-fp gate (F12), where null/blank
+    * content pools under one fingerprint.
+    */
+  def incrementalBands(batch: DataFrame, index: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 2, k: Int = 16, bands: Int = 4): DataFrame = {
+    val bk = bandKeyTable(batch, idCol, textCol, n, k, bands)
+    val vetoed = bk.join(index, Seq("band", "key"), "left_semi")
+      .select(col("id")).distinct()
+    val kept = bk.join(vetoed, Seq("id"), "left_anti")
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val cc = Pipeline100TB.connectedComponents(pairs)
+    val keptIds = kept.select(col("id")).distinct()
+    keptIds.join(cc, keptIds("id") === cc("doc_id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      .select(col("cluster").as("survivor"), col("n_members"))
+  }
+
   /** Duplicate-dense guard (F2∘F3/F6 composition): collapse exact-
     * fingerprint duplicate groups to their min-id representative row
     * BEFORE near-dup pair generation. Pair generators emit every true

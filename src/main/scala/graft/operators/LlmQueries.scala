@@ -49,6 +49,14 @@ object LlmQueries {
     // —— G16: per-source KL divergence from the corpus distribution ——
     "mix_divergence" -> ((s, dir) =>
       Pipeline100TB.sourceDivergence(docs(s, dir), "source", "text")),
+    // —— F14: incremental FUZZY dedup of a batch vs the standing band index ——
+    "dedup_incremental_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalBands(
+        d.filter(col("doc_id") % 10 === 0),
+        Dedup.bandIndex(d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"),
+        "doc_id", "text")
+    }),
     // —— F12: incremental dedup of a batch vs the standing corpus index ——
     "dedup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -301,6 +309,34 @@ object LlmQueries {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bandkeys x JOIN bandkeys y
          |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin,
+    "dedup_incremental_fuzzy" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |$minhashSigSql,
+         |bandkeys AS (
+         |$bandKeysSql),
+         |bb AS (SELECT * FROM bandkeys WHERE doc_id % 10 = 0),
+         |ib AS (SELECT DISTINCT band, key FROM bandkeys WHERE doc_id % 10 <> 0),
+         |vet AS (SELECT DISTINCT bb.doc_id FROM bb
+         |        JOIN ib ON bb.band = ib.band AND bb.key = ib.key),
+         |kept AS (SELECT * FROM bb
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM vet)),
+         |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |          FROM kept x JOIN kept y
+         |            ON x.band = y.band AND x.key = y.key
+         |           AND x.doc_id < y.doc_id),
+         |e AS (SELECT a AS s, b AS d FROM pairs
+         |      UNION SELECT b, a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM e
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+         |lab AS (SELECT s AS id, LEAST(s, MIN(d)) AS cluster
+         |        FROM reach GROUP BY s),
+         |kd AS (SELECT DISTINCT doc_id FROM kept)
+         |SELECT cluster AS survivor, CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM (SELECT kd.doc_id, COALESCE(lab.cluster, kd.doc_id) AS cluster
+         |      FROM kd LEFT JOIN lab ON lab.id = kd.doc_id)
+         |GROUP BY 1""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_embed_cosine" ->
       s"""SELECT label, a, b, cos_r FROM (

@@ -132,6 +132,29 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("F14 incremental fuzzy dedup: index hits vetoed, batch clusters collapse, advanced index closes the loop") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def words(seed: Int) = (0 until 30)
+      .map(i => s"w${seed}x${(seed * 31 + i * 7) % 97}").mkString(" ")
+    val corpus = Seq((1L, words(1)), (2L, words(2))).toDF("doc_id", "text")
+    val index = Dedup.bandIndex(corpus, "doc_id", "text")
+    // batch: an exact copy of an accepted doc (all 4 bands collide —
+    // veto guaranteed), a new doc + its copy (collapse to min id),
+    // and a lone new doc
+    val batch = Seq((10L, words(1)), (20L, words(3)), (21L, words(3)),
+      (30L, words(4))).toDF("doc_id", "text")
+    val out = Dedup.incrementalBands(batch, index, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(20L -> 2L, 30L -> 1L), out.toString)
+    // advance the index by the survivors' bands: re-delivering the
+    // same batch must now veto EVERYTHING (the daemon's steady state)
+    val advanced = index.unionByName(Dedup.bandIndex(
+      batch.filter(col("doc_id").isin(20L, 30L)), "doc_id", "text"))
+    assert(Dedup.incrementalBands(batch, advanced, "doc_id", "text")
+      .count() == 0)
+  }
+
   test("unicode_normalize tokenizer: NFC composes+casefolds; NFKC also folds compatibility chars") {
     import spark.implicits._
     import graft.functions.Hash60
