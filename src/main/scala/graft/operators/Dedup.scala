@@ -99,6 +99,15 @@ object Dedup {
     bandKeyTable(docs, idCol, textCol, n, k, bands)
       .select(col("band"), col("key")).distinct()
 
+  /** Per-doc band keys `(id, band, key)` — [[bandIndex]] with the doc
+    * id retained, for callers (the curation daemon) that must also
+    * know WHICH batch docs carry no bands at all (blank/short docs
+    * are invisible to the fuzzy gate and flow through the exact one).
+    */
+  def bandKeys(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 2, k: Int = 16, bands: Int = 4): DataFrame =
+    bandKeyTable(docs, idCol, textCol, n, k, bands)
+
   /** F14: INCREMENTAL fuzzy dedup — the near-dup complement of F12's
     * exact-fingerprint path (a curation daemon runs both gates:
     * exact fp first, bands second; F12 alone admits paraphrases and

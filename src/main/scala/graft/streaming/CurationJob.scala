@@ -58,12 +58,13 @@ object CurationJob {
     */
   def run(incoming: DataFrame, corpusDir: String, checkpoint: String,
           idCol: String = "doc_id", textCol: String = "text",
-          compactEvery: Int = 8): StreamingQuery =
+          compactEvery: Int = 8, fuzzy: Boolean = false): StreamingQuery =
     incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, corpusDir, idCol, textCol, batchId, compactEvery)
+        applyBatch(batch, corpusDir, idCol, textCol, batchId, compactEvery,
+          fuzzy)
       }
       .start()
 
@@ -77,33 +78,70 @@ object CurationJob {
     */
   def applyBatch(batch: DataFrame, corpusDir: String,
                  idCol: String, textCol: String, batchId: Long,
-                 compactEvery: Int = 8): Unit = {
+                 compactEvery: Int = 8, fuzzy: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val gated = batch.join(
       TextAnalysis.gopherRules(batch, idCol, textCol)
         .filter(col("pass")).select(col(idCol)),
       Seq(idCol)).persist()
-    val index = readIndexExcept(spark, s"$corpusDir/index", s"b$batchId")
+    val index = readIndexExcept(spark, s"$corpusDir/index", s"b$batchId",
+      fpSchema)
     val novel = Dedup.incrementalFingerprint(gated, index, idCol, textCol)
       .persist()
+    val novelRows = gated
+      .join(novel.select(col("survivor").as(idCol)), Seq(idCol))
+    // the OPTIONAL second gate (F14): exact-fp novelty alone admits
+    // paraphrases/light edits of accepted content — veto batch docs
+    // whose LSH bands hit the standing band index and collapse
+    // batch-internal near-dups to their band-CC representative.
+    // Docs with no bands at all (blank/short) are invisible to the
+    // fuzzy gate and flow through on exact-fp novelty alone.
+    val accepted = (if (!fuzzy) novelRows
+    else {
+      val bandIdx = readIndexExcept(spark, s"$corpusDir/bands",
+        s"b$batchId", bandSchema)
+      val fuzzSurvivors = Dedup
+        .incrementalBands(novelRows, bandIdx, idCol, textCol)
+        .select(col("survivor").as(idCol))
+      val noBand = novelRows.select(col(idCol)).join(
+        Dedup.bandKeys(novelRows, idCol, textCol)
+          .select(col("id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      novelRows.join(fuzzSurvivors.unionByName(noBand).distinct(),
+        Seq(idCol))
+    }).persist()
     try {
-      // survivors carry their batch rows into the corpus; the emitted
-      // fps advance the index so the NEXT batch sees them
-      gated.join(novel.select(col("survivor").as(idCol)), Seq(idCol))
-        .write.mode("overwrite").parquet(s"$corpusDir/data/b$batchId")
+      // accepted rows enter the corpus; the emitted fps advance the
+      // exact index so the NEXT batch sees them — INCLUDING the fps
+      // of fuzzy-vetoed docs (exact copies of a rejected near-dup
+      // must stay rejected); the band index advances by ACCEPTED
+      // docs' bands only (it indexes corpus content)
+      accepted.write.mode("overwrite").parquet(s"$corpusDir/data/b$batchId")
       novel.select("fp")
         .write.mode("overwrite").parquet(s"$corpusDir/index/b$batchId")
+      if (fuzzy)
+        Dedup.bandIndex(accepted, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$corpusDir/bands/b$batchId")
     } finally {
+      accepted.unpersist()
       novel.unpersist()
       gated.unpersist()
     }
     if (compactEvery > 0) {
       compactIndex(spark, s"$corpusDir/index", s"b$batchId", batchId,
         compactEvery)
+      if (fuzzy)
+        compactIndex(spark, s"$corpusDir/bands", s"b$batchId", batchId,
+          compactEvery)
       compactData(spark, s"$corpusDir/data", s"b$batchId", batchId,
         compactEvery)
     }
   }
+
+  private val fpSchema = StructType(Seq(StructField("fp", StringType)))
+  private val bandSchema = StructType(Seq(
+    StructField("band", org.apache.spark.sql.types.IntegerType),
+    StructField("key", StringType)))
 
   /** The standing index minus the named batch shard (empty before
     * the first batch). Listing is one metadata call over per-batch
@@ -111,11 +149,11 @@ object CurationJob {
     * targets are invisible until their atomic rename.
     */
   private def readIndexExcept(spark: SparkSession, path: String,
-                              ownShard: String): DataFrame = {
+                              ownShard: String,
+                              schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-      StructType(Seq(StructField("fp", StringType))))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     if (!fs.exists(p)) empty
     else {
       val shards = fs.listStatus(p).map(_.getPath)
@@ -198,8 +236,10 @@ object CurationJob {
     if (sources.length < compactEvery) return
     val tmp = new org.apache.hadoop.fs.Path(p, s"g$batchId.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // schema-agnostic fold (exact-fp shards AND band shards): distinct
+    // full rows — index entries are set-semantic either way
     spark.read.parquet(sources.map(_.toString).toIndexedSeq: _*)
-      .select(col("fp")).distinct()
+      .distinct()
       .write.mode("overwrite").parquet(tmp.toString)
     if (!fs.rename(tmp, gen))
       sys.error(s"index compaction rename failed: $tmp -> $gen")

@@ -261,6 +261,52 @@ class StreamingSinkSpec extends SparkTestBase {
       entries("data").toString)
   }
 
+  test("curation daemon fuzzy gate: paraphrases of accepted content are vetoed across batches") {
+    import spark.implicits._
+    import graft.streaming.CurationJob
+    val pool = Vector("quick", "brown", "foxes", "jumped", "fences",
+      "little", "garden", "stones", "rivers", "bright", "clouds",
+      "forest", "meadow", "silver", "golden", "branch")
+    def doc(seed: Int): String = (0 until 60).map { i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of"
+      else if (i % 17 == 2) s"word$seed"
+      else pool((seed * 13 + i * 5) % pool.size)
+    }.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-fuzzy").toString
+    CurationJob.applyBatch(Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"),
+      dir, "doc_id", "text", batchId = 0L, fuzzy = true)
+    // batch 1: an exact copy (same token SET -> exact-fp gate drops
+    // it), a PARAPHRASE with appended words (different fingerprint —
+    // the exact gate would admit it; only the band gate can veto),
+    // and a genuinely new doc
+    CurationJob.applyBatch(Seq(
+      (10L, doc(1)),
+      (11L, doc(1) + " appended trailing words"),
+      (12L, doc(9))).toDF("doc_id", "text"),
+      dir, "doc_id", "text", batchId = 1L, fuzzy = true)
+    def corpusIds() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/data").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds() == Set(1L, 2L, 12L), corpusIds().toString)
+    // sanity: the paraphrase really does carry a DIFFERENT exact
+    // fingerprint — without the band gate it would have been accepted
+    val fps = graft.operators.Dedup.fingerprintIndex(
+      Seq(doc(1), doc(1) + " appended trailing words").toDF("text"), "text")
+    assert(fps.count() == 2)
+    // exactly-once across the fuzzy path: re-delivering batch 1
+    // rewrites identical content (its own data/index/bands shards are
+    // excluded from the reads)
+    CurationJob.applyBatch(Seq(
+      (10L, doc(1)),
+      (11L, doc(1) + " appended trailing words"),
+      (12L, doc(9))).toDF("doc_id", "text"),
+      dir, "doc_id", "text", batchId = 1L, fuzzy = true)
+    assert(corpusIds() == Set(1L, 2L, 12L))
+    // the band index holds exactly the ACCEPTED docs' bands: 3 docs
+    // x 4 bands (all distinct here)
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/bands").distinct().count() == 12)
+  }
+
   test("curation loop survives an all-rejected batch: empty shards don't poison later reads") {
     import spark.implicits._
     import graft.streaming.CurationJob
