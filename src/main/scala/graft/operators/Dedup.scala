@@ -99,6 +99,17 @@ object Dedup {
     bandKeyTable(docs, idCol, textCol, n, k, bands)
       .select(col("band"), col("key")).distinct()
 
+  /** Persist the standing BAND index bucketed on (band, key) — the
+    * F14 twin of [[persistIndexBucketed]]: the per-batch veto join
+    * then reads the index pre-partitioned and only the (small) batch
+    * band table shuffles (spec-asserted, like F12's).
+    */
+  def persistBandIndexBucketed(index: DataFrame, table: String,
+                               buckets: Int = 64): Unit =
+    index.write.mode("overwrite")
+      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .saveAsTable(table)
+
   /** Per-doc band keys `(id, band, key)` — [[bandIndex]] with the doc
     * id retained, for callers (the curation daemon) that must also
     * know WHICH batch docs carry no bands at all (blank/short docs

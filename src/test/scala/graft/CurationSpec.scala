@@ -543,6 +543,31 @@ class CurationSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_fp_index")
   }
 
+  test("bucketed band index: the F14 veto join contributes no index-side exchange") {
+    val d = TableCatalog(spark, sfDir).documents
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    Dedup.persistBandIndexBucketed(
+      Dedup.bandIndex(corpus, "doc_id", "text"), "graft_band_index",
+      buckets = 8)
+    try {
+      val idx = spark.table("graft_band_index")
+      val inc = Dedup.incrementalBands(batch, idx, "doc_id", "text")
+      val plan = inc.queryExecution.executedPlan.toString
+      // the bucketed scan satisfies the semi join's hash requirement —
+      // the standing index never re-shuffles; every Exchange in the
+      // plan keys on batch-side tables (signature build, veto,
+      // candidate self-join, final groupBy)
+      assert(plan.contains("Bucketed: true"), plan)
+      // and the result matches the unbucketed path exactly
+      val want = Dedup.incrementalBands(batch,
+          Dedup.bandIndex(corpus, "doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_band_index")
+  }
+
   // ——— nearDupPairsCollapsed (duplicate-dense guard) ———
 
   test("collapsed cosine pairs are copy-factor invariant and account for every underlying pair") {
