@@ -357,7 +357,7 @@ object LlmQueries {
     "mix_divergence" ->
       """WITH t AS (SELECT source,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
-        |  FROM documents),
+        |  FROM documents WHERE source IS NOT NULL),
         |tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
         |       FROM t GROUP BY 1, 2),
         |x AS (SELECT source, tok, tf,

@@ -86,31 +86,39 @@ object CurationJob {
       Seq(idCol)).persist()
     val index = readIndexExcept(spark, s"$corpusDir/index", s"b$batchId",
       fpSchema)
-    val novel = Dedup.incrementalFingerprint(gated, index, idCol, textCol)
-      .persist()
-    val novelRows = gated
-      .join(novel.select(col("survivor").as(idCol)), Seq(idCol))
-    // the OPTIONAL second gate (F14): exact-fp novelty alone admits
-    // paraphrases/light edits of accepted content — veto batch docs
-    // whose LSH bands hit the standing band index and collapse
-    // batch-internal near-dups to their band-CC representative.
-    // Docs with no bands at all (blank/short) are invisible to the
-    // fuzzy gate and flow through on exact-fp novelty alone.
-    val accepted = (if (!fuzzy) novelRows
-    else {
-      val bandIdx = readIndexExcept(spark, s"$corpusDir/bands",
-        s"b$batchId", bandSchema)
-      val fuzzSurvivors = Dedup
-        .incrementalBands(novelRows, bandIdx, idCol, textCol)
-        .select(col("survivor").as(idCol))
-      val noBand = novelRows.select(col(idCol)).join(
-        Dedup.bandKeys(novelRows, idCol, textCol)
-          .select(col("id").as(idCol)).distinct(),
-        Seq(idCol), "left_anti")
-      novelRows.join(fuzzSurvivors.unionByName(noBand).distinct(),
-        Seq(idCol))
-    }).persist()
+    // the try opens IMMEDIATELY after the first persist: an exception
+    // anywhere in the fuzzy-gate plan construction or the shard
+    // writes must still unpersist, or a long-running daemon leaks
+    // cache across streaming retries.
+    var novel: DataFrame = null
+    var accepted: DataFrame = null
     try {
+      val index = readIndexExcept(spark, s"$corpusDir/index", s"b$batchId",
+        fpSchema)
+      novel = Dedup.incrementalFingerprint(gated, index, idCol, textCol)
+        .persist()
+      val novelRows = gated
+        .join(novel.select(col("survivor").as(idCol)), Seq(idCol))
+      // the OPTIONAL second gate (F14): exact-fp novelty alone admits
+      // paraphrases/light edits of accepted content — veto batch docs
+      // whose LSH bands hit the standing band index and collapse
+      // batch-internal near-dups to their band-CC representative.
+      // Docs with no bands at all (blank/short) are invisible to the
+      // fuzzy gate and flow through on exact-fp novelty alone.
+      accepted = (if (!fuzzy) novelRows
+      else {
+        val bandIdx = readIndexExcept(spark, s"$corpusDir/bands",
+          s"b$batchId", bandSchema)
+        val fuzzSurvivors = Dedup
+          .incrementalBands(novelRows, bandIdx, idCol, textCol)
+          .select(col("survivor").as(idCol))
+        val noBand = novelRows.select(col(idCol)).join(
+          Dedup.bandKeys(novelRows, idCol, textCol)
+            .select(col("id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+        novelRows.join(fuzzSurvivors.unionByName(noBand).distinct(),
+          Seq(idCol))
+      }).persist()
       // accepted rows enter the corpus; the emitted fps advance the
       // exact index so the NEXT batch sees them — INCLUDING the fps
       // of fuzzy-vetoed docs (exact copies of a rejected near-dup
@@ -123,8 +131,8 @@ object CurationJob {
         Dedup.bandIndex(accepted, idCol, textCol)
           .write.mode("overwrite").parquet(s"$corpusDir/bands/b$batchId")
     } finally {
-      accepted.unpersist()
-      novel.unpersist()
+      if (accepted != null) accepted.unpersist()
+      if (novel != null) novel.unpersist()
       gated.unpersist()
     }
     if (compactEvery > 0) {
@@ -208,7 +216,14 @@ object CurationJob {
     if (sources.length < compactEvery) return
     val nonEmpty = sources.filter(s =>
       fs.listStatus(s).exists(_.getPath.getName.endsWith(".parquet")))
-    val tmp = new org.apache.hadoop.fs.Path(p, s"h$batchId.tmp")
+    // leading '_' so parquet/Hadoop readers (which auto-hide '_'/'.'
+    // paths) never see the half-written fold — corpus consumers read
+    // data/ with recursiveFileLookup and have no reader-side filter.
+    // Remaining visible window: between the rename and the source
+    // deletes (or after a crash, until the batch retry) readers see
+    // each folded row twice — consumers needing exact-once reads
+    // must exclude b* shards whose ids are covered by a live h* gen.
+    val tmp = new org.apache.hadoop.fs.Path(p, s"_h$batchId.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (nonEmpty.nonEmpty) {
       spark.read.parquet(nonEmpty.map(_.toString).toIndexedSeq: _*)
@@ -234,7 +249,9 @@ object CurationJob {
       return
     }
     if (sources.length < compactEvery) return
-    val tmp = new org.apache.hadoop.fs.Path(p, s"g$batchId.tmp")
+    // '_' prefix as in compactData: belt (reader-side .tmp filter in
+    // readIndexExcept) and suspenders (Hadoop hidden-path convention)
+    val tmp = new org.apache.hadoop.fs.Path(p, s"_g$batchId.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // schema-agnostic fold (exact-fp shards AND band shards): distinct
     // full rows — index entries are set-semantic either way
