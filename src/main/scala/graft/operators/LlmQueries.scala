@@ -132,6 +132,11 @@ object LlmQueries {
         docs(s, dir), "doc_id", "text", shardCol = "source", cap = 512)),
     // —— H16: Gopher-style structural quality rules ——
     "text_gopher" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")),
+    // —— H20: model-based quality filter (hashed features × broadcast
+    //    weight vector → logistic score), fixed deterministic model ——
+    "text_classifier" -> ((s, dir) =>
+      TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        clfWeights, biasMicro = 50000L, threshold = 0.5)),
     // —— G12: deterministic source-mixture balancing (600-token budget) ——
     "mix_balance" -> ((s, dir) => {
       import graft.functions.Hash60.tokens
@@ -170,6 +175,14 @@ object LlmQueries {
           docs(s, dir).select("doc_id", "source"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("pos"))),
   )
+
+  /** H20's fixed model: 64 bucket micro-weights (w·10⁶ as int64,
+    * w ∈ [-1, 1]) from a Knuth-multiplicative mix of the bucket id —
+    * deterministic, reproducible verbatim in the oracle's list
+    * literal. A production caller passes a trained vector instead.
+    */
+  private[graft] val clfWeights: Seq[Long] =
+    (0 until 64).map(b => ((b * 2654435761L + 40503L) % 2000001L) - 1000000L)
 
   // ——— shared oracle fragments ———
 
@@ -645,6 +658,21 @@ object LlmQueries {
          |   AND len(list_distinct(toks)) / len(toks) >= 0.2
          |   AND len(list_filter(toks, $stopIn)) >= 2) AS pass
          |FROM t""".stripMargin,
+    "text_classifier" ->
+      s"""WITH t AS ($toksCte),
+         |c AS (SELECT doc_id, len(toks) AS n,
+         |  CAST(list_sum(list_transform(toks, tok ->
+         |    (${clfWeights.mkString("[", ", ", "]")})
+         |      [(CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64) + 1]))
+         |    AS BIGINT) AS raw
+         |  FROM t),
+         |s AS (SELECT doc_id, n,
+         |  round(1.0 / (1.0 + exp(-((CAST(raw AS DOUBLE) / n + 50000.0)
+         |                           / 1000000.0))), 6) AS clf_score
+         |  FROM c)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tok, clf_score,
+         |  clf_score >= 0.5 AS keep
+         |FROM s""".stripMargin,
     "mix_balance" ->
       s"""WITH t AS (SELECT doc_id, source,
          |  CAST(len(string_split_regex(trim(lower(text)), ' +')) AS BIGINT)

@@ -355,6 +355,42 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** H20: model-based quality filter — fasttext/CCNet-style linear
+    * classifier inference over hashed token features: each token
+    * hashes into one of `microWeights.length` buckets (the
+    * oracle-shared md5-60-bit scheme), the per-token bucket weights
+    * fold in ONE codegen'd pass via the native
+    * [[graft.functions.HashedFeatureDot]] (exact int64 micro-units,
+    * so the sum is token-order- and summation-strategy-independent),
+    * and the logistic score is
+    * `sigmoid(bias + mean-token-weight)` — the standard "score with a
+    * small quality model, keep above threshold" curation stage
+    * (CCNet/DCLM/FineWeb). The weight vector ships to executors as a
+    * codegen reference object: zero shuffles, one projection over the
+    * scan.
+    *
+    * Keep decision compares the ROUNDED score against the threshold
+    * so both engines decide from the identical 6-decimal value; as
+    * with BM25/unigram-LM, `exp` is the one libm step — a 1-ulp
+    * platform difference landing exactly on a round(,6) boundary is
+    * the only (mitigated, not proven-impossible) parity risk.
+    */
+  def classifierScore(docs: DataFrame, idCol: String, textCol: String,
+                      microWeights: Seq[Long], biasMicro: Long,
+                      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val base = docs.withColumn("__toks", tokens(col(textCol)))
+    val raw = GraftBridge.column(graft.functions.HashedFeatureDot(
+      GraftBridge.expression(col("__toks")), microWeights))
+    val n = size(col("__toks"))
+    val z = (raw.cast("double") / n + lit(biasMicro.toDouble)) / lit(1000000.0)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    base.select(col(idCol),
+      n.cast("long").as("n_tok"),
+      score.as("clf_score"),
+      (score >= threshold).as("keep"))
+  }
+
   /** H16: Gopher-style quality rule pack — the per-document structural
     * filters from the Gopher/MassiveText curation recipe, evaluated in
     * one pass: word-count bounds, mean word length bounds, type-token

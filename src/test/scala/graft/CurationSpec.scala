@@ -172,6 +172,73 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  // ——— classifierScore (H20) ———
+
+  /** Plain-Scala model twin: same md5-60-bit bucket, same exact
+    * integer fold, same float boundary — the single-node reference
+    * the distributed inference must match bit-for-bit.
+    */
+  private def refClf(text: String, w: Seq[Long], biasMicro: Long): Double = {
+    val toks = text.toLowerCase.trim.split(" +", -1)
+    val raw = toks.map { t =>
+      val h = graft.functions.ShingleHashes.hash60(t.getBytes("UTF-8"))
+      w((h % w.length).toInt)
+    }.sum
+    val z = (raw.toDouble / toks.length + biasMicro.toDouble) / 1000000.0
+    BigDecimal(1.0 / (1.0 + math.exp(-z)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("classifierScore matches the single-node model on a non-trivial weight table") {
+    val w = (0 until 64).map(b => ((b * 48271L + 11L) % 2000001L) - 1000000L)
+    val docs = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "lorem ipsum dolor sit amet consectetur adipiscing elit",
+      3L -> "x",
+      4L -> "a a a a a a a a")
+    val out = TextAnalysis.classifierScore(docs, "doc_id", "text", w,
+        biasMicro = 250000L, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    for ((id, text) <- Seq(1L -> "the quick brown fox jumps over the lazy dog",
+                           2L -> "lorem ipsum dolor sit amet consectetur adipiscing elit",
+                           3L -> "x", 4L -> "a a a a a a a a")) {
+      val exp = refClf(text, w, 250000L)
+      assert(out(id)._2 == exp, s"doc $id: got ${out(id)._2}, want $exp")
+      assert(out(id)._3 == (exp >= 0.5), s"keep flag, doc $id")
+      assert(out(id)._1 == text.split(" +").length.toLong)
+    }
+  }
+
+  test("classifierScore separates classes when weights favor known-good tokens") {
+    // put all mass on the buckets of the "good" vocabulary, negative
+    // elsewhere — docs of good tokens must keep, bad must drop
+    val good = Seq("clean", "prose", "article")
+    val dims = 64
+    val goodBuckets = good.map(t =>
+      (graft.functions.ShingleHashes.hash60(t.getBytes("UTF-8")) % dims).toInt).toSet
+    val w = (0 until dims).map(b =>
+      if (goodBuckets.contains(b)) 3000000L else -3000000L)
+    val docs = docsDf(
+      1L -> "clean prose article clean prose",
+      2L -> "zzyx qwfp vbnm glrt hjkd")
+    val out = TextAnalysis.classifierScore(docs, "doc_id", "text", w,
+        biasMicro = 0L, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> true, 2L -> false))
+  }
+
+  test("classifierScore plans zero shuffles and stays in whole-stage codegen") {
+    val plan = TextAnalysis.classifierScore(
+        TableCatalog(spark, sfDir).documents, "doc_id", "text",
+        graft.operators.LlmQueries.clfWeights, 50000L, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // '*(1)' prefix = the projection fused into WholeStageCodegen stage 1
+    assert(plan.contains("*(1) Project"), plan)
+    assert(plan.contains("hashed_feature_dot"), plan)
+  }
+
   // ——— mixBalance ———
 
   test("mixBalance: under-budget strata pass whole, over-budget strata shrink") {
