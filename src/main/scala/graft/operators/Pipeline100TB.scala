@@ -257,6 +257,42 @@ object Pipeline100TB {
     regexp_replace(url, "[0-9]+", "<NUM>")
   }
 
+  /** H21: markup → text extraction — the HTML-to-prose stage of a web
+    * curation pipeline (trafilatura/jusText's job, reduced to the
+    * deterministic core): drop script/style blocks and comments WITH
+    * their content, strip remaining tags, decode the common entities
+    * (`&amp;` last, so `&amp;lt;` yields a literal `&lt;`), collapse
+    * whitespace. An ordered codegen'd regexp chain in one projection —
+    * H9's no-UDF pattern — so it fuses into the scan stage with zero
+    * shuffles at any corpus size.
+    *
+    * Regex parity notes (JVM `java.util.regex` here, RE2 in the
+    * DuckDB oracle): only shared syntax — inline `(?is)` flags, lazy
+    * `.*?`, explicit `[ \t\n\r]` classes (never `\s`, whose char set
+    * differs between the engines).
+    */
+  def extractMarkup(textCol: Column): Column = {
+    val noScript = regexp_replace(textCol,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // block-level closers become line breaks so downstream per-line
+    // passes (the C4 filter, H14) see the document's structure
+    val blocks = regexp_replace(noComment,
+      "(?i)</(p|h[1-6]|li|div|tr)>|<br[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]+>", " ")
+    val nbsp = regexp_replace(noTags, "&nbsp;", " ")
+    val lt = regexp_replace(nbsp, "&lt;", "<")
+    val gt = regexp_replace(lt, "&gt;", ">")
+    val quot = regexp_replace(gt, "&quot;", "\"")
+    val apos = regexp_replace(quot, "&#39;|&apos;", "'")
+    val amp = regexp_replace(apos, "&amp;", "&")
+    val hspace = regexp_replace(amp, "[ \\t\\r]+", " ")
+    val vspace = regexp_replace(hspace, "( ?\\n ?)+", "\n")
+    regexp_replace(vspace, "^[\\n ]+|[\\n ]+$", "")
+  }
+
   /** H10: sliding-window chunking for training sequences: windows of
     * `size` tokens every `stride` tokens (the tail windows run
     * shorter). One explode per document — output volume is

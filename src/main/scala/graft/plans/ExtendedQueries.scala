@@ -19,6 +19,19 @@ object ExtendedQueries {
     MongoPipeline(cat.table(table), pipeline, cat.table)
   }
 
+  /** H21's synthetic wrapper: script/style/comment blocks, block tags,
+    * and every decoded entity class — shared verbatim with the oracle
+    * (single-quote-free so it embeds in a SQL literal unchanged).
+    */
+  private val MarkupPrefix =
+    "<html><head><script type=\"text/javascript\">var x = 1 &lt; 2;</script>" +
+      "<style>p { color: red }</style></head><body><!-- nav -->" +
+      "<h1>Title &amp; Intro</h1><p>"
+  private val MarkupSuffix =
+    "</p><ul><li>item one</li><li>item two</li></ul>" +
+      "<div id=\"footer\">tail&nbsp;note &#39;quoted&#39; &quot;q2&quot;</div>" +
+      "</body></html>"
+
   private val centsExpr =
     """{"$toLong": {"$round": [{"$multiply": ["$o_totalprice", 100]}, 0]}}"""
 
@@ -314,6 +327,13 @@ object ExtendedQueries {
       val ev = TableCatalog(s, dir).events
       ev.select(col("event_id"),
         Pipeline100TB.scrub(col("props")).as("scrubbed"))
+    }),
+    // —— H21: markup → text extraction over synthetically wrapped docs ——
+    "text_extract_markup" -> ((s, dir) => {
+      val d = TableCatalog(s, dir).documents
+      val wrapped = concat(lit(MarkupPrefix), col("text"), lit(MarkupSuffix))
+      d.select(col("doc_id"),
+        Pipeline100TB.extractMarkup(wrapped).as("clean_text"))
     }),
     // —— H10: sliding-window chunking ——
     "doc_chunks" -> ((s, dir) =>
@@ -662,6 +682,32 @@ object ExtendedQueries {
         |    'https?://[^ \t\n]+', '<URL>', 'g'),
         |    '[0-9]+', '<NUM>', 'g') AS scrubbed
         |FROM events""".stripMargin,
+    "text_extract_markup" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        replace(
+         |          regexp_replace(
+         |            replace(replace(replace(replace(
+         |              regexp_replace(
+         |                regexp_replace(
+         |                  regexp_replace(
+         |                    regexp_replace(
+         |                      regexp_replace(
+         |                        '$MarkupPrefix' || text || '$MarkupSuffix',
+         |                        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |                    '(?s)<!--.*?-->', ' ', 'g'),
+         |                  '(?i)</(p|h[1-6]|li|div|tr)>|<br[^>]*>', chr(10), 'g'),
+         |                '<[^>]+>', ' ', 'g'),
+         |              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |            '&#39;|&apos;', chr(39), 'g'),
+         |          '&amp;', '&'),
+         |        '[ \\t\\r]+', ' ', 'g'),
+         |      '( ?\\n ?)+', chr(10), 'g'),
+         |    '^[\\n ]+|[\\n ]+$$', '', 'g') AS clean_text
+         |FROM documents""".stripMargin,
     "text_entropy" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

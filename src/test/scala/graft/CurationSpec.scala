@@ -172,6 +172,41 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  // ——— extractMarkup (H21) ———
+
+  test("extractMarkup drops script/style/comments, breaks blocks to lines, decodes entities") {
+    val html = "<html><head><script>var x = 1 &lt; 2;</script><style>p{}</style></head>" +
+      "<body><!-- menu --><h1>Head &amp; Tail</h1><p>One sentence.</p>" +
+      "<ul><li>nav item</li></ul><div>tail&nbsp;bit &#39;q&#39;</div></body></html>"
+    val out = docsDf(1L -> html)
+      .select(Pipeline100TB.extractMarkup(col("text")).as("t"))
+      .collect().head.getString(0)
+    assert(out == "Head & Tail\nOne sentence.\nnav item\ntail bit 'q'", out)
+  }
+
+  test("extractMarkup decodes &amp; last so double-escaped entities stay literal") {
+    val out = docsDf(1L -> "<p>a &amp;lt; b</p>")
+      .select(Pipeline100TB.extractMarkup(col("text")).as("t"))
+      .collect().head.getString(0)
+    assert(out == "a &lt; b", out)
+  }
+
+  test("markup → extract → line filter composes: only terminated prose survives") {
+    val html = "<p>Keep this sentence.</p><li>Nav Menu</li><p>Also kept!</p>"
+    val extracted = docsDf(1L -> html).select(col("doc_id"),
+      Pipeline100TB.extractMarkup(col("text")).as("text"))
+    val out = TextAnalysis.filterLines(extracted, "doc_id", "text").collect().head
+    assert(out.getAs[String]("clean_text") == "Keep this sentence.\nAlso kept!")
+    assert(out.getAs[Int]("orig_lines") == 3 && out.getAs[Int]("kept_lines") == 2)
+  }
+
+  test("extractMarkup plans zero shuffles over the scan") {
+    val plan = TableCatalog(spark, sfDir).documents
+      .select(col("doc_id"), Pipeline100TB.extractMarkup(col("text")).as("t"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   // ——— classifierScore (H20) ———
 
   /** Plain-Scala model twin: same md5-60-bit bucket, same exact
