@@ -130,6 +130,30 @@ object LlmQueries {
     "pack_sequences" -> ((s, dir) =>
       graft.operators.Pipeline100TB.packSequences(
         docs(s, dir), "doc_id", "text", shardCol = "source", cap = 512)),
+    // —— H22: BPE apply — exact subword ids under a fixed merge table ——
+    "bpe_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.GraftBridge
+      val d = docs(s, dir)
+      val toks = graft.functions.Hash60.tokens(
+        regexp_replace(col("text"), "\\|", " "))
+      val ids = GraftBridge.column(graft.functions.BpeEncode(
+        GraftBridge.expression(toks), bpeMerges, bpeVocab))
+      d.select(col("doc_id"),
+        size(ids).cast("long").as("n_bpe"),
+        concat(lit("["), array_join(ids.cast("array<string>"), ","), lit("]"))
+          .as("ids_str"))
+    }),
+    // —— H15∘H22: packing with EXACT tokenizer counts, not estimates ——
+    "pack_sequences_bpe" -> ((s, dir) => {
+      import org.apache.spark.sql.GraftBridge
+      val toks = graft.functions.Hash60.tokens(
+        regexp_replace(col("text"), "\\|", " "))
+      val ids = GraftBridge.column(graft.functions.BpeEncode(
+        GraftBridge.expression(toks), bpeMerges, bpeVocab))
+      graft.operators.Pipeline100TB.packSequencesBy(
+        docs(s, dir), "doc_id", size(ids).cast("long"),
+        shardCol = "source", cap = 256)
+    }),
     // —— H16: Gopher-style structural quality rules ——
     "text_gopher" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")),
     // —— H20: model-based quality filter (hashed features × broadcast
@@ -183,6 +207,50 @@ object LlmQueries {
     */
   private[graft] val clfWeights: Seq[Long] =
     (0 until 64).map(b => ((b * 2654435761L + 40503L) % 2000001L) - 1000000L)
+
+  /** H22's fixed tokenizer: base vocab a–z 0–9, eight learned merges
+    * (each output symbol appears in later rules only — the
+    * well-formedness that makes in-order apply ≡ rank-greedy apply).
+    * A production caller passes a real learned table instead.
+    */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d",
+    "i" -> "n", "e" -> "r", "o" -> "n", "r" -> "e")
+  private[graft] val bpeVocab: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+      Seq("th", "the", "an", "and", "in", "er", "on", "re")
+
+  /** Oracle twin of [[graft.functions.BpeEncode]]: recursive CTE over
+    * the rule index; each step replays one rule exhaustively via the
+    * doubled-separator string-replace trick (`|a||b|` → `|ab|` is a
+    * left-to-right non-overlapping scan on both engines). Emits
+    * `ids(doc_id, ids)`.
+    */
+  private def bpeCtes: String = {
+    val mergeValues = bpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")
+    val vocabMap = bpeVocab.zipWithIndex
+      .map { case (t, i) => s"'$t': $i" }.mkString("MAP {", ", ", "}")
+    s"""m(i, a, b) AS (SELECT * FROM (VALUES $mergeValues) v(i, a, b)),
+       |init AS (SELECT doc_id, array_to_string(list_transform(
+       |    string_split_regex(trim(lower(regexp_replace(text, '\\|', ' ', 'g'))), ' +'),
+       |    w -> regexp_replace(w, '(.)', '|\\1|', 'g')), ' ') AS state
+       |  FROM documents),
+       |bpe AS (
+       |  SELECT doc_id, state, 0 AS i FROM init
+       |  UNION ALL
+       |  SELECT bpe.doc_id,
+       |    replace(bpe.state, '|'||m.a||'||'||m.b||'|', '|'||m.a||m.b||'|'),
+       |    bpe.i + 1
+       |  FROM bpe JOIN m ON m.i = bpe.i),
+       |fin AS (SELECT doc_id, state FROM bpe WHERE i = ${bpeMerges.length}),
+       |ids AS (SELECT doc_id,
+       |  CASE WHEN state = '' THEN CAST([] AS INTEGER[])
+       |  ELSE list_transform(
+       |    string_split(trim(replace(state, ' ', ''), '|'), '||'),
+       |    t -> coalesce(($vocabMap)[t][1], -1)) END AS ids
+       |  FROM fin)""".stripMargin
+  }
 
   // ——— shared oracle fragments ———
 
@@ -644,6 +712,24 @@ object LlmQueries {
          |  FROM t)
          |SELECT doc_id, shard, n_tok, cum_before,
          |  cum_before // 512 AS bin, cum_before % 512 AS off_tok
+         |FROM c""".stripMargin,
+    "bpe_encode" ->
+      s"""WITH RECURSIVE $bpeCtes
+         |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_bpe,
+         |  '[' || array_to_string(ids, ',') || ']' AS ids_str
+         |FROM ids""".stripMargin,
+    "pack_sequences_bpe" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |t AS (SELECT d.doc_id, d.source AS shard,
+         |    CAST(len(ids.ids) AS BIGINT) AS n_tok
+         |  FROM documents d JOIN ids USING (doc_id)),
+         |c AS (SELECT doc_id, shard, n_tok,
+         |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before
+         |  FROM t)
+         |SELECT doc_id, shard, n_tok, cum_before,
+         |  cum_before // 256 AS bin, cum_before % 256 AS off_tok
          |FROM c""".stripMargin,
     "text_gopher" ->
       s"""WITH t AS ($toksCte)

@@ -498,14 +498,27 @@ object Pipeline100TB {
     * hash(id) % nShards) so each shard's sort fits an executor.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    shardCol: String, cap: Int): DataFrame = {
+                    shardCol: String, cap: Int): DataFrame =
+    packSequencesBy(docs, idCol,
+      size_(split(trim(lower(col(textCol))), " +")).cast("long"),
+      shardCol, cap)
+
+  /** H15, exact-token-count mode: same packer, but the per-document
+    * token count is a caller-supplied column — e.g. the size of
+    * [[graft.functions.BpeEncode]]'s id array for EXACT tokenizer
+    * counts instead of the whitespace/`chars/4` estimate. The packing
+    * math is unchanged: one shuffle on the shard key, partition-local
+    * window, no iteration.
+    */
+  def packSequencesBy(docs: DataFrame, idCol: String, tokCol: Column,
+                      shardCol: String, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cap > 0, s"packSequences cap must be positive: $cap")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col(idCol), col(shardCol).as("shard"),
-        size_(split(trim(lower(col(textCol))), " +")).cast("long").as("n_tok"))
+        tokCol.cast("long").as("n_tok"))
       .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("bin", expr(s"cum_before div $cap"))
       .withColumn("off_tok", col("cum_before") % cap)

@@ -172,6 +172,92 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  // ——— BpeEncode (H22) ———
+
+  private def bpeIds(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.GraftBridge
+    val toks = graft.functions.Hash60.tokens(col("text"))
+    df.select(col("doc_id"), GraftBridge.column(graft.functions.BpeEncode(
+      GraftBridge.expression(toks),
+      graft.operators.LlmQueries.bpeMerges,
+      graft.operators.LlmQueries.bpeVocab)).as("ids"))
+  }
+
+  /** Rank-greedy reference apply — the subword-nmt loop: repeatedly
+    * merge ALL occurrences of the lowest-rank pair present.
+    */
+  private def greedyBpe(word: String): Seq[String] = {
+    val merges = graft.operators.LlmQueries.bpeMerges
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toVector
+    var done = syms.length < 2
+    while (!done) {
+      val present = syms.zip(syms.tail).flatMap(rank.get)
+      if (present.isEmpty) done = true
+      else {
+        val (a, b) = merges(present.min)
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  test("bpe_encode matches the rank-greedy reference tokenizer word by word") {
+    val vocabIdx = graft.operators.LlmQueries.bpeVocab.zipWithIndex.toMap
+    val words = Seq("the", "then", "and", "band", "inner", "irrational",
+      "rethink", "xyz", "a1er9", "anand", "thethe", "q-q")
+    for (w <- words) {
+      val expected = greedyBpe(w).map(s => vocabIdx.getOrElse(s, -1))
+      val got = bpeIds(docsDf(1L -> w)).collect().head
+        .getAs[scala.collection.Seq[Int]]("ids").toSeq
+      assert(got == expected, s"word '$w': got $got, want $expected")
+    }
+  }
+
+  test("bpe_encode concatenates per-word ids in document order, skipping empty words") {
+    val vocabIdx = graft.operators.LlmQueries.bpeVocab.zipWithIndex.toMap
+    val expected = Seq("the", "and", "er").flatMap(w =>
+      greedyBpe(w).map(s => vocabIdx.getOrElse(s, -1)))
+    val got = bpeIds(docsDf(1L -> "  the   and  er ")).collect().head
+      .getAs[scala.collection.Seq[Int]]("ids").toSeq
+    assert(got == expected, got)
+  }
+
+  test("packSequencesBy packs on the exact BPE counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "the and"),     // the→[the]=1 tok, and→[and]=1 tok → 2
+      (2L, "s1", "thether"),     // the,the,r → 3
+      (3L, "s1", "xyz"))         // x,y,z → 3
+      .toDF("doc_id", "source", "text")
+    import org.apache.spark.sql.GraftBridge
+    val ids = GraftBridge.column(graft.functions.BpeEncode(
+      GraftBridge.expression(graft.functions.Hash60.tokens(col("text"))),
+      graft.operators.LlmQueries.bpeMerges,
+      graft.operators.LlmQueries.bpeVocab))
+    val out = graft.operators.Pipeline100TB.packSequencesBy(
+        docs, "doc_id", size(ids).cast("long"), "source", cap = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("n_tok"), r.getAs[Long]("cum_before"),
+        r.getAs[Long]("bin"), r.getAs[Long]("off_tok")))
+    assert(out.toSeq == Seq((2L, 0L, 0L, 0L), (3L, 2L, 0L, 2L), (3L, 5L, 1L, 1L)),
+      out.toSeq)
+  }
+
+  test("bpe_encode plans zero shuffles") {
+    val plan = bpeIds(TableCatalog(spark, sfDir).documents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   // ——— extractMarkup (H21) ———
 
   test("extractMarkup drops script/style/comments, breaks blocks to lines, decodes entities") {
