@@ -242,10 +242,18 @@ object Similarity {
     * assignment, probe selection, exact rerank — is then plain
     * column algebra over raw stored vectors, which is what lets the
     * `sim_topk_ivf_fixed` query hash-match a DuckDB oracle
-    * end-to-end. The TRAINED variant stays rows-only by design: the
-    * centroid per-dim means are shuffle-order-dependent double sums
-    * cast to float, so no SQL re-derivation can promise the same
-    * last ulp.
+    * end-to-end. The TRAINED variant trains DETERMINISTICALLY: each
+    * component accumulates as a scaled int64 (`round(v·2²⁰)`, the
+    * G8/G16 exact-integer idiom), so the per-dim sums are exact
+    * integers independent of shuffle/partition order, and the mean's
+    * single float rounding is identical on every run and every
+    * cluster layout (double-run spec under different partitionings).
+    * It stays oracle-N/A only because iterative k-means is not
+    * SQL-expressible — not because the result could drift.
+    * Quantization bound: |v|≤1-ish embeddings keep
+    * `2²⁰·Σ|v|` < 2⁵³ up to ~8·10⁹ members per (cell, dim), far past
+    * any sane cell size at 100 TB (and k-means quality is unaffected
+    * by micro-rounding the centroid).
     */
   def ivfTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 8, nprobe: Int = 4, iters: Int = 2): DataFrame = {
@@ -269,12 +277,14 @@ object Similarity {
         .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"),
           first(col("embedding")).as("embedding"))
 
+    val Scale = 1048576.0 // 2^20: exact int64 accumulation, order-free
     for (_ <- 1 to iters) {
       val assigned = assign(centDf(cents))
       cents = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "v")))
         .groupBy(col("cid"), col("d"))
-        .agg(avg(col("v")).as("m"))
+        .agg((sum(round(col("v") * Scale).cast("long")).cast("double") /
+          (count(lit(1)) * Scale)).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
         .select(col("cid"), expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("cvec"))

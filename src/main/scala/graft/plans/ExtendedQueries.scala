@@ -284,12 +284,13 @@ object ExtendedQueries {
       graft.operators.Sketches.hllDistinct(
         ev, Seq("event_type"), col("user_id"), p = 8)
     }),
-    // —— G2b: IVF ANN — registered rows-only: the trained quantizer's
-    //    per-dim means are shuffle-order-dependent double sums cast to
-    //    float, so an SQL re-derivation could differ in the last ulp
-    //    and flip a rounded cosine; iterative k-means is also not
-    //    SQL-expressible. SimilaritySpec checks recall vs brute force.
-    //    The SEARCH path is fully hash-checked via sim_topk_ivf_fixed. ——
+    // —— G2b: IVF ANN — registered rows-only because iterative
+    //    k-means is not SQL-expressible, NOT because results drift:
+    //    training accumulates scaled int64 per-dim sums, so the model
+    //    and results are bit-identical across runs and partitionings
+    //    (double-run spec). SimilaritySpec checks recall vs brute
+    //    force; the SEARCH path is hash-checked via
+    //    sim_topk_ivf_fixed. ——
     "sim_topk_ivf" -> ((s, dir) => {
       val e = TableCatalog(s, dir).embeddings
       graft.operators.Similarity.ivfTopK(

@@ -109,6 +109,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf.nonEmpty)
   }
 
+  test("ivf: training is bit-deterministic across partitionings (scaled-int64 sums)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    def run(parts: Int) =
+      Similarity.ivfTopK(spark, emb.repartition(parts), queries, k = 5,
+          nlist = 8, nprobe = 4, iters = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("cos_r"), r.getAs[Int]("rank")))
+        .sortBy(t => (t._1, t._4))
+    // different partition counts force different shuffle/arrival
+    // orders into the centroid aggregation; exact int64 accumulation
+    // must still yield the identical model, hence identical results
+    val a = run(2)
+    val b = run(7)
+    assert(a.nonEmpty && a.sameElements(b),
+      s"trained-IVF results differ across partitionings: ${a.length} vs ${b.length}")
+  }
+
   test("multimodal decode stub: deterministic features, bytes = text length") {
     val docs = TableCatalog(spark, sfDir).documents.limit(20)
     val feats = Multimodal.decodeFeatures(spark, docs, "doc_id", "text").collect()
