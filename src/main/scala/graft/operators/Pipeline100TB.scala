@@ -246,15 +246,34 @@ object Pipeline100TB {
         min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
   }
 
-  /** H9: PII / noise scrubbing — email, URL, then digit-run, applied
-    * in that order so an address is one `<EMAIL>`, not fragments with
-    * `<NUM>` inside. Codegen'd regexp chain, no UDF.
+  /** H9: PII / noise scrubbing — email, URL, IPv6, IPv4, phone, then
+    * digit-run, applied in that order so an address is one `<EMAIL>`
+    * (not fragments with `<NUM>` inside), an IPv4 is one `<IP>` (not
+    * a phone prefix), and a phone is one `<PHONE>`. Codegen'd regexp
+    * chain, no UDF — only syntax shared verbatim by `java.util.regex`
+    * and DuckDB's RE2 (explicit char classes, `{m,n}` bounds, no `\b`
+    * / `\d` whose Unicode breadth differs between engines).
+    *
+    * Pattern scope (the standard scrubber trade — over-match beats
+    * leak): IPv6 is the uncompressed-or-trailing-compressed colon-hex
+    * form (4+ colon groups, so `HH:MM:SS` timestamps and `a:b` pairs
+    * don't trip it; fully-compressed short forms like `fe80::1` fall
+    * through); phone needs 3 separator-delimited digit groups with an
+    * optional +CC / parenthesized area code, so bare years and ids
+    * fall through to `<NUM>`.
     */
   def scrub(textCol: Column): Column = {
     val email = regexp_replace(textCol,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val url = regexp_replace(email, "https?://[^ \\t\\n]+", "<URL>")
-    regexp_replace(url, "[0-9]+", "<NUM>")
+    val ip6 = regexp_replace(url,
+      "([0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{0,4}", "<IP>")
+    val ip4 = regexp_replace(ip6,
+      "[0-9]{1,3}(\\.[0-9]{1,3}){3}", "<IP>")
+    val phone = regexp_replace(ip4,
+      "\\+?[0-9]{1,3}[-. ]\\(?[0-9]{2,4}\\)?[-. ][0-9]{2,4}[-. ][0-9]{2,4}",
+      "<PHONE>")
+    regexp_replace(phone, "[0-9]+", "<NUM>")
   }
 
   /** H21: markup → text extraction — the HTML-to-prose stage of a web

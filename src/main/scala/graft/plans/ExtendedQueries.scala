@@ -323,11 +323,22 @@ object ExtendedQueries {
       Pipeline100TB.stratifiedK(ev, col("event_type"), col("event_id"), k = 3)
         .select(col("event_id"), col("event_type"))
     }),
-    // —— H9: PII / noise scrubbing ——
+    // —— H9: PII / noise scrubbing — props carry no natural PII, so
+    //    deterministic event-keyed probes (IPv4, full-form IPv6, +CC
+    //    phone) make every branch of the redaction chain load-bearing ——
     "text_scrub" -> ((s, dir) => {
       val ev = TableCatalog(s, dir).events
+      val probed = concat(col("props"),
+        lit(" src 10.20."), (col("event_id") % 256).cast("string"),
+        lit("."), (col("event_id") % 100).cast("string"),
+        lit(" node 2001:0db8:85a3:0000:0000:8a2e:0370:"),
+        lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+        lit(" call +1-415-"),
+        lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+        lit("-"), lpad((col("event_id") * 7 % 10000).cast("string"), 4, "0"),
+        lit(" ok"))
       ev.select(col("event_id"),
-        Pipeline100TB.scrub(col("props")).as("scrubbed"))
+        Pipeline100TB.scrub(probed).as("scrubbed"))
     }),
     // —— H21: markup → text extraction over synthetically wrapped docs ——
     "text_extract_markup" -> ((s, dir) => {
@@ -678,9 +689,22 @@ object ExtendedQueries {
         |WHERE rk <= 3""".stripMargin,
     "text_scrub" ->
       """SELECT event_id,
-        |  regexp_replace(regexp_replace(regexp_replace(props,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(
+        |    props || ' src 10.20.' || CAST(event_id % 256 AS VARCHAR)
+        |      || '.' || CAST(event_id % 100 AS VARCHAR)
+        |      || ' node 2001:0db8:85a3:0000:0000:8a2e:0370:'
+        |      || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' call +1-415-'
+        |      || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+        |      || '-' || lpad(CAST(event_id * 7 % 10000 AS VARCHAR), 4, '0')
+        |      || ' ok',
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '([0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{0,4}', '<IP>', 'g'),
+        |    '[0-9]{1,3}(\.[0-9]{1,3}){3}', '<IP>', 'g'),
+        |    '\+?[0-9]{1,3}[-. ]\(?[0-9]{2,4}\)?[-. ][0-9]{2,4}[-. ][0-9]{2,4}',
+        |      '<PHONE>', 'g'),
         |    '[0-9]+', '<NUM>', 'g') AS scrubbed
         |FROM events""".stripMargin,
     "text_extract_markup" ->

@@ -758,6 +758,30 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(out == "mail <EMAIL> or <URL> tel <NUM>")
   }
 
+  test("scrub redacts IPv6, IPv4 and phones as units, in chain order") {
+    import spark.implicits._
+    val cases = Seq(
+      // IPv4 must become one <IP>, not a <PHONE>/<NUM> fragment salad
+      "from 192.168.254.1 ok" -> "from <IP> ok",
+      // full-form IPv6 (7 groups) and trailing-compressed (4+ groups)
+      // (the bare '6' of "v6" is itself a digit run → <NUM>)
+      "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 x" -> "v<NUM> <IP> x",
+      // +CC and parenthesized-area forms are one <PHONE> each
+      "call +1-415-555-0142 now" -> "call <PHONE> now",
+      "or 1 (212) 555 0199 then" -> "or <PHONE> then",
+      // timestamps stay out of the IPv6 net (4+ colon groups) and
+      // bare years out of the phone net (needs 3 separated groups);
+      // both fall through to the digit-run mop-up
+      "at 03:04:05 in 2024 end" -> "at <NUM>:<NUM>:<NUM> in <NUM> end",
+      // email wins over the phone/digit passes even with digits inside
+      "ping bob+1-415@x.org done" -> "ping <EMAIL> done")
+    val out = cases.map(_._1).toDF("t")
+      .select(Pipeline100TB.scrub(col("t"))).collect().map(_.getString(0))
+    out.zip(cases.map(_._2)).foreach { case (got, want) =>
+      assert(got == want, s"got '$got', want '$want'")
+    }
+  }
+
   test("chunking covers every token with stride overlap") {
     import spark.implicits._
     val df = Seq((1L, (0 until 20).map(i => s"t$i").mkString(" "))).toDF("id", "text")
