@@ -303,6 +303,40 @@ object Dedup {
       .distinct()
   }
 
+  /** F3b: bounded near-dup neighbor lists — the at-scale contract for
+    * F3. F3's answer is the FULL pair graph, quadratic in a
+    * duplicate-dense corpus *by specification* (~25 M pairs at sf10
+    * copy factor 100) — that contract cannot scale past sf≈1 no
+    * matter the plan. This variant changes the contract: the k best
+    * neighbors per document (jaccard desc, neighbor id asc, so ties
+    * are deterministic under any partitioning), making output and
+    * aggregation state O(k·docs) however duplicate-dense the corpus
+    * gets. The symmetrized pair stream runs through
+    * [[graft.functions.BoundedTopK]], whose per-group state is capped
+    * at k at every stage (partial, shuffle, merge) with map-side
+    * combine — the hottest doc's candidates collapse in the map tasks
+    * that produced them. Candidate generation is F3's exact PPJoin,
+    * so the kept neighbors are exactly the global top-k of the full
+    * graph, not an approximation.
+    */
+  def ngramJaccardTopK(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 2, tau: Double = 0.8, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val pairs = ngramJaccard(docs, idCol, textCol, n, tau)
+    val sym = pairs.select(col("a").as("id"), col("b").as("nbr"), col("jaccard"))
+      .unionAll(
+        pairs.select(col("b").as("id"), col("a").as("nbr"), col("jaccard")))
+    val best = GraftBridge.column(graft.functions.BoundedTopK(
+      GraftBridge.expression(struct(col("jaccard"), col("nbr"))),
+      GraftBridge.expression(struct(col("nbr"), col("jaccard"))),
+      k, Seq(-1, 1), keepLargest = false, emitDesc = false,
+      skipNullValue = false).toAggregateExpression())
+    sym.groupBy(col("id")).agg(best.as("top"))
+      .select(col("id"), posexplode(col("top")))
+      .select(col("id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.nbr").as("nbr"), col("col.jaccard").as("jaccard"))
+  }
+
   /** F4: MinHash + banded LSH candidates: k affine permutations of the
     * 60-bit shingle hash, signatures banded r-per-band; docs sharing
     * any band key are candidates. One shuffle to build signatures

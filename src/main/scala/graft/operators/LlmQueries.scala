@@ -21,6 +21,10 @@ object LlmQueries {
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprint(docs(s, dir), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", n = 2, tau = 0.8)),
+    // —— F3b: bounded top-k near-dup neighbors — F3's at-scale contract ——
+    "dedup_ngram_topk" -> ((s, dir) =>
+      Dedup.ngramJaccardTopK(docs(s, dir), "doc_id", "text",
+        n = 2, tau = 0.8, k = 3)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashCandidates(docs(s, dir), "doc_id", "text", n = 2, k = 16, bands = 4)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
@@ -118,6 +122,10 @@ object LlmQueries {
         .withColumn("q", concat(lit("["), array_join(col("q"), ","), lit("]")))
     }),
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(docs(s, dir), "doc_id", "text")),
+    // —— H5b: real PNG/JPEG/GIF header decode; the oracle states the
+    //    generator's ground truth, the engine must re-derive it by
+    //    parsing the container bytes it built ——
+    "mm_image_dims" -> ((s, dir) => Multimodal.imageDims(docs(s, dir), "doc_id")),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir), "doc_id", "text")),
     // —— F8: benchmark decontamination (trigram overlap vs eval set) ——
     "decon_ngram" -> ((s, dir) =>
@@ -364,6 +372,21 @@ object LlmQueries {
          |  round(CAST(i AS DOUBLE) / (sza + szb - i), 6) AS jaccard
          |FROM inter
          |WHERE round(CAST(i AS DOUBLE) / (sza + szb - i), 6) >= 0.8""".stripMargin,
+    "dedup_ngram_topk" ->
+      s"""WITH $shingleCtes,
+         |$jaccardPairBody,
+         |pairs AS (SELECT a, b,
+         |    round(CAST(i AS DOUBLE) / (sza + szb - i), 6) AS jaccard
+         |  FROM inter
+         |  WHERE round(CAST(i AS DOUBLE) / (sza + szb - i), 6) >= 0.8),
+         |sym AS (SELECT a AS id, b AS nbr, jaccard FROM pairs
+         |        UNION ALL SELECT b, a, jaccard FROM pairs),
+         |r AS (SELECT id, nbr, jaccard,
+         |        row_number() OVER (PARTITION BY id
+         |          ORDER BY jaccard DESC, nbr) AS rk
+         |      FROM sym)
+         |SELECT id, CAST(rk AS INTEGER) AS rk, nbr, jaccard
+         |FROM r WHERE rk <= 3""".stripMargin,
     "dedup_pairs_collapsed" ->
       s"""WITH t0 AS ($toksCte),
          |fpt AS (SELECT doc_id,
@@ -655,6 +678,26 @@ object LlmQueries {
         |  md5(text) AS content_md5,
         |  (octet_length(encode(text)) + 255) // 256 AS n_chunks,
         |  'text/plain' AS mime
+        |FROM documents""".stripMargin,
+    // Ground truth stated directly from the payload-generator
+    // parameters (format selector, dimension formulas, corruption
+    // stride): the engine side cannot shortcut — it reconstructs these
+    // values only by byte-parsing the PNG/JPEG/GIF containers it built.
+    "mm_image_dims" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |       ELSE 'gif' END AS format,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(16 + doc_id % 2048 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(16 + (doc_id * 3) % 2048 AS INTEGER) END AS height,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN
+        |         CAST([1,2,4,8,16][CAST(doc_id % 5 AS INTEGER) + 1] AS INTEGER)
+        |       WHEN doc_id % 3 = 1 THEN 8
+        |       ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS bit_depth
         |FROM documents""".stripMargin,
     "mm_frame_sample" ->
       """WITH RECURSIVE s(i) AS (

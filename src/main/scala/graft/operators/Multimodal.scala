@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal binary-column plumbing (SURVEY.md §2 H5/H6): media
@@ -35,6 +35,73 @@ object Multimodal {
       .select(col("files_id").as("media_id"),
         (col("n") / stride).cast("int").as("frame_idx"),
         md5(to_binary(col("data"), lit("utf-8"))).as("frame_md5"))
+
+  /** H5b payload generator: REAL image container bytes — PNG signature
+    * + IHDR, JPEG SOI + APP0(JFIF) + a variable-length COM segment +
+    * SOF0, or GIF89a + logical screen descriptor — with format and
+    * dimensions derived deterministically from the document id. The
+    * JPEG COM payload length varies per row, so the SOF frame header
+    * sits at a DIFFERENT offset in every JPEG payload: the marker walk
+    * in [[graft.functions.ImageDims]] is load-bearing, not a fixed
+    * slice. Every 13th payload gets a leading zero byte (signature
+    * corruption), exercising the unrecognized path. Built as a hex
+    * string folded through one `unhex` — all codegen, no UDF.
+    */
+  def imagePayload(idCol: Column): Column = {
+    val id = idCol.cast("long")
+    val w = (id % 2048) + 16                       // 16..2063: fits 2 bytes
+    val h = (id * 3 % 2048) + 16
+    val pngBd = element_at(
+      array(lit(1), lit(2), lit(4), lit(8), lit(16)), (id % 5).cast("int") + 1)
+    val gifBits = (id % 8).cast("int") + 1         // 1..8 color resolution
+    val comLen = (id % 9).cast("int")              // 0..8 COM payload bytes
+
+    def hex4be(c: Column) = lpad(hex(c), 8, "0")
+    def hex2be(c: Column) = lpad(hex(c), 4, "0")
+    def hex1(c: Column) = lpad(hex(c), 2, "0")
+
+    val png = concat(
+      lit("89504E470D0A1A0A"),                     // signature
+      lit("0000000D"), lit("49484452"),            // IHDR length + type
+      hex4be(w), hex4be(h), hex1(pngBd),
+      lit("06000000"),                             // color/compress/filter/interlace
+      lit("DEADBEEF"))                             // CRC (unchecked by readers)
+    val jpeg = concat(
+      lit("FFD8"),                                 // SOI
+      lit("FFE000104A46494600010100004800480000"), // APP0 JFIF, len 16
+      lit("FFFE"), hex2be(comLen + lit(2)),        // COM, self-inclusive len
+      lit("4141414141414141").substr(lit(1), comLen * 2),
+      lit("FFC00011"), lit("08"),                  // SOF0 len 17, precision 8
+      hex2be(h), hex2be(w),
+      lit("03012200021101031101"),                 // 3 components
+      lit("FFDA"))                                 // SOS marker (walk never reaches it)
+    val gif = concat(
+      lit("474946383961"),                         // "GIF89a"
+      hex1(w % 256), hex1(shiftright(w, 8)),       // LE16 width
+      hex1(h % 256), hex1(shiftright(h, 8)),       // LE16 height
+      hex1((gifBits - 1) * 17 + 128),              // packed: GCT + color res
+      lit("0000"))                                 // bg index, aspect
+    val sel = when(id % 3 === 0, png)
+      .when(id % 3 === 1, jpeg)
+      .otherwise(gif)
+    unhex(when(id % 13 === 0, concat(lit("00"), sel)).otherwise(sel))
+  }
+
+  /** H5b: real image-header decode over binary payloads — media id →
+    * (format, width, height, bit_depth), null fields where the bytes
+    * don't parse. One codegen projection, zero shuffles.
+    */
+  def imageDims(docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val parsed = GraftBridge.column(graft.functions.ImageDims(
+      GraftBridge.expression(imagePayload(col(idCol)))))
+    docs.select(col(idCol).as("media_id"), parsed.as("img"))
+      .select(col("media_id"),
+        col("img.format").as("format"),
+        col("img.width").as("width"),
+        col("img.height").as("height"),
+        col("img.bit_depth").as("bit_depth"))
+  }
 
   final case class MediaFeature(mediaId: Long, bytes: Int, feature: Array[Float])
 

@@ -23,6 +23,41 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("ngram jaccard top-k equals the windowed top-k of the full graph, bounded under duplicate density") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // duplicate-dense corpus: 60 copies of one text (all pairwise J=1)
+    // plus a small near-dup family and singletons — the full graph is
+    // C(60,2)-dominated; the bounded answer must stay at k per doc
+    val dense = (0L until 60L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val family = Seq(
+      (100L, "one two three four five six seven eight nine ten"),
+      (101L, "one two three four five six seven eight nine exactly"),
+      (102L, "totally unrelated content with distinct words here"))
+    val df = (dense ++ family).toDF("doc_id", "text")
+    val k = 3
+    val got = Dedup.ngramJaccardTopK(df, "doc_id", "text", n = 2, tau = 0.8, k = k)
+    val rows = got.collect()
+    // bounded: no doc exceeds k neighbors; the dense docs hit exactly k
+    val perDoc = rows.groupBy(_.getAs[Long]("id")).view.mapValues(_.length)
+    assert(perDoc.values.forall(_ <= k))
+    assert(dense.map(_._1).forall(id => perDoc.getOrElse(id, 0) == k))
+    // exact: equals row_number over the symmetrized full pair graph
+    val pairs = Dedup.ngramJaccard(df, "doc_id", "text", n = 2, tau = 0.8)
+    val sym = pairs.select(col("a").as("id"), col("b").as("nbr"), col("jaccard"))
+      .unionAll(pairs.select(col("b").as("id"), col("a").as("nbr"), col("jaccard")))
+    val want = sym.withColumn("rk", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("jaccard").desc, col("nbr"))))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("rk").cast("int"), col("nbr"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val gotSet = rows.map(r => (r.getAs[Long]("id"), r.getAs[Int]("rk"),
+      r.getAs[Long]("nbr"), r.getAs[Double]("jaccard"))).toSet
+    assert(gotSet == want)
+  }
+
   test("minhash candidates cover every true high-jaccard pair (LSH recall)") {
     val truth = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, tau = 0.9)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

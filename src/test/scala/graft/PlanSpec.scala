@@ -148,6 +148,12 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("image-header decode plans zero shuffles") {
+    val plan = executed(
+      graft.operators.LlmQueries.queries("mm_image_dims")(spark, sfDir))
+    assert(!plan.contains("Exchange"), s"mm_image_dims shuffled:\n$plan")
+  }
+
   test("$densify grid generation aggregates before exploding (no driver loop)") {
     val plan = executed(
       graft.plans.ExtendedQueries.queries("pipe_densify_fill")(spark, sfDir))

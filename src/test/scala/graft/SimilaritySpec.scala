@@ -139,6 +139,60 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("image_dims parses real PNG/JPEG/GIF header bytes and nulls out broken ones") {
+    import graft.functions.ImageDims
+    def hx(s: String): Array[Byte] =
+      s.replaceAll(" ", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def parse(b: Array[Byte]) = {
+      val r = ImageDims.compute(b)
+      if (r.isNullAt(0)) None
+      else Some((r.getUTF8String(0).toString, r.getInt(1), r.getInt(2), r.getInt(3)))
+    }
+    // the canonical 1×1 RGBA PNG header, real CRC and all
+    assert(parse(hx("89504E470D0A1A0A 0000000D 49484452 00000001 00000001" +
+      " 08 06 00 00 00 1F15C489")) == Some(("png", 1, 1, 8)))
+    // progressive JPEG whose walk must skip APP1(Exif), DQT, and DHT —
+    // DHT (FFC4) sits inside the C0–CF range but is NOT a frame header
+    assert(parse(hx("FFD8 FFE10008 457869660000 FFDB0005 010203" +
+      " FFC40004 0102 FFC2000B 08 0100 0200 01 112233")) ==
+      Some(("jpeg", 512, 256, 8)))
+    // GIF87a: LE dims, color resolution from packed bits 6..4
+    assert(parse(hx("474946383761 0A00 1400 A2 00 00")) == Some(("gif", 10, 20, 3)))
+    // broken inputs: truncated JPEG, SOS before SOF, bad IHDR tag,
+    // garbage, empty
+    assert(parse(hx("FFD8 FFE0")) == None)
+    assert(parse(hx("FFD8 FFDA0002 00")) == None)
+    assert(parse(hx("89504E470D0A1A0A 0000000D 58585858 00000001 00000001" +
+      " 08 06 00 00 00 1F15C489")) == None)
+    assert(parse("hello".getBytes) == None)
+    assert(parse(Array.emptyByteArray) == None)
+  }
+
+  test("mm_image_dims round trip: built containers parse back to the generator parameters") {
+    import spark.implicits._
+    val ids = (0L until 120L).toDF("doc_id")
+    val rows = Multimodal.imageDims(ids, "doc_id").collect()
+    assert(rows.length == 120)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      if (id % 13 == 0) {
+        assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4),
+          s"corrupted payload $id must yield null fields")
+      } else {
+        val wantFmt = Seq("png", "jpeg", "gif")((id % 3).toInt)
+        assert(r.getAs[String]("format") == wantFmt)
+        assert(r.getAs[Int]("width") == 16 + (id % 2048).toInt)
+        assert(r.getAs[Int]("height") == 16 + (id * 3 % 2048).toInt)
+        val wantBd = (id % 3) match {
+          case 0 => Seq(1, 2, 4, 8, 16)((id % 5).toInt)
+          case 1 => 8
+          case _ => (id % 8).toInt + 1
+        }
+        assert(r.getAs[Int]("bit_depth") == wantBd, s"bit depth of $id")
+      }
+    }
+  }
+
   test("Int8Dot matches the interpreted integer dot product and stays in codegen") {
     import org.apache.spark.sql.GraftBridge
     import spark.implicits._
