@@ -7,8 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (local use;
-    // the driver always runs the full set with 2 args)
-    val only = args.lift(2).map(_.split(',').toSet)
+    // the driver always runs the full set with 2 args). A leading '-'
+    // on the FIRST entry flips it to an exclude list — scaled sweeps
+    // expect-exclude the by-design-quadratic pair-graph queries
+    // (SURVEY §2 F3 disposition) without enumerating the other 130+.
+    val filterArg = args.lift(2).map(_.split(',').toSet)
+    val (only, except) = filterArg match {
+      case Some(s) if s.exists(_.startsWith("-")) =>
+        (None, Some(s.map(_.stripPrefix("-"))))
+      case other => (other, None)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +27,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && except.forall(!_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -18,6 +18,12 @@ process: a handful of DuckDB oracles are deliberately O(n^2) (the full
 pair-graph dedup CTEs) and infeasible at sf1+ in the ORACLE engine —
 the engine output exists either way; the artifact records
 "oracle timeout" for those instead of hanging the sweep.
+
+EXPECT_EXCLUDE=<name,name,...> marks queries whose CONTRACT is out of
+scope at the sweep's scale factor (e.g. dedup_ngram_jaccard fixes the
+full quadratic pair graph — SURVEY §2 F3's sf<=0.1 disposition; its
+bounded twin dedup_ngram_topk is the at-scale path). They are recorded
+as {"excluded": reason} rather than failures and skipped entirely.
 """
 import glob
 import json
@@ -104,10 +110,17 @@ def main():
     report_path = sys.argv[3] if len(sys.argv) > 3 else None
     timeout = float(os.environ["ORACLE_TIMEOUT"]) if "ORACLE_TIMEOUT" in os.environ else None
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    excluded = set(filter(None, os.environ.get("EXPECT_EXCLUDE", "").split(",")))
     con = None if timeout else connect(sfdir)
     n_ok = 0
     report = {}
     for name, sql in sorted(oracle.items()):
+        if name in excluded:
+            report[name] = {"excluded":
+                            "contract out of scope at this scale factor "
+                            "(see SURVEY.md SS2 disposition)"}
+            print(f"EXCL {name}: expect-excluded at this scale", flush=True)
+            continue
         if timeout is None:
             rec, lines = compare_one(sfdir, outdir, name, sql, con)
         else:
@@ -131,7 +144,9 @@ def main():
         n_ok += 1 if rec["hash_match"] else 0
         for ln in lines:
             print(ln, flush=True)
-    print(f"== {n_ok}/{len(oracle)} queries match (driver-style)")
+    n_run = len(oracle) - len(excluded & set(oracle))
+    suffix = f" ({len(excluded & set(oracle))} expect-excluded)" if excluded else ""
+    print(f"== {n_ok}/{n_run} queries match (driver-style){suffix}")
     if report_path:
         with open(report_path, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
