@@ -307,22 +307,37 @@ object Dedup {
     * F3. F3's answer is the FULL pair graph, quadratic in a
     * duplicate-dense corpus *by specification* (~25 M pairs at sf10
     * copy factor 100) — that contract cannot scale past sf≈1 no
-    * matter the plan. This variant changes the contract: the k best
-    * neighbors per document (jaccard desc, neighbor id asc, so ties
-    * are deterministic under any partitioning), making output and
-    * aggregation state O(k·docs) however duplicate-dense the corpus
-    * gets. The symmetrized pair stream runs through
-    * [[graft.functions.BoundedTopK]], whose per-group state is capped
-    * at k at every stage (partial, shuffle, merge) with map-side
-    * combine — the hottest doc's candidates collapse in the map tasks
-    * that produced them. Candidate generation is F3's exact PPJoin,
-    * so the kept neighbors are exactly the global top-k of the full
-    * graph, not an approximation.
+    * matter the plan, and even a bounded-OUTPUT variant over the raw
+    * corpus drowns in its candidate×shingle-array verify stream (a
+    * measured ~50 GB spill at sf10 copy factor 100). So this variant
+    * composes BOTH of the family's at-scale guards:
+    *
+    *  - F10's collapse first: exact-duplicate fingerprint groups
+    *    reduce to their min-id representative (map-side-combined
+    *    `min_by`), so the pair stream is quadratic only in DISTINCT
+    *    contents — the duplicate mass rides a linear groupBy, never
+    *    the verify join;
+    *  - a bounded answer: the k best neighbors per representative
+    *    (jaccard desc, neighbor id asc — ties deterministic under any
+    *    partitioning) through [[graft.functions.BoundedTopK]], whose
+    *    per-group state is capped at k at every stage
+    *    (partial/shuffle/merge, map-side combined) — dense NEAR-dup
+    *    families (boilerplate variants) stay bounded too.
+    *
+    * Candidates come from F3's exact PPJoin, so rows are the true
+    * top-k of the distinct-content pair graph — not an approximation
+    * — and each side carries its collapsed group size (`n_id`,
+    * `n_nbr`): a row (id, nbr) stands for n_id·n_nbr underlying
+    * document pairs, F10's accounting. On a duplicate-free corpus
+    * this equals the windowed top-k of the full F3 graph exactly
+    * (spec-proven, along with copy-factor invariance).
     */
   def ngramJaccardTopK(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 2, tau: Double = 0.8, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    val pairs = ngramJaccard(docs, idCol, textCol, n, tau)
+    val reps = collapseFingerprints(docs, idCol, textCol)
+    val members = reps.select(col(idCol), col("n_members"))
+    val pairs = ngramJaccard(reps.drop("n_members"), idCol, textCol, n, tau)
     val sym = pairs.select(col("a").as("id"), col("b").as("nbr"), col("jaccard"))
       .unionAll(
         pairs.select(col("b").as("id"), col("a").as("nbr"), col("jaccard")))
@@ -335,6 +350,10 @@ object Dedup {
       .select(col("id"), posexplode(col("top")))
       .select(col("id"), (col("pos") + 1).cast("int").as("rk"),
         col("col.nbr").as("nbr"), col("col.jaccard").as("jaccard"))
+      .join(members.select(col(idCol).as("id"), col("n_members").as("n_id")), "id")
+      .join(members.select(col(idCol).as("nbr"), col("n_members").as("n_nbr")), "nbr")
+      .select(col("id"), col("rk"), col("nbr"), col("jaccard"),
+        col("n_id"), col("n_nbr"))
   }
 
   /** F4: MinHash + banded LSH candidates: k affine permutations of the

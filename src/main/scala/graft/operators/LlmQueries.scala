@@ -373,7 +373,15 @@ object LlmQueries {
          |FROM inter
          |WHERE round(CAST(i AS DOUBLE) / (sza + szb - i), 6) >= 0.8""".stripMargin,
     "dedup_ngram_topk" ->
-      s"""WITH $shingleCtes,
+      s"""WITH t0 AS ($toksCte),
+         |fpt AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |  FROM t0),
+         |grp AS (SELECT fp, min(doc_id) AS rep, COUNT(*) AS n_members
+         |        FROM fpt GROUP BY 1),
+         |t AS (SELECT t0.doc_id, t0.toks
+         |      FROM t0 JOIN grp g ON t0.doc_id = g.rep),
+         |$shingleBody,
          |$jaccardPairBody,
          |pairs AS (SELECT a, b,
          |    round(CAST(i AS DOUBLE) / (sza + szb - i), 6) AS jaccard
@@ -385,8 +393,12 @@ object LlmQueries {
          |        row_number() OVER (PARTITION BY id
          |          ORDER BY jaccard DESC, nbr) AS rk
          |      FROM sym)
-         |SELECT id, CAST(rk AS INTEGER) AS rk, nbr, jaccard
-         |FROM r WHERE rk <= 3""".stripMargin,
+         |SELECT r.id, CAST(r.rk AS INTEGER) AS rk, r.nbr, r.jaccard,
+         |  gi.n_members AS n_id, gn.n_members AS n_nbr
+         |FROM r
+         |JOIN grp gi ON gi.rep = r.id
+         |JOIN grp gn ON gn.rep = r.nbr
+         |WHERE r.rk <= 3""".stripMargin,
     "dedup_pairs_collapsed" ->
       s"""WITH t0 AS ($toksCte),
          |fpt AS (SELECT doc_id,

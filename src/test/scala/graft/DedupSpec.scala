@@ -23,27 +23,28 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
-  test("ngram jaccard top-k equals the windowed top-k of the full graph, bounded under duplicate density") {
+  test("ngram jaccard top-k: true top-k of the distinct graph, k-bounded, copy-factor invariant") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    // duplicate-dense corpus: 60 copies of one text (all pairwise J=1)
-    // plus a small near-dup family and singletons — the full graph is
-    // C(60,2)-dominated; the bounded answer must stay at k per doc
-    val dense = (0L until 60L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
-    val family = Seq(
-      (100L, "one two three four five six seven eight nine ten"),
-      (101L, "one two three four five six seven eight nine exactly"),
-      (102L, "totally unrelated content with distinct words here"))
-    val df = (dense ++ family).toDF("doc_id", "text")
+    // 20 DISTINCT near-dup variants of one 50-token base (variant i
+    // swaps token i, so every pair keeps J ≈ 0.85 ≥ τ): a dense
+    // near-dup family where each doc has 19 qualifying neighbors and
+    // the k-bound must bind
+    val base = (0 until 50).map(i => s"w$i")
+    val variants = (0 until 20).map { i =>
+      (100L + i, base.updated(i, s"x$i").mkString(" "))
+    }
+    val singles = Seq((900L, "totally unrelated content with distinct words here"))
+    val clean = (variants ++ singles).toDF("doc_id", "text")
     val k = 3
-    val got = Dedup.ngramJaccardTopK(df, "doc_id", "text", n = 2, tau = 0.8, k = k)
-    val rows = got.collect()
-    // bounded: no doc exceeds k neighbors; the dense docs hit exactly k
+    val rows = Dedup.ngramJaccardTopK(clean, "doc_id", "text", n = 2, tau = 0.8, k = k)
+      .collect()
     val perDoc = rows.groupBy(_.getAs[Long]("id")).view.mapValues(_.length)
     assert(perDoc.values.forall(_ <= k))
-    assert(dense.map(_._1).forall(id => perDoc.getOrElse(id, 0) == k))
-    // exact: equals row_number over the symmetrized full pair graph
-    val pairs = Dedup.ngramJaccard(df, "doc_id", "text", n = 2, tau = 0.8)
+    assert(variants.map(_._1).forall(id => perDoc.getOrElse(id, 0) == k))
+    // dup-free corpus: equals row_number over the symmetrized FULL
+    // F3 pair graph, member counts all 1
+    val pairs = Dedup.ngramJaccard(clean, "doc_id", "text", n = 2, tau = 0.8)
     val sym = pairs.select(col("a").as("id"), col("b").as("nbr"), col("jaccard"))
       .unionAll(pairs.select(col("b").as("id"), col("a").as("nbr"), col("jaccard")))
     val want = sym.withColumn("rk", row_number().over(
@@ -53,9 +54,21 @@ class DedupSpec extends SparkTestBase {
       .select(col("id"), col("rk").cast("int"), col("nbr"), col("jaccard"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
       .toSet
-    val gotSet = rows.map(r => (r.getAs[Long]("id"), r.getAs[Int]("rk"),
-      r.getAs[Long]("nbr"), r.getAs[Double]("jaccard"))).toSet
-    assert(gotSet == want)
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("id"), r.getAs[Int]("rk"),
+      r.getAs[Long]("nbr"), r.getAs[Double]("jaccard"))
+    assert(rows.map(key).toSet == want)
+    assert(rows.forall(r => r.getAs[Long]("n_id") == 1L && r.getAs[Long]("n_nbr") == 1L))
+    // copy factor 50: every variant duplicated 49 more times — the
+    // neighbor lists are IDENTICAL (the duplicate mass rides the
+    // collapse, never the pair stream) with member counts at 50
+    val copies = (1 until 50).flatMap(c =>
+      variants.map { case (id, t) => (10000L * c + id, t) })
+    val dense = (variants ++ singles ++ copies).toDF("doc_id", "text")
+    val denseRows = Dedup.ngramJaccardTopK(dense, "doc_id", "text", n = 2, tau = 0.8, k = k)
+      .collect()
+    assert(denseRows.map(key).toSet == want)
+    assert(denseRows.forall(r =>
+      r.getAs[Long]("n_id") == 50L && r.getAs[Long]("n_nbr") == 50L))
   }
 
   test("minhash candidates cover every true high-jaccard pair (LSH recall)") {
