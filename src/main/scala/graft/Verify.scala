@@ -26,14 +26,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) =>
         only.forall(_.contains(name)) && except.forall(!_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // Record per-query failures durably: a silent catch once turned a
+    // one-line input-type drift into 38 invisibly-absent driver entries.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg.linesIterator.take(4).mkString(" | ")
+        System.err.println(s"[verify] $name FAILED: ${errors(name)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -51,6 +56,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[verify] FAILED ${errors.size}/${selected.size} queries: " +
+          errors.keys.mkString(", "))
+    } else
+      System.err.println(s"[verify] OK ${selected.size}/${selected.size} queries")
     spark.stop()
   }
 }
