@@ -5,15 +5,23 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Pipeline100TB, TextAnalysis}
 
 /** The LLM-curation daemon loop — the training-data twin of the CDC
   * capstone (KafkaLogSpec E9): a stream of incoming documents is
-  * quality-gated (Gopher structural rules, H16), deduped
-  * INCREMENTALLY against the standing corpus fingerprint index
-  * (F12), and appended to a live corpus, with the index advanced in
-  * the same micro-batch — so later batches (and later duplicates
-  * inside the stream) dedupe against everything already accepted.
+  * optionally markup-extracted (H21), quality-gated (Gopher
+  * structural rules, H16, plus an optional model-based classifier
+  * gate, H20), deduped INCREMENTALLY against the standing corpus
+  * fingerprint index (F12), and appended to a live corpus, with the
+  * index advanced in the same micro-batch — so later batches (and
+  * later duplicates inside the stream) dedupe against everything
+  * already accepted.
+  *
+  * Gate order is the production web-curation order: extraction
+  * rewrites `textCol` FIRST (the corpus stores extracted prose, and
+  * both gates and the fingerprints see post-extraction text — two
+  * pages differing only in markup are duplicates), then the
+  * structural gate, then the classifier, then novelty.
   *
   * Semantics: first-arrival-wins across micro-batches, min-id within
   * one — exactly the fold a daemon applying batches in order
@@ -51,6 +59,23 @@ import graft.operators.{Dedup, TextAnalysis}
   */
 object CurationJob {
 
+  /** Optional H20 gate: the hashed-feature logistic quality model of
+    * [[graft.operators.TextAnalysis.classifierScore]]; docs scoring
+    * below `threshold` are rejected before novelty is consulted.
+    */
+  final case class ClassifierGate(microWeights: Seq[Long], biasMicro: Long,
+                                  threshold: Double)
+
+  /** Optional H22 accounting: a fixed BPE merge table + vocabulary.
+    * When set, every accepted corpus row carries an `n_tok` column
+    * with its EXACT subword count (the H15/H22 composition), so
+    * downstream shard/packing bookkeeping over the live corpus uses
+    * tokenizer-true counts instead of whitespace or chars/4
+    * estimates — and a batch re-curation packs identically.
+    */
+  final case class BpeAccounting(merges: Seq[(String, String)],
+                                 vocab: Seq[String])
+
   /** Start the loop over a streaming `incoming` frame. The corpus
     * lives under `corpusDir/data/b*`, the standing index under
     * `corpusDir/index/{b*,g*}` (read both with
@@ -58,13 +83,16 @@ object CurationJob {
     */
   def run(incoming: DataFrame, corpusDir: String, checkpoint: String,
           idCol: String = "doc_id", textCol: String = "text",
-          compactEvery: Int = 8, fuzzy: Boolean = false): StreamingQuery =
+          compactEvery: Int = 8, fuzzy: Boolean = false,
+          markup: Boolean = false,
+          classifier: Option[ClassifierGate] = None,
+          bpe: Option[BpeAccounting] = None): StreamingQuery =
     incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, corpusDir, idCol, textCol, batchId, compactEvery,
-          fuzzy)
+          fuzzy, markup, classifier, bpe)
       }
       .start()
 
@@ -78,14 +106,30 @@ object CurationJob {
     */
   def applyBatch(batch: DataFrame, corpusDir: String,
                  idCol: String, textCol: String, batchId: Long,
-                 compactEvery: Int = 8, fuzzy: Boolean = false): Unit = {
+                 compactEvery: Int = 8, fuzzy: Boolean = false,
+                 markup: Boolean = false,
+                 classifier: Option[ClassifierGate] = None,
+                 bpe: Option[BpeAccounting] = None): Unit = {
     val spark = batch.sparkSession
-    val gated = batch.join(
-      TextAnalysis.gopherRules(batch, idCol, textCol)
-        .filter(col("pass")).select(col(idCol)),
-      Seq(idCol)).persist()
-    val index = readIndexExcept(spark, s"$corpusDir/index", s"b$batchId",
-      fpSchema)
+    // H21 first: everything downstream — gates, fingerprints, the
+    // stored corpus — sees extracted prose, never raw markup
+    val prepared =
+      if (markup) batch.withColumn(textCol,
+        Pipeline100TB.extractMarkup(col(textCol)))
+      else batch
+    val structPass = TextAnalysis.gopherRules(prepared, idCol, textCol)
+      .filter(col("pass")).select(col(idCol))
+    // H20 second: both gates are map-side projections over the batch,
+    // so the composed filter is still one scan + two semi-joins
+    val qualityPass = classifier match {
+      case None => structPass
+      case Some(c) => structPass.join(
+        TextAnalysis.classifierScore(prepared, idCol, textCol,
+          c.microWeights, c.biasMicro, c.threshold)
+          .filter(col("keep")).select(col(idCol)),
+        Seq(idCol))
+    }
+    val gated = prepared.join(qualityPass, Seq(idCol)).persist()
     // the try opens IMMEDIATELY after the first persist: an exception
     // anywhere in the fuzzy-gate plan construction or the shard
     // writes must still unpersist, or a long-running daemon leaks
@@ -105,7 +149,7 @@ object CurationJob {
       // batch-internal near-dups to their band-CC representative.
       // Docs with no bands at all (blank/short) are invisible to the
       // fuzzy gate and flow through on exact-fp novelty alone.
-      accepted = (if (!fuzzy) novelRows
+      val admitted = (if (!fuzzy) novelRows
       else {
         val bandIdx = readIndexExcept(spark, s"$corpusDir/bands",
           s"b$batchId", bandSchema)
@@ -118,6 +162,20 @@ object CurationJob {
           Seq(idCol), "left_anti")
         novelRows.join(fuzzSurvivors.unionByName(noBand).distinct(),
           Seq(idCol))
+      })
+      // H22 accounting: stamp each accepted row with its exact BPE
+      // token count — one more codegen'd projection on the way to the
+      // corpus shard, no extra action or shuffle
+      accepted = (bpe match {
+        case None => admitted
+        case Some(m) =>
+          import org.apache.spark.sql.GraftBridge
+          val ids = GraftBridge.column(graft.functions.BpeEncode(
+            GraftBridge.expression(
+              graft.functions.Hash60.tokens(
+                regexp_replace(col(textCol), "\\|", " "))),
+            m.merges, m.vocab))
+          admitted.withColumn("n_tok", size(ids).cast("long"))
       }).persist()
       // accepted rows enter the corpus; the emitted fps advance the
       // exact index so the NEXT batch sees them — INCLUDING the fps

@@ -325,6 +325,149 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(ids == Set(2L), ids.toString)
   }
 
+  test("curation daemon full gate stack: markup extraction + classifier + dedup, streamed ≡ batch, re-delivery no-op") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Dedup, Pipeline100TB, TextAnalysis}
+    import graft.streaming.CurationJob
+    val pool = Vector("quick", "brown", "foxes", "jumped", "fences",
+      "little", "garden", "stones", "rivers", "bright", "clouds",
+      "forest", "meadow", "silver", "golden", "branch")
+    def doc(seed: Int): String = (0 until 60).map { i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of"
+      else if (i % 17 == 2) s"word$seed"
+      else pool((seed * 13 + i * 5) % pool.size)
+    }.mkString(" ")
+    // every incoming doc is a web page: prose inside <p>, plus
+    // script/style/comment junk that extraction must drop WITH content
+    def page(body: String, cls: String = "a"): String =
+      s"""<html><head><style>.x{color:red}</style></head>""" +
+        s"""<body class="$cls"><!-- nav --><p>$body</p>""" +
+        s"""<script>track("p");</script></body></html>"""
+    // classifier: every hash bucket is "good" except the buckets of a
+    // known spam vocabulary — a spam-vocab page scores sigmoid(≈-2)
+    // and must be vetoed by the CLASSIFIER (it passes Gopher: right
+    // length, stopwords present, healthy type-token ratio)
+    val spamPool = Vector("spam", "pills", "casino", "winner", "scam",
+      "click", "rich", "jackpot", "luck", "lottery", "urgent", "claim",
+      "reward", "muito", "instant", "promo")
+    def spamDoc: String = (0 until 60).map { i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of"
+      else spamPool((i * 5) % spamPool.size)
+    }.mkString(" ")
+    val dims = 64
+    val spamBuckets = spamPool.map(t =>
+      (graft.functions.ShingleHashes.hash60(t.getBytes("UTF-8")) % dims).toInt).toSet
+    val w = (0 until dims).map(b =>
+      if (spamBuckets.contains(b)) -3000000L else 3000000L)
+    val gate = CurationJob.ClassifierGate(w, biasMicro = 0L, threshold = 0.5)
+    // guard the fixture itself: no good-pool token may land in a spam
+    // bucket, or the "good docs pass" premise silently weakens
+    val goodToks = pool ++ Seq("the", "of") ++ (0 until 10).map(s => s"word$s")
+    assert(goodToks.forall(t => !spamBuckets.contains(
+      (graft.functions.ShingleHashes.hash60(t.getBytes("UTF-8")) % dims).toInt)))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-full").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-curation-full-ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = CurationJob.run(ms.toDF().toDF("doc_id", "text"), dir, ckpt,
+      markup = true, classifier = Some(gate))
+    val allRows = scala.collection.mutable.ListBuffer[(Long, String)]()
+    def feed(rows: (Long, String)*): Unit = {
+      allRows ++= rows; ms.addData(rows: _*); q.processAllAvailable()
+    }
+    try {
+      // batch 0: two good pages, one spam page (classifier veto), one
+      // junk page (Gopher veto after extraction — markup stripped, the
+      // remaining prose is too short)
+      feed((1L, page(doc(1))), (2L, page(doc(2))), (3L, spamDoc),
+        (4L, page("too short to pass")))
+      // batch 1: id 7 repeats doc(2) under DIFFERENT markup (other
+      // class attr) — only extraction-first makes it an exact
+      // duplicate; id 8 is genuinely new
+      feed((7L, page(doc(2), cls = "zz")), (8L, page(doc(8))))
+    } finally q.stop()
+
+    def corpus() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/data")
+    val corpusIds = corpus().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds == Set(1L, 2L, 8L), corpusIds.toString)
+    // the corpus stores EXTRACTED prose, never raw markup
+    val stored = corpus().select("text").collect().map(_.getString(0))
+    assert(stored.forall(t => !t.contains("<") && !t.contains("track(")), stored.mkString("|"))
+    // exactly-once: re-delivering batch 1 through the full gate stack
+    // is a no-op rewrite
+    CurationJob.applyBatch(
+      Seq((7L, page(doc(2), cls = "zz")), (8L, page(doc(8)))).toDF("doc_id", "text"),
+      dir, "doc_id", "text", batchId = 1L, markup = true, classifier = Some(gate))
+    assert(corpus().select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 8L))
+    // streamed fold ≡ batch-mode curation of the whole input through
+    // the same three gates (ids arrived in increasing order)
+    val all = allRows.toSeq.toDF("doc_id", "text")
+      .withColumn("text", Pipeline100TB.extractMarkup(col("text")))
+    val structPass = TextAnalysis.gopherRules(all, "doc_id", "text")
+      .filter(col("pass")).select("doc_id")
+    val clfPass = TextAnalysis.classifierScore(all, "doc_id", "text",
+      w, 0L, 0.5).filter(col("keep")).select("doc_id")
+    val gated = all.join(structPass, Seq("doc_id")).join(clfPass, Seq("doc_id"))
+    val batchMode = Dedup.fingerprint(gated, "doc_id", "text")
+      .select("survivor").collect().map(_.getLong(0)).toSet
+    assert(corpusIds == batchMode)
+  }
+
+  test("curation daemon BPE accounting: corpus rows carry exact token counts; streamed packing ≡ batch packing") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    import graft.operators.{Dedup, Pipeline100TB, TextAnalysis}
+    import graft.streaming.CurationJob
+    val pool = Vector("quick", "brown", "foxes", "jumped", "fences",
+      "little", "garden", "stones", "rivers", "bright", "clouds",
+      "forest", "meadow", "silver", "golden", "branch")
+    def doc(seed: Int): String = (0 until 60).map { i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of"
+      else if (i % 17 == 2) s"word$seed"
+      else pool((seed * 13 + i * 5) % pool.size)
+    }.mkString(" ")
+    val bpe = CurationJob.BpeAccounting(
+      graft.operators.LlmQueries.bpeMerges, graft.operators.LlmQueries.bpeVocab)
+    def bpeCount(textCol: org.apache.spark.sql.Column) =
+      size(GraftBridge.column(graft.functions.BpeEncode(
+        GraftBridge.expression(graft.functions.Hash60.tokens(
+          regexp_replace(textCol, "\\|", " "))),
+        bpe.merges, bpe.vocab))).cast("long")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-bpe").toString
+    // three batches applied in order: duplicates dropped, survivors
+    // stamped with exact counts at accept time
+    val batches = Seq(
+      Seq(1L -> doc(1), 2L -> doc(2)),
+      Seq(6L -> doc(1), 7L -> doc(7)),
+      Seq(9L -> doc(9)))
+    batches.zipWithIndex.foreach { case (rows, b) =>
+      CurationJob.applyBatch(rows.toDF("doc_id", "text"), dir,
+        "doc_id", "text", batchId = b.toLong, bpe = Some(bpe))
+    }
+    val corpus = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/data")
+    // every stored count equals a fresh exact encode of the stored text
+    assert(corpus.filter(col("n_tok") =!= bpeCount(col("text"))).count() == 0)
+    // packing over the daemon's STORED counts ≡ packing a batch
+    // re-curation of the same input with counts computed from scratch
+    def packed(df: org.apache.spark.sql.DataFrame, tok: org.apache.spark.sql.Column) =
+      Pipeline100TB.packSequencesBy(
+          df.withColumn("src", lit("s")), "doc_id", tok, "src", cap = 64)
+        .select("doc_id", "bin", "off_tok")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = batches.flatten.toDF("doc_id", "text")
+    val gated = all.join(TextAnalysis.gopherRules(all, "doc_id", "text")
+      .filter(col("pass")).select("doc_id"), Seq("doc_id"))
+    val batchCurated = gated.join(
+      Dedup.fingerprint(gated, "doc_id", "text")
+        .select(col("survivor").as("doc_id")), Seq("doc_id"))
+    assert(packed(corpus, col("n_tok")) == packed(batchCurated, bpeCount(col("text"))))
+  }
+
   test("D4: bulk-flush-duration — a partial buffer flushes at the tick, not at bulk-size") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
