@@ -35,6 +35,36 @@ object ExtendedQueries {
   private val centsExpr =
     """{"$toLong": {"$round": [{"$multiply": ["$o_totalprice", 100]}, 0]}}"""
 
+  /** The H21 extract chain as one DuckDB scalar expression over a
+    * `text` column wrapped in the synthetic page — shared by the
+    * standalone `text_extract_markup` oracle and the composed
+    * `corpus_curate_full` oracle so the two can never drift.
+    */
+  private lazy val markupChainSql: String =
+    s"""regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        replace(
+       |          regexp_replace(
+       |            replace(replace(replace(replace(
+       |              regexp_replace(
+       |                regexp_replace(
+       |                  regexp_replace(
+       |                    regexp_replace(
+       |                      regexp_replace(
+       |                        '$MarkupPrefix' || text || '$MarkupSuffix',
+       |                        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |                    '(?s)<!--.*?-->', ' ', 'g'),
+       |                  '(?i)</(p|h[1-6]|li|div|tr)>|<br[^>]*>', chr(10), 'g'),
+       |                '<[^>]+>', ' ', 'g'),
+       |              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |            '&#39;|&apos;', chr(39), 'g'),
+       |          '&amp;', '&'),
+       |        '[ \\t\\r]+', ' ', 'g'),
+       |      '( ?\\n ?)+', chr(10), 'g'),
+       |    '^[\\n ]+|[\\n ]+$$', '', 'g')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // —— C20: $setWindowFields ——
     "pipe_window_fields" -> ((s, dir) => run(s, dir, "orders",
@@ -387,6 +417,31 @@ object ExtendedQueries {
         .filter(col("quality") >= 0.35 && col("predicted") === "en")
         .select(col("doc_id"), col("n_copies"), col("quality"))
     }),
+    // —— E14 batch twin: the curation daemon's FULL gate stack as one
+    //    oracle-checked plan — H21 extraction rewrites the text first
+    //    (fingerprints see prose, so cross-markup duplicates collapse),
+    //    then the H16 structural gate, the H20 classifier gate, and
+    //    F2-style fingerprint dedup. Catalyst fuses the three narrow
+    //    gates into the scan; the dedup shuffle is the only exchange. ——
+    "corpus_curate_full" -> ((s, dir) => {
+      import graft.operators.{Dedup, LlmQueries, TextAnalysis}
+      val docs = TableCatalog(s, dir).documents
+      val extracted = docs.select(col("doc_id"),
+        Pipeline100TB.extractMarkup(
+          concat(lit(MarkupPrefix), col("text"), lit(MarkupSuffix))).as("text"))
+      val structPass = TextAnalysis.gopherRules(extracted, "doc_id", "text")
+        .filter(col("pass")).select(col("doc_id"))
+      val clfPass = TextAnalysis.classifierScore(extracted, "doc_id", "text",
+          LlmQueries.clfWeights, biasMicro = 50000L, threshold = 0.5)
+        .filter(col("keep")).select(col("doc_id"), col("clf_score"))
+      val gated = extracted.join(structPass, Seq("doc_id"))
+        .join(clfPass, Seq("doc_id"))
+      gated.join(
+          Dedup.fingerprint(gated, "doc_id", "text")
+            .select(col("survivor").as("doc_id"), col("n_copies")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_copies"), col("clf_score"))
+    }),
   )
 
   private val duckCents = "CAST(round(o_totalprice*100,0) AS BIGINT)"
@@ -709,29 +764,7 @@ object ExtendedQueries {
         |FROM events""".stripMargin,
     "text_extract_markup" ->
       s"""SELECT doc_id,
-         |  regexp_replace(
-         |    regexp_replace(
-         |      regexp_replace(
-         |        replace(
-         |          regexp_replace(
-         |            replace(replace(replace(replace(
-         |              regexp_replace(
-         |                regexp_replace(
-         |                  regexp_replace(
-         |                    regexp_replace(
-         |                      regexp_replace(
-         |                        '$MarkupPrefix' || text || '$MarkupSuffix',
-         |                        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-         |                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-         |                    '(?s)<!--.*?-->', ' ', 'g'),
-         |                  '(?i)</(p|h[1-6]|li|div|tr)>|<br[^>]*>', chr(10), 'g'),
-         |                '<[^>]+>', ' ', 'g'),
-         |              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-         |            '&#39;|&apos;', chr(39), 'g'),
-         |          '&amp;', '&'),
-         |        '[ \\t\\r]+', ' ', 'g'),
-         |      '( ?\\n ?)+', chr(10), 'g'),
-         |    '^[\\n ]+|[\\n ]+$$', '', 'g') AS clean_text
+         |  $markupChainSql AS clean_text
          |FROM documents""".stripMargin,
     "text_entropy" ->
       """WITH t AS (
@@ -755,6 +788,36 @@ object ExtendedQueries {
          |FROM q JOIN l ON q.doc_id = l.doc_id
          |JOIN d ON q.doc_id = d.survivor
          |WHERE q.quality >= 0.35 AND l.predicted = 'en'""".stripMargin
+    },
+    "corpus_curate_full" -> {
+      val weights = graft.operators.LlmQueries.clfWeights.mkString("[", ", ", "]")
+      s"""WITH ext AS (SELECT doc_id,
+         |  $markupChainSql AS text
+         |FROM documents),
+         |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+         |      FROM ext),
+         |g AS (SELECT doc_id FROM t
+         |      WHERE len(toks) BETWEEN 50 AND 100000
+         |        AND length(array_to_string(toks, '')) / len(toks) BETWEEN 3.0 AND 10.0
+         |        AND len(list_distinct(toks)) / len(toks) >= 0.2
+         |        AND len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'is'))) >= 2),
+         |c AS (SELECT doc_id,
+         |  round(1.0 / (1.0 + exp(-((CAST(CAST(list_sum(list_transform(toks, tok ->
+         |    ($weights)
+         |      [(CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64) + 1]))
+         |    AS BIGINT) AS DOUBLE) / len(toks) + 50000.0) / 1000000.0))), 6)
+         |    AS clf_score
+         |  FROM t),
+         |gated AS (SELECT t.doc_id, t.toks, c.clf_score
+         |          FROM t JOIN g USING (doc_id) JOIN c USING (doc_id)
+         |          WHERE c.clf_score >= 0.5),
+         |fp AS (SELECT doc_id, clf_score,
+         |         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |       FROM gated),
+         |d AS (SELECT fp, min(doc_id) AS survivor, COUNT(*) AS n_copies
+         |      FROM fp GROUP BY 1)
+         |SELECT f.doc_id, CAST(d.n_copies AS BIGINT) AS n_copies, f.clf_score
+         |FROM fp f JOIN d ON f.doc_id = d.survivor""".stripMargin
     },
     "doc_chunks" ->
       """WITH RECURSIVE t AS (

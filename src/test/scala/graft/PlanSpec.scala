@@ -332,6 +332,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("full curation stack: three map-side gates fuse over one scan; dedup is the only wide exchange") {
+    val df = graft.plans.ExtendedQueries
+      .queries("corpus_curate_full")(spark, sfDir)
+    val plan = executed(df)
+    // extraction + Gopher + classifier are projections/filters: no
+    // exchange may exist besides the fingerprint groupBy and the
+    // survivor join-back over it (hash-partitioned, AQE-splittable)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // (AQE prints the pre-execution plan here — codegen spans for the
+    // individual gates are asserted in their own zero-shuffle specs)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"gate stack shuffles too much ($exchanges):\n$plan")
+  }
+
   test("broker log append: offsets sequence per (topic, partition) — no global sort") {
     import graft.streaming.KafkaLog
     val msgs = t.events.selectExpr("'t' as topic",
