@@ -25,8 +25,14 @@ object Dedup {
     * expression F2, the collapse guard, and incremental dedup share.
     */
   def fingerprintOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    fingerprintOfTokens(tokens(text))
+
+  /** The same fingerprint over a pre-tokenized array — for composed
+    * single-pass pipelines that tokenize once and feed every stage.
+    */
+  def fingerprintOfTokens(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     md5(to_binary(
-      array_join(array_sort(array_distinct(tokens(text))), " "),
+      array_join(array_sort(array_distinct(toks)), " "),
       lit("utf-8")))
 
   /** F2: canonical-fingerprint dedup: md5 over the sorted distinct

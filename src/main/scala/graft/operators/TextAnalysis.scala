@@ -375,18 +375,28 @@ object TextAnalysis {
     * platform difference landing exactly on a round(,6) boundary is
     * the only (mitigated, not proven-impossible) parity risk.
     */
+  /** H20's score as a Column over a pre-tokenized array — the form a
+    * composed single-pass pipeline uses so the corpus tokenizes ONCE
+    * for every gate; the frame-level [[classifierScore]] delegates
+    * here, so the two can never drift.
+    */
+  def classifierScoreOf(toks: Column, microWeights: Seq[Long],
+                        biasMicro: Long): Column = {
+    import org.apache.spark.sql.GraftBridge
+    val raw = GraftBridge.column(graft.functions.HashedFeatureDot(
+      GraftBridge.expression(toks), microWeights))
+    val z = (raw.cast("double") / size(toks) + lit(biasMicro.toDouble)) /
+      lit(1000000.0)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
   def classifierScore(docs: DataFrame, idCol: String, textCol: String,
                       microWeights: Seq[Long], biasMicro: Long,
                       threshold: Double): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
     val base = docs.withColumn("__toks", tokens(col(textCol)))
-    val raw = GraftBridge.column(graft.functions.HashedFeatureDot(
-      GraftBridge.expression(col("__toks")), microWeights))
-    val n = size(col("__toks"))
-    val z = (raw.cast("double") / n + lit(biasMicro.toDouble)) / lit(1000000.0)
-    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    val score = classifierScoreOf(col("__toks"), microWeights, biasMicro)
     base.select(col(idCol),
-      n.cast("long").as("n_tok"),
+      size(col("__toks")).cast("long").as("n_tok"),
       score.as("clf_score"),
       (score >= threshold).as("keep"))
   }
@@ -401,6 +411,21 @@ object TextAnalysis {
     * bit-identical to the DuckDB oracle; stopword hits via the native
     * codegen'd [[graft.functions.InSetCount]]. Zero shuffles.
     */
+  /** H16's composite verdict as a Column over a pre-tokenized array —
+    * shared by the frame-level [[gopherRules]] and composed
+    * single-pass pipelines (same no-drift contract as
+    * [[classifierScoreOf]]).
+    */
+  def gopherPassOf(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val mwl = length(array_join(toks, "")).cast("double") / n
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val stops = stopCount(toks, Seq("the", "a", "of", "is"))
+    n >= 50 && n <= 100000 &&
+      mwl >= 3.0 && mwl <= 10.0 &&
+      ttr >= 0.2 && stops >= 2
+  }
+
   def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.withColumn("__toks", tokens(col(textCol)))
     val n = size(col("__toks")).cast("double")
@@ -412,8 +437,6 @@ object TextAnalysis {
       round(mwl, 6).as("mean_word_len"),
       round(ttr, 6).as("type_token_ratio"),
       stops.as("stop_hits"),
-      (n >= 50 && n <= 100000 &&
-        mwl >= 3.0 && mwl <= 10.0 &&
-        ttr >= 0.2 && stops >= 2).as("pass"))
+      gopherPassOf(col("__toks")).as("pass"))
   }
 }

@@ -417,30 +417,35 @@ object ExtendedQueries {
         .filter(col("quality") >= 0.35 && col("predicted") === "en")
         .select(col("doc_id"), col("n_copies"), col("quality"))
     }),
-    // —— E14 batch twin: the curation daemon's FULL gate stack as one
+    // —— E15 batch twin: the curation daemon's FULL gate stack as one
     //    oracle-checked plan — H21 extraction rewrites the text first
     //    (fingerprints see prose, so cross-markup duplicates collapse),
     //    then the H16 structural gate, the H20 classifier gate, and
-    //    F2-style fingerprint dedup. Catalyst fuses the three narrow
-    //    gates into the scan; the dedup shuffle is the only exchange. ——
+    //    F2-style fingerprint dedup. SINGLE-PASS shape: extraction
+    //    runs once, the corpus tokenizes once, both gates are WHERE
+    //    clauses on that shared array (the Column forms of the
+    //    verified operators), and the survivor + its score ride the
+    //    F10 partial-aggregated min_by through the fingerprint
+    //    groupBy — ONE scan, ONE exchange, no join-back. ——
     "corpus_curate_full" -> ((s, dir) => {
       import graft.operators.{Dedup, LlmQueries, TextAnalysis}
+      import graft.functions.Hash60
       val docs = TableCatalog(s, dir).documents
-      val extracted = docs.select(col("doc_id"),
-        Pipeline100TB.extractMarkup(
-          concat(lit(MarkupPrefix), col("text"), lit(MarkupSuffix))).as("text"))
-      val structPass = TextAnalysis.gopherRules(extracted, "doc_id", "text")
-        .filter(col("pass")).select(col("doc_id"))
-      val clfPass = TextAnalysis.classifierScore(extracted, "doc_id", "text",
-          LlmQueries.clfWeights, biasMicro = 50000L, threshold = 0.5)
-        .filter(col("keep")).select(col("doc_id"), col("clf_score"))
-      val gated = extracted.join(structPass, Seq("doc_id"))
-        .join(clfPass, Seq("doc_id"))
-      gated.join(
-          Dedup.fingerprint(gated, "doc_id", "text")
-            .select(col("survivor").as("doc_id"), col("n_copies")),
-          Seq("doc_id"))
-        .select(col("doc_id"), col("n_copies"), col("clf_score"))
+      val staged = docs.select(col("doc_id"),
+          Pipeline100TB.extractMarkup(
+            concat(lit(MarkupPrefix), col("text"), lit(MarkupSuffix))).as("text"))
+        .withColumn("__toks", Hash60.tokens(col("text")))
+        .withColumn("clf_score", TextAnalysis.classifierScoreOf(
+          col("__toks"), LlmQueries.clfWeights, biasMicro = 50000L))
+        .filter(TextAnalysis.gopherPassOf(col("__toks")) &&
+          col("clf_score") >= 0.5)
+      staged
+        .groupBy(Dedup.fingerprintOfTokens(col("__toks")).as("fp"))
+        .agg(min_by(struct(col("doc_id"), col("clf_score")), col("doc_id"))
+            .as("__s"),
+          count(lit(1)).as("n_copies"))
+        .select(col("__s.doc_id").as("doc_id"), col("n_copies"),
+          col("__s.clf_score").as("clf_score"))
     }),
   )
 

@@ -332,19 +332,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("full curation stack: three map-side gates fuse over one scan; dedup is the only wide exchange") {
+  test("full curation stack: single pass — one scan, both gates fused as filters, one exchange") {
     val df = graft.plans.ExtendedQueries
       .queries("corpus_curate_full")(spark, sfDir)
     val plan = executed(df)
-    // extraction + Gopher + classifier are projections/filters: no
-    // exchange may exist besides the fingerprint groupBy and the
-    // survivor join-back over it (hash-partitioned, AQE-splittable)
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    // (AQE prints the pre-execution plan here — codegen spans for the
-    // individual gates are asserted in their own zero-shuffle specs)
+    // extraction runs once and the corpus tokenizes once: the gates
+    // are WHERE clauses on the shared token array (no semi-joins), and
+    // the survivor rides min_by through the fingerprint groupBy (no
+    // join-back) — so the ONLY exchange is the partial-aggregated
+    // dedup shuffle, and there is no join of any kind
+    assert(!plan.contains("Join"), s"gate stack should not join:\n$plan")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges <= 3, s"gate stack shuffles too much ($exchanges):\n$plan")
+    assert(exchanges == 1, s"want exactly the dedup exchange ($exchanges):\n$plan")
+    // map-side combine before that shuffle (the F10 skew guarantee)
+    assert(plan.contains("partial_min_by") || plan.contains("HashAggregate"),
+      plan)
   }
 
   test("broker log append: offsets sequence per (topic, partition) — no global sort") {
