@@ -468,6 +468,52 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(packed(corpus, col("n_tok")) == packed(batchCurated, bpeCount(col("text"))))
   }
 
+  test("curation daemon all options on: markup + classifier + fuzzy gate + BPE accounting interact correctly") {
+    import spark.implicits._
+    import graft.streaming.CurationJob
+    val pool = Vector("quick", "brown", "foxes", "jumped", "fences",
+      "little", "garden", "stones", "rivers", "bright", "clouds",
+      "forest", "meadow", "silver", "golden", "branch")
+    def doc(seed: Int): String = (0 until 60).map { i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of"
+      else if (i % 17 == 2) s"word$seed" else pool((seed * 13 + i * 5) % pool.size)
+    }.mkString(" ")
+    def page(body: String, cls: String = "a"): String =
+      s"""<html><body class="$cls"><p>$body</p><script>x()</script></body></html>"""
+    // all-good weights: every doc passes the classifier; this test is
+    // about OPTION INTERACTION (markup×fuzzy×bpe), not the veto itself
+    val gate = CurationJob.ClassifierGate(Seq.fill(64)(3000000L), 0L, 0.5)
+    val bpe = CurationJob.BpeAccounting(
+      graft.operators.LlmQueries.bpeMerges, graft.operators.LlmQueries.bpeVocab)
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-allopt").toString
+    def apply(b: Long, rows: (Long, String)*): Unit =
+      CurationJob.applyBatch(rows.toDF("doc_id", "text"), dir, "doc_id", "text",
+        batchId = b, fuzzy = true, markup = true, classifier = Some(gate),
+        bpe = Some(bpe))
+    apply(0L, (1L, page(doc(1))), (2L, page(doc(2))))
+    // batch 1: an exact copy under DIFFERENT markup (extraction-first
+    // makes it exact → fp gate), a PARAPHRASE under different markup
+    // (only the fuzzy band gate can veto it), and a new doc
+    apply(1L,
+      (10L, page(doc(1), cls = "zz")),
+      (11L, page(doc(1) + " appended trailing words", cls = "q")),
+      (12L, page(doc(9))))
+    def corpus() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/data")
+    assert(corpus().select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 12L))
+    // BPE accounting active on every accepted row, over EXTRACTED text
+    assert(corpus().filter(col("n_tok").isNull || col("n_tok") <= 0).count() == 0)
+    assert(corpus().filter(col("text").contains("<")).count() == 0)
+    // re-delivery through the full option set is still a no-op
+    apply(1L,
+      (10L, page(doc(1), cls = "zz")),
+      (11L, page(doc(1) + " appended trailing words", cls = "q")),
+      (12L, page(doc(9))))
+    assert(corpus().select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 12L))
+  }
+
   test("D4: bulk-flush-duration — a partial buffer flushes at the tick, not at bulk-size") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
