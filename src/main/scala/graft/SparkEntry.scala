@@ -54,6 +54,9 @@ object SparkEntry {
     }),
     "q6_revenue" -> ((s, dir) => Analytics.revenueForecast(cat(s, dir).lineitem)),
     "events_funnel" -> ((s, dir) => Analytics.eventsFunnel(cat(s, dir).events)),
+    // —— I9: weekly retention cohorts ——
+    "events_retention" -> ((s, dir) =>
+      Analytics.retentionCohorts(cat(s, dir).events)),
     "quantiles_sketch" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       graft.operators.Pipeline100TB.quantileSketch(
@@ -271,6 +274,17 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.02 AND 0.09
         |  AND l_quantity < 25""".stripMargin,
+    "events_retention" ->
+      """WITH su AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+        |            FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |aw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        |       FROM events)
+        |SELECT cw AS cohort_week,
+        |  CAST(datediff('day', cw, w) // 7 AS INTEGER) AS week_offset,
+        |  COUNT(*) AS n_active
+        |FROM su JOIN aw USING (user_id)
+        |WHERE w >= cw
+        |GROUP BY 1, 2""".stripMargin,
     "events_funnel" ->
       """SELECT user_id, purchases,
         |  COALESCE(purchase_value, 0.0) AS purchase_value,

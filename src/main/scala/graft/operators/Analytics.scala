@@ -151,4 +151,45 @@ object Analytics {
         (col("purchases") > 0).as("converted")
       )
       .orderBy(col("user_id"))
+
+  /** I9: weekly retention cohorts — the classic activation read-out
+    * (cohort = the ISO week of a user's first signup; a cohort
+    * member is ACTIVE in week-offset k if they produced any event
+    * that week): one row per (cohort_week, week_offset) with the
+    * distinct active-user count.
+    *
+    * Shape: ONE shuffle on user_id — first-signup and the user's
+    * distinct active weeks come out of the same conditional
+    * aggregate (`collect_set` of week starts, map-side combined and
+    * bounded by the calendar, ~52 entries/user/year — never raw
+    * events), the per-user week set explodes AFTER the aggregate,
+    * and the final (cohort, offset) rollup is a tiny second shuffle
+    * over |cohorts|·|offsets| combined rows. No self-join of the
+    * events table, no window. Pre-signup activity is excluded
+    * (offset ≥ 0 only). Weeks truncate to Monday (`date_trunc
+    * 'week'`) identically in Spark and the oracle, so offsets are
+    * exact multiples of 7 days.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"),
+        when(col("event_type") === "signup", col("ts")).as("__s"),
+        date_trunc("week", col("ts")).as("__w"))
+      .groupBy(col("user_id"))
+      .agg(min(col("__s")).as("__first"),
+        collect_set(col("__w")).as("__ws"))
+      .filter(col("__first").isNotNull)
+    perUser
+      .select(col("user_id"),
+        date_trunc("week", col("__first")).cast("date").as("cohort_week"),
+        explode(col("__ws")).as("__aw0"))
+      .select(col("cohort_week"), col("__aw0").cast("date").as("__aw"))
+      .filter(col("__aw") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("__aw"), col("cohort_week")).cast("long")
+          .divide(lit(7)).cast("int")).as("week_offset"))
+      // one row per (user, active week) reaches this aggregate, so
+      // plain count() IS the distinct active-user count
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

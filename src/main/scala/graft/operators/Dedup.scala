@@ -510,4 +510,60 @@ object Dedup {
       .agg(count(lit(1)).as("n_hit"))
       .withColumn("contamination", round(col("n_hit") / col("n_shingles"), 6))
   }
+
+  /** F15: exact substring-span duplication profile (the
+    * character-level ExactSubstr diagnostic of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * every document is cut into fixed-length character windows
+    * (`spanLen` chars every `stride` chars), a span is DUPLICATED if
+    * its exact text occurs in at least two distinct documents, and
+    * each document reports how much of it is made of duplicated
+    * spans — the signal span-level dedup trims on, where F1–F3 only
+    * ever judge whole documents.
+    *
+    * Shape for 100 TB: spans ship as 60-bit hashes (md5-based,
+    * oracle-replicable), never strings, so the wide shuffles carry
+    * (doc_id, int64) pairs — chars/stride rows per doc. The
+    * span-frequency side is the df/cf groupBy+join pattern (partial
+    * aggregate, map-side combined), NOT a window over span keys and
+    * NOT a per-span `collect_list` — a boilerplate span occurring in
+    * millions of documents stays a count, bounded state in every
+    * task. The two consumers of the per-(doc,span) aggregate hang
+    * off one canonical subtree, so the corpus is scanned and
+    * exploded once (ReusedExchange), plus one narrow id-only rescan
+    * to restore span-free (shorter than `spanLen`) documents.
+    *
+    * Emits one row per input document: doc_id, n_spans, n_dup,
+    * dup_frac (null when the document is too short to form a span).
+    */
+  def substrSpans(docs: DataFrame, idCol: String, textCol: String,
+                  spanLen: Int = 30, stride: Int = 7): DataFrame = {
+    require(spanLen > 0, s"substrSpans spanLen must be positive: $spanLen")
+    require(stride > 0, s"substrSpans stride must be positive: $stride")
+    val spans = docs
+      .filter(length(col(textCol)) >= spanLen)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1), length(col(textCol)) - (spanLen - 1),
+          lit(stride))).as("__p"),
+        col(textCol).as("__t"))
+      .select(col("doc_id"),
+        hash60(substring(col("__t"), col("__p"), lit(spanLen))).as("h"))
+    // one row per (doc, span-hash) with its occurrence count — the
+    // single exchange both the doc-frequency side and the per-doc
+    // rollup reuse
+    val perDoc = spans.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("__c"))
+    val nd = perDoc.groupBy(col("h")).agg(count(lit(1)).as("__ndocs"))
+    val per = perDoc.join(nd, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_spans"),
+        sum(when(col("__ndocs") >= 2, col("__c")).otherwise(0L)).as("n_dup"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac", when(col("n_spans") > 0,
+        round(col("n_dup").cast("double") / col("n_spans"), 4)))
+  }
 }

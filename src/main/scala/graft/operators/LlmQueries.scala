@@ -206,6 +206,16 @@ object LlmQueries {
       Pipeline100TB.shuffleOrder(
           docs(s, dir).select("doc_id", "source"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("pos"))),
+    // —— F15: exact substring-span duplication profile ——
+    "dedup_substr_spans" -> ((s, dir) =>
+      Dedup.substrSpans(docs(s, dir), "doc_id", "text",
+        spanLen = 30, stride = 7)),
+    // —— H23: CCNet perplexity head/middle/tail buckets ——
+    "text_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(docs(s, dir), "doc_id", "text")),
+    // —— G17: nearest-centroid assignment (cluster-assignment step) ——
+    "embed_centroid_assign" -> ((s, dir) =>
+      Similarity.centroidAssign(s, emb(s, dir))),
   )
 
   /** H20's fixed model: 64 bucket micro-weights (w·10⁶ as int64,
@@ -912,5 +922,75 @@ object LlmQueries {
         |               AS BIGINT),
         |             doc_id) - 1 AS BIGINT) AS pos
         |FROM documents""".stripMargin,
+    // F15: the identical span grid (1-based char positions every 7,
+    // 30-char windows) and the shared md5-60bit span hash
+    "dedup_substr_spans" ->
+      """WITH s0 AS (
+        |  SELECT doc_id,
+        |    [CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 30)), 1, 15)
+        |          AS BIGINT)
+        |     for i in generate_series(1, len(text) - 29, 7)] AS hs
+        |  FROM documents WHERE len(text) >= 30),
+        |s AS (SELECT doc_id, unnest(hs) AS h FROM s0),
+        |pd AS (SELECT doc_id, h, COUNT(*) AS c FROM s GROUP BY 1, 2),
+        |nd AS (SELECT h, COUNT(*) AS ndocs FROM pd GROUP BY 1),
+        |per AS (SELECT pd.doc_id, SUM(pd.c) AS n_spans,
+        |          SUM(CASE WHEN nd.ndocs >= 2 THEN pd.c ELSE 0 END) AS n_dup
+        |        FROM pd JOIN nd USING (h) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CASE WHEN per.n_spans > 0
+        |       THEN round(CAST(per.n_dup AS DOUBLE) / per.n_spans, 4) END AS dup_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+    // H23: text_unigram_lp's CTE verbatim, then the rank-closed-form
+    // tercile cut ⌊3·(rn−1)/n⌋ over (avg_logp DESC, doc_id)
+    "text_ppl_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |cf AS (SELECT doc_id, tok, tf,
+        |         SUM(tf) OVER (PARTITION BY tok) AS cf
+        |       FROM tf),
+        |nt AS (SELECT CAST(SUM(tf) AS DOUBLE) AS nt FROM tf),
+        |c AS (SELECT doc_id, tf,
+        |        CAST(round(CAST(tf AS DOUBLE)
+        |               * ln(CAST(cf AS DOUBLE) / nt) * 1000000.0) AS BIGINT)
+        |          AS micronats
+        |      FROM cf, nt),
+        |u AS (SELECT doc_id,
+        |        round(CAST(SUM(micronats) AS BIGINT) / 1000000.0 / SUM(tf), 4)
+        |          AS avg_logp
+        |      FROM c GROUP BY doc_id),
+        |r AS (SELECT doc_id, avg_logp,
+        |        row_number() OVER (ORDER BY avg_logp DESC, doc_id) AS rn,
+        |        COUNT(*) OVER () AS n
+        |      FROM u)
+        |SELECT doc_id, avg_logp,
+        |  CASE (3 * (rn - 1)) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r""".stripMargin,
+    // G17: scaled-int64 centroid sums (2^20), float32-snapped means,
+    // double cosine — every arithmetic step mirrored engine-side
+    "embed_centroid_assign" ->
+      """WITH u AS (SELECT label,
+        |        CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS dim,
+        |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0) AS BIGINT)
+        |          AS sv
+        |      FROM embeddings),
+        |c AS (SELECT label, dim, SUM(sv) AS s, COUNT(*) AS n FROM u GROUP BY 1, 2),
+        |cent AS (SELECT label AS c_label,
+        |           CAST(list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY dim)
+        |                AS FLOAT[]) AS c_emb
+        |         FROM c GROUP BY label),
+        |sc AS (SELECT e.vec_id, e.label, cent.c_label,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(c_emb AS DOUBLE[])), 4) AS cos_r
+        |       FROM embeddings e CROSS JOIN cent),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cos_r DESC, c_label) AS rn FROM sc)
+        |SELECT vec_id, label, c_label AS assigned, cos_r, label = c_label AS correct
+        |FROM r WHERE rn = 1""".stripMargin,
   )
 }

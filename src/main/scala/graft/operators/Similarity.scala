@@ -406,4 +406,56 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster"),
         (col("doc_id") === col("cluster")).as("keep"))
   }
+
+  /** G17: nearest-centroid assignment — the cluster-assignment step
+    * of every clustering-based curation pass (cluster-balanced
+    * mixtures, SemDeDup's cluster stage, IVF coarse quantization)
+    * as a standalone oracle-checked operator: per-label centroids
+    * from the corpus, every vector re-assigned to its most-similar
+    * centroid, with the true label kept for a purity read-out.
+    *
+    * Centroids accumulate per-dimension as scaled int64
+    * (`round(v·2²⁰)` — G2b's exact, order-free trick), so the model
+    * is bit-identical on any partitioning; the mean is divided back
+    * out once and SNAPPED TO FLOAT32, which both engines replicate
+    * exactly (round-to-nearest), keeping the cosine inputs
+    * bit-equal. Assignment is the IVF search shape: centroids are a
+    * tiny broadcast (one row per label), the embedding table streams
+    * ONCE through a codegen cosine loop with no shuffle, and the
+    * per-vector argmax is a map-side `max_by` over the struct order
+    * (cos_r DESC, label ASC) — deterministic ties, no window, no
+    * row explosion surviving past the partial aggregate.
+    *
+    * The per-dim accumulation explodes 64 narrow (label, dim, int64)
+    * rows per vector but map-side-combines down to |labels|·dims
+    * before the (only) shuffle; at 100 TB the same contract would
+    * hold via a vector-summing `TypedImperativeAggregate` without
+    * the row inflation — the output is defined to be identical.
+    */
+  def centroidAssign(s: SparkSession, emb: DataFrame): DataFrame = {
+    withCosine(s)
+    val Scale = 1048576.0 // 2^20: exact int64 accumulation, order-free
+    val dimSums = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(round(col("v").cast("double") * Scale).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+    val cents = dimSums.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("__s"), col("__n"))))
+        .as("__a"))
+      .select(col("label").as("c_label"),
+        transform(col("__a"),
+          x => (x.getField("__s").cast("double") / Scale / x.getField("__n"))
+            .cast("float")).as("c_emb"))
+    emb.join(broadcast(cents))
+      .withColumn("cos_r", expr("round(cosine_sim(embedding, c_emb), 4)"))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("label")).as("label"),
+        max_by(struct(col("cos_r"), (-col("c_label")).as("__nl")),
+          struct(col("cos_r"), (-col("c_label")).as("__nl"))).as("__w"))
+      .select(col("vec_id"), col("label"),
+        (-col("__w.__nl")).as("assigned"), col("__w.cos_r").as("cos_r"))
+      .withColumn("correct", col("label") === col("assigned"))
+  }
 }

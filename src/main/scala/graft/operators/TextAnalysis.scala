@@ -439,4 +439,57 @@ object TextAnalysis {
       stops.as("stop_hits"),
       gopherPassOf(col("__toks")).as("pass"))
   }
+
+  /** H23: CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): documents are ranked by their LM quality score
+    * ([[unigramLogProb]]'s avg token log-prob — higher = more
+    * fluent) and cut into equal-population head / middle / tail
+    * buckets, the standard pre-training mixture knob (keep head,
+    * sample middle, drop tail).
+    *
+    * Bucket = ⌊buckets·rank₀/n⌋ over the total order
+    * (avg_logp DESC, doc_id ASC) — avg_logp is pre-rounded to 4
+    * decimals, so the doc_id tie-break makes the cut deterministic
+    * on any cluster/partitioning/retry.
+    *
+    * The global rank is the distributed range-partition +
+    * zipWithIndex formulation (the same machinery `$bucketAuto`
+    * uses): every partition sorts locally in parallel and a
+    * per-partition count job supplies exact offsets — never a
+    * single-partition `Window.orderBy`, which would pull the whole
+    * corpus through one task. Scoring itself is [[unigramLogProb]]'s
+    * one-shuffle corpus pass; what ranks is one narrow
+    * (doc_id, n_tok, avg_logp) row per document.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val lp = unigramLogProb(docs, idCol, textCol)
+    val sorted = lp
+      .repartitionByRange(col("avg_logp").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("avg_logp").desc, col("doc_id").asc)
+    val rdd = sorted.rdd
+    // job 1: per-partition counts → exact offsets + the total, one pass
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = counts.sum
+    val ranked = lp.sparkSession.createDataFrame(
+      rdd.mapPartitionsWithIndex { case (i, it) =>
+        var idx = offsets(i)
+        it.map { row => val r = Row.fromSeq(row.toSeq :+ idx); idx += 1; r }
+      },
+      sorted.schema.add("__rank", LongType, nullable = false))
+    // integer `div`, not `/`: float division of 3·rank could round
+    // across a bucket boundary once ranks exceed double's mantissa
+    val b =
+      if (total == 0L) lit(0L)
+      else expr(s"(3 * __rank) div ${total}L")
+    ranked.select(col("doc_id"), col("avg_logp"),
+      when(b === 0, "head").when(b === 1, "middle").otherwise("tail")
+        .as("bucket"))
+  }
 }

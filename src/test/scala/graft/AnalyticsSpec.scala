@@ -49,4 +49,49 @@ class AnalyticsSpec extends SparkTestBase {
       assert(r.getAs[Boolean]("converted") == (r.getAs[Long]("purchases") > 0))
     }
   }
+
+  test("retention cohorts: hand-built events — never-signed-up and pre-signup activity excluded") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int): Timestamp = // Mon 2024-01-01 + day
+      Timestamp.valueOf(f"2024-01-${1 + day}%02d 12:00:00")
+    val ev = Seq(
+      // user 1: signs up week 0, active weeks 0 and 2
+      (1L, "signup", ts(0)), (1L, "view", ts(15)),
+      // user 2: signs up week 0, active week 0 only
+      (2L, "signup", ts(2)),
+      // user 3: never signs up — excluded entirely
+      (3L, "view", ts(0)), (3L, "purchase", ts(8)),
+      // user 4: active week 0 BEFORE signing up in week 1 — the
+      // pre-signup week must not count (offset would be negative)
+      (4L, "view", ts(1)), (4L, "signup", ts(9))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Analytics.retentionCohorts(ev).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_week").toString,
+        r.getAs[Int]("week_offset"), r.getAs[Long]("n_active"))).toSet
+    assert(got == Set(
+      ("2024-01-01", 0, 2L), // users 1 and 2 active in their cohort week
+      ("2024-01-01", 2, 1L), // user 1 returns in week 2
+      ("2024-01-08", 0, 1L)  // user 4's cohort starts at the signup week
+    ), s"got $got")
+  }
+
+  test("retention cohorts on testdata: one shuffle of event rows, offsets non-negative") {
+    val df = Analytics.retentionCohorts(t.events)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("week_offset") >= 0))
+    // cohort_week 0-offset row exists for every cohort (signup week
+    // itself always has the signup event)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_week"))
+    byCohort.foreach { case (_, rs) =>
+      assert(rs.exists(_.getAs[Int]("week_offset") == 0))
+    }
+    // plan: no self-join of events — the events relation is scanned
+    // once (count only the AQE final plan, not the echoed initial one)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 1, s"events scanned $scans times:\n$plan")
+  }
 }

@@ -295,4 +295,76 @@ class DedupSpec extends SparkTestBase {
     assert(empty.getAs[String]("clean_text") == "" &&
       empty.getAs[Int]("kept_lines") == 0)
   }
+
+  test("substring spans: shared runs flagged, unique docs zero, short docs null-frac") {
+    import spark.implicits._
+    // spanLen=30, stride=7. A and B share an identical 60-char prefix
+    // (every window fully inside it is duplicated); C is unique; D is
+    // 29 chars — too short to form a single span.
+    val shared = "the quick brown fox jumps over the lazy dog again and again" // 60 chars
+    val df = Seq(
+      (1L, shared + " unique tail for document A here"),
+      (2L, shared + " other trailing words for B text"),
+      (3L, "completely different content with no overlap whatsoever in it"),
+      (4L, "only twenty-nine chars here!!)".take(29))
+    ).toDF("doc_id", "text")
+    val got = Dedup.substrSpans(df, "doc_id", "text", spanLen = 30, stride = 7)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup"),
+          Option(r.getAs[java.lang.Double]("dup_frac"))))).toMap
+    // windows starting at 1, 8, 15, 22, 29 end ≤ 60 → 5 duplicated
+    // windows in each of A and B (position grid is shared, so the
+    // same offsets hash identically)
+    assert(got(1L)._2 == 5L, s"A: ${got(1L)}")
+    assert(got(2L)._2 == 5L, s"B: ${got(2L)}")
+    assert(got(3L)._2 == 0L && got(3L)._1 > 0)
+    assert(got(4L) == ((0L, 0L, None)), s"D: ${got(4L)}")
+    // dup_frac ships rounded to 4 decimals (half-up, like the oracle)
+    val expFrac = BigDecimal(5.0 / got(1L)._1)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._3.contains(expFrac), s"frac: ${got(1L)._3} vs $expFrac")
+  }
+
+  test("substring spans: plan has no window and no per-span row collection") {
+    val df = Dedup.substrSpans(docs, "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in substrSpans plan:\n$plan")
+    assert(!plan.contains("collect_list"), s"collect_list in plan:\n$plan")
+    // span-frequency side joins back on the int64 hash — sort-merge or
+    // hash join, never a nested loop over spans
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"non-equi join in plan:\n$plan")
+  }
+
+  test("substring spans on testdata: replicated duplicates raise dup_frac to 1.0") {
+    import spark.implicits._
+    // two exact copies of one real doc → every span in both is duplicated
+    val two = docs.limit(1).select(col("text")).as[String].collect()(0)
+    val df = Seq((10L, two), (11L, two)).toDF("doc_id", "text")
+    val got = Dedup.substrSpans(df, "doc_id", "text").collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_dup") == r.getAs[Long]("n_spans"))
+      assert(r.getAs[Double]("dup_frac") == 1.0)
+    }
+  }
+
+  test("perplexity buckets: equal-population terciles, ordered by score, partitioning-invariant") {
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+    val rows = out.collect()
+    assert(rows.length == docs.count())
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    val sizes = byBucket.view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    // score ordering: every head score ≥ every middle score ≥ every tail
+    def scores(b: String) = byBucket(b).map(_.getAs[Double]("avg_logp"))
+    assert(scores("head").min >= scores("middle").max)
+    assert(scores("middle").min >= scores("tail").max)
+    // determinism: a different physical partitioning yields the identical map
+    val again = TextAnalysis.perplexityBuckets(
+        docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    val first = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(again == first)
+  }
 }

@@ -233,4 +233,46 @@ class SimilaritySpec extends SparkTestBase {
       est2(r.getAs[String]("event_type")) == r.getAs[Double]("hll_est"),
       "estimate changed under repartitioning"))
   }
+
+  test("centroid assignment: separable clusters all correct, equal-sim ties take the lower label") {
+    import spark.implicits._
+    // separable case: label 0 near e1, label 1 near e2
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.1f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidAssign(spark, rows).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("assigned"), r.getAs[Boolean]("correct")))).toMap
+    assert(got(0L) == ((0, true)) && got(1L) == ((0, true)))
+    assert(got(2L) == ((1, true)) && got(3L) == ((1, true)))
+    // genuine tie: labels 5 and 6 hold IDENTICAL member sets, so
+    // their centroids are bit-equal — every vector's cos_r to both
+    // is the same and the (cos_r DESC, label ASC) rule must always
+    // resolve to the LOWER label, 5
+    val tied = Seq(
+      (10L, Array(1.0f, 0.0f), 5), (11L, Array(0.0f, 1.0f), 5),
+      (12L, Array(1.0f, 0.0f), 6), (13L, Array(0.0f, 1.0f), 6)
+    ).toDF("vec_id", "embedding", "label")
+    val t = Similarity.centroidAssign(spark, tied).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("assigned")).toMap
+    assert(t.values.forall(_ == 5), s"tie not resolved to lower label: $t")
+  }
+
+  test("centroid assignment on testdata: deterministic across partitionings, broadcast join, no shuffle of the embedding side past the centroid build") {
+    val df = Similarity.centroidAssign(spark, emb)
+    val a = df.collect().map(r => r.getAs[Long]("vec_id") ->
+      ((r.getAs[Int]("assigned"), r.getAs[Double]("cos_r")))).toMap
+    val b = Similarity.centroidAssign(spark, emb.repartition(7)).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("assigned"), r.getAs[Double]("cos_r")))).toMap
+    assert(a == b, "assignment changed under repartitioning")
+    assert(a.size == emb.count())
+    // the scoring join is a broadcast of the tiny centroid table
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"no broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"shuffle join of embeddings:\n$plan")
+  }
 }
