@@ -248,9 +248,12 @@ object Similarity {
     * integers independent of shuffle/partition order, and the mean's
     * single float rounding is identical on every run and every
     * cluster layout (double-run spec under different partitionings).
-    * It stays oracle-N/A only because iterative k-means is not
-    * SQL-expressible — not because the result could drift.
-    * Quantization bound: |v|≤1-ish embeddings keep
+    * Since round 10 the trained variant is oracle-checked too: the
+    * fixed iteration count unrolls into plain DuckDB CTEs that
+    * replay the training arithmetic step for step (the `sim_topk_
+    * ivf` oracle in ExtendedQueries), leaving only the raw-double
+    * cosine-argmax parity assumption the fixed variant always
+    * carried. Quantization bound: |v|≤1-ish embeddings keep
     * `2²⁰·Σ|v|` < 2⁵³ up to ~8·10⁹ members per (cell, dim), far past
     * any sane cell size at 100 TB (and k-means quality is unaffected
     * by micro-rounding the centroid).

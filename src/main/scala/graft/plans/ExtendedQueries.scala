@@ -314,13 +314,12 @@ object ExtendedQueries {
       graft.operators.Sketches.hllDistinct(
         ev, Seq("event_type"), col("user_id"), p = 8)
     }),
-    // —— G2b: IVF ANN — registered rows-only because iterative
-    //    k-means is not SQL-expressible, NOT because results drift:
-    //    training accumulates scaled int64 per-dim sums, so the model
-    //    and results are bit-identical across runs and partitionings
-    //    (double-run spec). SimilaritySpec checks recall vs brute
-    //    force; the SEARCH path is hash-checked via
-    //    sim_topk_ivf_fixed. ——
+    // —— G2b: IVF ANN with a TRAINED quantizer — oracle-checked as of
+    //    round 10: the fixed iteration count (iters = 2) lets the
+    //    k-means unroll into plain CTEs (see ivfTrainedSql), and the
+    //    scaled-int64 training arithmetic makes the model replayable
+    //    bit-for-bit. SimilaritySpec additionally checks recall vs
+    //    brute force and cross-partitioning bit-determinism. ——
     "sim_topk_ivf" -> ((s, dir) => {
       val e = TableCatalog(s, dir).embeddings
       graft.operators.Similarity.ivfTopK(
@@ -454,6 +453,60 @@ object ExtendedQueries {
   // with a  separator so adjacent values can't alias
   private val duckRowHash =
     "CAST('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)||chr(1)||CAST(o_totalprice AS VARCHAR)),1,15) AS BIGINT)"
+
+  /** One k-means iteration as CTEs: assign every vector to its
+    * max-cosine centroid in `cin` (ties → lower cid, exactly the
+    * engine's `max_by(cid, struct(cs, -cid))`), then re-center with
+    * the scaled-int64 exact sum and float32 snap
+    * (Similarity.ivfTopK's loop body, arithmetic step for step).
+    */
+  private def kmeansIter(cin: String, i: Int, cout: String): String =
+    s"""a$i AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                 CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN $cin c),
+       |m$i AS (SELECT vec_id, embedding, cid FROM a$i WHERE rn = 1),
+       |u$i AS (SELECT cid,
+       |    CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS d,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0) AS BIGINT)
+       |      AS sv
+       |  FROM m$i),
+       |s$i AS (SELECT cid, d, SUM(sv) AS s, COUNT(*) AS n FROM u$i GROUP BY 1, 2),
+       |$cout AS (SELECT cid,
+       |    CAST(list(CAST(s AS DOUBLE) / (n * 1048576.0) ORDER BY d) AS FLOAT[])
+       |      AS cvec
+       |  FROM s$i GROUP BY cid)""".stripMargin
+
+  private val ivfTrainedSql: String =
+    s"""WITH c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmeansIter("c0", 1, "c1")},
+       |${kmeansIter("c1", 2, "c2")},
+       |asg AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                 CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN c2 c),
+       |cells AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+       |probes AS (SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                 CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS prn
+       |  FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id < 10),
+       |cand AS (SELECT p.query_id, p.q_emb, s.vec_id, s.embedding
+       |  FROM (SELECT * FROM probes WHERE prn <= 4) p
+       |  JOIN cells s USING (cid)
+       |  WHERE s.vec_id <> p.query_id),
+       |sc AS (SELECT query_id, vec_id,
+       |    round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+       |            CAST(embedding AS DOUBLE[])), 4) AS cos_r
+       |  FROM cand),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_r DESC, vec_id) AS rank FROM sc)
+       |SELECT query_id, vec_id AS neighbor_id, cos_r,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 3""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "pipe_window_fields" ->
@@ -679,6 +732,17 @@ object ExtendedQueries {
         |             THEN 256.0 * ln(256.0 / (256 - registers_used))
         |             ELSE r END, 4) AS hll_est
         |FROM raw""".stripMargin,
+    // G2b TRAINED: the 2-iteration k-means UNROLLED as plain CTEs —
+    // "iterative" stopped being a blocker once the iteration count is
+    // a fixed literal of the query; every arithmetic step (raw-double
+    // cosine argmax with the (cs DESC, cid) tie rule, scaled-int64
+    // per-dim sums, the /(n·2²⁰) mean, the float32 snap) replays the
+    // engine op-for-op, so the TRAINED MODEL and the search result
+    // hash-match end-to-end. The remaining parity assumption is the
+    // one sim_topk_ivf_fixed already carries: JVM vs DuckDB double
+    // cosine agree to the last bit on this data; a 1-ulp divergence
+    // at an argmax boundary could flip one assignment elsewhere.
+    "sim_topk_ivf" -> ivfTrainedSql,
     "sim_topk_ivf_fixed" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cvec
         |           FROM embeddings WHERE vec_id < 8),
