@@ -536,6 +536,61 @@ object Dedup {
     * Emits one row per input document: doc_id, n_spans, n_dup,
     * dup_frac (null when the document is too short to form a span).
     */
+  /** F16: span-TRIMMED corpus — the dedup action F15 diagnoses
+    * (Lee et al.'s ExactSubstr removal, under a block-aligned
+    * contract that keeps it declarative): the text is cut into
+    * NON-overlapping `blockLen`-char blocks; a full block whose
+    * exact text occurs in ≥ 2 distinct documents is REMOVED; the
+    * document reassembles from its surviving blocks (plus the
+    * partial tail, which never participates) in position order.
+    * Block-aligned means only grid-aligned duplicate runs collapse —
+    * the declarative trade-off vs. a suffix-automaton scan, stated
+    * in the contract; the overlapping-window profile (F15) remains
+    * the detector for off-grid duplication.
+    *
+    * Shape: the same hashed-span df groupBy+join as F15 (no window,
+    * no per-span doc lists), then one per-document reassembly
+    * aggregate whose state is bounded by the document itself
+    * (`array_sort` of (pos, block) structs + `array_join` — the one
+    * aggregate in this family whose payload is text, and it carries
+    * exactly one document per group).
+    *
+    * Emits doc_id, clean_text, n_blocks, n_removed. Documents
+    * shorter than one block pass through verbatim.
+    */
+  def substrTrim(docs: DataFrame, idCol: String, textCol: String,
+                 blockLen: Int = 30): DataFrame = {
+    require(blockLen > 0, s"substrTrim blockLen must be positive: $blockLen")
+    val blocks = docs
+      .filter(length(col(textCol)) >= blockLen)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1), length(col(textCol)) - (blockLen - 1),
+          lit(blockLen))).as("__p"),
+        col(textCol).as("__t"))
+      .select(col("doc_id"), col("__p"),
+        substring(col("__t"), col("__p"), lit(blockLen)).as("__b"))
+      .withColumn("h", hash60(col("__b")))
+    val nd = blocks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("__ndocs"))
+    val kept = blocks.join(nd, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__ndocs") >= 2, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__ndocs") < 2,
+            struct(col("__p"), col("__b"))))),
+          x => x.getField("__b")), "").as("__body"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat(coalesce(col("__body"), lit("")),
+          // the partial tail after the last full block, verbatim
+          expr(s"substring(__t, CAST((length(__t) div $blockLen) * $blockLen" +
+            " + 1 AS INT))")).as("clean_text"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   def substrSpans(docs: DataFrame, idCol: String, textCol: String,
                   spanLen: Int = 30, stride: Int = 7): DataFrame = {
     require(spanLen > 0, s"substrSpans spanLen must be positive: $spanLen")

@@ -216,6 +216,12 @@ object LlmQueries {
     // —— G17: nearest-centroid assignment (cluster-assignment step) ——
     "embed_centroid_assign" -> ((s, dir) =>
       Similarity.centroidAssign(s, emb(s, dir))),
+    // —— F16: block-aligned span-trimmed corpus (F15's action) ——
+    "dedup_substr_trim" -> ((s, dir) =>
+      Dedup.substrTrim(docs(s, dir), "doc_id", "text", blockLen = 30)),
+    // —— H23 selection policy: head + 50% hash-sampled middle ——
+    "corpus_select_ccnet" -> ((s, dir) =>
+      TextAnalysis.ccnetSelect(docs(s, dir), "doc_id", "text")),
   )
 
   /** H20's fixed model: 64 bucket micro-weights (w·10⁶ as int64,
@@ -971,6 +977,67 @@ object LlmQueries {
         |  CASE (3 * (rn - 1)) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM r""".stripMargin,
+    // F16: the identical non-overlapping block grid; duplicated
+    // blocks dropped, survivors + the verbatim tail reassembled in
+    // position order
+    "dedup_substr_trim" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, text,
+        |    [{'p': CAST(i AS INTEGER),
+        |      'b': substr(text, CAST(i AS INTEGER), 30)}
+        |     for i in generate_series(1, len(text) - 29, 30)] AS bs
+        |  FROM documents WHERE len(text) >= 30),
+        |b AS (SELECT doc_id, unnest(bs, recursive := false) AS s FROM b0),
+        |bb AS (SELECT doc_id, s.p AS p, s.b AS blk,
+        |         CAST('0x' || substr(md5(s.b), 1, 15) AS BIGINT) AS h
+        |       FROM b),
+        |nd AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM bb GROUP BY h),
+        |kept AS (SELECT bb.doc_id,
+        |           COUNT(*) AS n_blocks,
+        |           CAST(SUM(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |             AS n_removed,
+        |           COALESCE(string_agg(CASE WHEN nd.ndocs < 2 THEN bb.blk END, ''
+        |                               ORDER BY bb.p), '') AS body
+        |         FROM bb JOIN nd USING (h) GROUP BY bb.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(k.body, '') ||
+        |    substr(d.text, (len(d.text) // 30) * 30 + 1) AS clean_text,
+        |  CAST(COALESCE(k.n_blocks, 0) AS BIGINT) AS n_blocks,
+        |  CAST(COALESCE(k.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    // H23 selection: the ppl-bucket closed form + the shared
+    // md5-60bit hash draw on doc_id for the middle tercile
+    "corpus_select_ccnet" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |cf AS (SELECT doc_id, tok, tf,
+        |         SUM(tf) OVER (PARTITION BY tok) AS cf
+        |       FROM tf),
+        |nt AS (SELECT CAST(SUM(tf) AS DOUBLE) AS nt FROM tf),
+        |c AS (SELECT doc_id, tf,
+        |        CAST(round(CAST(tf AS DOUBLE)
+        |               * ln(CAST(cf AS DOUBLE) / nt) * 1000000.0) AS BIGINT)
+        |          AS micronats
+        |      FROM cf, nt),
+        |u AS (SELECT doc_id,
+        |        round(CAST(SUM(micronats) AS BIGINT) / 1000000.0 / SUM(tf), 4)
+        |          AS avg_logp
+        |      FROM c GROUP BY doc_id),
+        |r AS (SELECT doc_id, avg_logp,
+        |        row_number() OVER (ORDER BY avg_logp DESC, doc_id) AS rn,
+        |        COUNT(*) OVER () AS n
+        |      FROM u),
+        |bk AS (SELECT doc_id, avg_logp,
+        |         CASE (3 * (rn - 1)) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |              ELSE 'tail' END AS bucket
+        |       FROM r)
+        |SELECT doc_id, avg_logp, bucket FROM bk
+        |WHERE bucket = 'head'
+        |   OR (bucket = 'middle' AND
+        |       CAST('0x'||substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')),1,15)
+        |            AS BIGINT) % 100 < 50)""".stripMargin,
     // G17: scaled-int64 centroid sums (2^20), float32-snapped means,
     // double cosine — every arithmetic step mirrored engine-side
     "embed_centroid_assign" ->

@@ -492,4 +492,22 @@ object TextAnalysis {
       when(b === 0, "head").when(b === 1, "middle").otherwise("tail")
         .as("bucket"))
   }
+
+  /** H23 applied as CCNet's actual selection policy: keep the head
+    * tercile entirely, keep a deterministic `midRatePct`% hash
+    * sample of the middle (the shared md5-60-bit draw every sampler
+    * in this engine uses — reproducible on any cluster/retry), drop
+    * the tail. The post-rank filter is map-side; only the rank
+    * machinery of [[perplexityBuckets]] touches the corpus.
+    */
+  def ccnetSelect(docs: DataFrame, idCol: String, textCol: String,
+                  midRatePct: Int = 50): DataFrame = {
+    import graft.functions.Hash60.{hash60, rowKey}
+    require(midRatePct >= 0 && midRatePct <= 100,
+      s"midRatePct must be a percentage: $midRatePct")
+    perplexityBuckets(docs, idCol, textCol)
+      .filter(col("bucket") === "head" ||
+        (col("bucket") === "middle" &&
+          hash60(rowKey(col("doc_id"))) % 100 < midRatePct))
+  }
 }

@@ -348,6 +348,58 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("substring trim: aligned duplicate blocks removed, tails and short docs verbatim") {
+    import spark.implicits._
+    // blockLen = 30. A and B start with the SAME 30-char block, then
+    // diverge; C is unique; D is shorter than one block; E's length
+    // is an exact multiple of the block (no tail).
+    val blk = "0123456789012345678901234567-A" // 30 chars
+    require(blk.length == 30)
+    val uniqA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcd" // 30 chars
+    val uniqE = "EEEEEEEEEEEEEEEEEEEEEEEEEEEEEE" // 30 chars
+    val df = Seq(
+      (1L, blk + uniqA + "tail1"),
+      (2L, blk + "zyxwvutsrqponmlkjihgfedcbaZYXW" + "t2"),
+      (3L, "completely unique text that is long enough for one block here"),
+      (4L, "short doc"),
+      (5L, uniqE + blk) // 60 chars exactly: uniq block + shared block
+    ).toDF("doc_id", "text")
+    val got = Dedup.substrTrim(df, "doc_id", "text", blockLen = 30)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_blocks"),
+          r.getAs[Long]("n_removed")))).toMap
+    // A: shared block dropped, unique block + tail survive
+    assert(got(1L) == ((uniqA + "tail1", 2L, 1L)), s"A: ${got(1L)}")
+    // B: shared block dropped too
+    assert(got(2L)._3 == 1L && got(2L)._1.endsWith("t2") &&
+      !got(2L)._1.contains(blk))
+    // C: untouched (blocks + verbatim tail reassemble the original)
+    assert(got(3L)._1 == "completely unique text that is long enough for one block here"
+      && got(3L)._3 == 0L)
+    // D: shorter than a block → passes through whole
+    assert(got(4L) == (("short doc", 0L, 0L)))
+    // E: exact multiple, shared block removed, NO phantom tail
+    assert(got(5L) == ((uniqE, 2L, 1L)), s"E: ${got(5L)}")
+  }
+
+  test("ccnet selection: full head, deterministic half middle, no tail") {
+    val buckets = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    val sel = TextAnalysis.ccnetSelect(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    val heads = buckets.count(_._2 == "head")
+    val middles = buckets.count(_._2 == "middle")
+    assert(sel.count(_._2 == "head") == heads, "head must survive whole")
+    assert(sel.count(_._2 == "tail") == 0, "tail must be dropped")
+    val midKept = sel.count(_._2 == "middle")
+    assert(midKept > 0 && midKept < middles,
+      s"middle sample out of range: $midKept of $middles")
+    // reproducible: same rows on a second run
+    val again = TextAnalysis.ccnetSelect(docs, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == sel.keySet)
+  }
+
   test("perplexity buckets: equal-population terciles, ordered by score, partitioning-invariant") {
     val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
     val rows = out.collect()
