@@ -222,7 +222,58 @@ object LlmQueries {
     // —— H23 selection policy: head + 50% hash-sampled middle ——
     "corpus_select_ccnet" -> ((s, dir) =>
       TextAnalysis.ccnetSelect(docs(s, dir), "doc_id", "text")),
+    // —— H7c: BPE merge learning, k = 3 unrolled iterations ——
+    "vocab_bpe_learn" -> ((s, dir) =>
+      TextAnalysis.bpeLearn(docs(s, dir), "doc_id", "text", k = 3)),
   )
+
+  /** H7c's oracle: one BPE learn-iteration as CTEs — adjacent-pair
+    * counts over the symbol table, the (n DESC, lhs, rhs) argmax,
+    * then the simultaneous merge application with the run-parity
+    * rule for lhs = rhs chains (`bpeLearn`'s plan, window for
+    * window).
+    */
+  private def bpeLearnIter(i: Int): String = {
+    val prev = s"sym${i - 1}"
+    s"""p$i AS (SELECT w, freq, pos, sym,
+       |        lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+       |      FROM $prev),
+       |cnt$i AS (SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS n
+       |      FROM p$i WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |top$i AS (SELECT $i AS step, lhs, rhs, n FROM cnt$i
+       |      ORDER BY n DESC, lhs, rhs LIMIT 1),
+       |mk$i AS (SELECT p.w, p.freq, p.pos, p.sym, p.nxt, t.lhs, t.rhs,
+       |        (p.sym = t.lhs AND p.nxt = t.rhs) AS mt
+       |      FROM p$i p CROSS JOIN top$i t),
+       |mr$i AS (SELECT *, CASE WHEN mt THEN pos - row_number()
+       |          OVER (PARTITION BY w, mt ORDER BY pos) END AS rid FROM mk$i),
+       |kp$i AS (SELECT *, mt AND (row_number()
+       |          OVER (PARTITION BY w, rid ORDER BY pos) % 2 = 1) AS kept
+       |      FROM mr$i),
+       |dr$i AS (SELECT *, lag(kept) OVER (PARTITION BY w ORDER BY pos) AS pkept
+       |      FROM kp$i),
+       |sym$i AS (SELECT w, freq,
+       |        CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS INTEGER)
+       |          AS pos,
+       |        CASE WHEN kept THEN lhs || rhs ELSE sym END AS sym
+       |      FROM dr$i WHERE COALESCE(pkept, FALSE) = FALSE)""".stripMargin
+  }
+
+  private val bpeLearnSql: String =
+    s"""WITH v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |       SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+       |       FROM documents) WHERE len(w) > 0 GROUP BY w),
+       |s0 AS (SELECT w, freq,
+       |       [{'p': CAST(i AS INTEGER), 's': substr(w, CAST(i AS INTEGER), 1)}
+       |        for i in generate_series(1, len(w))] AS cs
+       |     FROM v),
+       |sx AS (SELECT w, freq, unnest(cs, recursive := false) AS c FROM s0),
+       |sym0 AS (SELECT w, freq, c.p AS pos, c.s AS sym FROM sx),
+       |${bpeLearnIter(1)},
+       |${bpeLearnIter(2)},
+       |${bpeLearnIter(3)}
+       |SELECT * FROM top1 UNION ALL SELECT * FROM top2
+       |UNION ALL SELECT * FROM top3""".stripMargin
 
   /** H20's fixed model: 64 bucket micro-weights (w·10⁶ as int64,
     * w ∈ [-1, 1]) from a Knuth-multiplicative mix of the bucket id —
@@ -1038,6 +1089,8 @@ object LlmQueries {
         |   OR (bucket = 'middle' AND
         |       CAST('0x'||substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')),1,15)
         |            AS BIGINT) % 100 < 50)""".stripMargin,
+    // H7c: the unrolled 3-iteration learn — see bpeLearnSql
+    "vocab_bpe_learn" -> bpeLearnSql,
     // G17: scaled-int64 centroid sums (2^20), float32-snapped means,
     // double cosine — every arithmetic step mirrored engine-side
     "embed_centroid_assign" ->

@@ -510,4 +510,71 @@ object TextAnalysis {
         (col("bucket") === "middle" &&
           hash60(rowKey(col("doc_id"))) % 100 < midRatePct))
   }
+
+  /** H7c: BPE merge LEARNING — the training side H22's apply-encoder
+    * consumes, closing the tokenizer loop (H7b counts pairs, H7c
+    * learns the merge table, H22 applies it): `k` iterations of
+    * argmax-pair-then-merge over the corpus word vocabulary, each
+    * fully declarative.
+    *
+    * Everything after the one corpus shuffle (word → freq) runs on
+    * the VOCAB symbol table (|vocab|·word-length rows, millions at
+    * 100 TB, never corpus-sized), with every window partitioned by
+    * the word — parallel across the vocabulary, a few symbols per
+    * partition. Per iteration: adjacent-pair counts (freq-weighted,
+    * overlapping occurrences counted, standard BPE), argmax with
+    * the (n DESC, lhs, rhs) tie rule as a TakeOrderedAndProject
+    * broadcast back (no driver action), then ONE simultaneous merge
+    * application: left-to-right non-overlapping matching is
+    * declarative because matches at i and i+1 can only collide when
+    * lhs = rhs — maximal runs of consecutive match positions keep
+    * their odd-ranked members (the run-id = pos − match-rank trick),
+    * the consumed right neighbor drops via `lag(kept)`, positions
+    * renumber, repeat. The recurrence BPE is famous for lives in k
+    * UNROLLED plan stages, not a driver loop over rows — the same
+    * move that made the trained-IVF oracle expressible.
+    *
+    * Emits the learned table: (step, lhs, rhs, n) with n the
+    * selection-time pair count; fewer than `k` rows when the vocab
+    * runs out of pairs.
+    */
+  def bpeLearn(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"bpeLearn k must be at least 1: $k")
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var syms = vocab.select(col("w"), col("freq"),
+      posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as(Seq("pos", "sym")))
+    val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
+    var merges = Seq.empty[DataFrame]
+    for (step <- 1 to k) {
+      val withNext = syms.withColumn("__nxt", lead(col("sym"), 1).over(wWin))
+      val top = withNext.filter(col("__nxt").isNotNull)
+        .groupBy(col("sym").as("lhs"), col("__nxt").as("rhs"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1)
+      merges :+= top.select(lit(step).as("step"), col("lhs"), col("rhs"), col("n"))
+      val marked = withNext
+        .crossJoin(broadcast(top.select(col("lhs"), col("rhs"))))
+        .withColumn("__mt", col("sym") === col("lhs") && col("__nxt") === col("rhs"))
+        // run id: consecutive match positions share (pos − match-rank)
+        .withColumn("__rid", when(col("__mt"), col("pos") - row_number().over(
+          Window.partitionBy(col("w"), col("__mt")).orderBy(col("pos")))))
+        .withColumn("__kept", col("__mt") && row_number().over(
+          Window.partitionBy(col("w"), col("__rid")).orderBy(col("pos"))) % 2 === 1)
+      syms = marked
+        .withColumn("__pk", lag(col("__kept"), 1).over(wWin))
+        .filter(!coalesce(col("__pk"), lit(false)))
+        .select(col("w"), col("freq"),
+          row_number().over(wWin).as("pos"),
+          when(col("__kept"), concat(col("lhs"), col("rhs")))
+            .otherwise(col("sym")).as("sym"))
+    }
+    merges.reduce(_ unionAll _)
+  }
 }

@@ -400,6 +400,25 @@ class DedupSpec extends SparkTestBase {
     assert(again == sel.keySet)
   }
 
+  test("bpe learn: argmax merges with tie rule; lhs=rhs chains apply left-to-right via run parity") {
+    import spark.implicits._
+    // 'the' dominates → step 1 (t,h), step 2 (th,e) — the classic
+    val d1 = Seq((1L, "the the the the then than")).toDF("doc_id", "text")
+    val m1 = TextAnalysis.bpeLearn(d1, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("n")))
+    // t-h occurs in 'the'(4 in vocab? no — vocab: the freq 4, then 1, than 1) → 6
+    assert(m1.toSeq == Seq((1, "t", "h", 6L), (2, "th", "e", 5L)), s"got ${m1.toSeq}")
+    // the lhs = rhs chain: 'aaaa' — matches at 1,2,3 are ONE run, only
+    // ranks 1 and 3 apply (left-to-right non-overlap): a a a a → aa aa
+    // → aaaa; the vocab then runs out of pairs, so only 2 merges emit
+    val d2 = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeLearn(d2, "doc_id", "text", k = 3).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("n")))
+    assert(m2.toSeq == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)), s"got ${m2.toSeq}")
+  }
+
   test("perplexity buckets: equal-population terciles, ordered by score, partitioning-invariant") {
     val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
     val rows = out.collect()
