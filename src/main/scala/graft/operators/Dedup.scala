@@ -591,6 +591,65 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** The standing BLOCK index of an already-accepted corpus — one
+    * 60-bit hash per distinct aligned block, the artifact an
+    * incremental span-trimming pipeline persists between batches
+    * (bucketable on `h` exactly like [[fingerprintIndex]]).
+    */
+  def blockIndex(docs: DataFrame, textCol: String,
+                 blockLen: Int = 30): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= blockLen)
+      .select(explode(sequence(lit(1),
+        length(col(textCol)) - (blockLen - 1), lit(blockLen))).as("__p"),
+        col(textCol).as("__t"))
+      .select(hash60(substring(col("__t"), col("__p"), lit(blockLen))).as("h"))
+      .distinct()
+
+  /** F16b: INCREMENTAL span trim — [[substrTrim]]'s cross-batch
+    * form, the F12/F14 move applied to spans: an arriving batch
+    * document drops every aligned block whose exact text the
+    * STANDING corpus already contains (boilerplate the corpus has
+    * seen arrives pre-trimmed), keeps everything else verbatim, and
+    * the accepted survivors' blocks advance the index for the next
+    * batch. Batch-internal duplication is [[substrTrim]]'s job —
+    * this operator's contract is strictly batch-vs-index, so the
+    * join is batch-blocks × index (narrow int64 key, index side
+    * bucketable — zero index re-shuffle with a bucketed table),
+    * never corpus-sized on the batch's plan.
+    */
+  def substrTrimIncremental(batch: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String,
+                            blockLen: Int = 30): DataFrame = {
+    require(blockLen > 0, s"blockLen must be positive: $blockLen")
+    val blocks = batch
+      .filter(length(col(textCol)) >= blockLen)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1), length(col(textCol)) - (blockLen - 1),
+          lit(blockLen))).as("__p"),
+        col(textCol).as("__t"))
+      .select(col("doc_id"), col("__p"),
+        substring(col("__t"), col("__p"), lit(blockLen)).as("__b"))
+      .withColumn("h", hash60(col("__b")))
+    val kept = blocks
+      .join(index.select(col("h"), lit(true).as("__hit")), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!coalesce(col("__hit"), lit(false)),
+            struct(col("__p"), col("__b"))))),
+          x => x.getField("__b")), "").as("__body"))
+    batch.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat(coalesce(col("__body"), lit("")),
+          expr(s"substring(__t, CAST((length(__t) div $blockLen) * $blockLen" +
+            " + 1 AS INT))")).as("clean_text"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   def substrSpans(docs: DataFrame, idCol: String, textCol: String,
                   spanLen: Int = 30, stride: Int = 7): DataFrame = {
     require(spanLen > 0, s"substrSpans spanLen must be positive: $spanLen")

@@ -225,6 +225,14 @@ object LlmQueries {
     // —— H7c: BPE merge learning, k = 3 unrolled iterations ——
     "vocab_bpe_learn" -> ((s, dir) =>
       TextAnalysis.bpeLearn(docs(s, dir), "doc_id", "text", k = 3)),
+    // —— F16b: incremental span trim of a batch vs the standing index ——
+    "dedup_substr_trim_inc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.substrTrimIncremental(
+        d.filter(col("doc_id") % 10 === 0),
+        Dedup.blockIndex(d.filter(col("doc_id") % 10 =!= 0), "text"),
+        "doc_id", "text")
+    }),
   )
 
   /** H7c's oracle: one BPE learn-iteration as CTEs — adjacent-pair
@@ -1091,6 +1099,41 @@ object LlmQueries {
         |            AS BIGINT) % 100 < 50)""".stripMargin,
     // H7c: the unrolled 3-iteration learn — see bpeLearnSql
     "vocab_bpe_learn" -> bpeLearnSql,
+    // F16b: batch blocks against the standing corpus block set
+    "dedup_substr_trim_inc" ->
+      """WITH idx AS (
+        |  SELECT DISTINCT
+        |    CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 30)), 1, 15)
+        |         AS BIGINT) AS h
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |         len(text) - 29, 30)) AS i) g
+        |  WHERE doc_id % 10 <> 0 AND len(text) >= 30),
+        |b0 AS (
+        |  SELECT doc_id, text,
+        |    [{'p': CAST(i AS INTEGER),
+        |      'b': substr(text, CAST(i AS INTEGER), 30)}
+        |     for i in generate_series(1, len(text) - 29, 30)] AS bs
+        |  FROM documents WHERE doc_id % 10 = 0 AND len(text) >= 30),
+        |b AS (SELECT doc_id, unnest(bs, recursive := false) AS s FROM b0),
+        |bb AS (SELECT doc_id, s.p AS p, s.b AS blk,
+        |         CAST('0x' || substr(md5(s.b), 1, 15) AS BIGINT) AS h
+        |       FROM b),
+        |mk AS (SELECT bb.*, idx.h IS NOT NULL AS hit
+        |       FROM bb LEFT JOIN idx USING (h)),
+        |kept AS (SELECT doc_id,
+        |           COUNT(*) AS n_blocks,
+        |           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |             AS n_removed,
+        |           COALESCE(string_agg(CASE WHEN NOT hit THEN blk END, ''
+        |                               ORDER BY p), '') AS body
+        |         FROM mk GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(k.body, '') ||
+        |    substr(d.text, (len(d.text) // 30) * 30 + 1) AS clean_text,
+        |  CAST(COALESCE(k.n_blocks, 0) AS BIGINT) AS n_blocks,
+        |  CAST(COALESCE(k.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |WHERE d.doc_id % 10 = 0""".stripMargin,
     // G17: scaled-int64 centroid sums (2^20), float32-snapped means,
     // double cosine — every arithmetic step mirrored engine-side
     "embed_centroid_assign" ->

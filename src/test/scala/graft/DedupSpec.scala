@@ -400,6 +400,27 @@ class DedupSpec extends SparkTestBase {
     assert(again == sel.keySet)
   }
 
+  test("incremental span trim: corpus-seen blocks drop, novel content survives, index advance closes the loop") {
+    import spark.implicits._
+    val blk = "0123456789012345678901234567-A" // 30 chars, lives in the corpus
+    val novel = "NOVELCONTENTNOTINTHECORPUS1234" // 30 chars, does not
+    require(blk.length == 30 && novel.length == 30)
+    val corpus = Seq((100L, blk + "corpus trailing context here")).toDF("doc_id", "text")
+    val batch = Seq((1L, blk + novel + "tail")).toDF("doc_id", "text")
+    val idx = Dedup.blockIndex(corpus, "text")
+    val got = Dedup.substrTrimIncremental(batch, idx, "doc_id", "text")
+      .collect()(0)
+    assert(got.getAs[String]("clean_text") == novel + "tail")
+    assert(got.getAs[Long]("n_blocks") == 2L && got.getAs[Long]("n_removed") == 1L)
+    // advance the index by the batch's own blocks → a re-delivered
+    // batch arrives fully pre-trimmed (the daemon-loop property)
+    val advanced = idx.unionByName(Dedup.blockIndex(batch, "text")).distinct()
+    val again = Dedup.substrTrimIncremental(batch, advanced, "doc_id", "text")
+      .collect()(0)
+    assert(again.getAs[String]("clean_text") == "tail")
+    assert(again.getAs[Long]("n_removed") == 2L)
+  }
+
   test("bpe learn: argmax merges with tie rule; lhs=rhs chains apply left-to-right via run parity") {
     import spark.implicits._
     // 'the' dominates → step 1 (t,h), step 2 (th,e) — the classic
