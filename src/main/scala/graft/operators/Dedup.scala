@@ -655,7 +655,12 @@ object Dedup {
     require(spanLen > 0, s"substrSpans spanLen must be positive: $spanLen")
     require(stride > 0, s"substrSpans stride must be positive: $stride")
     val spans = docs
-      .filter(length(col(textCol)) >= spanLen)
+      // the explicit not-null id filter sits at the BASE so both
+      // consumers of the per-(doc,span) aggregate canonicalize
+      // identically — otherwise the final join infers IsNotNull on
+      // the probe branch only and the shared exchange stops being
+      // reusable (the same fork sourceDivergence documents)
+      .filter(col(idCol).isNotNull && length(col(textCol)) >= spanLen)
       .select(col(idCol).as("doc_id"),
         explode(sequence(lit(1), length(col(textCol)) - (spanLen - 1),
           lit(stride))).as("__p"),
@@ -667,7 +672,16 @@ object Dedup {
     // rollup reuse
     val perDoc = spans.groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("__c"))
-    val nd = perDoc.groupBy(col("h")).agg(count(lit(1)).as("__ndocs"))
+    // the doc count per span is written as sum(least(__c, 1)) — __c
+    // is a count, so __c ≥ 1 and the sum IS the row count — because
+    // the reference to __c must be irreducible: a plain count(1) (or
+    // count(__c), which canonicalizes to it) lets the optimizer
+    // prune __c and strip perDoc's aggregate to a bare distinct in
+    // this branch only, and the two branches stop sharing the one
+    // exploded-scan exchange (sourceDivergence's sum(tf) plays the
+    // same role; the spec asserts the ReusedExchange)
+    val nd = perDoc.groupBy(col("h"))
+      .agg(sum(least(col("__c"), lit(1L))).as("__ndocs"))
     val per = perDoc.join(nd, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sum(col("__c")).as("n_spans"),

@@ -325,7 +325,7 @@ class DedupSpec extends SparkTestBase {
     assert(got(1L)._3.contains(expFrac), s"frac: ${got(1L)._3} vs $expFrac")
   }
 
-  test("substring spans: plan has no window and no per-span row collection") {
+  test("substring spans: plan has no window, no per-span row collection, one exploded scan") {
     val df = Dedup.substrSpans(docs, "doc_id", "text")
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window in substrSpans plan:\n$plan")
@@ -334,6 +334,16 @@ class DedupSpec extends SparkTestBase {
     // hash join, never a nested loop over spans
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"non-equi join in plan:\n$plan")
+    // the doc-frequency branch and the per-doc rollup share the one
+    // per-(doc,span) exchange — AQE materializes the reuse at
+    // runtime, so execute first and read the final plan
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      s"span branches forked a second corpus pass:\n$finalPlan")
+    assert("Generate explode".r.findAllIn(finalPlan).length <= 1,
+      s"span explode ran more than once:\n$finalPlan")
   }
 
   test("substring spans on testdata: replicated duplicates raise dup_frac to 1.0") {
