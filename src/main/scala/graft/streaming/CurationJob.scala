@@ -20,8 +20,12 @@ import graft.operators.{Dedup, Pipeline100TB, TextAnalysis}
   * Gate order is the production web-curation order: extraction
   * rewrites `textCol` FIRST (the corpus stores extracted prose, and
   * both gates and the fingerprints see post-extraction text — two
-  * pages differing only in markup are duplicates), then the
-  * structural gate, then the classifier, then novelty.
+  * pages differing only in markup are duplicates), then the opt-in
+  * F16b span trim (corpus-seen boilerplate blocks vanish against
+  * the standing block index before any gate or fingerprint sees
+  * them — a doc that is nothing but known boilerplate trims to
+  * empty and fails the structural gate), then the structural gate,
+  * then the classifier, then novelty.
   *
   * Semantics: first-arrival-wins across micro-batches, min-id within
   * one — exactly the fold a daemon applying batches in order
@@ -86,13 +90,14 @@ object CurationJob {
           compactEvery: Int = 8, fuzzy: Boolean = false,
           markup: Boolean = false,
           classifier: Option[ClassifierGate] = None,
-          bpe: Option[BpeAccounting] = None): StreamingQuery =
+          bpe: Option[BpeAccounting] = None,
+          spanTrim: Boolean = false): StreamingQuery =
     incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, corpusDir, idCol, textCol, batchId, compactEvery,
-          fuzzy, markup, classifier, bpe)
+          fuzzy, markup, classifier, bpe, spanTrim)
       }
       .start()
 
@@ -109,14 +114,31 @@ object CurationJob {
                  compactEvery: Int = 8, fuzzy: Boolean = false,
                  markup: Boolean = false,
                  classifier: Option[ClassifierGate] = None,
-                 bpe: Option[BpeAccounting] = None): Unit = {
+                 bpe: Option[BpeAccounting] = None,
+                 spanTrim: Boolean = false): Unit = {
     val spark = batch.sparkSession
     // H21 first: everything downstream — gates, fingerprints, the
     // stored corpus — sees extracted prose, never raw markup
-    val prepared =
+    val extracted =
       if (markup) batch.withColumn(textCol,
         Pipeline100TB.extractMarkup(col(textCol)))
       else batch
+    // F16b second (opt-in): trim blocks the accepted corpus already
+    // contains, against the standing block index — corpus-seen
+    // boilerplate vanishes BEFORE any gate or fingerprint sees it,
+    // so gates judge the novel remainder and two docs differing
+    // only in known boilerplate dedupe. Same own-shard-excluding
+    // read as the other two indexes (retry-safe).
+    val prepared =
+      if (!spanTrim) extracted
+      else {
+        val blkIdx = readIndexExcept(spark, s"$corpusDir/blocks",
+          s"b$batchId", blockSchema)
+        extracted.drop(textCol).join(
+          Dedup.substrTrimIncremental(extracted, blkIdx, idCol, textCol)
+            .select(col("doc_id").as(idCol), col("clean_text").as(textCol)),
+          Seq(idCol))
+      }
     val structPass = TextAnalysis.gopherRules(prepared, idCol, textCol)
       .filter(col("pass")).select(col(idCol))
     // H20 second: both gates are map-side projections over the batch,
@@ -188,6 +210,11 @@ object CurationJob {
       if (fuzzy)
         Dedup.bandIndex(accepted, idCol, textCol)
           .write.mode("overwrite").parquet(s"$corpusDir/bands/b$batchId")
+      // the block index advances by ACCEPTED (stored) content only —
+      // it indexes what the corpus holds, like the band index
+      if (spanTrim)
+        Dedup.blockIndex(accepted, textCol)
+          .write.mode("overwrite").parquet(s"$corpusDir/blocks/b$batchId")
     } finally {
       if (accepted != null) accepted.unpersist()
       if (novel != null) novel.unpersist()
@@ -199,12 +226,17 @@ object CurationJob {
       if (fuzzy)
         compactIndex(spark, s"$corpusDir/bands", s"b$batchId", batchId,
           compactEvery)
+      if (spanTrim)
+        compactIndex(spark, s"$corpusDir/blocks", s"b$batchId", batchId,
+          compactEvery)
       compactData(spark, s"$corpusDir/data", s"b$batchId", batchId,
         compactEvery)
     }
   }
 
   private val fpSchema = StructType(Seq(StructField("fp", StringType)))
+  private val blockSchema = StructType(Seq(
+    StructField("h", org.apache.spark.sql.types.LongType)))
   private val bandSchema = StructType(Seq(
     StructField("band", org.apache.spark.sql.types.IntegerType),
     StructField("key", StringType)))

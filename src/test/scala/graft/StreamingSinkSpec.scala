@@ -307,6 +307,48 @@ class StreamingSinkSpec extends SparkTestBase {
       .parquet(s"$dir/bands").distinct().count() == 12)
   }
 
+  test("curation daemon span-trim gate: corpus-seen blocks vanish before gating, re-delivery no-op") {
+    import spark.implicits._
+    import graft.streaming.CurationJob
+    val pool = Vector("quick", "brown", "foxes", "jumped", "fences",
+      "little", "garden", "stones", "rivers", "bright", "clouds",
+      "forest", "meadow", "silver", "golden", "branch")
+    def doc(seed: Int): String = (0 until 60).map { i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of"
+      else if (i % 17 == 2) s"word$seed"
+      else pool((seed * 13 + i * 5) % pool.size)
+    }.mkString(" ")
+    val a = doc(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-trim").toString
+    CurationJob.applyBatch(Seq((1L, a)).toDF("doc_id", "text"),
+      dir, "doc_id", "text", batchId = 0L, spanTrim = true)
+    def corpus() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/data").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corpus() == Map(1L -> a), "first batch stores verbatim")
+    // batch 1: doc 10 leads with A's first aligned block + novel
+    // content — the seen block must be trimmed BEFORE gating and the
+    // stored text lacks it; doc 11 is NOTHING BUT A's first two
+    // blocks — it trims to empty and the Gopher gate rejects it
+    val b = a.take(30) + " " + doc(5)
+    CurationJob.applyBatch(Seq((10L, b), (11L, a.take(60)))
+        .toDF("doc_id", "text"),
+      dir, "doc_id", "text", batchId = 1L, spanTrim = true)
+    assert(corpus() == Map(1L -> a, 10L -> b.drop(30)),
+      s"got ${corpus().view.mapValues(_.take(40)).toMap}")
+    // re-delivery of batch 1: own blocks shard excluded → identical
+    CurationJob.applyBatch(Seq((10L, b), (11L, a.take(60)))
+        .toDF("doc_id", "text"),
+      dir, "doc_id", "text", batchId = 1L, spanTrim = true)
+    assert(corpus() == Map(1L -> a, 10L -> b.drop(30)))
+    // the block index holds exactly the stored docs' aligned blocks
+    val idx = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/blocks").distinct().count()
+    val expect = graft.operators.Dedup.blockIndex(
+      Seq(a, b.drop(30)).toDF("text"), "text").count()
+    assert(idx == expect, s"index $idx vs expected $expect")
+  }
+
   test("curation loop survives an all-rejected batch: empty shards don't poison later reads") {
     import spark.implicits._
     import graft.streaming.CurationJob
