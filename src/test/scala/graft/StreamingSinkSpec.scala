@@ -531,7 +531,7 @@ class StreamingSinkSpec extends SparkTestBase {
     def apply(b: Long, rows: (Long, String)*): Unit =
       CurationJob.applyBatch(rows.toDF("doc_id", "text"), dir, "doc_id", "text",
         batchId = b, fuzzy = true, markup = true, classifier = Some(gate),
-        bpe = Some(bpe))
+        bpe = Some(bpe), spanTrim = true)
     apply(0L, (1L, page(doc(1))), (2L, page(doc(2))))
     // batch 1: an exact copy under DIFFERENT markup (extraction-first
     // makes it exact → fp gate), a PARAPHRASE under different markup
@@ -554,6 +554,19 @@ class StreamingSinkSpec extends SparkTestBase {
       (12L, page(doc(9))))
     assert(corpus().select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 12L))
+    // span-trim interacts with extraction: a doc that leads with an
+    // ALIGNED block of doc(9)'s stored (extracted) text plus novel
+    // content stores WITHOUT that block, and its n_tok counts the
+    // trimmed text (markup -> trim -> gates -> bpe, in that order)
+    val stored9 = corpus().filter(col("doc_id") === 12L)
+      .select("text").collect()(0).getString(0)
+    apply(2L, (20L, page(stored9.take(30) + " " + doc(7))))
+    val row20 = corpus().filter(col("doc_id") === 20L)
+      .select("text", "n_tok").collect()(0)
+    assert(!row20.getString(0).startsWith(stored9.take(30)),
+      s"seen block survived: ${row20.getString(0).take(40)}")
+    assert(row20.getString(0).contains("word7"))
+    assert(row20.getLong(1) > 0)
   }
 
   test("D4: bulk-flush-duration — a partial buffer flushes at the tick, not at bulk-size") {
