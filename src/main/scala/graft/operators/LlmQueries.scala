@@ -169,6 +169,11 @@ object LlmQueries {
     "text_classifier" -> ((s, dir) =>
       TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
         clfWeights, biasMicro = 50000L, threshold = 0.5)),
+    // —— H20b: classifier TRAINING — 2 unrolled deterministic
+    //    full-batch logistic GD steps over hashed features ——
+    "classifier_train" -> ((s, dir) =>
+      TextAnalysis.classifierTrain(docs(s, dir), "doc_id", "text",
+        positive = col("lang") === "en", dims = 64, iters = 2, lr = 5.0)),
     // —— G12: deterministic source-mixture balancing (600-token budget) ——
     "mix_balance" -> ((s, dir) => {
       import graft.functions.Hash60.tokens
@@ -178,6 +183,13 @@ object LlmQueries {
           tokCol = size(tokens(col("text"))).cast("long"),
           targetToks = 600L)
         .select(col("doc_id"), col("source"), col("__tok").as("n_tok"))
+    }),
+    // —— G12b: temperature + UniMax mixture allocation over sources ——
+    "mix_temperature" -> ((s, dir) => {
+      import graft.functions.Hash60.tokens
+      graft.operators.Pipeline100TB.mixTemperature(docs(s, dir), "source",
+        tokCol = size(tokens(col("text"))).cast("long"),
+        alpha = 0.3, budget = 100000L, capEpochs = 2L)
     }),
     // —— H17: BM25 scoring over a fixed query-term set, top-20 ——
     "text_bm25" -> ((s, dir) =>
@@ -222,6 +234,11 @@ object LlmQueries {
     // —— H23 selection policy: head + 50% hash-sampled middle ——
     "corpus_select_ccnet" -> ((s, dir) =>
       TextAnalysis.ccnetSelect(docs(s, dir), "doc_id", "text")),
+    // —— H24: DSIR importance resampling — select docs that "read
+    //    like" the src0 target domain, Gumbel top-100 ——
+    "corpus_select_dsir" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(docs(s, dir), "doc_id", "text",
+        targetPred = col("source") === "src0", dims = 64, k = 100)),
     // —— H7c: BPE merge learning, k = 3 unrolled iterations ——
     "vocab_bpe_learn" -> ((s, dir) =>
       TextAnalysis.bpeLearn(docs(s, dir), "doc_id", "text", k = 3)),
@@ -889,6 +906,108 @@ object LlmQueries {
          |SELECT doc_id, CAST(n AS BIGINT) AS n_tok, clf_score,
          |  clf_score >= 0.5 AS keep
          |FROM s""".stripMargin,
+    // H24: DSIR replay — sparse unigram+bigram postings (non-distinct
+    // bigrams, unlike the minhash shingle CTEs), add-1-smoothed bucket
+    // log-ratios in int64 micro-units, exact integer doc weights,
+    // Gumbel key from the engine-wide md5-60-bit draw
+    "corpus_select_dsir" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  string_split_regex(trim(lower(text)), ' +') AS toks
+        |  FROM documents),
+        |u1 AS (SELECT doc_id, unnest(toks) AS g FROM t),
+        |u2 AS (SELECT doc_id,
+        |         unnest([toks[i] || ' ' || toks[i+1]
+        |                 for i in generate_series(1, len(toks)-1)]) AS g
+        |       FROM t),
+        |e AS (SELECT doc_id,
+        |        CAST('0x'||substr(md5(g),1,15) AS BIGINT) % 64 AS b
+        |      FROM (SELECT * FROM u1 UNION ALL SELECT * FROM u2)),
+        |cb AS (SELECT doc_id, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cb2 AS (SELECT cb.b, cb.c, (d.source = 'src0') AS is_t
+        |        FROM cb JOIN t d USING (doc_id)),
+        |tot AS (SELECT r.range AS b,
+        |          COALESCE(SUM(CASE WHEN is_t THEN c END), 0) AS tc,
+        |          COALESCE(SUM(c), 0) AS rc
+        |        FROM range(64) r LEFT JOIN cb2 ON cb2.b = r.range
+        |        GROUP BY 1),
+        |s AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM tot),
+        |lam AS (SELECT b,
+        |          CAST(round((ln((CAST(tc AS DOUBLE) + 1.0)
+        |                          / (CAST(tt AS DOUBLE) + 64.0))
+        |                    - ln((CAST(rc AS DOUBLE) + 1.0)
+        |                          / (CAST(rt AS DOUBLE) + 64.0)))
+        |                     * 1000000.0) AS BIGINT) AS lam
+        |        FROM tot, s),
+        |sc AS (SELECT d.doc_id,
+        |         CAST(COALESCE(SUM(cb.c * lam.lam), 0) AS BIGINT) AS lw
+        |       FROM t d LEFT JOIN cb ON cb.doc_id = d.doc_id
+        |            LEFT JOIN lam ON lam.b = cb.b
+        |       GROUP BY 1)
+        |SELECT doc_id, lw AS lw_micro,
+        |  round(CAST(lw AS DOUBLE) / 1000000.0 +
+        |    -ln(-ln((CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)
+        |              AS BIGINT) + 1.0) / 1152921504606846976.0)), 6) AS gkey
+        |FROM sc
+        |ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin,
+    // H20b: the two GD iterations unrolled into plain CTEs (the
+    // H7c/G2b move) — sparse (doc,bucket,count) postings replay the
+    // engine's dense-array arithmetic exactly: absent buckets
+    // contribute round(0) = 0 to every gradient sum, so COALESCE(.,0)
+    // on the bucket join is the dense zero
+    "classifier_train" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |  string_split_regex(trim(lower(text)), ' +') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, y, CAST(len(toks) AS DOUBLE) AS n, toks FROM t),
+        |e AS (SELECT doc_id,
+        |        (CAST('0x'||substr(md5(u.tok),1,15) AS BIGINT) % 64) AS b
+        |      FROM d, UNNEST(toks) AS u(tok)),
+        |cb AS (SELECT doc_id, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ndocs FROM d),
+        |s1 AS (SELECT doc_id, y, n,
+        |         round(1.0/(1.0 + exp(-((0.0 / n + 0.0) / 1000000.0))), 6) - y
+        |           AS err
+        |       FROM d),
+        |g1 AS (SELECT cb.b,
+        |         SUM(CAST(round(s1.err * CAST(cb.c AS DOUBLE) * 1000000.0
+        |                        / s1.n) AS BIGINT)) AS gsum
+        |       FROM s1 JOIN cb USING (doc_id) GROUP BY 1),
+        |gb1 AS (SELECT SUM(CAST(round(err * 1000000.0) AS BIGINT)) AS gsum
+        |        FROM s1),
+        |w1 AS (SELECT r.range AS b,
+        |         0 - CAST(round(5.0 * COALESCE(g1.gsum, 0) / nd.ndocs)
+        |                  AS BIGINT) AS w
+        |       FROM range(64) r LEFT JOIN g1 ON g1.b = r.range, nd),
+        |b1 AS (SELECT 0 - CAST(round(5.0 * gb1.gsum / nd.ndocs) AS BIGINT)
+        |         AS bias
+        |       FROM gb1, nd),
+        |r2 AS (SELECT d.doc_id, d.y, d.n,
+        |         COALESCE(SUM(cb.c * w1.w), 0) AS raw
+        |       FROM d LEFT JOIN cb ON cb.doc_id = d.doc_id
+        |              LEFT JOIN w1 ON w1.b = cb.b
+        |       GROUP BY 1, 2, 3),
+        |s2 AS (SELECT r2.doc_id, y, n,
+        |         round(1.0/(1.0 + exp(-((CAST(raw AS DOUBLE) / n
+        |             + CAST(b1.bias AS DOUBLE)) / 1000000.0))), 6) - y AS err
+        |       FROM r2, b1),
+        |g2 AS (SELECT cb.b,
+        |         SUM(CAST(round(s2.err * CAST(cb.c AS DOUBLE) * 1000000.0
+        |                        / s2.n) AS BIGINT)) AS gsum
+        |       FROM s2 JOIN cb USING (doc_id) GROUP BY 1),
+        |gb2 AS (SELECT SUM(CAST(round(err * 1000000.0) AS BIGINT)) AS gsum
+        |        FROM s2),
+        |w2 AS (SELECT r.range AS b,
+        |         w1.w - CAST(round(5.0 * COALESCE(g2.gsum, 0) / nd.ndocs)
+        |                     AS BIGINT) AS w
+        |       FROM range(64) r LEFT JOIN w1 ON w1.b = r.range
+        |            LEFT JOIN g2 ON g2.b = r.range, nd),
+        |b2 AS (SELECT b1.bias - CAST(round(5.0 * gb2.gsum / nd.ndocs)
+        |                             AS BIGINT) AS bias
+        |       FROM b1, gb2, nd)
+        |SELECT CAST(-1 AS INTEGER) AS bucket, bias AS w_micro FROM b2
+        |UNION ALL
+        |SELECT CAST(b AS INTEGER) AS bucket, w AS w_micro FROM w2""".stripMargin,
     "mix_balance" ->
       s"""WITH t AS (SELECT doc_id, source,
          |  CAST(len(string_split_regex(trim(lower(text)), ' +')) AS BIGINT)
@@ -901,6 +1020,45 @@ object LlmQueries {
          |FROM t JOIN r ON t.source IS NOT DISTINCT FROM r.source
          |WHERE CAST('0x'||substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')),1,15) AS BIGINT)
          |      < CAST(round(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin,
+    // G12b: window replay of the UniMax closed form — the capped set
+    // is pure int64 arithmetic (bit-deterministic), λ one division
+    "mix_temperature" ->
+      """WITH n AS (SELECT source AS stratum,
+        |  SUM(CAST(len(string_split_regex(trim(lower(text)), ' +'))
+        |      AS BIGINT)) AS n_tok
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT stratum, n_tok,
+        |        CAST(round(pow(CAST(n_tok AS DOUBLE), 0.3) * 1000000.0)
+        |             AS BIGINT) AS t_micro,
+        |        n_tok * 2 AS cap_tok
+        |      FROM n),
+        |z AS (SELECT SUM(t_micro) AS z_micro, COUNT(*) AS l FROM t),
+        |r AS (SELECT t.*, z.z_micro, z.l,
+        |        row_number() OVER (ORDER BY cap_tok, stratum) AS rn,
+        |        SUM(cap_tok) OVER (ORDER BY cap_tok, stratum
+        |                           ROWS UNBOUNDED PRECEDING) AS pre
+        |      FROM t, z),
+        |c AS (SELECT *,
+        |        cap_tok * (l - rn) + pre <= 100000 AS capped
+        |      FROM r),
+        |sel AS (SELECT COALESCE(SUM(CASE WHEN capped THEN 1 END), 0) AS m,
+        |          COALESCE(SUM(CASE WHEN capped THEN cap_tok END), 0) AS pre_m
+        |        FROM c),
+        |f AS (SELECT c.*,
+        |        CASE WHEN sel.m < c.l THEN
+        |          (100000.0 - CAST(sel.pre_m AS DOUBLE))
+        |            / CAST(c.l - sel.m AS DOUBLE) END AS lam
+        |      FROM c, sel),
+        |a AS (SELECT *,
+        |        CASE WHEN lam IS NULL THEN CAST(cap_tok AS DOUBLE)
+        |             ELSE least(CAST(cap_tok AS DOUBLE), lam) END AS alloc
+        |      FROM f)
+        |SELECT stratum, CAST(n_tok AS BIGINT) AS n_tok,
+        |  round(CAST(t_micro AS DOUBLE) / CAST(z_micro AS DOUBLE), 6)
+        |    AS p_temp,
+        |  round(alloc, 4) AS alloc_tok,
+        |  round(alloc / CAST(n_tok AS DOUBLE), 6) AS epochs
+        |FROM a""".stripMargin,
     "text_bm25" -> {
       val terms = Seq("spark", "query", "stream")
       val tfs = terms.zipWithIndex.map { case (t, i) =>

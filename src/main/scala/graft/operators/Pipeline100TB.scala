@@ -367,6 +367,69 @@ object Pipeline100TB {
       .drop("__rate", "__stratum")
   }
 
+  /** G12b: temperature + UniMax mixture allocation — the OTHER two
+    * standard multi-domain blending knobs next to [[mixBalance]]'s
+    * budget-flattening:
+    *
+    *   - temperature sampling (mT5/XLM-R): p_i ∝ n_i^α with α < 1
+    *     upweights small domains. Each n_i^α is fixed-pointed to
+    *     int64 micro-units BEFORE the normalizer sum, so the
+    *     probabilities are partition- and order-free exact; `pow` is
+    *     the one libm step (the bm25/H20 mitigated-parity class).
+    *   - UniMax (Chung et al. 2023): distribute a total token budget
+    *     T so no domain repeats more than `capEpochs` epochs — the
+    *     water-filling allocation a_i = min(cap_i, λ), Σ a_i = T,
+    *     cap_i = capEpochs·n_i. The fill level λ has a closed form
+    *     over the cap-sorted domain frame: row i is capped iff
+    *     cap_i·(L−i) + prefix_i ≤ T (EXACT int64 arithmetic — the
+    *     capped set is bit-deterministic), then
+    *     λ = (T − Σ_capped cap_i)/(L − m).
+    *
+    * Shape: ONE partial-aggregated corpus shuffle to the per-domain
+    * totals; everything after (window rank, prefix sums, the λ
+    * aggregate) runs on the DOMAIN frame — rows = #domains, so the
+    * unpartitioned `Window.orderBy` is over a handful of aggregated
+    * rows, never the corpus. The λ scalar folds back as a broadcast
+    * 1-row aggregate. At 100 TB the only thing that grows is the
+    * first groupBy, which combines map-side.
+    */
+  def mixTemperature(df: DataFrame, stratumCol: String, tokCol: Column,
+                     alpha: Double = 0.3, budget: Long = 100000L,
+                     capEpochs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && capEpochs > 0, "budget and capEpochs must be > 0")
+    val n = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(tokCol).cast("long").as("n_tok"))
+    val t = n.select(col("stratum"), col("n_tok"),
+      round(pow(col("n_tok").cast("double"), lit(alpha)) * lit(1000000.0))
+        .cast("long").as("t_micro"),
+      (col("n_tok") * lit(capEpochs)).as("cap_tok"))
+    val z = t.groupBy().agg(sum("t_micro").as("z_micro"),
+      count(lit(1)).as("l"))
+    val win = Window.orderBy(col("cap_tok").asc, col("stratum").asc)
+    val ranked = t.crossJoin(broadcast(z))
+      .withColumn("rn", row_number().over(win))
+      .withColumn("pre", sum(col("cap_tok")).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("capped",
+        col("cap_tok") * (col("l") - col("rn")) + col("pre") <= lit(budget))
+    val sel = ranked.groupBy().agg(
+      coalesce(sum(when(col("capped"), 1L)), lit(0L)).as("m"),
+      coalesce(sum(when(col("capped"), col("cap_tok"))), lit(0L)).as("pre_m"))
+    val lam = when(col("m") < col("l"),
+      (lit(budget.toDouble) - col("pre_m").cast("double")) /
+        (col("l") - col("m")).cast("double"))
+    val alloc = when(lam.isNull, col("cap_tok").cast("double"))
+      .otherwise(least(col("cap_tok").cast("double"), lam))
+    ranked.crossJoin(broadcast(sel))
+      .select(col("stratum"), col("n_tok"),
+        round(col("t_micro").cast("double") / col("z_micro").cast("double"), 6)
+          .as("p_temp"),
+        round(alloc, 4).as("alloc_tok"),
+        round(alloc / col("n_tok").cast("double"), 6).as("epochs"))
+  }
+
   /** G16: mixture diagnostics — per-source KL divergence of the
     * source's unigram token distribution from the corpus-wide one:
     * KL(source ‖ corpus) = Σ_t (tf/ns)·ln((tf·nc)/(ns·cf)). High-KL

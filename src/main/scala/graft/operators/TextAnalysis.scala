@@ -401,6 +401,165 @@ object TextAnalysis {
       (score >= threshold).as("keep"))
   }
 
+  /** H20b: linear-classifier TRAINING over hashed token features —
+    * the learn side of [[classifierScore]], closing the quality-model
+    * loop the same way H7c's BPE merge learning closed H22's encoder:
+    * `iters` full-batch logistic-regression gradient steps, each one
+    * fully declarative and exactly deterministic, producing the
+    * int64 micro-unit weight vector [[graft.functions.HashedFeatureDot]]
+    * applies at inference time.
+    *
+    * Determinism contract (the G17/H7c fixed-point discipline):
+    *   - features are exact integer counts per md5-60-bit bucket, one
+    *     dense `array<long>` per doc from the codegen'd
+    *     [[graft.functions.HashedFeatureCounts]] — zero shuffle;
+    *   - the per-doc score uses the SAME mean-token form as the apply
+    *     path (`(Σ w[b]·c[b]/n + bias)/10⁶`), its sigmoid rounded to
+    *     6 decimals before the error term (both engines decide from
+    *     the identical value; `exp` is the one libm step, same
+    *     mitigated parity assumption as H20/BM25);
+    *   - every per-doc gradient contribution rounds to int64 micro
+    *     units BEFORE the sum, so the aggregate is token-order- and
+    *     partition-order-free, and weight updates are integer
+    *     subtraction — the trained model is bit-identical on any
+    *     cluster layout.
+    *
+    * Plan shape per iteration: the model state (w, bias, ndocs) is a
+    * ONE-row broadcast; scoring + per-doc gradients are a map-side
+    * projection over the feature scan; the only exchange is the
+    * (dims+1)-row map-side-combined partial-agg of the posexploded
+    * gradient arrays (G17's explode-then-combine shape). No driver
+    * action anywhere — the state flows iteration to iteration as a
+    * broadcast subplan. At 100 TB the feature frame would be
+    * persisted/checkpointed once instead of re-scanned per iteration
+    * (a storage knob, not a plan change); everything that grows with
+    * the corpus stays map-side either way.
+    *
+    * Output: (bucket, w_micro) — bucket −1 is the bias row, 0..dims−1
+    * the hashed-feature weights. Pure integers: hash-exact.
+    */
+  def classifierTrain(docs: DataFrame, idCol: String, textCol: String,
+                      positive: Column, dims: Int = 64, iters: Int = 2,
+                      lr: Double = 5.0): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val toks = tokens(col(textCol))
+    val f = docs.select(
+      coalesce(positive.cast("double"), lit(0.0)).as("y"),
+      size(toks).cast("double").as("n"),
+      GraftBridge.column(graft.functions.HashedFeatureCounts(
+        GraftBridge.expression(toks), dims)).as("c"))
+    val nd = f.groupBy().agg(count(lit(1)).as("ndocs"))
+    val w0 = nd.select(array_repeat(lit(0L), dims).as("w"),
+      lit(0L).as("bias"), col("ndocs"))
+    def step(wDf: DataFrame): DataFrame = {
+      val j = f.crossJoin(broadcast(wDf))
+      val raw = aggregate(
+        zip_with(col("c"), col("w"), (ci, wi) => ci * wi),
+        lit(0L), (acc, x) => acc + x)
+      val z = (raw.cast("double") / col("n") + col("bias").cast("double")) /
+        lit(1000000.0)
+      val err = round(lit(1.0) / (lit(1.0) + exp(-z)), 6) - col("y")
+      // pos 0 = bias gradient, pos 1..dims = bucket gradients; each
+      // contribution rounds to micro-units pre-sum (order-free)
+      val g = concat(
+        array(round(err * lit(1000000.0)).cast("long")),
+        transform(col("c"), ci =>
+          round(err * ci.cast("double") * lit(1000000.0) / col("n"))
+            .cast("long")))
+      val sums = j.select(posexplode(g).as(Seq("pos", "gv")))
+        .groupBy("pos").agg(sum("gv").as("gsum"))
+      val upd = sums.crossJoin(broadcast(wDf))
+        .select(col("pos"),
+          (when(col("pos") === 0, col("bias"))
+            .otherwise(element_at(col("w"), col("pos"))) -
+            round(lit(lr) * col("gsum").cast("double") /
+              col("ndocs").cast("double")).cast("long")).as("wv"),
+          col("ndocs"))
+      upd.groupBy(col("ndocs"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("wv"))))
+          .as("packed"))
+        .select(
+          transform(slice(col("packed"), 2, dims), _.getField("wv")).as("w"),
+          element_at(col("packed"), 1).getField("wv").as("bias"),
+          col("ndocs"))
+    }
+    val wFinal = (1 to iters).foldLeft(w0)((w, _) => step(w))
+    wFinal
+      .select(posexplode(concat(array(col("bias")), col("w")))
+        .as(Seq("pos", "w_micro")))
+      .select((col("pos") - 1).cast("int").as("bucket"), col("w_micro"))
+  }
+
+  /** H24: DSIR — Data Selection via Importance Resampling (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): pick raw-corpus documents whose hashed-n-gram
+    * distribution looks like a curated target domain. The standard
+    * pre-training recipe for "give me web data that reads like
+    * Wikipedia".
+    *
+    *   1. Feature space: token unigrams AND adjacent bigrams hashed
+    *      into `dims` buckets (the paper's hashed n-gram model), as
+    *      one dense exact-integer count vector per doc from the
+    *      codegen'd [[graft.functions.HashedFeatureCounts]] — zero
+    *      shuffle, zero per-token allocation.
+    *   2. Bucket log-likelihood ratios λ[b] = ln p̂_target[b] −
+    *      ln p̂_raw[b] under add-1 smoothing, converted to int64
+    *      MICRO-units once per bucket — so every per-document
+    *      importance weight Σ_b c[b]·λ[b] is exact integer
+    *      arithmetic, token-order- and partition-free. `ln` runs
+    *      `dims` times total (not per doc): the usual mitigated
+    *      libm-parity assumption shrinks to 64 values.
+    *   3. Gumbel top-k resampling (the paper's sampling-without-
+    *      replacement), derandomized the engine-wide way: u ∈ (0,1]
+    *      from the doc's md5-60-bit hash, key = lw/10⁶ − ln(−ln u),
+    *      rounded to 6 decimals with doc_id tie-break.
+    *
+    * Plan shape: feature extraction and scoring are map-side
+    * projections over the corpus scan; the only exchanges are the
+    * (dims)-row posexploded partial-agg for the two bucket histograms
+    * (G17's explode-then-combine shape — map-side combines to
+    * dims rows per partition before the shuffle) and the
+    * TakeOrdered top-k. λ rides to executors as a one-row broadcast.
+    * Nothing corpus-sized ever shuffles: at 100 TB this runs as two
+    * scans (histogram pass + scoring pass) or one with the feature
+    * frame persisted.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, dims: Int = 64, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val toks = tokens(col(textCol))
+    val f = docs.select(col(idCol),
+      coalesce(targetPred, lit(false)).as("is_t"),
+      GraftBridge.column(graft.functions.HashedFeatureCounts(
+        GraftBridge.expression(toks), dims, bigrams = true)).as("c"))
+    val tot = f.select(col("is_t"), posexplode(col("c")).as(Seq("b", "cnt")))
+      .groupBy("b").agg(
+        sum(when(col("is_t"), col("cnt")).otherwise(0L)).as("tc"),
+        sum(col("cnt")).as("rc"))
+    val sums = tot.groupBy().agg(
+      sum("tc").as("tt"), sum("rc").as("rt"))
+    val lam = tot.crossJoin(broadcast(sums))
+      .select(col("b"),
+        round((log((col("tc").cast("double") + lit(1.0)) /
+                   (col("tt").cast("double") + lit(dims.toDouble))) -
+               log((col("rc").cast("double") + lit(1.0)) /
+                   (col("rt").cast("double") + lit(dims.toDouble)))) *
+          lit(1000000.0)).cast("long").as("lam"))
+      .groupBy().agg(sort_array(collect_list(struct(col("b"), col("lam"))))
+        .as("packed"))
+      .select(transform(col("packed"), _.getField("lam")).as("lam"))
+    val lw = aggregate(
+      zip_with(col("c"), col("lam"), (ci, li) => ci * li),
+      lit(0L), (acc, x) => acc + x)
+    val u = (graft.functions.Hash60.hash60(col(idCol).cast("string")) +
+      lit(1.0)) / lit(1152921504606846976.0)
+    val scored = f.crossJoin(broadcast(lam))
+      .select(col(idCol), lw.as("lw_micro"),
+        round(lw.cast("double") / lit(1000000.0) + -log(-log(u)), 6)
+          .as("gkey"))
+    scored.orderBy(col("gkey").desc, col(idCol).asc).limit(k)
+  }
+
   /** H16: Gopher-style quality rule pack — the per-document structural
     * filters from the Gopher/MassiveText curation recipe, evaluated in
     * one pass: word-count bounds, mean word length bounds, type-token

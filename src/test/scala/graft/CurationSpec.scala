@@ -783,4 +783,128 @@ class CurationSpec extends SparkTestBase {
     assert(uncollapsed == cross + intra,
       s"uncollapsed=$uncollapsed cross=$cross intra=$intra")
   }
+
+  // ——— classifierTrain (H20b) ———
+
+  private def langDocsDf(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("classifierTrain learns weights that separate the classes it was shown") {
+    // disjoint vocabularies: the trained model must score en docs above
+    // the others when applied via the SAME hashed-feature inference
+    val docs = langDocsDf(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog ran to the park", "en"),
+      (3L, "el gato grande come pescado", "es"),
+      (4L, "el perro corre al parque", "es"))
+    val w = TextAnalysis.classifierTrain(docs, "doc_id", "text",
+        positive = col("lang") === "en", dims = 64, iters = 2, lr = 5.0)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(w.size == 65 && w.contains(-1), s"expected 65 rows, got ${w.size}")
+    val weights = (0 until 64).map(b => w(b))
+    val bias = w(-1)
+    val scored = TextAnalysis.classifierScore(docs, "doc_id", "text",
+        weights, biasMicro = bias, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(Seq(1L, 2L).map(scored).min > Seq(3L, 4L).map(scored).max,
+      s"trained model fails to separate: $scored")
+  }
+
+  test("classifierTrain is bit-deterministic across partition layouts") {
+    val d = TableCatalog(spark, sfDir).documents
+    def run(parts: Int) = TextAnalysis.classifierTrain(
+        d.repartition(parts), "doc_id", "text",
+        positive = col("lang") === "en")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(run(2) == run(7))
+  }
+
+  test("classifierTrain's per-iteration exchange is the gradient rows, not the corpus") {
+    // the model state must flow as a broadcast; the only non-broadcast
+    // exchange input is the posexploded (dims+1)-row gradient agg
+    val plan = TextAnalysis.classifierTrain(
+        TableCatalog(spark, sfDir).documents, "doc_id", "text",
+        positive = col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("hashed_feature_counts"), plan)
+  }
+
+  // ——— dsirSelect (H24) ———
+
+  test("dsirSelect prefers docs that look like the target domain") {
+    import spark.implicits._
+    // target = wiki-ish vocabulary; raw pool has lookalikes and junk.
+    // All lookalikes must outrank all junk on the importance weight.
+    val tgt = (1L to 6L).map(i =>
+      (i, "history of the ancient empire and its trade routes", "wiki"))
+    val like = (11L to 14L).map(i =>
+      (i, "trade routes of the ancient empire history", "web"))
+    val junk = (21L to 24L).map(i =>
+      (i, "click here buy cheap pills now free offer", "web"))
+    val docs = (tgt ++ like ++ junk).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.dsirSelect(docs, "doc_id", "text",
+        targetPred = col("source") === "wiki", dims = 64, k = 14)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val likeMin = (11L to 14L).map(out).min
+    val junkMax = (21L to 24L).map(out).max
+    assert(likeMin > junkMax,
+      s"lookalike lw_micro $likeMin must exceed junk $junkMax")
+  }
+
+  test("dsirSelect is deterministic and bounded by k") {
+    val d = TableCatalog(spark, sfDir).documents
+    def run(parts: Int) = TextAnalysis.dsirSelect(
+        d.repartition(parts), "doc_id", "text",
+        targetPred = col("source") === "src0", k = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val a = run(3)
+    assert(a.length == 25)
+    assert(a.toSeq == run(8).toSeq)
+  }
+
+  // ——— mixTemperature (G12b) ———
+
+  test("mixTemperature: UniMax water-fills — small domains cap, large share equally") {
+    import spark.implicits._
+    // three domains: 10, 100, 1000 tokens; budget 400, cap 2 epochs.
+    // small caps at 2 epochs = 20 tokens; the remaining 380 water-fill
+    // EQUALLY over mid and large (λ = 190 < both caps) — the UniMax
+    // shape: capped tail, uniform fill level above it.
+    val docs = Seq(
+      (1L, "s", Seq.fill(10)("w").mkString(" ")),
+      (2L, "m", Seq.fill(100)("w").mkString(" ")),
+      (3L, "l", Seq.fill(1000)("w").mkString(" ")))
+      .toDF("doc_id", "src", "text")
+    val out = Pipeline100TB.mixTemperature(docs, "src",
+        size(split(col("text"), " ")).cast("long"),
+        alpha = 0.3, budget = 400L, capEpochs = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("s")._2 == 20.0 && out("s")._3 == 2.0)
+    assert(out("m")._2 == 190.0 && out("m")._3 == 1.9)
+    assert(out("l")._2 == 190.0 && out("l")._3 == 0.19)
+    // allocations exhaust the budget exactly
+    assert(out.values.map(_._2).sum == 400.0)
+  }
+
+  test("mixTemperature: over-generous budget caps every domain; α=1 is proportional") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", Seq.fill(30)("w").mkString(" ")),
+      (2L, "b", Seq.fill(70)("w").mkString(" ")))
+      .toDF("doc_id", "src", "text")
+    val out = Pipeline100TB.mixTemperature(docs, "src",
+        size(split(col("text"), " ")).cast("long"),
+        alpha = 1.0, budget = 10000L, capEpochs = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    // budget 10000 > Σ caps (200): all capped at 2 epochs
+    assert(out("a")._2 == 60.0 && out("b")._2 == 140.0)
+    // α=1 → p_temp is the plain token share
+    assert(out("a")._1 == 0.3 && out("b")._1 == 0.7)
+  }
 }
