@@ -54,6 +54,9 @@ object SparkEntry {
     }),
     "q6_revenue" -> ((s, dir) => Analytics.revenueForecast(cat(s, dir).lineitem)),
     "events_funnel" -> ((s, dir) => Analytics.eventsFunnel(cat(s, dir).events)),
+    // —— I5b: ordered signup→view→purchase funnel ——
+    "events_funnel_ordered" -> ((s, dir) =>
+      Analytics.orderedFunnel(cat(s, dir).events)),
     // —— I9: weekly retention cohorts ——
     "events_retention" -> ((s, dir) =>
       Analytics.retentionCohorts(cat(s, dir).events)),
@@ -285,6 +288,22 @@ object SparkEntry {
         |FROM su JOIN aw USING (user_id)
         |WHERE w >= cw
         |GROUP BY 1, 2""".stripMargin,
+    "events_funnel_ordered" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        |SELECT s1.user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+        |  epoch_us(t3) AS t3_us,
+        |  CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS steps
+        |FROM s1 LEFT JOIN s2 USING (user_id)
+        |        LEFT JOIN s3 USING (user_id)""".stripMargin,
     "events_funnel" ->
       """SELECT user_id, purchases,
         |  COALESCE(purchase_value, 0.0) AS purchase_value,

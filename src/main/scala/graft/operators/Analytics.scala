@@ -152,6 +152,44 @@ object Analytics {
       )
       .orderBy(col("user_id"))
 
+  /** I5b: ORDERED multi-step funnel — signup → first view at-or-after
+    * the signup → first purchase at-or-after that view, the classic
+    * product-analytics funnel where step k only counts if it happens
+    * after step k−1 (unlike [[eventsFunnel]]'s order-blind counts).
+    *
+    * No events self-join: each step's timestamp is a conditional
+    * window-min over the user partition, and because every window and
+    * the final per-user collapse share the `user_id` key, the events
+    * table crosses the wire ONCE — the three chained Window operators
+    * and the groupBy all reuse the single hash exchange (the plan
+    * shows one Exchange; at 100 TB this is the same one-shuffle
+    * contract as I5/I9). Step-3's condition reads step-2's column, so
+    * a purchase before the qualifying view can never count.
+    */
+  def orderedFunnel(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val staged = events
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "view" && col("ts") >= col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("t2"),
+          col("ts"))).over(w))
+    staged.filter(col("t1").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1m"), min(col("t2")).as("t2m"),
+        min(col("t3")).as("t3m"))
+      .select(col("user_id"),
+        unix_micros(col("t1m")).as("t1_us"),
+        unix_micros(col("t2m")).as("t2_us"),
+        unix_micros(col("t3m")).as("t3_us"),
+        (lit(1) + when(col("t2m").isNotNull, 1).otherwise(0) +
+          when(col("t3m").isNotNull, 1).otherwise(0)).cast("int").as("steps"))
+  }
+
   /** I9: weekly retention cohorts — the classic activation read-out
     * (cohort = the ISO week of a user's first signup; a cohort
     * member is ACTIVE in week-offset k if they produced any event

@@ -169,6 +169,24 @@ object LlmQueries {
     "text_classifier" -> ((s, dir) =>
       TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
         clfWeights, biasMicro = 50000L, threshold = 0.5)),
+    // —— H20c: calibration read-out for the fixed H20 model — 10
+    //    score bins × observed positive rate, one map-side-combined
+    //    shuffle of ≤10 rows; the reliability diagram every
+    //    model-gated curation stage ships with ——
+    "classifier_calibration" -> ((s, dir) => {
+      import graft.functions.Hash60.tokens
+      val base = docs(s, dir).withColumn("__toks", tokens(col("text")))
+      val score = TextAnalysis.classifierScoreOf(col("__toks"), clfWeights,
+        biasMicro = 50000L)
+      base.select((col("lang") === "en").as("y"), score.as("s"))
+        .groupBy(least(floor(col("s") * lit(10.0)), lit(9L)).cast("int")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("y"), lit(1))).as("n_pos"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+            .as("pos_rate"))
+    }),
     // —— H20b: classifier TRAINING — 2 unrolled deterministic
     //    full-batch logistic GD steps over hashed features ——
     "classifier_train" -> ((s, dir) =>
@@ -949,6 +967,28 @@ object LlmQueries {
         |              AS BIGINT) + 1.0) / 1152921504606846976.0)), 6) AS gkey
         |FROM sc
         |ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin,
+    // H20c: the same score chain as text_classifier, binned; COUNT
+    // (not SUM) keeps both outputs BIGINT
+    "classifier_calibration" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  string_split_regex(trim(lower(text)), ' +') AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, len(toks) AS n,
+         |  CAST(list_sum(list_transform(toks, tok ->
+         |    (${clfWeights.mkString("[", ", ", "]")})
+         |      [(CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64) + 1]))
+         |    AS BIGINT) AS raw
+         |  FROM t),
+         |s AS (SELECT lang = 'en' AS y,
+         |  round(1.0 / (1.0 + exp(-((CAST(raw AS DOUBLE) / n + 50000.0)
+         |                           / 1000000.0))), 6) AS s
+         |  FROM c)
+         |SELECT CAST(least(floor(s * 10.0), 9) AS INTEGER) AS bin,
+         |  COUNT(*) AS n,
+         |  COUNT(CASE WHEN y THEN 1 END) AS n_pos,
+         |  round(CAST(COUNT(CASE WHEN y THEN 1 END) AS DOUBLE)
+         |        / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
+         |FROM s GROUP BY 1""".stripMargin,
     // H20b: the two GD iterations unrolled into plain CTEs (the
     // H7c/G2b move) — sparse (doc,bucket,count) postings replay the
     // engine's dense-array arithmetic exactly: absent buckets

@@ -50,6 +50,34 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("ordered funnel: steps only count at-or-after the previous step") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(h: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      // user 1: signup → view → purchase, in order: steps = 3
+      (1L, "signup", ts(1)), (1L, "view", ts(2)), (1L, "purchase", ts(3)),
+      // user 2: purchase BEFORE the qualifying view: steps = 2
+      (2L, "signup", ts(1)), (2L, "purchase", ts(2)), (2L, "view", ts(3)),
+      // user 3: view BEFORE signup, nothing after: steps = 1
+      (3L, "view", ts(1)), (3L, "signup", ts(2)),
+      // user 4: never signs up — excluded (no anchor step)
+      (4L, "view", ts(1)), (4L, "purchase", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Analytics.orderedFunnel(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("steps")).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1), s"got $got")
+  }
+
+  test("ordered funnel: the events table crosses the wire once") {
+    val plan = Analytics.orderedFunnel(
+        graft.sources.TableCatalog(spark, sfDir).events)
+      .queryExecution.executedPlan.toString
+    // chained windows + the per-user collapse all reuse one user_id
+    // hash exchange
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+  }
+
   test("retention cohorts: hand-built events — never-signed-up and pre-signup activity excluded") {
     import spark.implicits._
     import java.sql.Timestamp
