@@ -89,6 +89,12 @@ object LlmQueries {
       val e = emb(s, dir)
       Similarity.exactPrunedTopK(s, e, e.filter(col("vec_id") < 10), k = 5)
     }),
+    // —— G18: Matryoshka truncated-prefix coarse pass + exact rerank ——
+    "sim_topk_truncated" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.truncatedTopK(s, e, e.filter(col("vec_id") < 10),
+        dPrefix = 16, cands = 20, k = 5)
+    }),
     "embed_norms" -> ((s, dir) => Similarity.norms(emb(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
@@ -653,6 +659,25 @@ object LlmQueries {
          |  FROM g x JOIN g y ON x.label = y.label AND x.rep < y.rep)
          |WHERE cos_r >= 0.4""".stripMargin,
     "sim_topk_bruteforce" -> bruteTopKSql,
+    // G18: coarse pass on the 16-dim prefix, rerank the 20-shortlist
+    // with the full vector — slices replay as 1-based DuckDB [1:16]
+    "sim_topk_truncated" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q.query_id, e.vec_id, e.embedding, q.q_emb,
+         |    round(${cosSql.format("q.q_emb[1:16]", "e.embedding[1:16]")}, 4)
+         |      AS cos_c
+         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |c AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_c DESC, vec_id) AS crank FROM scored),
+         |rr AS (SELECT query_id, vec_id,
+         |    round(${cosSql.format("q_emb", "embedding")}, 4) AS cos_r
+         |  FROM c WHERE crank <= 20),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_r DESC, vec_id) AS rank FROM rr)
+         |SELECT query_id, vec_id AS neighbor_id, cos_r,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin,
     // EXACT by construction (error-bounded prefilter + exact rerank)
     // ⇒ the oracle is the brute-force SQL verbatim.
     "sim_topk_pruned" -> bruteTopKSql,

@@ -68,6 +68,44 @@ object Similarity {
         col("cos_r"), col("rank"))
   }
 
+  /** G18: Matryoshka-style two-stage retrieval — coarse-score every
+    * candidate on the FIRST `dPrefix` dimensions (Matryoshka/MRL
+    * embeddings are trained so prefixes are usable sub-embeddings;
+    * truncation is the standard cheap first pass), shortlist `cands`
+    * per query, exact-rerank the shortlist with the full vector.
+    * The at-scale win is bandwidth: the coarse pass reads dPrefix/d
+    * of the vector bytes per comparison (with a column layout that
+    * stores the prefix separately, dPrefix/d of the scan too).
+    *
+    * Plan: the query set broadcasts; coarse scoring streams the
+    * embedding table once through the codegen cosine; the shortlist
+    * window and the rerank window share the ONE query_id exchange
+    * (same partitioning key — plan-asserted in SimilaritySpec). Only
+    * `cands` rows per query carry full vectors past the shortlist.
+    */
+  def truncatedTopK(s: SparkSession, emb: DataFrame, queries: DataFrame,
+                    dPrefix: Int, cands: Int, k: Int): DataFrame = {
+    withCosine(s)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = emb.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_c", expr(
+        s"round(cosine_sim(slice(q_emb, 1, $dPrefix), " +
+          s"slice(embedding, 1, $dPrefix)), 4)"))
+    scored
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_c").desc, col("vec_id"))))
+      .filter(col("crank") <= cands)
+      .withColumn("cos_r", expr("round(cosine_sim(q_emb, embedding), 4)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_r").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos_r"), col("rank"))
+  }
+
   /** G5: symmetric int8 quantization of an embedding column — the
     * memory-bandwidth lever for 100 TB ANN (4× smaller scans, SIMD
     * int dot products). Per-vector scale = max|x|/127; emits the
