@@ -67,4 +67,56 @@ object Any2Shingles {
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
   }
+
+  /** Non-distinct variant: every n-gram OCCURRENCE, in order — the
+    * multiset language-model counting needs (H18b), vs the distinct
+    * set dedup/minhash needs. Same concatWs construction so the two
+    * can never disagree on shingle text.
+    */
+  def computeAll(arr: ArrayData, n: Int): GenericArrayData = {
+    val len = arr.numElements()
+    val m = math.max(len - n + 1, 0)
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      if (n == 1) out(i) = arr.getUTF8String(i)
+      else {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(Sep, parts: _*)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** [[WordShingles]] without the distinct: every occurrence, in
+  * order — the multiset counting shape (SURVEY.md §2 H18b).
+  */
+case class WordShinglesAll(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles_all requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "word_shingles_all"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Any2Shingles.computeAll(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Any2Shingles.computeAll($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -225,6 +225,9 @@ object LlmQueries {
     // —— H18: unigram LM quality score (avg token log-prob) ——
     "text_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")),
+    // —— H18b: bigram LM conditional log-prob, add-0.5 smoothing ——
+    "text_bigram_lp" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")),
     // —— G13: deterministic contrastive negative sampling, k=4 ——
     "embed_negatives" -> ((s, dir) =>
       Similarity.negativeSamples(emb(s, dir), k = 4)),
@@ -1157,6 +1160,35 @@ object LlmQueries {
          |SELECT pair, COUNT(*) AS n
          |FROM p GROUP BY 1
          |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // H18b: sparse replay of the bigram LM — non-distinct bigram
+    // comprehension (every occurrence), add-0.5 smoothing, micronat
+    // fixed-point pre-sum
+    "text_bigram_lp" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), ' +') AS toks
+        |  FROM documents),
+        |b0 AS (SELECT doc_id,
+        |         unnest([toks[i] || ' ' || toks[i+1]
+        |                 for i in generate_series(1, len(toks)-1)]) AS bg
+        |       FROM t WHERE len(toks) >= 2),
+        |dbf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM b0 GROUP BY 1, 2),
+        |cf AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS cf,
+        |         split_part(bg, ' ', 1) AS a
+        |       FROM dbf GROUP BY 1),
+        |ctx AS (SELECT a, CAST(SUM(cf) AS BIGINT) AS ctx FROM cf GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(string_split(bg, ' ')) AS tok FROM cf)),
+        |c AS (SELECT dbf.doc_id, dbf.tf,
+        |        CAST(round(CAST(dbf.tf AS DOUBLE)
+        |          * ln((CAST(cf.cf AS DOUBLE) + 0.5)
+        |               / (CAST(ctx.ctx AS DOUBLE)
+        |                  + 0.5 * CAST(v.v AS DOUBLE)))
+        |          * 1000000.0) AS BIGINT) AS micronats
+        |      FROM dbf JOIN cf USING (bg) JOIN ctx ON ctx.a = cf.a, v)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_big,
+        |  round(CAST(SUM(micronats) AS BIGINT) / 1000000.0
+        |        / CAST(SUM(tf) AS DOUBLE), 4) AS avg_logp2
+        |FROM c GROUP BY 1""".stripMargin,
     "text_unigram_lp" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

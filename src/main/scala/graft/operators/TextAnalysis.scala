@@ -311,6 +311,55 @@ object TextAnalysis {
         round(col("__lp") / lit(1e6) / col("n_tok"), 4).as("avg_logp"))
   }
 
+  /** H18b: bigram-LM quality score — the next n up from
+    * [[unigramLogProb]], one step toward CCNet's KenLM-style n-gram
+    * perplexity filter: per-document average conditional log-prob
+    * avg over bigram positions of ln P(b|a), with add-α smoothing
+    * P(b|a) = (c(a,b)+α) / (c(a,·)+α·V), α = 0.5, V = distinct token
+    * types observed in any bigram (a deterministic, corpus-derivable
+    * vocabulary definition both engines share).
+    *
+    * Shape (the unigram/tfidf discipline): the corpus explodes ONCE
+    * to (doc, bigram) counts via the codegen non-distinct
+    * [[graft.functions.WordShinglesAll]]; corpus bigram counts and
+    * context totals are partial-agg groupBys OVER THOSE AGGREGATED
+    * ROWS (never a token-partitioned window — Zipf-hot bigrams stay
+    * splittable, the joins AQE-skew-split); V and α fold in from a
+    * broadcast 1-row aggregate over the (already tiny) bigram table.
+    * Per-(doc,bigram) contributions fix-point to int64 micronats
+    * scaled by tf BEFORE the per-doc sum — exact, order-free; `ln`
+    * carries the BM25-documented parity assumption. Docs with fewer
+    * than 2 tokens have no bigram positions and are excluded.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val bigrams = GraftBridge.column(graft.functions.WordShinglesAll(
+      GraftBridge.expression(tokens(col(textCol))), 2))
+    val docBf = docs.select(col(idCol).as("doc_id"),
+        explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val cf = docBf.groupBy(col("bg")).agg(sum(col("tf")).as("cf"))
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+    val ctx = cf.groupBy(col("a")).agg(sum(col("cf")).as("ctx"))
+    val vocab = broadcast(cf
+      .select(explode(split(col("bg"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v")))
+    docBf
+      .join(cf.select(col("bg"), col("cf"), col("a")), "bg")
+      .join(ctx, "a")
+      .crossJoin(vocab)
+      .withColumn("__c", round(col("tf").cast("double") *
+        log((col("cf").cast("double") + lit(0.5)) /
+            (col("ctx").cast("double") + lit(0.5) * col("v").cast("double"))) *
+        lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_big"), sum(col("__c")).as("__lp"))
+      .select(col("doc_id"), col("n_big"),
+        round(col("__lp").cast("double") / lit(1000000.0) /
+          col("n_big").cast("double"), 4).as("avg_logp2"))
+  }
+
   /** H17: BM25 retrieval scoring for a fixed term set — the ranking
     * pass a corpus-search / example-selection pipeline runs over
     * documents. Per-doc term frequencies come from the native

@@ -496,6 +496,34 @@ class CurationSpec extends SparkTestBase {
       s"duplicate (doc,term) shuffle not reused:\n$finalPlan")
   }
 
+  test("bigram LM score: predictable-sequence docs outrank shuffled-rare ones; sub-bigram docs drop") {
+    val docs = docsDf(
+      1L -> "a b a b a b a b",  // one dominant bigram pattern
+      2L -> "a qzx b wvut a jjk",  // same length, singleton bigrams
+      3L -> "solo")            // no bigram positions: excluded
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._1 == 7 && out(2L)._1 == 5)
+    assert(out(1L)._2 > out(2L)._2,
+      s"patterned ${out(1L)._2} must beat rare ${out(2L)._2}")
+  }
+
+  test("bigram LM score: hand-checked conditional probabilities") {
+    // corpus = one doc "x y x y": bigrams xy(2), yx(1); contexts
+    // x·=2, y·=1; V = {x,y} = 2.
+    // P(y|x) = (2+.5)/(2+1) = 5/6, P(x|y) = (1+.5)/(1+1) = 3/4
+    // avg = (2·ln(5/6) + 1·ln(3/4)) / 3   (micronat-rounded per term)
+    val docs = docsDf(1L -> "x y x y")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 3)
+    val exp = (math.round(2.0 * math.log(2.5 / 3.0) * 1e6) +
+      math.round(1.0 * math.log(1.5 / 2.0) * 1e6)) / 1e6 / 3.0
+    val expR = BigDecimal(exp).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(out.head.getDouble(2)) == expR,
+      s"got ${out.head.getDouble(2)}, want $expR")
+  }
+
   // ——— negativeSamples ———
 
   test("negative sampling: deterministic, capped at k, never self or same-label") {
