@@ -89,6 +89,11 @@ object LlmQueries {
       val e = emb(s, dir)
       Similarity.exactPrunedTopK(s, e, e.filter(col("vec_id") < 10), k = 5)
     }),
+    // —— G19: product quantization — 4 subspaces × 4-centroid
+    //    codebooks, integer-exact quantized-L2 training ——
+    "embed_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(s, emb(s, dir), m = 4, dsub = 16, ksub = 4,
+        iters = 2)),
     // —— G18: Matryoshka truncated-prefix coarse pass + exact rerank ——
     "sim_topk_truncated" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -463,6 +468,51 @@ object LlmQueries {
 
   private val stopIn = "x -> x IN ('the', 'a', 'of', 'is')"
 
+  /** G19 oracle: PQ training unrolled (the sim_topk_ivf move), all
+    * subspaces as one `sub`-keyed chain. Distance is pure int64
+    * (round(v·2²⁰) quantized squared-L2) so the replay carries NO
+    * float-summation or libm parity assumption at all.
+    */
+  private val pqSql: String = {
+    val dist = "list_sum([ (CAST(round(svec[i]*1048576.0) AS BIGINT)" +
+      " - CAST(round(cvec[i]*1048576.0) AS BIGINT))" +
+      " * (CAST(round(svec[i]*1048576.0) AS BIGINT)" +
+      " - CAST(round(cvec[i]*1048576.0) AS BIGINT))" +
+      " for i in generate_series(1, 16) ])"
+    def assignCte(a: String, c: String) =
+      s"""$a AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |              ORDER BY dist, cid) AS rn
+         |  FROM (SELECT sv.vec_id, sv.sub, sv.svec, c.cid, $dist AS dist
+         |        FROM sv JOIN $c c USING (sub)))
+         |  WHERE rn = 1)""".stripMargin
+    def centCtes(mName: String, cName: String, a: String) =
+      s"""$mName AS (SELECT sub, cid, g.d,
+         |    CAST(SUM(CAST(round(svec[g.d]*1048576.0) AS BIGINT)) AS DOUBLE)
+         |      / (COUNT(*) * 1048576.0) AS mv
+         |  FROM $a, generate_series(1, 16) AS g(d)
+         |  GROUP BY 1, 2, 3),
+         |$cName AS (SELECT sub, cid,
+         |    list(CAST(CAST(mv AS FLOAT) AS DOUBLE) ORDER BY d) AS cvec
+         |  FROM $mName GROUP BY 1, 2)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |sv AS (SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS svec
+       |       FROM e, (SELECT unnest(range(4)) AS sub) s),
+       |c0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cid, svec AS cvec
+       |       FROM sv WHERE vec_id < 4),
+       |${assignCte("a1", "c0")},
+       |${centCtes("m1", "c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${centCtes("m2", "c2", "a2")},
+       |${assignCte("a3", "c2")}
+       |SELECT vec_id,
+       |  '[' || array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sub), ',')
+       |      || ']' AS codes,
+       |  round(CAST(SUM(dist) AS BIGINT) / 1099511627776.0, 6) AS err2
+       |FROM a3 GROUP BY 1""".stripMargin
+  }
+
   private val bruteTopKSql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
        |           FROM embeddings WHERE vec_id < 10),
@@ -662,6 +712,7 @@ object LlmQueries {
          |  FROM g x JOIN g y ON x.label = y.label AND x.rep < y.rep)
          |WHERE cos_r >= 0.4""".stripMargin,
     "sim_topk_bruteforce" -> bruteTopKSql,
+    "embed_pq_codes" -> pqSql,
     // G18: coarse pass on the 16-dim prefix, rerank the 20-shortlist
     // with the full vector — slices replay as 1-based DuckDB [1:16]
     "sim_topk_truncated" ->

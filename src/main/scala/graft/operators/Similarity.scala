@@ -355,6 +355,83 @@ object Similarity {
         col("cos_r"), col("rank"))
   }
 
+  /** G19: product quantization — the memory lever for billion-scale
+    * ANN (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search"): each vector splits into `m` subvectors; each subspace
+    * gets its own `ksub`-centroid codebook; a vector stores as m
+    * small codes (here 4 codes ≈ 1 byte vs 256 float bytes). Emits
+    * per-vector codes plus the quantization error, the readout that
+    * sizes a PQ deployment.
+    *
+    * Training is the G2b deterministic k-means generalized by a
+    * `sub` key, so ALL subspaces train in one plan — no per-subspace
+    * driver loop, no collect anywhere: the codebook is a (m·ksub)-row
+    * broadcast DataFrame flowing iteration to iteration (the
+    * classifierTrain state-as-broadcast shape). Init = subvectors of
+    * the first `ksub` vectors; `iters` unrolled Lloyd steps.
+    *
+    * DISTANCE IS EXACT INTEGER: components quantize to round(v·2²⁰)
+    * int64 and the squared-L2 sums those integer differences — no
+    * float summation anywhere in assignment, so argmin ties, codes
+    * and error are bit-identical on any partitioning AND carry zero
+    * libm/fold-order parity assumptions against the oracle (stronger
+    * than the cosine paths' raw-double argmax assumption). Centroid
+    * means use the scaled-int64 exact sums and snap through float,
+    * exactly like G2b/G17. Empty cells drop out of the codebook
+    * identically in both engines.
+    *
+    * Per iteration: one broadcast join (codebook) + one
+    * (vec,sub)-keyed argmin shuffle + one (sub,cid,d)-keyed
+    * explode-combine re-center — everything map-side combines; the
+    * corpus never shuffles whole vectors except as the m·dsub narrow
+    * dim rows of the re-center (G17's documented inflation shape,
+    * replaceable by a vector-summing TypedImperativeAggregate at
+    * 100 TB).
+    */
+  def pqCodes(s: SparkSession, emb: DataFrame, m: Int = 4, dsub: Int = 16,
+              ksub: Int = 4, iters: Int = 2): DataFrame = {
+    val subs = array((0 until m).map(i =>
+      slice(col("embedding").cast("array<double>"), i * dsub + 1, dsub)): _*)
+    val svecs = emb.select(col("vec_id"),
+      posexplode(subs).as(Seq("sub", "svec")))
+    val cent0 = svecs.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"),
+        col("svec").as("cvec"))
+    val Scale = 1048576.0 // 2^20, the G2b exact-accumulation scale
+    def q(c: Column): Column = round(c * lit(Scale)).cast("long")
+    def d2: Column = aggregate(
+      zip_with(col("svec"), col("cvec"), (x, y) => (q(x) - q(y)) * (q(x) - q(y))),
+      lit(0L), (acc, x) => acc + x)
+    def assign(c: DataFrame): DataFrame =
+      svecs.join(broadcast(c), Seq("sub"))
+        .withColumn("dist", d2)
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"),
+          min(col("dist")).as("dist"),
+          first(col("svec")).as("svec"))
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("d", "v")))
+        .groupBy(col("sub"), col("cid"), col("d"))
+        .agg((sum(q(col("v"))).cast("double") /
+          (count(lit(1)) * lit(Scale))).as("mv"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("d"), col("mv")))).as("dm"))
+        .select(col("sub"), col("cid"),
+          expr("transform(dm, x -> CAST(CAST(x.mv AS FLOAT) AS DOUBLE))")
+            .as("cvec"))
+    val trained = (1 to iters).foldLeft(cent0)((c, _) => recenter(assign(c)))
+    assign(trained)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"),
+        sum(col("dist")).as("dsum"))
+      .select(col("vec_id"),
+        concat(lit("["),
+          array_join(expr("transform(sc, x -> CAST(x.cid AS STRING))"), ","),
+          lit("]")).as("codes"),
+        round(col("dsum").cast("double") / lit(1099511627776.0), 6).as("err2"))
+  }
+
   /** F6: embedding near-dup pairs, blocked by label (the coarse
     * quantizer an IVF index would give): pairs only form inside a
     * label partition — one shuffle on label, never all-pairs.

@@ -99,6 +99,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("pq: separable subspace clusters share codes; cross-cluster errors dominate") {
+    import spark.implicits._
+    // 64-dim vectors built from two well-separated patterns per
+    // 16-dim subspace: members of the same pattern must quantize to
+    // the same code in every subspace and reconstruct near-exactly
+    def vec(hi: Boolean): Array[Float] =
+      Array.tabulate(64)(d => if (hi) 1.0f else -1.0f)
+    val rows = (0L to 3L).map(i => (i, vec(i % 2 == 0))) ++
+      (4L to 11L).map(i => (i, vec(i % 2 == 0)))
+    val emb2 = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(spark, emb2, m = 4, dsub = 16, ksub = 4,
+        iters = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toList
+    val byPattern = out.groupBy(_._1 % 2)
+    // every even vec shares one code string, every odd the other
+    assert(byPattern(0L).map(_._2).distinct.size == 1)
+    assert(byPattern(1L).map(_._2).distinct.size == 1)
+    assert(byPattern(0L).head._2 != byPattern(1L).head._2)
+    // exact-duplicate clusters sit ON their centroid: zero error
+    assert(out.forall(_._3 == 0.0), s"errors: ${out.map(_._3)}")
+  }
+
+  test("pq codes are bit-deterministic across partition layouts") {
+    def run(parts: Int) = Similarity.pqCodes(spark,
+        emb.repartition(parts), m = 4, dsub = 16, ksub = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val a = run(2)
+    assert(a.nonEmpty && a == run(7))
+    // codes stay in range and errors are non-negative
+    assert(a.forall { case (_, codes, err) =>
+      err >= 0.0 && codes.stripPrefix("[").stripSuffix("]").split(",")
+        .forall(c => c.toInt >= 0 && c.toInt < 4)
+    })
+  }
+
   test("exact pruned top-k equals brute force row-for-row AND actually prunes") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(spark, emb, queries, k = 5)
