@@ -60,6 +60,9 @@ object SparkEntry {
     // —— I9: weekly retention cohorts ——
     "events_retention" -> ((s, dir) =>
       Analytics.retentionCohorts(cat(s, dir).events)),
+    // —— I10: daily trending event types, top-3 ——
+    "events_trending" -> ((s, dir) =>
+      Analytics.trendingTypes(cat(s, dir).events)),
     "quantiles_sketch" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       graft.operators.Pipeline100TB.quantileSketch(
@@ -277,6 +280,14 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.02 AND 0.09
         |  AND l_quantity < 25""".stripMargin,
+    "events_trending" ->
+      """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |             event_type, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY day
+        |        ORDER BY n DESC, event_type) AS rnk FROM c)
+        |SELECT day, event_type, n, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
     "events_retention" ->
       """WITH su AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
         |            FROM events WHERE event_type = 'signup' GROUP BY 1),

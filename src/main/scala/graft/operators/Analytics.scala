@@ -190,6 +190,25 @@ object Analytics {
           when(col("t3m").isNotNull, 1).otherwise(0)).cast("int").as("steps"))
   }
 
+  /** I10: daily trending event types — top-3 per day by count with
+    * deterministic ties. The rank window runs over the AGGREGATED
+    * (day, type) frame — rows = days × event types, so partitions are
+    * calendar-bounded at any corpus scale; the only corpus-sized work
+    * is the map-side-combined groupBy.
+    */
+  def trendingTypes(events: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("day"))
+          .orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rnk") <= k)
+      .withColumn("rnk", col("rnk").cast("int"))
+  }
+
   /** I9: weekly retention cohorts — the classic activation read-out
     * (cohort = the ISO week of a user's first signup; a cohort
     * member is ACTIVE in week-offset k if they produced any event

@@ -101,6 +101,8 @@ object LlmQueries {
         dPrefix = 16, cands = 20, k = 5)
     }),
     "embed_norms" -> ((s, dir) => Similarity.norms(emb(s, dir))),
+    // —— G20: corpus mean-centering diagnostics ——
+    "embed_center" -> ((s, dir) => Similarity.centeredStats(s, emb(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
@@ -713,6 +715,25 @@ object LlmQueries {
          |WHERE cos_r >= 0.4""".stripMargin,
     "sim_topk_bruteforce" -> bruteTopKSql,
     "embed_pq_codes" -> pqSql,
+    // G20: exact scaled-int64 mean (float-snapped), then map-side
+    // cosine-to-mean + integer-exact centered norm
+    "embed_center" -> {
+      val dq = "list_sum([ (CAST(round(embedding[i]*1048576.0) AS BIGINT)" +
+        " - CAST(round(mvec[i]*1048576.0) AS BIGINT))" +
+        " * (CAST(round(embedding[i]*1048576.0) AS BIGINT)" +
+        " - CAST(round(mvec[i]*1048576.0) AS BIGINT))" +
+        " for i in generate_series(1, 64) ])"
+      s"""WITH m0 AS (SELECT g.d,
+         |    CAST(SUM(CAST(round(embedding[g.d]*1048576.0) AS BIGINT))
+         |         AS DOUBLE) / (COUNT(*) * 1048576.0) AS mv
+         |  FROM embeddings, generate_series(1, 64) AS g(d) GROUP BY 1),
+         |m AS (SELECT list(CAST(CAST(mv AS FLOAT) AS DOUBLE) ORDER BY d)
+         |        AS mvec FROM m0)
+         |SELECT vec_id,
+         |  round(${cosSql.format("embedding", "mvec")}, 4) AS cos_mean,
+         |  round(sqrt(CAST($dq AS DOUBLE)) / 1048576.0, 4) AS norm_c
+         |FROM embeddings, m""".stripMargin
+    },
     // G18: coarse pass on the 16-dim prefix, rerank the 20-shortlist
     // with the full vector — slices replay as 1-based DuckDB [1:16]
     "sim_topk_truncated" ->

@@ -432,6 +432,45 @@ object Similarity {
         round(col("dsum").cast("double") / lit(1099511627776.0), 6).as("err2"))
   }
 
+  /** G20: corpus mean-centering diagnostics — retrieval embeddings
+    * cluster around a dominant mean direction (anisotropy); centering
+    * is the standard preprocessing before cosine search/whitening
+    * (all-but-the-top). Emits, per vector: its cosine to the corpus
+    * mean and its centered norm — the two readouts that size how much
+    * centering changes a corpus.
+    *
+    * The mean accumulates per-dimension as round(v·2²⁰) int64 (the
+    * G17/G2b exact order-free trick) through ONE posexploded
+    * map-side-combined shuffle of narrow dim rows, snaps to float,
+    * and broadcasts back as a single 64-float row; both outputs are
+    * then zero-shuffle map-side expressions over the embedding scan.
+    * The centered norm is integer-exact (the G19 quantized-L2 form:
+    * Σ(round(x·2²⁰)−round(μ·2²⁰))² in int64, sqrt once at the end),
+    * so it carries no fold-order assumption; cos_mean carries G1's
+    * raw-double cosine parity.
+    */
+  def centeredStats(s: SparkSession, emb: DataFrame): DataFrame = {
+    withCosine(s)
+    val Scale = 1048576.0
+    def q(c: Column): Column = round(c * lit(Scale)).cast("long")
+    val mean = emb
+      .select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg((sum(q(col("v"))).cast("double") /
+        (count(lit(1)) * lit(Scale))).as("mv"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("d"), col("mv")))).as("dm"))
+      .select(expr("transform(dm, x -> CAST(x.mv AS FLOAT))").as("mvec"))
+    val dq = aggregate(
+      zip_with(col("embedding"), col("mvec"),
+        (x, y) => (q(x) - q(y)) * (q(x) - q(y))),
+      lit(0L), (acc, x) => acc + x)
+    emb.crossJoin(broadcast(mean))
+      .select(col("vec_id"),
+        expr("round(cosine_sim(embedding, mvec), 4)").as("cos_mean"),
+        round(sqrt(dq.cast("double")) / lit(Scale), 4).as("norm_c"))
+  }
+
   /** F6: embedding near-dup pairs, blocked by label (the coarse
     * quantizer an IVF index would give): pairs only form inside a
     * label partition — one shuffle on label, never all-pairs.

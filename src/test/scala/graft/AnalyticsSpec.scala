@@ -78,6 +78,27 @@ class AnalyticsSpec extends SparkTestBase {
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
 
+  test("trending types: top-3 per day by count, alphabetical ties, losers cut") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int): Timestamp =
+      Timestamp.valueOf(f"2024-03-0$day $h%02d:00:00")
+    val ev = (
+      Seq.fill(3)(("view", 1)) ++ Seq.fill(2)(("click", 1)) ++
+        Seq.fill(2)(("signup", 1)) ++ Seq.fill(1)(("purchase", 1)) ++
+        Seq.fill(2)(("view", 2))
+      ).zipWithIndex.map { case ((t, d), i) => (i.toLong, t, ts(d, i % 24)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = Analytics.trendingTypes(ev).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getString(1), r.getLong(2), r.getInt(3)))
+    val d1 = got.filter(_._1 == "2024-03-01").sortBy(_._4)
+    // click=2 vs signup=2 tie → click first alphabetically; purchase cut
+    assert(d1.map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq(("view", 3L, 1), ("click", 2L, 2), ("signup", 2L, 3)), d1.toSeq)
+    assert(got.filter(_._1 == "2024-03-02").map(_._2).toSeq == Seq("view"))
+  }
+
   test("retention cohorts: hand-built events — never-signed-up and pre-signup activity excluded") {
     import spark.implicits._
     import java.sql.Timestamp

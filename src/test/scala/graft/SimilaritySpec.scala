@@ -134,6 +134,29 @@ class SimilaritySpec extends SparkTestBase {
     })
   }
 
+  test("centered stats: the mean vector itself has zero centered norm and cosine 1") {
+    import spark.implicits._
+    // symmetric pairs around m = (0.5,...,0.5) plus m itself: the
+    // corpus mean IS m (exact under the 2^20 scale), so the m row
+    // must read norm_c = 0, cos_mean = 1
+    val m = Array.fill(64)(0.5f)
+    val hi = Array.fill(64)(0.75f)
+    val lo = Array.fill(64)(0.25f)
+    val emb2 = Seq((1L, hi), (2L, lo), (3L, m)).toDF("vec_id", "embedding")
+    val out = Similarity.centeredStats(spark, emb2).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(3L) == ((1.0, 0.0)), s"mean row: ${out(3L)}")
+    // the symmetric pair sits equidistant from the mean
+    assert(out(1L)._2 == out(2L)._2 && out(1L)._2 > 0.0)
+  }
+
+  test("centered stats are deterministic across partition layouts") {
+    def run(parts: Int) = Similarity.centeredStats(spark, emb.repartition(parts))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val a = run(2)
+    assert(a.nonEmpty && a == run(7))
+  }
+
   test("exact pruned top-k equals brute force row-for-row AND actually prunes") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(spark, emb, queries, k = 5)
