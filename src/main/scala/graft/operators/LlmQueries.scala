@@ -222,6 +222,10 @@ object LlmQueries {
         tokCol = size(tokens(col("text"))).cast("long"),
         alpha = 0.3, budget = 100000L, capEpochs = 2L)
     }),
+    // —— G21: Count-Min sketch with probe-term error readout ——
+    "sketch_cms" -> ((s, dir) =>
+      graft.operators.Pipeline100TB.cmsProbe(docs(s, dir), "text",
+        probes = Seq("the", "a", "of", "is", "qzxkj"), d = 4, w = 64)),
     // —— H17: BM25 scoring over a fixed query-term set, top-20 ——
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
@@ -1199,6 +1203,35 @@ object LlmQueries {
         |  round(alloc, 4) AS alloc_tok,
         |  round(alloc / CAST(n_tok AS DOUBLE), 6) AS epochs
         |FROM a""".stripMargin,
+    // G21: cell placement replays the md5-60-bit + affine-perm family;
+    // every value is exact int64 — zero float anywhere
+    "sketch_cms" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), ' +'))
+        |             AS tok
+        |           FROM documents),
+        |h AS (SELECT tok, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) AS h60
+        |      FROM t),
+        |cells AS (SELECT r.range AS row,
+        |    (((h60 % 2147483647) * (1 + 7*r.range) + (13 + 11*r.range))
+        |     % 2147483647) % 64 AS bucket
+        |  FROM h, range(4) r),
+        |sk AS (SELECT row, bucket, COUNT(*) AS cell_n FROM cells GROUP BY 1, 2),
+        |p AS (SELECT unnest(['the', 'a', 'of', 'is', 'qzxkj']) AS probe),
+        |ph AS (SELECT probe,
+        |         CAST('0x'||substr(md5(probe),1,15) AS BIGINT) AS h60
+        |       FROM p),
+        |pc AS (SELECT probe, r.range AS row,
+        |    (((h60 % 2147483647) * (1 + 7*r.range) + (13 + 11*r.range))
+        |     % 2147483647) % 64 AS bucket
+        |  FROM ph, range(4) r),
+        |est AS (SELECT probe, MIN(COALESCE(sk.cell_n, 0)) AS est_n
+        |        FROM pc LEFT JOIN sk USING (row, bucket) GROUP BY 1),
+        |tr AS (SELECT tok, COUNT(*) AS true_n FROM t
+        |       WHERE tok IN ('the', 'a', 'of', 'is', 'qzxkj') GROUP BY 1)
+        |SELECT probe, CAST(est_n AS BIGINT) AS est_n,
+        |  CAST(COALESCE(tr.true_n, 0) AS BIGINT) AS true_n,
+        |  CAST(est_n - COALESCE(tr.true_n, 0) AS BIGINT) AS over_n
+        |FROM est LEFT JOIN tr ON tr.tok = est.probe""".stripMargin,
     "text_bm25" -> {
       val terms = Seq("spark", "query", "stream")
       val tfs = terms.zipWithIndex.map { case (t, i) =>

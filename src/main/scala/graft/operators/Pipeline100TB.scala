@@ -206,6 +206,63 @@ object Pipeline100TB {
     * rate·maxgroup fits an executor; below that, fall back to the
     * distributed-rank exact path.
     */
+  /** G21: Count-Min sketch — the streaming-scale heavy-hitter counter
+    * (Cormode & Muthukrishnan): d=4 hash rows × w=64 buckets of exact
+    * integer counts; an item's estimate is the MIN over its d row
+    * cells, always ≥ the true count (one-sided error ≤ εN w.h.p.).
+    * Emits, for a fixed probe-term set, the estimate, the true count
+    * and the overestimate — the readout that sizes a CMS deployment
+    * (pick w from the observed ε at your N).
+    *
+    * The sketch build is the whole at-scale story: the corpus
+    * explodes to 4 narrow (row, bucket) cells per token and
+    * map-side-combines to the 256-cell grid before its single
+    * shuffle — sketch size is INDEPENDENT of corpus size, which is
+    * the point of a sketch. Hashing is the engine-wide md5-60-bit
+    * scheme through the [[graft.functions.Hash60.perm]] affine
+    * family, so the oracle replays cell placement exactly; every
+    * count is an exact int64 — the whole query is hash-exact with
+    * zero float anywhere.
+    */
+  def cmsProbe(docs: DataFrame, textCol: String, probes: Seq[String],
+               d: Int = 4, w: Int = 64): DataFrame = {
+    require(probes.nonEmpty, "cmsProbe needs probe terms")
+    import graft.functions.Hash60
+    def cell(h: Column, i: Int): Column = Hash60.perm(h, i) % w
+    val toks = docs.select(explode(Hash60.tokens(col(textCol))).as("tok"))
+      .withColumn("__h", Hash60.hash60(col("tok")))
+    val sketch = toks
+      .select(col("tok"), posexplode(array((0 until d).map(i =>
+        cell(col("__h"), i)): _*)).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+    val truth = toks.filter(col("tok").isin(probes: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+    val probeCells = probes.toDF_(docs).select(col("probe"),
+      posexplode(array((0 until d).map(i =>
+        cell(Hash60.hash60(col("probe")), i)): _*)).as(Seq("row", "bucket")))
+    probeCells
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col("probe"))
+      .agg(min(coalesce(col("cell_n"), lit(0L))).as("est_n"))
+      .join(truth, col("probe") === col("tok"), "left")
+      .select(col("probe"),
+        col("est_n"),
+        coalesce(col("true_n"), lit(0L)).as("true_n"),
+        (col("est_n") - coalesce(col("true_n"), lit(0L))).as("over_n"))
+  }
+
+  /** Literal probe frame helper for [[cmsProbe]] (a Seq → one-column
+    * DataFrame without an implicits import at the call site).
+    */
+  private implicit class SeqToDf(private val xs: Seq[String]) {
+    def toDF_(ref: DataFrame): DataFrame = {
+      val s = ref.sparkSession
+      import s.implicits._
+      xs.toDF("probe")
+    }
+  }
+
   def quantileSketch(df: DataFrame, sampleKey: Column, ratePct: Int,
                      groupCols: Seq[Column], valCol: Column,
                      ps: Seq[(String, Double)]): DataFrame = {

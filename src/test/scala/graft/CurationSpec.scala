@@ -812,6 +812,36 @@ class CurationSpec extends SparkTestBase {
       s"uncollapsed=$uncollapsed cross=$cross intra=$intra")
   }
 
+  // ——— cmsProbe (G21) ———
+
+  test("count-min sketch: one-sided error, exact on a collision-free corpus, absent probes read their collisions") {
+    // tiny distinct vocabulary: with d=4 × w=64 the probability that
+    // a HAND-CHECKED pair collides in all 4 rows is nil — verify the
+    // exact case, then the invariant est >= true on the real table
+    val docs = docsDf(
+      1L -> "alpha beta alpha",
+      2L -> "beta gamma alpha")
+    val out = Pipeline100TB.cmsProbe(docs, "text",
+        probes = Seq("alpha", "beta", "gamma", "absent"), d = 4, w = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("alpha")._2 == 3L && out("beta")._2 == 2L &&
+      out("gamma")._2 == 1L && out("absent")._2 == 0L)
+    // one-sided: estimate never undercounts
+    assert(out.values.forall { case (est, tru, over) =>
+      est >= tru && over == est - tru })
+    // 3 distinct tokens in 256 cells: no full-row collision — exact
+    assert(out("alpha")._1 == 3L && out("beta")._1 == 2L)
+    // invariant holds on the real corpus too, any partitioning
+    val d = TableCatalog(spark, sfDir).documents
+    def run(parts: Int) = Pipeline100TB.cmsProbe(d.repartition(parts), "text",
+        probes = Seq("the", "of", "qzxkj"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(2)
+    assert(a == run(7))
+    assert(a.forall { case (_, est, tru) => est >= tru })
+  }
+
   // ——— classifierTrain (H20b) ———
 
   private def langDocsDf(rows: (Long, String, String)*) = {
