@@ -51,16 +51,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName everywhere: two cosine_sim calls fused into ONE
+      // WholeStageCodegen stage would otherwise redeclare these and
+      // fail janino compilation, dropping the whole stage to the
+      // interpreted path (observed at sf10 on multi-cosine plans)
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = (double) $a.getFloat(i);
-         |  double yi = (double) $b.getFloat(i);
-         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = (na == 0.0 || nb == 0.0)
-         |  ? 0.0 : dot / (Math.sqrt(na) * Math.sqrt(nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($nb));
        """.stripMargin
     })
 

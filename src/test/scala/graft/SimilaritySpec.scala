@@ -99,6 +99,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("two cosine_sim calls fuse into one codegen stage without local-name collisions") {
+    graft.functions.CosineSimilarity.register(spark)
+    // fallback=false makes a janino compile failure THROW instead of
+    // silently dropping the stage to the interpreted path — the
+    // regression this guards was observed at sf10 on multi-cosine
+    // projections (fixed locals redeclared across fused calls)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = emb.selectExpr("vec_id",
+        "cosine_sim(embedding, embedding) AS c1",
+        "cosine_sim(slice(embedding, 1, 8), slice(embedding, 1, 8)) AS c2")
+        .collect()
+      assert(out.nonEmpty)
+      assert(out.forall(r =>
+        math.abs(r.getDouble(1) - 1.0) < 1e-9 &&
+        math.abs(r.getDouble(2) - 1.0) < 1e-9))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("pq: separable subspace clusters share codes; cross-cluster errors dominate") {
     import spark.implicits._
     // 64-dim vectors built from two well-separated patterns per
