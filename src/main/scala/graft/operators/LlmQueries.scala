@@ -264,6 +264,19 @@ object LlmQueries {
     "text_ppl_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(docs(s, dir), "doc_id", "text")),
     // —— G17: nearest-centroid assignment (cluster-assignment step) ——
+    // —— G17b: cluster-balanced sampling — deterministic hash-ranked
+    //    k per assigned cluster (the SemDeDup/DCLM "equal share per
+    //    cluster" selection step) ——
+    "sample_cluster_balanced" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val a = Similarity.centroidAssign(s, emb(s, dir))
+      a.select(col("vec_id"), col("assigned"),
+          graft.functions.Hash60.hash60(col("vec_id").cast("string")).as("__h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("assigned")).orderBy(col("__h"), col("vec_id"))))
+        .filter(col("rk") <= 25)
+        .select(col("vec_id"), col("assigned"), col("rk").cast("int").as("rk"))
+    }),
     "embed_centroid_assign" -> ((s, dir) =>
       Similarity.centroidAssign(s, emb(s, dir))),
     // —— F16: block-aligned span-trimmed corpus (F15's action) ——
@@ -1497,23 +1510,42 @@ object LlmQueries {
     // G17: scaled-int64 centroid sums (2^20), float32-snapped means,
     // double cosine — every arithmetic step mirrored engine-side
     "embed_centroid_assign" ->
-      """WITH u AS (SELECT label,
-        |        CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS dim,
-        |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0) AS BIGINT)
-        |          AS sv
-        |      FROM embeddings),
-        |c AS (SELECT label, dim, SUM(sv) AS s, COUNT(*) AS n FROM u GROUP BY 1, 2),
-        |cent AS (SELECT label AS c_label,
-        |           CAST(list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY dim)
-        |                AS FLOAT[]) AS c_emb
-        |         FROM c GROUP BY label),
-        |sc AS (SELECT e.vec_id, e.label, cent.c_label,
-        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                      CAST(c_emb AS DOUBLE[])), 4) AS cos_r
-        |       FROM embeddings e CROSS JOIN cent),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |        ORDER BY cos_r DESC, c_label) AS rn FROM sc)
-        |SELECT vec_id, label, c_label AS assigned, cos_r, label = c_label AS correct
-        |FROM r WHERE rn = 1""".stripMargin,
+      s"""WITH $centroidAssignCtes
+         |SELECT vec_id, label, c_label AS assigned, cos_r, label = c_label AS correct
+         |FROM r WHERE rn = 1""".stripMargin,
+    // G17b: the same assignment chain, then a deterministic
+    // hash-ranked k per cluster
+    "sample_cluster_balanced" ->
+      s"""WITH $centroidAssignCtes,
+         |asg AS (SELECT vec_id, c_label AS assigned FROM r WHERE rn = 1),
+         |hk AS (SELECT vec_id, assigned,
+         |         CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)
+         |              AS BIGINT) AS h
+         |       FROM asg),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY assigned
+         |         ORDER BY h, vec_id) AS rk FROM hk)
+         |SELECT vec_id, assigned, CAST(rk AS INTEGER) AS rk
+         |FROM rk WHERE rk <= 25""".stripMargin,
   )
+
+  /** G17's assignment chain as a shared CTE block, so the
+    * sampling composition can never drift from the assignment oracle.
+    */
+  private lazy val centroidAssignCtes: String =
+    """u AS (SELECT label,
+      |        CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS dim,
+      |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0) AS BIGINT)
+      |          AS sv
+      |      FROM embeddings),
+      |c AS (SELECT label, dim, SUM(sv) AS s, COUNT(*) AS n FROM u GROUP BY 1, 2),
+      |cent AS (SELECT label AS c_label,
+      |           CAST(list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY dim)
+      |                AS FLOAT[]) AS c_emb
+      |         FROM c GROUP BY label),
+      |sc AS (SELECT e.vec_id, e.label, cent.c_label,
+      |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                      CAST(c_emb AS DOUBLE[])), 4) AS cos_r
+      |       FROM embeddings e CROSS JOIN cent),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY cos_r DESC, c_label) AS rn FROM sc)""".stripMargin
 }

@@ -99,6 +99,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("cluster-balanced sampling: at most k per cluster, lowest-hash members, deterministic") {
+    import org.apache.spark.sql.expressions.Window
+    def run(parts: Int) = graft.operators.LlmQueries
+      .queries("sample_cluster_balanced")(spark, sfDir)
+    // trick: queries take (session, dir); call through the registry so
+    // the spec exercises exactly the declared query
+    val out = run(0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val perCluster = out.groupBy(_._2)
+    assert(perCluster.values.forall(_.length <= 25))
+    assert(perCluster.values.forall(g =>
+      g.map(_._3).sorted.toSeq == (1 to g.length)))
+    // deterministic across invocations
+    val again = run(1).collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("two cosine_sim calls fuse into one codegen stage without local-name collisions") {
     graft.functions.CosineSimilarity.register(spark)
     // fallback=false makes a janino compile failure THROW instead of
