@@ -33,7 +33,11 @@ object Verify {
     // one-line input-type drift into 38 invisibly-absent driver entries.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses the whole
+      // upstream plan of a map-only query into ONE task (a zero-shuffle
+      // scan single-threads at scaled SFs); the explicit exchange keeps
+      // compute parallel and still lands one tidy part file.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
