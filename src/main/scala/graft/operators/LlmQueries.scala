@@ -747,7 +747,7 @@ object LlmQueries {
          |m AS (SELECT list(CAST(CAST(mv AS FLOAT) AS DOUBLE) ORDER BY d)
          |        AS mvec FROM m0)
          |SELECT vec_id,
-         |  round(${cosSql.format("embedding", "mvec")}, 4) AS cos_mean,
+         |  round(${cosSql.format("embedding", "mvec")}, 4) + 0.0 AS cos_mean,
          |  round(sqrt(CAST($dq AS DOUBLE)) / 1048576.0, 4) AS norm_c
          |FROM embeddings, m""".stripMargin
     },

@@ -467,7 +467,10 @@ object Similarity {
       lit(0L), (acc, x) => acc + x)
     emb.crossJoin(broadcast(mean))
       .select(col("vec_id"),
-        expr("round(cosine_sim(embedding, mvec), 4)").as("cos_mean"),
+        // + 0.0 canonicalizes IEEE negative zero: a cosine rounding to
+        // -0.0 would otherwise string-render differently across engines
+        (expr("round(cosine_sim(embedding, mvec), 4)") + lit(0.0))
+          .as("cos_mean"),
         round(sqrt(dq.cast("double")) / lit(Scale), 4).as("norm_c"))
   }
 

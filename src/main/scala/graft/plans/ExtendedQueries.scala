@@ -559,14 +559,34 @@ object ExtendedQueries {
         |FROM orders LEFT JOIN lineitem
         |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate AND l_quantity >= 10
         |WHERE o_orderkey <= 200 GROUP BY o_orderkey""".stripMargin,
+    // A true merge replay, NOT the "appended keys are always free"
+    // shortcut: at the 100x-replicated decade the shifted insert keys
+    // (orig + 1e6) COLLIDE with scaled base keys, and a real $merge
+    // must replace those rows, not append them. The closed form below
+    // reproduces matched-replace + unmatched-insert at any scale.
     "pipe_merge" ->
-      """SELECT c_custkey, c_name, c_nationkey,
-        |  CASE WHEN c_custkey <= 50 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
-        |  c_mktsegment
-        |FROM customer
+      """WITH src AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal * 2 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey <= 50
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey <= 10)
+        |SELECT b.c_custkey,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+        |       ELSE b.c_name END AS c_name,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+        |       ELSE b.c_nationkey END AS c_nationkey,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+        |       ELSE b.c_acctbal END AS c_acctbal,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+        |       ELSE b.c_mktsegment END AS c_mktsegment
+        |FROM customer b LEFT JOIN src s ON b.c_custkey = s.c_custkey
         |UNION ALL
-        |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM customer WHERE c_custkey <= 10""".stripMargin,
+        |SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment
+        |FROM src s LEFT JOIN customer b ON s.c_custkey = b.c_custkey
+        |WHERE b.c_custkey IS NULL""".stripMargin,
     "pipe_expr_pack" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_shipdate + INTERVAL 2 DAY AS ship_plus2d,
