@@ -224,6 +224,24 @@ object Pipeline100TB {
     * count is an exact int64 — the whole query is hash-exact with
     * zero float anywhere.
     */
+  /** The CMS grid alone — shared by [[cmsProbe]] and the E17
+    * STREAMING sketch (a streaming groupBy over the same cells keeps
+    * the grid incrementally maintained with bounded state: d·w rows,
+    * corpus-size-independent — StreamingSinkSpec proves streamed ≡
+    * batch). Works unchanged on a streaming DataFrame.
+    */
+  def cmsGrid(docs: DataFrame, textCol: String,
+              d: Int = 4, w: Int = 64): DataFrame = {
+    import graft.functions.Hash60
+    def cell(h: Column, i: Int): Column = Hash60.perm(h, i) % w
+    docs.select(explode(Hash60.tokens(col(textCol))).as("tok"))
+      .withColumn("__h", Hash60.hash60(col("tok")))
+      .select(posexplode(array((0 until d).map(i =>
+        cell(col("__h"), i)): _*)).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+  }
+
   def cmsProbe(docs: DataFrame, textCol: String, probes: Seq[String],
                d: Int = 4, w: Int = 64): DataFrame = {
     require(probes.nonEmpty, "cmsProbe needs probe terms")
@@ -231,11 +249,7 @@ object Pipeline100TB {
     def cell(h: Column, i: Int): Column = Hash60.perm(h, i) % w
     val toks = docs.select(explode(Hash60.tokens(col(textCol))).as("tok"))
       .withColumn("__h", Hash60.hash60(col("tok")))
-    val sketch = toks
-      .select(col("tok"), posexplode(array((0 until d).map(i =>
-        cell(col("__h"), i)): _*)).as(Seq("row", "bucket")))
-      .groupBy(col("row"), col("bucket"))
-      .agg(count(lit(1)).as("cell_n"))
+    val sketch = cmsGrid(docs, textCol, d, w)
     val truth = toks.filter(col("tok").isin(probes: _*))
       .groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
     val probeCells = probes.toDF_(docs).select(col("probe"),

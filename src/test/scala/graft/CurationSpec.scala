@@ -842,6 +842,37 @@ class CurationSpec extends SparkTestBase {
     assert(a.forall { case (_, est, tru) => est >= tru })
   }
 
+  test("new-operator null/empty hardening: null lang, null source, empty text") {
+    import spark.implicits._
+    // classifierTrain: null lang = negative class (coalesce), not a
+    // null label poisoning every gradient
+    val d1 = Seq((1L, "the cat", Some("en")), (2L, "el gato", None))
+      .toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.classifierTrain(d1, "doc_id", "text",
+      positive = col("lang") === "en", dims = 8, iters = 1)
+    assert(w.collect().length == 9) // 8 buckets + bias, no NPE
+    // dsirSelect: null source = not-target (coalesce); empty text
+    // still hashes its one empty token
+    val d2 = Seq((1L, "alpha beta", Some("t")), (2L, "", None),
+      (3L, "alpha beta gamma", Some("x")))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.dsirSelect(d2, "doc_id", "text",
+      targetPred = col("source") === "t", dims = 8, k = 10).collect()
+    assert(out.length == 3) // every doc scored, none dropped
+    // mixTemperature: null strata are excluded (no NULL domain row)
+    val d3 = Seq((1L, Some("a"), "w w"), (2L, None, "w w w"))
+      .toDF("doc_id", "src", "text")
+    val mt = Pipeline100TB.mixTemperature(d3, "src",
+      size(split(col("text"), " ")).cast("long"), budget = 10L)
+      .collect().map(_.getString(0))
+    assert(mt.toSeq == Seq("a"))
+    // cmsProbe: empty-text corpus still yields a defined sketch
+    val d4 = docsDf(1L -> "")
+    val cms = Pipeline100TB.cmsProbe(d4, "text", probes = Seq("x"))
+      .collect()
+    assert(cms.length == 1 && cms.head.getLong(2) == 0L)
+  }
+
   // ——— classifierTrain (H20b) ———
 
   private def langDocsDf(rows: (Long, String, String)*) = {

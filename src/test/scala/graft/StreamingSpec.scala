@@ -297,4 +297,33 @@ class StreamingSpec extends SparkTestBase {
     // shape; here assert the batch form is deterministic & non-empty
     assert(batch.count() > 0)
   }
+
+  test("E17: streaming count-min grid equals the batch sketch across micro-batches") {
+    // the G21 sketch run INCREMENTALLY: the same cmsGrid transform on
+    // a stream keeps d·w rows of state (corpus-size-independent) and
+    // must converge to exactly the batch grid over the union of
+    // micro-batches — the mergeable-sketch property that makes CMS a
+    // streaming structure at all
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val grid = graft.operators.Pipeline100TB.cmsGrid(
+      ms.toDF.toDF("doc_id", "text"), "text")
+    val q = grid.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      q.processAllAvailable()
+      ms.addData((3L, "alpha delta"), (4L, "gamma gamma alpha"))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Pipeline100TB.cmsGrid(
+          Seq((1L, "alpha beta alpha"), (2L, "beta gamma"),
+            (3L, "alpha delta"), (4L, "gamma gamma alpha"))
+            .toDF("doc_id", "text"), "text")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
