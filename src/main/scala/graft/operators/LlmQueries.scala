@@ -233,6 +233,10 @@ object LlmQueries {
     // —— H7b: BPE pair-merge statistics, top-20 adjacent pairs ——
     "vocab_pairs" -> ((s, dir) =>
       TextAnalysis.pairCounts(docs(s, dir), "doc_id", "text", k = 20)),
+    // —— H7d: PMI collocations, min pair count 5, top-20 ——
+    "vocab_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(docs(s, dir), "doc_id", "text",
+        minCount = 5, k = 20)),
     // —— H18: unigram LM quality score (avg token log-prob) ——
     "text_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")),
@@ -1278,6 +1282,31 @@ object LlmQueries {
          |SELECT pair, COUNT(*) AS n
          |FROM p GROUP BY 1
          |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // H7d: identical PMI formula, identical operation order
+    "vocab_pmi" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), ' +') AS toks
+        |  FROM documents),
+        |u AS (SELECT tok, COUNT(*) AS c1
+        |      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+        |b AS (SELECT bg, COUNT(*) AS cab
+        |      FROM (SELECT unnest([toks[i] || ' ' || toks[i+1]
+        |                           for i in generate_series(1, len(toks)-1)])
+        |              AS bg
+        |            FROM t)
+        |      GROUP BY 1 HAVING COUNT(*) >= 5),
+        |nt AS (SELECT CAST(SUM(c1) AS DOUBLE) AS nt FROM u),
+        |nb AS (SELECT CAST(SUM(greatest(len(toks) - 1, 0)) AS DOUBLE) AS nb
+        |       FROM t)
+        |SELECT b.bg, b.cab,
+        |  round(ln(CAST(b.cab AS DOUBLE) * nt.nt * nt.nt
+        |           / (nb.nb * CAST(ua.c1 AS DOUBLE)
+        |              * CAST(ub.c1 AS DOUBLE))), 6) AS pmi
+        |FROM b
+        |JOIN u ua ON ua.tok = split_part(b.bg, ' ', 1)
+        |JOIN u ub ON ub.tok = split_part(b.bg, ' ', 2),
+        |nt, nb
+        |ORDER BY pmi DESC, bg LIMIT 20""".stripMargin,
     // H18b: sparse replay of the bigram LM — non-distinct bigram
     // comprehension (every occurrence), add-0.5 smoothing, micronat
     // fixed-point pre-sum

@@ -360,6 +360,50 @@ object TextAnalysis {
           col("n_big").cast("double"), 4).as("avg_logp2"))
   }
 
+  /** H7d: PMI phrase mining — top-k adjacent token pairs by pointwise
+    * mutual information, the classic collocation/phrase-detection
+    * statistic (word2vec-phrases, NPMI corpus studies):
+    * pmi(a,b) = ln( (c(ab)/N_pairs) / ((c(a)/N_tok)·(c(b)/N_tok)) ),
+    * computed as one formula with both engines sharing the exact
+    * operation order; a minimum pair count keeps noise pairs out
+    * (PMI's low-frequency pathology). Corpus shape: ONE bigram
+    * explode+shuffle (codegen [[graft.functions.WordShinglesAll]])
+    * and one unigram explode+shuffle to vocab-level count tables;
+    * the pair↔unigram joins run on AGGREGATED vocab rows (never
+    * corpus-sized), totals fold in as a broadcast 1-row aggregate,
+    * and the top-k is TakeOrdered. `ln` carries the BM25-documented
+    * parity note behind a 6-decimal round with count tie-breaks.
+    */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               minCount: Long = 5, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val toks = tokens(col(textCol))
+    val uni = docs.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val bi = docs.select(explode(GraftBridge.column(
+        graft.functions.WordShinglesAll(GraftBridge.expression(toks), 2)))
+        .as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    val totals = broadcast(uni.groupBy().agg(
+      sum(col("c1")).cast("double").as("nt")))
+    val nb = broadcast(docs.select(
+        (greatest(size(toks) - 1, lit(0))).cast("long").as("np"))
+      .groupBy().agg(sum(col("np")).cast("double").as("nb")))
+    bi
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .withColumn("b", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("tok").as("a"), col("c1").as("ca")), "a")
+      .join(uni.select(col("tok").as("b"), col("c1").as("cb")), "b")
+      .crossJoin(totals).crossJoin(nb)
+      .select(col("bg"), col("cab"),
+        round(log(col("cab").cast("double") * col("nt") * col("nt") /
+          (col("nb") * col("ca").cast("double") * col("cb").cast("double"))),
+          6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bg").asc)
+      .limit(k)
+  }
+
   /** H17: BM25 retrieval scoring for a fixed term set — the ranking
     * pass a corpus-search / example-selection pipeline runs over
     * documents. Per-doc term frequencies come from the native

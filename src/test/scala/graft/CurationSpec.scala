@@ -812,6 +812,27 @@ class CurationSpec extends SparkTestBase {
       s"uncollapsed=$uncollapsed cross=$cross intra=$intra")
   }
 
+  // ——— pmiPairs (H7d) ———
+
+  test("pmi: an exclusive collocation outranks a frequent independent pair; rare pairs are floored out") {
+    // "new york" always co-occurs (exclusive); "the" pairs with many
+    // different neighbors (independent); "rare gem" appears twice only
+    val phrase = Seq.fill(6)("new york").mkString(" ")
+    val indep = "the a the b the c the d the e the f"
+    val docs = docsDf(
+      1L -> phrase, 2L -> phrase,
+      3L -> indep, 4L -> indep,
+      5L -> "rare gem", 6L -> "rare gem")
+    val out = TextAnalysis.pmiPairs(docs, "doc_id", "text",
+        minCount = 5, k = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.contains("new york"))
+    assert(!out.contains("rare gem"), "pair below the count floor survived")
+    val thePairs = out.keys.filter(_.startsWith("the "))
+    assert(thePairs.forall(p => out(p) < out("new york")),
+      s"independent 'the *' pairs must score below the collocation: $out")
+  }
+
   // ——— cmsProbe (G21) ———
 
   test("count-min sketch: one-sided error, exact on a collision-free corpus, absent probes read their collisions") {
