@@ -236,6 +236,22 @@ object ExtendedQueries {
         docs, "doc_id", "text", n = 2, k = 16, bands = 4)
       Pipeline100TB.connectedComponents(pairs)
     }),
+    // —— F7c: near-dup cluster-size histogram — the dedup audit
+    //    readout (how much mass sits in how-big clusters); singleton
+    //    count derived from totals, not a join-back over the corpus ——
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val docs = TableCatalog(s, dir).documents
+      val pairs = graft.operators.Dedup.minhashCandidates(
+        docs, "doc_id", "text", n = 2, k = 16, bands = 4)
+      val clusters = Pipeline100TB.connectedComponents(pairs)
+      val hist = clusters.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      val tot = broadcast(docs.groupBy().agg(count(lit(1)).as("__nd")))
+      val cl = broadcast(clusters.groupBy().agg(count(lit(1)).as("__nc")))
+      hist.unionByName(tot.crossJoin(cl)
+        .select(lit(1L).as("sz"), (col("__nd") - col("__nc")).as("n_clusters")))
+    }),
     // —— F7b: same clusters via large-star/small-star contraction ——
     "dedup_clusters_star" -> ((s, dir) => {
       val docs = TableCatalog(s, dir).documents
@@ -683,6 +699,24 @@ object ExtendedQueries {
          |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
          |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
          |FROM reach GROUP BY s""".stripMargin
+    },
+    "dedup_cluster_sizes" -> {
+      val pairsSql = graft.operators.LlmQueries.oracleSql("dedup_minhash_lsh")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |e AS (SELECT a AS s, b AS d FROM pairs
+         |      UNION SELECT b, a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM e
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+         |cl AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+         |       FROM reach GROUP BY s),
+         |sz AS (SELECT cluster, COUNT(*) AS sz FROM cl GROUP BY 1)
+         |SELECT sz, COUNT(*) AS n_clusters FROM sz GROUP BY 1
+         |UNION ALL
+         |SELECT 1 AS sz,
+         |  (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM cl)
+         |    AS n_clusters""".stripMargin
     },
     "consumer_avro_roundtrip" ->
       graft.operators.CdcQueries.oracleSql("cdc_latest_state"),

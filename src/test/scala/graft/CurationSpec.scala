@@ -812,6 +812,27 @@ class CurationSpec extends SparkTestBase {
       s"uncollapsed=$uncollapsed cross=$cross intra=$intra")
   }
 
+  // ——— cluster-size histogram (F7c) ———
+
+  test("cluster-size histogram: known cluster structure, singletons from totals") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight nine ten"
+    val docs = (Seq(1L, 2L, 3L).map(i => (i, a)) ++
+      Seq(11L, 12L).map(i => (i, b)) ++
+      Seq((21L, "completely different words entirely here now")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+      n = 2, k = 16, bands = 4)
+    val clusters = Pipeline100TB.connectedComponents(pairs)
+    val hist = clusters.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(3L -> 1L, 2L -> 1L), s"got $hist")
+    // singleton = total - clustered
+    assert(docs.count() - clusters.count() == 1)
+  }
+
   // ——— pmiPairs (H7d) ———
 
   test("pmi: an exclusive collocation outranks a frequent independent pair; rare pairs are floored out") {
