@@ -50,17 +50,37 @@ case class WordShingles(child: Expression, n: Int)
 object Any2Shingles {
   private val Sep = UTF8String.fromString(" ")
 
-  def compute(arr: ArrayData, n: Int): GenericArrayData = {
+  /** Compact non-null elements (checkInputDataTypes accepts
+    * containsNull=true arrays, but the output schema promises
+    * null-free elements — skip nulls like HashedFeatureCounts does).
+    */
+  private def nonNullTokens(arr: ArrayData): Array[UTF8String] = {
     val len = arr.numElements()
+    var nulls = 0
+    var i = 0
+    while (i < len) { if (arr.isNullAt(i)) nulls += 1; i += 1 }
+    val out = new Array[UTF8String](len - nulls)
+    var k = 0
+    i = 0
+    while (i < len) {
+      if (!arr.isNullAt(i)) { out(k) = arr.getUTF8String(i); k += 1 }
+      i += 1
+    }
+    out
+  }
+
+  def compute(arr: ArrayData, n: Int): GenericArrayData = {
+    val toks = nonNullTokens(arr)
+    val len = toks.length
     val out = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i + n <= len) {
       if (n == 1) {
-        out.add(arr.getUTF8String(i))
+        out.add(toks(i))
       } else {
         val parts = new Array[UTF8String](n)
         var j = 0
-        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        while (j < n) { parts(j) = toks(i + j); j += 1 }
         out.add(UTF8String.concatWs(Sep, parts: _*))
       }
       i += 1
@@ -74,16 +94,17 @@ object Any2Shingles {
     * can never disagree on shingle text.
     */
   def computeAll(arr: ArrayData, n: Int): GenericArrayData = {
-    val len = arr.numElements()
+    val toks = nonNullTokens(arr)
+    val len = toks.length
     val m = math.max(len - n + 1, 0)
     val out = new Array[AnyRef](m)
     var i = 0
     while (i < m) {
-      if (n == 1) out(i) = arr.getUTF8String(i)
+      if (n == 1) out(i) = toks(i)
       else {
         val parts = new Array[UTF8String](n)
         var j = 0
-        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        while (j < n) { parts(j) = toks(i + j); j += 1 }
         out(i) = UTF8String.concatWs(Sep, parts: _*)
       }
       i += 1

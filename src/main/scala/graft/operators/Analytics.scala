@@ -204,7 +204,7 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("day"))
-          .orderBy(col("n").desc, col("event_type"))))
+          .orderBy(col("n").desc, col("event_type").asc_nulls_last)))
       .filter(col("rnk") <= k)
       .withColumn("rnk", col("rnk").cast("int"))
   }

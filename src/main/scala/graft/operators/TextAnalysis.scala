@@ -623,8 +623,13 @@ object TextAnalysis {
     val toks = tokens(col(textCol))
     val f = docs.select(col(idCol),
       coalesce(targetPred, lit(false)).as("is_t"),
-      GraftBridge.column(graft.functions.HashedFeatureCounts(
-        GraftBridge.expression(toks), dims, bigrams = true)).as("c"))
+      // HashedFeatureCounts is null-safe (NULL text → NULL counts);
+      // coalesce to the zero vector so a null-text doc scores lw=0
+      // with a real Gumbel key, matching the oracle's COALESCE(...,0).
+      coalesce(
+        GraftBridge.column(graft.functions.HashedFeatureCounts(
+          GraftBridge.expression(toks), dims, bigrams = true)),
+        array_repeat(lit(0L), dims)).as("c"))
     val tot = f.select(col("is_t"), posexplode(col("c")).as(Seq("b", "cnt")))
       .groupBy("b").agg(
         sum(when(col("is_t"), col("cnt")).otherwise(0L)).as("tc"),

@@ -101,19 +101,28 @@ class SimilaritySpec extends SparkTestBase {
 
   test("cluster-balanced sampling: at most k per cluster, lowest-hash members, deterministic") {
     import org.apache.spark.sql.expressions.Window
-    def run(parts: Int) = graft.operators.LlmQueries
-      .queries("sample_cluster_balanced")(spark, sfDir)
-    // trick: queries take (session, dir); call through the registry so
-    // the spec exercises exactly the declared query
-    val out = run(0).collect()
+    // contract run: the declared query, through the registry
+    val out = graft.operators.LlmQueries
+      .queries("sample_cluster_balanced")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     val perCluster = out.groupBy(_._2)
     assert(perCluster.values.forall(_.length <= 25))
     assert(perCluster.values.forall(g =>
       g.map(_._3).sorted.toSeq == (1 to g.length)))
-    // deterministic across invocations
-    val again = run(1).collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
-    assert(out.toSet == again.toSet)
+    // determinism run: same chain over a DIFFERENT partition layout —
+    // the result must not depend on how the embeddings are laid out
+    def run(parts: Int) = {
+      val a = Similarity.centroidAssign(spark, emb.repartition(parts))
+      a.select(col("vec_id"), col("assigned"),
+          graft.functions.Hash60.hash60(col("vec_id").cast("string")).as("__h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("assigned")).orderBy(col("__h"), col("vec_id"))))
+        .filter(col("rk") <= 25)
+        .select(col("vec_id"), col("assigned"), col("rk").cast("int").as("rk"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    }
+    assert(out.toSet == run(3).toSet)
+    assert(out.toSet == run(17).toSet)
   }
 
   test("two cosine_sim calls fuse into one codegen stage without local-name collisions") {
