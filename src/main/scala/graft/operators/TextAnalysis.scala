@@ -520,27 +520,38 @@ object TextAnalysis {
     * Plan shape per iteration: the model state (w, bias, ndocs) is a
     * ONE-row broadcast; scoring + per-doc gradients are a map-side
     * projection over the feature scan; the only exchange is the
-    * (dims+1)-row map-side-combined partial-agg of the posexploded
-    * gradient arrays (G17's explode-then-combine shape). No driver
-    * action anywhere — the state flows iteration to iteration as a
-    * broadcast subplan. At 100 TB the feature frame would be
-    * persisted/checkpointed once instead of re-scanned per iteration
-    * (a storage knob, not a plan change); everything that grows with
-    * the corpus stays map-side either way.
+    * (dims+1)-row map-side-combined partial-agg of the gradient
+    * vectors. With `persist = true` (the default, the at-scale
+    * shape) the feature frame is localCheckpoint'ed ONCE — the
+    * corpus file is scanned exactly one time for the whole training
+    * run, every GD step reads the materialized (y, n, c) frame —
+    * and each step's one-row weight state is checkpointed so the
+    * plan per iteration is CONSTANT size: iters=100 neither grows
+    * lineage nor re-derives earlier steps. `persist = false` keeps
+    * the fully-lazy declarative form (state flows as a nested
+    * broadcast subplan; the corpus is re-scanned per step) — useful
+    * for plan inspection and as the bit-identity cross-check. On a
+    * real cluster the localCheckpoint seam is where reliable
+    * `checkpoint()` to distributed storage would slot in.
     *
     * Output: (bucket, w_micro) — bucket −1 is the bias row, 0..dims−1
-    * the hashed-feature weights. Pure integers: hash-exact.
+    * the hashed-feature weights. Pure integers: hash-exact, and
+    * bit-identical between the persisted and lazy paths (same
+    * arithmetic, only materialization differs).
     */
   def classifierTrain(docs: DataFrame, idCol: String, textCol: String,
                       positive: Column, dims: Int = 64, iters: Int = 2,
-                      lr: Double = 5.0): DataFrame = {
+                      lr: Double = 5.0, persist: Boolean = true): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val toks = tokens(col(textCol))
-    val f = docs.select(
+    val fRaw = docs.select(
       coalesce(positive.cast("double"), lit(0.0)).as("y"),
       size(toks).cast("double").as("n"),
       GraftBridge.column(graft.functions.HashedFeatureCounts(
         GraftBridge.expression(toks), dims)).as("c"))
+    // ONE corpus scan: materialize the narrow feature frame to
+    // executor storage; each GD step below reads the LogicalRDD.
+    val f = if (persist) fRaw.localCheckpoint() else fRaw
     val nd = f.groupBy().agg(count(lit(1)).as("ndocs"))
     val w0 = nd.select(array_repeat(lit(0L), dims).as("w"),
       lit(0L).as("bias"), col("ndocs"))
@@ -576,7 +587,11 @@ object TextAnalysis {
           element_at(col("packed"), 1).getField("wv").as("bias"),
           col("ndocs"))
     }
-    val wFinal = (1 to iters).foldLeft(w0)((w, _) => step(w))
+    // Per-step checkpoint of the ONE-row state frame truncates
+    // lineage: iteration k's plan is always {feature LogicalRDD +
+    // broadcast 1-row LogicalRDD}, independent of k.
+    val wFinal = (1 to iters).foldLeft(w0)((w, _) =>
+      if (persist) step(w).localCheckpoint() else step(w))
     wFinal
       .select(posexplode(concat(array(col("bias")), col("w")))
         .as(Seq("pos", "w_micro")))

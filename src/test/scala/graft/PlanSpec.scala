@@ -349,6 +349,50 @@ class PlanSpec extends SparkTestBase {
       plan)
   }
 
+  test("classifier training scans the corpus ONCE: GD steps read the checkpointed features") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = TextAnalysis.classifierTrain(t.documents, "doc_id", "text",
+        positive = col("lang") === "en", dims = 64, iters = 3).collect()
+      assert(out.length == 65)
+      // execution listeners deliver async — wait for the checkpoint
+      // executions (1 feature frame + 3 steps) and the final collect
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (plans.size < 5 && System.nanoTime() < deadline) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val all = plans.asScala.toList
+      val fileScans = all.count(_.contains("FileScan parquet"))
+      assert(fileScans == 1,
+        s"corpus scanned $fileScans times, want 1:\n${all.mkString("\n====\n")}")
+      // every step execution reads materialized RDDs, never the file
+      assert(all.count(_.contains("Scan ExistingRDD")) >= 3, all.mkString("\n====\n"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("classifier training at iters=8: constant-size step plans, bit-identical to the lazy path") {
+    // the lazy (persist=false) path nests each step's plan inside the
+    // next — at iters=8 that is the lineage-blowup regime the persist
+    // seam exists for; outputs must nevertheless be bit-identical
+    val fast = TextAnalysis.classifierTrain(t.documents, "doc_id", "text",
+        positive = col("lang") === "en", dims = 64, iters = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val lazyPath = TextAnalysis.classifierTrain(t.documents, "doc_id", "text",
+        positive = col("lang") === "en", dims = 64, iters = 8, persist = false)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(fast.length == 65)
+    assert(fast.toSeq == lazyPath.toSeq)
+  }
+
   test("broker log append: offsets sequence per (topic, partition) — no global sort") {
     import graft.streaming.KafkaLog
     val msgs = t.events.selectExpr("'t' as topic",
