@@ -14,6 +14,14 @@ object Similarity {
   private def expr1(f: org.apache.spark.sql.catalyst.expressions.Expression => org.apache.spark.sql.catalyst.expressions.Expression)(c: Column): Column =
     GraftBridge.column(f(GraftBridge.expression(c)))
 
+  /** Element-wise exact int64 vector-sum aggregate (G17/G19/G20's
+    * `Σ round(v·scale)` per dimension, without the posexplode row
+    * inflation — see [[graft.functions.VecSumAgg]]).
+    */
+  private[operators] def vecSum(c: Column, scale: Double): Column =
+    GraftBridge.column(graft.functions.VecSumAgg(
+      GraftBridge.expression(c), scale).toAggregateExpression())
+
   /** G1: brute-force cosine top-k — the exact baseline. The query set
     * is explicitly broadcast, so the big side streams once through a
     * codegen'd loop with no shuffle of the embedding table; ranking is
@@ -321,14 +329,16 @@ object Similarity {
     val Scale = 1048576.0 // 2^20: exact int64 accumulation, order-free
     for (_ <- 1 to iters) {
       val assigned = assign(centDf(cents))
+      // vector-summed re-center: one Array[Long] buffer per cell, no
+      // 64× posexplode row inflation (identical Σ round(v·2²⁰) sums)
       cents = assigned
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "v")))
-        .groupBy(col("cid"), col("d"))
-        .agg((sum(round(col("v") * Scale).cast("long")).cast("double") /
-          (count(lit(1)) * Scale)).as("m"))
         .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("cid"), expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("cvec"))
+        .agg(vecSum(col("embedding"), Scale).as("__s"),
+          count(col("embedding")).as("__n"))
+        .select(col("cid"),
+          transform(col("__s"), s =>
+            (s.cast("double") / (col("__n") * lit(Scale))).cast("float"))
+            .as("cvec"))
         .collect()
         .map(r => (r.getAs[Int]("cid"), r.getSeq[Float](1)))
         .toSeq
@@ -381,12 +391,10 @@ object Similarity {
     * identically in both engines.
     *
     * Per iteration: one broadcast join (codebook) + one
-    * (vec,sub)-keyed argmin shuffle + one (sub,cid,d)-keyed
-    * explode-combine re-center — everything map-side combines; the
-    * corpus never shuffles whole vectors except as the m·dsub narrow
-    * dim rows of the re-center (G17's documented inflation shape,
-    * replaceable by a vector-summing TypedImperativeAggregate at
-    * 100 TB).
+    * (vec,sub)-keyed argmin shuffle + one (sub,cid)-keyed
+    * vector-summed re-center ([[graft.functions.VecSumAgg]] — one
+    * dsub-long int64 buffer per cell per partition, map-side
+    * combined; no per-dimension row inflation anywhere).
     */
   def pqCodes(s: SparkSession, emb: DataFrame, m: Int = 4, dsub: Int = 16,
               ksub: Int = 4, iters: Int = 2): DataFrame = {
@@ -410,16 +418,16 @@ object Similarity {
           min(col("dist")).as("dist"),
           first(col("svec")).as("svec"))
     def recenter(assigned: DataFrame): DataFrame =
+      // vector-summed re-center (identical Σ q(v) int64 sums; float
+      // snap then double, exactly the exploded plan's arithmetic)
       assigned
-        .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("d", "v")))
-        .groupBy(col("sub"), col("cid"), col("d"))
-        .agg((sum(q(col("v"))).cast("double") /
-          (count(lit(1)) * lit(Scale))).as("mv"))
         .groupBy(col("sub"), col("cid"))
-        .agg(array_sort(collect_list(struct(col("d"), col("mv")))).as("dm"))
+        .agg(vecSum(col("svec"), Scale).as("__s"),
+          count(col("svec")).as("__n"))
         .select(col("sub"), col("cid"),
-          expr("transform(dm, x -> CAST(CAST(x.mv AS FLOAT) AS DOUBLE))")
-            .as("cvec"))
+          transform(col("__s"), sc =>
+            (sc.cast("double") / (col("__n") * lit(Scale)))
+              .cast("float").cast("double")).as("cvec"))
     val trained = (1 to iters).foldLeft(cent0)((c, _) => recenter(assign(c)))
     assign(trained)
       .groupBy(col("vec_id"))
@@ -440,8 +448,9 @@ object Similarity {
     * centering changes a corpus.
     *
     * The mean accumulates per-dimension as round(v·2²⁰) int64 (the
-    * G17/G2b exact order-free trick) through ONE posexploded
-    * map-side-combined shuffle of narrow dim rows, snaps to float,
+    * G17/G2b exact order-free trick) through ONE vector-summed
+    * aggregate ([[graft.functions.VecSumAgg]] — a single Array[Long]
+    * buffer per partition, no per-dim row inflation), snaps to float,
     * and broadcasts back as a single 64-float row; both outputs are
     * then zero-shuffle map-side expressions over the embedding scan.
     * The centered norm is integer-exact (the G19 quantized-L2 form:
@@ -454,13 +463,12 @@ object Similarity {
     val Scale = 1048576.0
     def q(c: Column): Column = round(c * lit(Scale)).cast("long")
     val mean = emb
-      .select(posexplode(col("embedding")).as(Seq("d", "v")))
-      .groupBy(col("d"))
-      .agg((sum(q(col("v"))).cast("double") /
-        (count(lit(1)) * lit(Scale))).as("mv"))
       .groupBy()
-      .agg(array_sort(collect_list(struct(col("d"), col("mv")))).as("dm"))
-      .select(expr("transform(dm, x -> CAST(x.mv AS FLOAT))").as("mvec"))
+      .agg(vecSum(col("embedding"), Scale).as("__s"),
+        count(col("embedding")).as("__n"))
+      .select(transform(col("__s"), sc =>
+        (sc.cast("double") / (col("__n") * lit(Scale))).cast("float"))
+        .as("mvec"))
     val dq = aggregate(
       zip_with(col("embedding"), col("mvec"),
         (x, y) => (q(x) - q(y)) * (q(x) - q(y))),
@@ -586,26 +594,25 @@ object Similarity {
     * (cos_r DESC, label ASC) — deterministic ties, no window, no
     * row explosion surviving past the partial aggregate.
     *
-    * The per-dim accumulation explodes 64 narrow (label, dim, int64)
-    * rows per vector but map-side-combines down to |labels|·dims
-    * before the (only) shuffle; at 100 TB the same contract would
-    * hold via a vector-summing `TypedImperativeAggregate` without
-    * the row inflation — the output is defined to be identical.
+    * The per-dim accumulation is the vector-summing
+    * [[graft.functions.VecSumAgg]]: one Array[Long] buffer per label
+    * per partition, map-side combined — the corpus never inflates
+    * into per-dimension rows, and the (only) shuffle carries
+    * |labels|·partitions fixed-size buffers.
     */
   def centroidAssign(s: SparkSession, emb: DataFrame): DataFrame = {
     withCosine(s)
     val Scale = 1048576.0 // 2^20: exact int64 accumulation, order-free
-    val dimSums = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy(col("label"), col("dim"))
-      .agg(sum(round(col("v").cast("double") * Scale).cast("long")).as("__s"),
-        count(lit(1)).as("__n"))
-    val cents = dimSums.groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("__s"), col("__n"))))
-        .as("__a"))
+    // vector-summed centroid build: one Array[Long] buffer per label,
+    // map-side combined — no 64× posexplode row inflation; identical
+    // Σ round(v·2²⁰) sums and float-snapped means
+    val cents = emb
+      .groupBy(col("label"))
+      .agg(vecSum(col("embedding"), Scale).as("__s"),
+        count(col("embedding")).as("__n"))
       .select(col("label").as("c_label"),
-        transform(col("__a"),
-          x => (x.getField("__s").cast("double") / Scale / x.getField("__n"))
+        transform(col("__s"),
+          sc => (sc.cast("double") / Scale / col("__n"))
             .cast("float")).as("c_emb"))
     emb.join(broadcast(cents))
       .withColumn("cos_r", expr("round(cosine_sim(embedding, c_emb), 4)"))

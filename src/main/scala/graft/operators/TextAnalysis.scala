@@ -520,8 +520,9 @@ object TextAnalysis {
     * Plan shape per iteration: the model state (w, bias, ndocs) is a
     * ONE-row broadcast; scoring + per-doc gradients are a map-side
     * projection over the feature scan; the only exchange is the
-    * (dims+1)-row map-side-combined partial-agg of the gradient
-    * vectors. With `persist = true` (the default, the at-scale
+    * vector-summed gradient aggregate ([[graft.functions.VecSumAgg]]
+    * — one (dims+1)-long int64 buffer per partition, no posexplode
+    * row inflation). With `persist = true` (the default, the at-scale
     * shape) the feature frame is localCheckpoint'ed ONCE — the
     * corpus file is scanned exactly one time for the whole training
     * run, every GD step reads the materialized (y, n, c) frame —
@@ -570,21 +571,22 @@ object TextAnalysis {
         transform(col("c"), ci =>
           round(err * ci.cast("double") * lit(1000000.0) / col("n"))
             .cast("long")))
-      val sums = j.select(posexplode(g).as(Seq("pos", "gv")))
-        .groupBy("pos").agg(sum("gv").as("gsum"))
-      val upd = sums.crossJoin(broadcast(wDf))
-        .select(col("pos"),
-          (when(col("pos") === 0, col("bias"))
-            .otherwise(element_at(col("w"), col("pos"))) -
-            round(lit(lr) * col("gsum").cast("double") /
-              col("ndocs").cast("double")).cast("long")).as("wv"),
-          col("ndocs"))
-      upd.groupBy(col("ndocs"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("wv"))))
-          .as("packed"))
+      // vector-summed gradient: the (dims+1)-long per-doc gradient
+      // arrays sum element-wise into ONE Array[Long] buffer per
+      // partition (identical int64 sums as the posexploded per-pos
+      // groupBy) — the shuffle carries one buffer per partition, and
+      // the weight update is a 1-row array projection
+      val sums = j.groupBy().agg(GraftBridge.column(
+        graft.functions.VecSumAgg(GraftBridge.expression(g), 1.0)
+          .toAggregateExpression()).as("gs"))
+      def upd1(oldV: Column, gsum: Column): Column =
+        oldV - round(lit(lr) * gsum.cast("double") /
+          col("ndocs").cast("double")).cast("long")
+      sums.crossJoin(broadcast(wDf))
         .select(
-          transform(slice(col("packed"), 2, dims), _.getField("wv")).as("w"),
-          element_at(col("packed"), 1).getField("wv").as("bias"),
+          transform(col("w"), (wi, i) =>
+            upd1(wi, element_at(col("gs"), i + lit(2)))).as("w"),
+          upd1(col("bias"), element_at(col("gs"), lit(1))).as("bias"),
           col("ndocs"))
     }
     // Per-step checkpoint of the ONE-row state frame truncates

@@ -952,12 +952,15 @@ class CurationSpec extends SparkTestBase {
     assert(run(2) == run(7))
   }
 
-  test("classifierTrain's per-iteration exchange is the gradient rows, not the corpus") {
+  test("classifierTrain's per-iteration exchange is the gradient buffers, not the corpus") {
     // the model state must flow as a broadcast; the only non-broadcast
-    // exchange input is the posexploded (dims+1)-row gradient agg
+    // exchange input is the vector-summed gradient agg. persist=false:
+    // the default path checkpoints each step, leaving only the output
+    // unpack in the final plan — the lazy path keeps the per-iteration
+    // shape inspectable.
     val plan = TextAnalysis.classifierTrain(
         TableCatalog(spark, sfDir).documents, "doc_id", "text",
-        positive = col("lang") === "en")
+        positive = col("lang") === "en", persist = false)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)

@@ -349,6 +349,32 @@ class PlanSpec extends SparkTestBase {
       plan)
   }
 
+  test("exact centroid/gradient sums never posexplode: vector-summed aggregates only") {
+    import graft.operators.Similarity
+    val embT = TableCatalog(spark, sfDir).embeddings
+    // G17 + G20: zero row-explosion anywhere in the plan
+    for (df <- Seq(Similarity.centroidAssign(spark, embT),
+                   Similarity.centeredStats(spark, embT))) {
+      val plan = executed(df)
+      assert(!plan.contains("Generate"), s"posexplode in agg path:\n$plan")
+      assert(plan.contains("vec_sum"), plan)
+    }
+    // G19: the only Generates are the m-way subvector splits
+    // (structural, m rows/vec, one per assign pass) — never a
+    // per-dimension explode; the re-center aggregates whole vectors
+    val pqPlan = executed(Similarity.pqCodes(spark, embT))
+    assert(!pqPlan.contains("posexplode(svec"), pqPlan)
+    assert(!pqPlan.contains("posexplode(embedding"), pqPlan)
+    assert(pqPlan.contains("vec_sum"), pqPlan)
+    // H20b (lazy path, inspectable): the only Generate is the final
+    // (bucket, w_micro) output unpack — gradients vector-sum
+    val ctPlan = executed(TextAnalysis.classifierTrain(t.documents,
+      "doc_id", "text", positive = col("lang") === "en", dims = 64,
+      iters = 2, persist = false))
+    assert("Generate".r.findAllIn(ctPlan).size == 1, ctPlan)
+    assert(ctPlan.contains("vec_sum"), ctPlan)
+  }
+
   test("classifier training scans the corpus ONCE: GD steps read the checkpointed features") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
