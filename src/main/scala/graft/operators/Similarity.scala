@@ -600,6 +600,58 @@ object Similarity {
     * into per-dimension rows, and the (only) shuffle carries
     * |labels|·partitions fixed-size buffers.
     */
+  /** G21b: ANN recall@k read-out — the evaluation every production
+    * deployment tunes its index knobs (nlist/nprobe, planes, cands,
+    * quantization width) against: each approximate strategy's top-k
+    * is scored against the exact brute-force top-k on the same
+    * corpus/query frame, micro-averaged over all (query, truth-
+    * neighbor) pairs. One row per strategy: hits, truth size,
+    * recall = hits/truth.
+    *
+    * Shape: every strategy pipeline runs once, their (strategy,
+    * query_id, neighbor_id) picks union; ONE broadcast semi-join
+    * against the truth set scores all strategies together (truth is
+    * queries×k rows — tiny), and the readout aggregates to
+    * |strategies| rows. The dominant cost is intentionally the
+    * strategies themselves; at a real deployment scale the truth
+    * frame (one brute-force pass) would persist — it is exactly the
+    * ground-truth sample such evaluations maintain.
+    *
+    * Strategy set = the repo's six ANN paths at their registry
+    * parameterizations, all evaluated at the same k: exact
+    * error-bounded pruning (must recall 1.0 by construction), int8
+    * quantized scan, Matryoshka truncated-prefix rerank, trained
+    * IVF, fixed-quantizer IVF, and hyperplane LSH.
+    */
+  def recallMatrix(s: SparkSession, emb: DataFrame, queries: DataFrame,
+                   k: Int = 3): DataFrame = {
+    import s.implicits._
+    val truth = bruteForceTopK(s, emb, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val strategies: Seq[(String, DataFrame)] = Seq(
+      "exact_pruned" -> exactPrunedTopK(s, emb, queries, k),
+      "int8" -> int8TopK(s, emb, queries, k),
+      "truncated" -> truncatedTopK(s, emb, queries, dPrefix = 16,
+        cands = 20, k = k),
+      "ivf" -> ivfTopK(s, emb, queries, k),
+      "ivf_fixed" -> ivfTopK(s, emb, queries, k, iters = 0),
+      "lsh" -> lshTopK(s, emb, queries, k, planes = 8))
+    val picks = strategies.map { case (nm, df) =>
+      df.select(lit(nm).as("strategy"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionAll(_))
+    val hitCounts = picks
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("strategy")).agg(count(lit(1)).as("n_hit"))
+    val nTruth = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    strategies.map(_._1).toDF("strategy")
+      .join(hitCounts, Seq("strategy"), "left")
+      .crossJoin(nTruth)
+      .select(col("strategy"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_truth"), 6).as("recall"))
+  }
+
   def centroidAssign(s: SparkSession, emb: DataFrame): DataFrame = {
     withCosine(s)
     val Scale = 1048576.0 // 2^20: exact int64 accumulation, order-free

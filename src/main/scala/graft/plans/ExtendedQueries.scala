@@ -349,6 +349,12 @@ object ExtendedQueries {
       graft.operators.Similarity.ivfTopK(
         s, e, e.filter(col("vec_id") < 10), k = 3, iters = 0)
     }),
+    // —— G21b: recall@3 of all six ANN strategies vs brute force ——
+    "sim_recall_matrix" -> ((s, dir) => {
+      val e = TableCatalog(s, dir).embeddings
+      graft.operators.Similarity.recallMatrix(
+        s, e, e.filter(col("vec_id") < 10), k = 3)
+    }),
     // —— G6: reproducible stratified hash sampling ——
     "sample_hash" -> ((s, dir) => {
       val ev = TableCatalog(s, dir).events
@@ -523,6 +529,103 @@ object ExtendedQueries {
        |SELECT query_id, vec_id AS neighbor_id, cos_r,
        |  CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 3""".stripMargin
+
+  private val ivfFixedSql: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+      |           FROM embeddings WHERE vec_id < 8),
+      |asg AS (SELECT e.vec_id, e.embedding, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                 CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
+      |  FROM embeddings e CROSS JOIN c),
+      |cells AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+      |probes AS (SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cid,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                 CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS prn
+      |  FROM embeddings q CROSS JOIN c WHERE q.vec_id < 10),
+      |cand AS (SELECT p.query_id, p.q_emb, s.vec_id, s.embedding
+      |  FROM (SELECT * FROM probes WHERE prn <= 4) p
+      |  JOIN cells s USING (cid)
+      |  WHERE s.vec_id <> p.query_id),
+      |sc AS (SELECT query_id, vec_id,
+      |    round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+      |            CAST(embedding AS DOUBLE[])), 4) AS cos_r
+      |  FROM cand),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos_r DESC, vec_id) AS rank FROM sc)
+      |SELECT query_id, vec_id AS neighbor_id, cos_r,
+      |  CAST(rank AS INTEGER) AS rank
+      |FROM r WHERE rank <= 3""".stripMargin
+
+  private val int8Sql: String =
+    """WITH m AS (
+      |  SELECT e.vec_id, MAX(abs(CAST(e.embedding[d] AS DOUBLE))) AS max_abs
+      |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY e.vec_id),
+      |qv AS (
+      |  SELECT e.vec_id, round(m.max_abs, 6) AS scale_r,
+      |    [CAST(round(CAST(x AS DOUBLE) * 127.0 / m.max_abs, 0) AS INTEGER)
+      |     for x in e.embedding] AS q
+      |  FROM embeddings e JOIN m ON e.vec_id = m.vec_id),
+      |qs AS (SELECT vec_id AS query_id, scale_r AS scale_q, q AS qq
+      |       FROM qv WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT qs.query_id, c.vec_id,
+      |    CAST(list_sum([qs.qq[i] * c.q[i]
+      |                   for i in generate_series(1, len(c.q))]) AS BIGINT) AS dot_i,
+      |    qs.scale_q, c.scale_r AS scale_c
+      |  FROM qv c JOIN qs ON c.vec_id <> qs.query_id),
+      |descaled AS (
+      |  SELECT query_id, vec_id, dot_i,
+      |    CAST(dot_i AS DOUBLE) * scale_q * scale_c AS score
+      |  FROM scored),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |             ORDER BY score DESC, vec_id) AS rk FROM descaled)
+      |SELECT query_id, vec_id AS neighbor_id, dot_i,
+      |  round(score, 4) AS score_r, CAST(rk AS INTEGER) AS rank
+      |FROM ranked WHERE rk <= 5""".stripMargin
+
+  /** G21b oracle: each strategy's EXISTING oracle replay, scoped as a
+    * subquery (DuckDB CTE names inside a derived table are local, so
+    * the six WITH-chains compose without collisions), truncated to a
+    * common k = 3 — per-query ranks are a total order, so top-3 of a
+    * top-5 replay IS the k=3 result — then micro-averaged recall
+    * against the brute-force truth.
+    */
+  private def recallMatrixSql: String = {
+    def ids(sql: String, filter: String = "") =
+      s"SELECT query_id, neighbor_id FROM (\n$sql\n) __t $filter"
+    val brute = graft.operators.LlmQueries.oracleSql("sim_topk_bruteforce")
+    val trunc = graft.operators.LlmQueries.oracleSql("sim_topk_truncated")
+    val lsh = graft.operators.LlmQueries.oracleSql("sim_topk_lsh")
+    val strategies = Seq(
+      "exact_pruned" -> "truth",
+      "int8" -> "s_int8",
+      "truncated" -> "s_trunc",
+      "ivf" -> "s_ivf",
+      "ivf_fixed" -> "s_ivff",
+      "lsh" -> "s_lsh")
+    val rows = strategies.map { case (nm, cte) =>
+      s"""SELECT '$nm' AS strategy,
+         |  (SELECT COUNT(*) FROM truth t JOIN $cte s
+         |    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id)
+         |    AS n_hit""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH truth AS (${ids(brute, "WHERE rank <= 3")}),
+       |s_int8 AS (${ids(int8Sql, "WHERE rank <= 3")}),
+       |s_trunc AS (${ids(trunc, "WHERE rank <= 3")}),
+       |s_ivf AS (${ids(ivfTrainedSql)}),
+       |s_ivff AS (${ids(ivfFixedSql)}),
+       |s_lsh AS (${ids(lsh)}),
+       |m AS (
+       |  $rows)
+       |SELECT strategy,
+       |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / (SELECT COUNT(*) FROM truth), 6)
+       |    AS recall
+       |FROM m""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "pipe_window_fields" ->
@@ -797,59 +900,13 @@ object ExtendedQueries {
     // cosine agree to the last bit on this data; a 1-ulp divergence
     // at an argmax boundary could flip one assignment elsewhere.
     "sim_topk_ivf" -> ivfTrainedSql,
-    "sim_topk_ivf_fixed" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec
-        |           FROM embeddings WHERE vec_id < 8),
-        |asg AS (SELECT e.vec_id, e.embedding, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                 CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
-        |  FROM embeddings e CROSS JOIN c),
-        |cells AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
-        |probes AS (SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cid,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                 CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS prn
-        |  FROM embeddings q CROSS JOIN c WHERE q.vec_id < 10),
-        |cand AS (SELECT p.query_id, p.q_emb, s.vec_id, s.embedding
-        |  FROM (SELECT * FROM probes WHERE prn <= 4) p
-        |  JOIN cells s USING (cid)
-        |  WHERE s.vec_id <> p.query_id),
-        |sc AS (SELECT query_id, vec_id,
-        |    round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
-        |            CAST(embedding AS DOUBLE[])), 4) AS cos_r
-        |  FROM cand),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY cos_r DESC, vec_id) AS rank FROM sc)
-        |SELECT query_id, vec_id AS neighbor_id, cos_r,
-        |  CAST(rank AS INTEGER) AS rank
-        |FROM r WHERE rank <= 3""".stripMargin,
-    "sim_topk_int8" ->
-      """WITH m AS (
-        |  SELECT e.vec_id, MAX(abs(CAST(e.embedding[d] AS DOUBLE))) AS max_abs
-        |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY e.vec_id),
-        |qv AS (
-        |  SELECT e.vec_id, round(m.max_abs, 6) AS scale_r,
-        |    [CAST(round(CAST(x AS DOUBLE) * 127.0 / m.max_abs, 0) AS INTEGER)
-        |     for x in e.embedding] AS q
-        |  FROM embeddings e JOIN m ON e.vec_id = m.vec_id),
-        |qs AS (SELECT vec_id AS query_id, scale_r AS scale_q, q AS qq
-        |       FROM qv WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT qs.query_id, c.vec_id,
-        |    CAST(list_sum([qs.qq[i] * c.q[i]
-        |                   for i in generate_series(1, len(c.q))]) AS BIGINT) AS dot_i,
-        |    qs.scale_q, c.scale_r AS scale_c
-        |  FROM qv c JOIN qs ON c.vec_id <> qs.query_id),
-        |descaled AS (
-        |  SELECT query_id, vec_id, dot_i,
-        |    CAST(dot_i AS DOUBLE) * scale_q * scale_c AS score
-        |  FROM scored),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |             ORDER BY score DESC, vec_id) AS rk FROM descaled)
-        |SELECT query_id, vec_id AS neighbor_id, dot_i,
-        |  round(score, 4) AS score_r, CAST(rk AS INTEGER) AS rank
-        |FROM ranked WHERE rk <= 5""".stripMargin,
+    "sim_topk_ivf_fixed" -> ivfFixedSql,
+    "sim_topk_int8" -> int8Sql,
+    // G21b: recall@k of every ANN strategy against brute-force truth,
+    // all at k = 3 — each strategy's oracle replay is reused verbatim
+    // as a scoped subquery (top-3 of a strategy's top-5 IS its top-3:
+    // per-query ranks are a total order)
+    "sim_recall_matrix" -> recallMatrixSql,
     "sample_hash" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE CAST('0x'||substr(md5(COALESCE(CAST(event_id AS VARCHAR), '')),1,15) AS BIGINT) % 100

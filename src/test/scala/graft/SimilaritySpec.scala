@@ -125,6 +125,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSet == run(17).toSet)
   }
 
+  test("recall matrix: exact recalls 1.0; known strategy ordering holds") {
+    val m = Similarity.recallMatrix(spark, emb, emb.filter(col("vec_id") < 10), k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m.keySet == Set("exact_pruned", "int8", "truncated", "ivf",
+      "ivf_fixed", "lsh"))
+    // micro-average over all (query, truth-neighbor) pairs
+    assert(m.values.forall { case (nt, nh, r) =>
+      nt == 30 && nh >= 0 && nh <= nt && r >= 0.0 && r <= 1.0 })
+    // the error-bounded exact prefilter must lose nothing, ever
+    assert(m("exact_pruned")._3 == 1.0)
+    // trained IVF probes 4/8 cells; LSH visits one 8-plane bucket —
+    // at fixed candidate budgets the coarse-to-fine ordering holds
+    assert(m("ivf")._3 >= m("ivf_fixed")._3)
+    assert(m("ivf_fixed")._3 >= m("lsh")._3)
+    assert(m("int8")._3 >= 0.9, s"int8 quantization lost too much: $m")
+  }
+
   test("two cosine_sim calls fuse into one codegen stage without local-name collisions") {
     graft.functions.CosineSimilarity.register(spark)
     // fallback=false makes a janino compile failure THROW instead of
