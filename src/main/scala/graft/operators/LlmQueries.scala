@@ -147,6 +147,17 @@ object LlmQueries {
     // —— F9: SemDeDup pass: cosine pairs → CC → survivors ——
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(s, emb(s, dir), tau = 0.4)),
+    // —— F17: INCREMENTAL semantic dedup — batch vectors vs the
+    //    standing centroid-cell index (centroids + index from the
+    //    already-accepted 90%, batch = vec_id % 10 = 0) ——
+    "dedup_semantic_inc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val standing = e.filter(col("vec_id") % 10 =!= 0)
+      val cents = Similarity.labelCentroids(standing)
+      Similarity.incrementalSemantic(
+        s, e.filter(col("vec_id") % 10 === 0),
+        Similarity.assignCells(s, standing, cents), cents, tau = 0.4)
+    }),
     // —— H15: greedy sequence packing at a 512-token budget ——
     "pack_sequences" -> ((s, dir) =>
       graft.operators.Pipeline100TB.packSequences(
@@ -986,6 +997,59 @@ object LlmQueries {
          |SELECT s AS vec_id, LEAST(s, MIN(d)) AS cluster,
          |  s = LEAST(s, MIN(d)) AS keep
          |FROM reach GROUP BY s""".stripMargin
+    },
+    // F17: the incremental chain replayed — centroids from the
+    // standing 90% (scaled-int64 sums, float snap), every vector
+    // assigned under the (cos DESC, label) argmax, cell-blocked veto
+    // vs the index, per-cell CC over the kept batch
+    "dedup_semantic_inc" -> {
+      val bcos = cosSql.format("b.embedding", "i.embedding")
+      val pcos = cosSql.format("x.embedding", "y.embedding")
+      s"""WITH RECURSIVE u AS (SELECT label,
+         |    CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0) AS BIGINT)
+         |      AS sv
+         |  FROM embeddings WHERE vec_id % 10 <> 0),
+         |c AS (SELECT label, dim, SUM(sv) AS s, COUNT(*) AS n
+         |      FROM u GROUP BY 1, 2),
+         |cent AS (SELECT label AS c_label,
+         |    CAST(list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY dim)
+         |         AS FLOAT[]) AS c_emb
+         |  FROM c GROUP BY label),
+         |sc AS (SELECT e.vec_id, e.embedding, cent.c_label,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |            CAST(c_emb AS DOUBLE[])), 4) AS cos_r
+         |  FROM embeddings e CROSS JOIN cent),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cos_r DESC, c_label) AS rn FROM sc),
+         |asg AS (SELECT vec_id, embedding, c_label AS cell
+         |        FROM r WHERE rn = 1),
+         |bb AS (SELECT * FROM asg WHERE vec_id % 10 = 0),
+         |idx AS (SELECT * FROM asg WHERE vec_id % 10 <> 0),
+         |vet AS (SELECT DISTINCT b.vec_id FROM bb b JOIN idx i
+         |        ON b.cell = i.cell AND round($bcos, 4) >= 0.4),
+         |kept AS (SELECT * FROM bb
+         |         WHERE vec_id NOT IN (SELECT vec_id FROM vet)),
+         |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b FROM kept x
+         |          JOIN kept y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |          WHERE round($pcos, 4) >= 0.4),
+         |e2 AS (SELECT a AS s, b AS d FROM pairs
+         |       UNION SELECT b, a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM e2
+         |  UNION
+         |  SELECT r2.s, e2.d FROM reach r2 JOIN e2 ON r2.d = e2.s),
+         |cl AS (SELECT s AS vec_id, LEAST(s, MIN(d)) AS cluster
+         |       FROM reach GROUP BY s)
+         |SELECT k.vec_id, k.cell,
+         |  COALESCE(cl.cluster, k.vec_id) AS survivor,
+         |  CASE WHEN COALESCE(cl.cluster, k.vec_id) = k.vec_id
+         |       THEN 'keep' ELSE 'collapsed' END AS status
+         |FROM kept k LEFT JOIN cl ON k.vec_id = cl.vec_id
+         |UNION ALL
+         |SELECT vec_id, cell, CAST(NULL AS BIGINT) AS survivor,
+         |  'vetoed' AS status
+         |FROM bb WHERE vec_id IN (SELECT vec_id FROM vet)""".stripMargin
     },
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source AS shard,

@@ -652,13 +652,14 @@ object Similarity {
           col("n_truth"), 6).as("recall"))
   }
 
-  def centroidAssign(s: SparkSession, emb: DataFrame): DataFrame = {
-    withCosine(s)
+  /** Per-label exact centroids (the G17 build, shared so the
+    * incremental gate can never drift from the assignment oracle):
+    * scaled-int64 vector sums, float-snapped means — one tiny
+    * (c_label, c_emb) row per label.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame = {
     val Scale = 1048576.0 // 2^20: exact int64 accumulation, order-free
-    // vector-summed centroid build: one Array[Long] buffer per label,
-    // map-side combined — no 64× posexplode row inflation; identical
-    // Σ round(v·2²⁰) sums and float-snapped means
-    val cents = emb
+    emb
       .groupBy(col("label"))
       .agg(vecSum(col("embedding"), Scale).as("__s"),
         count(col("embedding")).as("__n"))
@@ -666,6 +667,14 @@ object Similarity {
         transform(col("__s"),
           sc => (sc.cast("double") / Scale / col("__n"))
             .cast("float")).as("c_emb"))
+  }
+
+  def centroidAssign(s: SparkSession, emb: DataFrame): DataFrame = {
+    withCosine(s)
+    // vector-summed centroid build: one Array[Long] buffer per label,
+    // map-side combined — no 64× posexplode row inflation; identical
+    // Σ round(v·2²⁰) sums and float-snapped means
+    val cents = labelCentroids(emb)
     emb.join(broadcast(cents))
       .withColumn("cos_r", expr("round(cosine_sim(embedding, c_emb), 4)"))
       .groupBy(col("vec_id"))
@@ -676,5 +685,85 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         (-col("__w.__nl")).as("assigned"), col("__w.cos_r").as("cos_r"))
       .withColumn("correct", col("label") === col("assigned"))
+  }
+
+  /** Nearest-centroid cell assignment under a FIXED centroid frame —
+    * the coarse-quantizer step of the incremental semantic gate:
+    * unlike [[centroidAssign]] (which trains centroids from its own
+    * input), the centroids here are a standing model, so a batch's
+    * cells do not depend on the batch. Deterministic argmax:
+    * (cos_r DESC, c_label ASC), the G17 tie rule.
+    */
+  def assignCells(s: SparkSession, vecs: DataFrame, cents: DataFrame,
+                  idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame = {
+    withCosine(s)
+    vecs.select(col(idCol), col(embCol)).join(broadcast(cents))
+      .withColumn("cos_r",
+        expr(s"round(cosine_sim($embCol, c_emb), 4)"))
+      .groupBy(col(idCol))
+      .agg(
+        first(col(embCol)).as(embCol),
+        max_by(struct(col("cos_r"), (-col("c_label")).as("__nl")),
+          struct(col("cos_r"), (-col("c_label")).as("__nl"))).as("__w"))
+      .select(col(idCol), (-col("__w.__nl")).as("cell"), col(embCol))
+  }
+
+  /** F17: INCREMENTAL semantic dedup — the embedding-side twin of the
+    * F12/F14 incremental gates: a batch of vectors is scored against
+    * a STANDING semantic index (previously accepted vectors with
+    * their centroid-cell assignments, persisted bucketed on `cell`)
+    * instead of re-running SemDeDup over the whole corpus.
+    *
+    *   1. assign each batch vector to its nearest standing centroid
+    *      ([[assignCells]] — the coarse quantizer is a fixed model,
+    *      so assignment is batch-independent);
+    *   2. VETO batch vectors with cosine ≥ tau to ANY standing index
+    *      row in the same cell (duplicate of accepted content — the
+    *      F14 band-veto move, with cells as the blocking key);
+    *   3. SemDeDup the survivors batch-internally per cell: near-dup
+    *      pairs → connected components → min-id representative.
+    *
+    * Emits one row per batch vector: (id, cell, survivor, status)
+    * with status ∈ vetoed | keep | collapsed (survivor is NULL for
+    * vetoed, the CC root otherwise). Advance the index by unioning
+    * the kept rows' (id, cell, embedding).
+    *
+    * Scale: batch-sized assignment (centroids broadcast); ONE
+    * cell-keyed join against the index — persist the index bucketed
+    * on `cell` ([[Dedup.persistIndexBucketed]]'s move) and only the
+    * batch shuffles; pair generation and CC run over the BATCH only.
+    * Never corpus-sized work, never an all-pairs pass.
+    */
+  def incrementalSemantic(s: SparkSession, batch: DataFrame,
+                          index: DataFrame, cents: DataFrame, tau: Double,
+                          idCol: String = "vec_id",
+                          embCol: String = "embedding"): DataFrame = {
+    withCosine(s)
+    val b = assignCells(s, batch, cents, idCol, embCol)
+    val vet = b.as("b")
+      .join(index.as("i"), col("b.cell") === col("i.cell"))
+      .filter(expr(s"round(cosine_sim(b.$embCol, i.$embCol), 4)") >= tau)
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+    val kept = b.join(vet, Seq(idCol), "left_anti")
+    val pairs = kept.as("x")
+      .join(kept.as("y"), col("x.cell") === col("y.cell") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .filter(expr(s"round(cosine_sim(x.$embCol, y.$embCol), 4)") >= tau)
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+    // rename the CC id column: it must never collide with idCol
+    // (callers pass "doc_id" from the curation daemon)
+    val cc = Pipeline100TB.connectedComponents(pairs)
+      .select(col("doc_id").as("__cc_id"), col("cluster"))
+    val keptOut = kept.select(col(idCol), col("cell"))
+      .join(cc, col(idCol) === col("__cc_id"), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("cluster"), col(idCol)).as("survivor"))
+      .withColumn("status",
+        when(col("survivor") === col(idCol), "keep").otherwise("collapsed"))
+    val vetoOut = b.join(vet, Seq(idCol), "left_semi")
+      .select(col(idCol), col("cell"),
+        lit(null).cast("long").as("survivor"), lit("vetoed").as("status"))
+    keptOut.unionByName(vetoOut)
   }
 }

@@ -70,6 +70,20 @@ object CurationJob {
   final case class ClassifierGate(microWeights: Seq[Long], biasMicro: Long,
                                   threshold: Double)
 
+  /** Optional F17 gate: incremental SEMANTIC dedup — batch rows whose
+    * embedding is near-duplicate (cosine ≥ tau) of an accepted row's
+    * embedding in the same centroid cell are rejected, and
+    * batch-internal semantic dups collapse to their CC
+    * representative; the standing (id, cell, embedding) index under
+    * `corpusDir/semidx` advances by accepted rows. `centroids` is
+    * the fixed coarse-quantizer model (trained offline — assignment
+    * must not depend on the batch); rows with a NULL embedding are
+    * invisible to this gate and flow through on the text gates
+    * alone (the F14 no-band rule).
+    */
+  final case class SemanticGate(embCol: String, tau: Double,
+                                centroids: Seq[(Int, Seq[Float])])
+
   /** Optional H22 accounting: a fixed BPE merge table + vocabulary.
     * When set, every accepted corpus row carries an `n_tok` column
     * with its EXACT subword count (the H15/H22 composition), so
@@ -91,13 +105,14 @@ object CurationJob {
           markup: Boolean = false,
           classifier: Option[ClassifierGate] = None,
           bpe: Option[BpeAccounting] = None,
-          spanTrim: Boolean = false): StreamingQuery =
+          spanTrim: Boolean = false,
+          semantic: Option[SemanticGate] = None): StreamingQuery =
     incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, corpusDir, idCol, textCol, batchId, compactEvery,
-          fuzzy, markup, classifier, bpe, spanTrim)
+          fuzzy, markup, classifier, bpe, spanTrim, semantic)
       }
       .start()
 
@@ -115,7 +130,8 @@ object CurationJob {
                  markup: Boolean = false,
                  classifier: Option[ClassifierGate] = None,
                  bpe: Option[BpeAccounting] = None,
-                 spanTrim: Boolean = false): Unit = {
+                 spanTrim: Boolean = false,
+                 semantic: Option[SemanticGate] = None): Unit = {
     val spark = batch.sparkSession
     // H21 first: everything downstream — gates, fingerprints, the
     // stored corpus — sees extracted prose, never raw markup
@@ -185,11 +201,32 @@ object CurationJob {
         novelRows.join(fuzzSurvivors.unionByName(noBand).distinct(),
           Seq(idCol))
       })
+      // F17 (opt-in): incremental SEMANTIC gate, after text novelty —
+      // batch rows embedding-near-dup of accepted content (same
+      // centroid cell, cosine ≥ tau) are vetoed; batch-internal
+      // semantic dups collapse to their CC representative. NULL
+      // embeddings flow through (the no-band rule).
+      val semAdmitted = semantic match {
+        case None => admitted
+        case Some(g) =>
+          import spark.implicits._
+          val semIdx = readIndexExcept(spark, s"$corpusDir/semidx",
+            s"b$batchId", semSchema(idCol, g.embCol))
+          val cents = g.centroids.toDF("c_label", "c_emb")
+          val keepIds = graft.operators.Similarity
+            .incrementalSemantic(spark,
+              admitted.filter(col(g.embCol).isNotNull), semIdx, cents,
+              g.tau, idCol, g.embCol)
+            .filter(col("status") === "keep").select(col(idCol))
+          val noEmb = admitted.filter(col(g.embCol).isNull)
+            .select(col(idCol))
+          admitted.join(keepIds.unionByName(noEmb).distinct(), Seq(idCol))
+      }
       // H22 accounting: stamp each accepted row with its exact BPE
       // token count — one more codegen'd projection on the way to the
       // corpus shard, no extra action or shuffle
       accepted = (bpe match {
-        case None => admitted
+        case None => semAdmitted
         case Some(m) =>
           import org.apache.spark.sql.GraftBridge
           val ids = GraftBridge.column(graft.functions.BpeEncode(
@@ -197,7 +234,7 @@ object CurationJob {
               graft.functions.Hash60.tokens(
                 regexp_replace(col(textCol), "\\|", " "))),
             m.merges, m.vocab))
-          admitted.withColumn("n_tok", size(ids).cast("long"))
+          semAdmitted.withColumn("n_tok", size(ids).cast("long"))
       }).persist()
       // accepted rows enter the corpus; the emitted fps advance the
       // exact index so the NEXT batch sees them — INCLUDING the fps
@@ -215,6 +252,15 @@ object CurationJob {
       if (spanTrim)
         Dedup.blockIndex(accepted, textCol)
           .write.mode("overwrite").parquet(s"$corpusDir/blocks/b$batchId")
+      // the semantic index advances by accepted rows' (id, cell,
+      // embedding) under the SAME fixed centroids
+      semantic.foreach { g =>
+        import spark.implicits._
+        val cents = g.centroids.toDF("c_label", "c_emb")
+        graft.operators.Similarity.assignCells(spark,
+            accepted.filter(col(g.embCol).isNotNull), cents, idCol, g.embCol)
+          .write.mode("overwrite").parquet(s"$corpusDir/semidx/b$batchId")
+      }
     } finally {
       if (accepted != null) accepted.unpersist()
       if (novel != null) novel.unpersist()
@@ -229,12 +275,20 @@ object CurationJob {
       if (spanTrim)
         compactIndex(spark, s"$corpusDir/blocks", s"b$batchId", batchId,
           compactEvery)
+      if (semantic.isDefined)
+        compactIndex(spark, s"$corpusDir/semidx", s"b$batchId", batchId,
+          compactEvery)
       compactData(spark, s"$corpusDir/data", s"b$batchId", batchId,
         compactEvery)
     }
   }
 
   private val fpSchema = StructType(Seq(StructField("fp", StringType)))
+  private def semSchema(idCol: String, embCol: String) = StructType(Seq(
+    StructField(idCol, org.apache.spark.sql.types.LongType),
+    StructField("cell", org.apache.spark.sql.types.IntegerType),
+    StructField(embCol, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType))))
   private val blockSchema = StructType(Seq(
     StructField("h", org.apache.spark.sql.types.LongType)))
   private val bandSchema = StructType(Seq(

@@ -125,6 +125,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSet == run(17).toSet)
   }
 
+  test("incremental semantic dedup: status partition is exhaustive, layout-invariant, batch-only work") {
+    val standing = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val cents = Similarity.labelCentroids(standing)
+    def run(parts: Int) = Similarity.incrementalSemantic(spark,
+        batch.repartition(parts),
+        Similarity.assignCells(spark, standing, cents), cents, tau = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3)))
+    val out = run(3)
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    // one verdict per batch vector, never an index vector
+    assert(out.map(_._1).toSet == batchIds)
+    assert(out.length == batchIds.size)
+    out.foreach { case (id, _, surv, status) =>
+      status match {
+        case "vetoed" => assert(surv == -1L)
+        case "keep" => assert(surv == id)
+        case "collapsed" => assert(surv != id && surv != -1L &&
+          batchIds.contains(surv))
+        case other => fail(s"unknown status $other")
+      }
+    }
+    // bit-identical across partition layouts
+    assert(out.toSet == run(17).toSet)
+  }
+
   test("recall matrix: exact recalls 1.0; known strategy ordering holds") {
     val m = Similarity.recallMatrix(spark, emb, emb.filter(col("vec_id") < 10), k = 3)
       .collect().map(r => r.getString(0) ->

@@ -349,6 +349,60 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(idx == expect, s"index $idx vs expected $expect")
   }
 
+  test("curation daemon semantic gate: embedding near-dups vetoed, batch-internal collapse, re-delivery no-op, streamed ≡ batch") {
+    import spark.implicits._
+    import graft.streaming.CurationJob
+    val pool = Vector("quick", "brown", "foxes", "jumped", "fences",
+      "little", "garden", "stones", "rivers", "bright", "clouds",
+      "forest", "meadow", "silver", "golden", "branch")
+    def doc(seed: Int): String = (0 until 60).map { i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of"
+      else if (i % 17 == 2) s"word$seed"
+      else pool((seed * 13 + i * 5) % pool.size)
+    }.mkString(" ")
+    // fixed 2-cell coarse quantizer; vectors engineered so ONLY the
+    // semantic gate can produce each outcome (all texts are distinct)
+    val cents = Seq(0 -> Seq(1f, 0f, 0f, 0f), 1 -> Seq(0f, 1f, 0f, 0f))
+    val gate = Some(CurationJob.SemanticGate("embedding", 0.98, cents))
+    val u1 = Seq(0.9f, 0.1f, 0f, 0f) // cell 0
+    val u2 = Seq(0.1f, 0.9f, 0f, 0f) // cell 1
+    val e10 = Seq(0.88f, 0.12f, 0f, 0f) // ≈ u1 → vetoed vs standing
+    val e12 = Seq(0.1f, 0.2f, 0.95f, 0f) // cell 1, far from everything
+    val e13 = Seq(0.1f, 0.85f, 0.2f, 0f) // ≈ e14, both cell 1
+    val e14 = Seq(0.12f, 0.84f, 0.2f, 0f) // collapses to 13
+    val b0 = Seq((1L, doc(1), u1), (2L, doc(2), u2))
+    val b1 = Seq((10L, doc(3), e10), (12L, doc(4), e12),
+      (13L, doc(5), e13), (14L, doc(6), e14))
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-sem").toString
+    def apply1(rows: Seq[(Long, String, Seq[Float])], id: Long, d: String = dir) =
+      CurationJob.applyBatch(rows.toDF("doc_id", "text", "embedding"),
+        d, "doc_id", "text", batchId = id, semantic = gate)
+    def corpusIds(d: String = dir) = spark.read
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$d/data").select("doc_id").collect().map(_.getLong(0)).toSet
+    apply1(b0, 0L)
+    apply1(b1, 1L)
+    // 10 is a semantic dup of accepted 1 (exact fp differs!); 14
+    // collapses onto batch-mate 13; 12 is genuinely novel
+    assert(corpusIds() == Set(1L, 2L, 12L, 13L), corpusIds().toString)
+    // exactly-once: re-delivery of batch 1 excludes its own semidx
+    // shard → identical rewrite, nothing dropped
+    apply1(b1, 1L)
+    assert(corpusIds() == Set(1L, 2L, 12L, 13L))
+    // the semantic index holds exactly the accepted rows' cells
+    val idx = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/semidx").distinct()
+    assert(idx.count() == 4)
+    assert(idx.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 12L, 13L))
+    // streamed fold ≡ batch-mode curation of the whole input: the
+    // cross-batch veto of 10 becomes a batch-internal collapse onto
+    // 1 — same surviving corpus
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-curation-sem2").toString
+    apply1(b0 ++ b1, 0L, dir2)
+    assert(corpusIds(dir2) == Set(1L, 2L, 12L, 13L), corpusIds(dir2).toString)
+  }
+
   test("curation loop survives an all-rejected batch: empty shards don't poison later reads") {
     import spark.implicits._
     import graft.streaming.CurationJob
