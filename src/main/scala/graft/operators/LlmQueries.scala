@@ -139,6 +139,9 @@ object LlmQueries {
     //    generator's ground truth, the engine must re-derive it by
     //    parsing the container bytes it built ——
     "mm_image_dims" -> ((s, dir) => Multimodal.imageDims(docs(s, dir), "doc_id")),
+    // —— H6: real RIFF/WAV and ISO-BMFF header walks over binary payloads ——
+    "mm_audio_meta" -> ((s, dir) => Multimodal.audioMeta(docs(s, dir), "doc_id")),
+    "mm_video_meta" -> ((s, dir) => Multimodal.videoMeta(docs(s, dir), "doc_id")),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir), "doc_id", "text")),
     // —— F8: benchmark decontamination (trigram overlap vs eval set) ——
     "decon_ngram" -> ((s, dir) =>
@@ -953,6 +956,56 @@ object LlmQueries {
         |       WHEN doc_id % 3 = 1 THEN 8
         |       ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS bit_depth
         |FROM documents""".stripMargin,
+    // H6: the analytic ground truth of the WAV generator — the oracle
+    // predicts what the chunk walk must recover from the bytes
+    "mm_audio_meta" ->
+      """WITH p AS (SELECT doc_id,
+        |    (doc_id % 2) * 2 + 1 AS codec,
+        |    doc_id % 2 + 1 AS channels,
+        |    (doc_id % 8) * 4000 + 8000 AS sample_rate,
+        |    (doc_id % 3 + 1) * 8 AS bit_depth
+        |  FROM documents),
+        |q AS (SELECT *,
+        |    (channels * bit_depth) // 8 AS block_align FROM p),
+        |r AS (SELECT *,
+        |    (doc_id % 1000 + 1) * block_align AS data_bytes,
+        |    sample_rate * block_align AS byte_rate FROM q)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(codec AS INTEGER) END AS codec,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(channels AS INTEGER) END AS channels,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(sample_rate AS INTEGER) END AS sample_rate,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(bit_depth AS INTEGER) END AS bit_depth,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(data_bytes AS BIGINT) END AS data_bytes,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(data_bytes * 1000 // byte_rate AS BIGINT)
+        |       END AS duration_ms
+        |FROM r""".stripMargin,
+    // H6: the analytic ground truth of the MP4 generator
+    "mm_video_meta" ->
+      """WITH p AS (SELECT doc_id,
+        |    ['isom','mp42','qt  '][CAST(doc_id % 3 AS INTEGER) + 1] AS brand,
+        |    (doc_id % 10) * 100 + 600 AS timescale,
+        |    (doc_id % 100000) + 1000 AS duration,
+        |    doc_id % 3 + 1 AS n_tracks
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE brand END AS brand,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(timescale AS BIGINT) END AS timescale,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(duration AS BIGINT) END AS duration,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(n_tracks AS INTEGER) END AS n_tracks,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(duration * 1000 // timescale AS BIGINT)
+        |       END AS duration_ms
+        |FROM p""".stripMargin,
     "mm_frame_sample" ->
       """WITH RECURSIVE s(i) AS (
         |  SELECT 0

@@ -148,10 +148,11 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("image-header decode plans zero shuffles") {
-    val plan = executed(
-      graft.operators.LlmQueries.queries("mm_image_dims")(spark, sfDir))
-    assert(!plan.contains("Exchange"), s"mm_image_dims shuffled:\n$plan")
+  test("media-header decodes (image/audio/video) plan zero shuffles") {
+    for (q <- Seq("mm_image_dims", "mm_audio_meta", "mm_video_meta")) {
+      val plan = executed(graft.operators.LlmQueries.queries(q)(spark, sfDir))
+      assert(!plan.contains("Exchange"), s"$q shuffled:\n$plan")
+    }
   }
 
   test("$densify grid generation aggregates before exploding (no driver loop)") {

@@ -375,6 +375,106 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("audio_meta walks real RIFF/WAV chunks and nulls out broken ones") {
+    import graft.functions.AudioMeta
+    def hx(s: String): Array[Byte] =
+      s.replaceAll(" ", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def parse(b: Array[Byte]) = {
+      val r = AudioMeta.compute(b)
+      if (r.isNullAt(0)) None
+      else Some((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))
+    }
+    // canonical PCM header: fmt(16) mono 8000 Hz 16-bit, data 16000
+    // bytes → exactly 1000 ms; an odd-sized LIST chunk (3 bytes +
+    // pad) sits before fmt so the walk and the pad rule are exercised
+    val wav = "52494646 00000000 57415645" +
+      " 4C495354 03000000 414141 00" +               // LIST len 3 + pad
+      " 666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      " 64617461 803E0000"                           // data 16000 bytes
+    assert(parse(hx(wav)) == Some((1, 1, 8000, 16, 16000L, 1000L)))
+    // fmt but no data chunk: format fields real, data/duration null
+    val noData = "52494646 00000000 57415645" +
+      " 666D7420 10000000 0300 0200 80BB0000 00EE0200 0400 1000"
+    assert(parse(hx(noData)) == Some((3, 2, 48000, 16, -1L, -1L)))
+    // broken: not RIFF, RIFF-but-not-WAVE, truncated fmt, garbage, empty
+    assert(parse(hx("52494647 00000000 57415645")) == None)
+    assert(parse(hx("52494646 00000000 57415646")) == None)
+    assert(parse(hx("52494646 00000000 57415645 666D7420 10000000 0100")) == None)
+    assert(parse("hello world".getBytes) == None)
+    assert(parse(Array.emptyByteArray) == None)
+  }
+
+  test("video_meta walks real ISO-BMFF boxes (v0 and v1 mvhd) and nulls out broken ones") {
+    import graft.functions.VideoMeta
+    def hx(s: String): Array[Byte] =
+      s.replaceAll(" ", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def parse(b: Array[Byte]) = {
+      val r = VideoMeta.compute(b)
+      if (r.isNullAt(0)) None
+      else Some((r.getUTF8String(0).toString, r.getLong(1), r.getLong(2),
+        r.getInt(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    }
+    // ftyp(isom) + moov{free(2), mvhd v0 ts=600 dur=1500, trak, trak}
+    val v0 = "00000010 66747970 69736F6D 00000000" +
+      " 0000003E 6D6F6F76" +
+      " 0000000A 66726565 4141" +
+      " 0000001C 6D766864 00000000 00000000 00000000 00000258 000005DC" +
+      " 00000008 7472616B 00000008 7472616B"
+    assert(parse(hx(v0)) == Some(("isom", 600L, 1500L, 2, 2500L)))
+    // mvhd VERSION 1: 64-bit times; one trak; brand "qt  "
+    val v1 = "00000010 66747970 71742020 00000000" +
+      " 00000038 6D6F6F76" +
+      " 00000028 6D766864 01000000 0000000000000000 0000000000000000" +
+      " 000003E8 0000000000002710" +
+      " 00000008 7472616B"
+    assert(parse(hx(v1)) == Some(("qt  ", 1000L, 10000L, 1, 10000L)))
+    // broken: moov without mvhd, ftyp alone, box size past the buffer,
+    // bad mvhd version, garbage, empty
+    assert(parse(hx("00000010 66747970 69736F6D 00000000" +
+      " 00000010 6D6F6F76 00000008 7472616B")) == None)
+    assert(parse(hx("00000010 66747970 69736F6D 00000000")) == None)
+    assert(parse(hx("00000010 66747970 69736F6D 00000000 000000FF 6D6F6F76")) == None)
+    assert(parse(hx("00000010 66747970 69736F6D 00000000" +
+      " 00000014 6D6F6F76 0000000C 6D766864 05000000")) == None)
+    assert(parse("not a movie at all".getBytes) == None)
+    assert(parse(Array.emptyByteArray) == None)
+  }
+
+  test("mm_audio/video_meta round trip: built containers parse back to generator parameters") {
+    import spark.implicits._
+    val ids = (0L until 120L).toDF("doc_id")
+    val au = Multimodal.audioMeta(ids, "doc_id").collect()
+    assert(au.length == 120)
+    au.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      if (id % 13 == 0) assert(r.isNullAt(1), s"corrupt $id parsed")
+      else {
+        val ba = ((id % 2 + 1) * ((id % 3 + 1) * 8) / 8).toInt
+        assert(r.getAs[String]("format") == "wav")
+        assert(r.getAs[Int]("codec") == (id % 2).toInt * 2 + 1)
+        assert(r.getAs[Int]("channels") == (id % 2).toInt + 1)
+        assert(r.getAs[Int]("sample_rate") == (id % 8).toInt * 4000 + 8000)
+        assert(r.getAs[Int]("bit_depth") == ((id % 3).toInt + 1) * 8)
+        assert(r.getAs[Long]("data_bytes") == (id % 1000 + 1) * ba)
+      }
+    }
+    val vi = Multimodal.videoMeta(ids, "doc_id").collect()
+    assert(vi.length == 120)
+    vi.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      if (id % 13 == 0) assert(r.isNullAt(1), s"corrupt $id parsed")
+      else {
+        assert(r.getAs[String]("brand") ==
+          Seq("isom", "mp42", "qt  ")((id % 3).toInt))
+        assert(r.getAs[Long]("timescale") == (id % 10) * 100 + 600)
+        assert(r.getAs[Long]("duration") == (id % 100000) + 1000)
+        assert(r.getAs[Int]("n_tracks") == (id % 3).toInt + 1)
+      }
+    }
+  }
+
   test("Int8Dot matches the interpreted integer dot product and stays in codegen") {
     import org.apache.spark.sql.GraftBridge
     import spark.implicits._
