@@ -201,18 +201,16 @@ object LlmQueries {
     //    shuffle of ≤10 rows; the reliability diagram every
     //    model-gated curation stage ships with ——
     "classifier_calibration" -> ((s, dir) => {
-      import graft.functions.Hash60.tokens
-      val base = docs(s, dir).withColumn("__toks", tokens(col("text")))
-      val score = TextAnalysis.classifierScoreOf(col("__toks"), clfWeights,
-        biasMicro = 50000L)
-      base.select((col("lang") === "en").as("y"), score.as("s"))
-        .groupBy(least(floor(col("s") * lit(10.0)), lit(9L)).cast("int")
-          .as("bin"))
-        .agg(count(lit(1)).as("n"),
-          count(when(col("y"), lit(1))).as("n_pos"))
-        .select(col("bin"), col("n"), col("n_pos"),
-          round(col("n_pos").cast("double") / col("n").cast("double"), 6)
-            .as("pos_rate"))
+      TextAnalysis.calibrationBins(docs(s, dir), "text",
+        col("lang") === "en", clfWeights, biasMicro = 50000L)
+    }),
+    // —— H20c drift: the same reliability diagram PER SOURCE slice —
+    //    a slice whose curve departs the corpus curve is the
+    //    re-threshold/re-train signal ——
+    "classifier_drift" -> ((s, dir) => {
+      TextAnalysis.calibrationBins(docs(s, dir), "text",
+        col("lang") === "en", clfWeights, biasMicro = 50000L,
+        slices = Seq("source" -> col("source")))
     }),
     // —— H20b: classifier TRAINING — 2 unrolled deterministic
     //    full-batch logistic GD steps over hashed features ——
@@ -1227,6 +1225,27 @@ object LlmQueries {
          |  round(CAST(COUNT(CASE WHEN y THEN 1 END) AS DOUBLE)
          |        / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
          |FROM s GROUP BY 1""".stripMargin,
+    // H20c drift: the same chain with the source slice prepended
+    "classifier_drift" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |  string_split_regex(trim(lower(text)), ' +') AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, source, len(toks) AS n,
+         |  CAST(list_sum(list_transform(toks, tok ->
+         |    (${clfWeights.mkString("[", ", ", "]")})
+         |      [(CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64) + 1]))
+         |    AS BIGINT) AS raw
+         |  FROM t),
+         |s AS (SELECT source, lang = 'en' AS y,
+         |  round(1.0 / (1.0 + exp(-((CAST(raw AS DOUBLE) / n + 50000.0)
+         |                           / 1000000.0))), 6) AS s
+         |  FROM c)
+         |SELECT source, CAST(least(floor(s * 10.0), 9) AS INTEGER) AS bin,
+         |  COUNT(*) AS n,
+         |  COUNT(CASE WHEN y THEN 1 END) AS n_pos,
+         |  round(CAST(COUNT(CASE WHEN y THEN 1 END) AS DOUBLE)
+         |        / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
+         |FROM s GROUP BY 1, 2""".stripMargin,
     // H20b: the two GD iterations unrolled into plain CTEs (the
     // H7c/G2b move) — sparse (doc,bucket,count) postings replay the
     // engine's dense-array arithmetic exactly: absent buckets

@@ -494,6 +494,46 @@ object TextAnalysis {
       (score >= threshold).as("keep"))
   }
 
+  /** H20c: calibration bins of a fixed classifier — the reliability
+    * diagram (score decile × observed positive rate) every
+    * model-gated curation stage ships with, factored so the batch
+    * query, the per-slice DRIFT readout, and the streaming
+    * incremental form (E18) share one definition and can never
+    * drift from each other.
+    *
+    * `slices` prepends grouping keys (a source column, an event-time
+    * window, …): per-slice reliability curves ARE the drift readout —
+    * a slice whose pos_rate at fixed score bins moves away from the
+    * corpus curve is the signal to re-threshold or re-train the gate.
+    *
+    * Shape: one map-side-combined count groupBy of ≤ bins·slices
+    * rows. Counts merge, so Structured Streaming maintains the same
+    * aggregation INCREMENTALLY over micro-batches (complete mode) —
+    * the E17 mergeable-sketch property; streamed state equals the
+    * batch readout over the union of batches (spec-pinned).
+    */
+  def calibrationBins(docs: DataFrame, textCol: String, labelPred: Column,
+                      microWeights: Seq[Long], biasMicro: Long,
+                      slices: Seq[(String, Column)] = Nil,
+                      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"calibration needs a positive bin count: $bins")
+    val base = docs.withColumn("__toks", tokens(col(textCol)))
+    val score = classifierScoreOf(col("__toks"), microWeights, biasMicro)
+    val pre = base.select(
+      slices.map { case (n, c) => c.as(n) } ++
+        Seq(labelPred.as("y"), score.as("s")): _*)
+    val keys = slices.map(s => col(s._1)) :+
+      least(floor(col("s") * lit(bins.toDouble)), lit((bins - 1).toLong))
+        .cast("int").as("bin")
+    pre.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("y"), lit(1))).as("n_pos"))
+      .select(slices.map(s => col(s._1)) ++ Seq(col("bin"), col("n"),
+        col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate")): _*)
+  }
+
   /** H20b: linear-classifier TRAINING over hashed token features —
     * the learn side of [[classifierScore]], closing the quality-model
     * loop the same way H7c's BPE merge learning closed H22's encoder:

@@ -298,6 +298,42 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.count() > 0)
   }
 
+  test("E18: streaming calibration bins equal the batch readout across micro-batches") {
+    // H20c run INCREMENTALLY: calibration counts merge (the E17
+    // mergeable property), so the same calibrationBins transform on a
+    // stream keeps ≤ bins·slices rows of state and must equal the
+    // batch readout over the union of micro-batches — the live drift
+    // monitor of a model-gated curation daemon
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val w = graft.operators.LlmQueries.clfWeights
+    def bins(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.calibrationBins(df, "text",
+        col("lang") === "en", w, biasMicro = 50000L,
+        slices = Seq("source" -> col("source")))
+    val b1 = Seq((1L, "en", "web", "the quick brown fox jumped high"),
+      (2L, "de", "web", "der schnelle braune fuchs springt"),
+      (3L, "en", "wiki", "a history of the ancient empire"))
+    val b2 = Seq((4L, "en", "web", "more of the quick brown text"),
+      (5L, "fr", "wiki", "le renard brun et rapide"))
+    val ms = MemoryStream[(Long, String, String, String)]
+    val q = bins(ms.toDF.toDF("doc_id", "lang", "source", "text"))
+      .writeStream.format("memory").queryName("calib_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val streamed = spark.table("calib_stream").collect().map(key).toSet
+      val batch = bins((b1 ++ b2).toDF("doc_id", "lang", "source", "text"))
+        .collect().map(key).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("E17: streaming count-min grid equals the batch sketch across micro-batches") {
     // the G21 sketch run INCREMENTALLY: the same cmsGrid transform on
     // a stream keeps d·w rows of state (corpus-size-independent) and
