@@ -73,6 +73,29 @@ def compare_one(sfdir, outdir, name, sql, con=None):
            "hash_match": False, "spark_rows": None,
            "oracle_rows": None, "err": None}
     lines = []
+    # SCALED_ORACLES=1: sweep-only restructurings of the oracles that
+    # are structurally infeasible in DuckDB at 100x replication
+    # (identical results — self-tested against the registry SQL at
+    # small SF: python3 tools/scaled_oracles.py <sfdir> <outdir>)
+    if os.environ.get("SCALED_ORACLES") == "1":
+        try:
+            import scaled_oracles
+            fn = scaled_oracles.get(name)
+        except ImportError:
+            fn = None
+        if fn is not None:
+            try:
+                # split view dirs hold a SUBSET oracle_sql.json; the
+                # restructurings need other queries' SQL as dependency
+                # fragments — the sweep drops the full map alongside
+                full = f"{outdir}/oracle_sql_full.json"
+                oracle_sql = json.load(open(
+                    full if os.path.exists(full)
+                    else f"{outdir}/oracle_sql.json"))
+                return fn(sfdir, outdir, oracle_sql, name)
+            except Exception as e:
+                rec["err"] = f"{type(e).__name__}: {str(e)[:160]}"
+                return rec, [f"FAIL {name}: {rec['err']}"]
     try:
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         got = canon(pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))

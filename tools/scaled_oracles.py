@@ -1,0 +1,465 @@
+#!/usr/bin/env python3
+"""Scaled-decade oracle restructurings (sweep-only; the driver's sf0.1
+gate always runs the registry SQL verbatim).
+
+At 100x replication a handful of registry oracles are structurally
+infeasible in DuckDB even though the ENGINE outputs are fine:
+
+  - the connected-components closures (dedup_clusters[_star],
+    dedup_semantic, dedup_cluster_sizes, dedup_semantic_inc) use a
+    recursive `reach` CTE whose row count is the number of PATHS —
+    explosive once 100x replication turns every content group into a
+    100-clique;
+  - the BPE replays (bpe_encode, pack_sequences_bpe) re-run the merge
+    loop over every document's full character state, 100x the work
+    for zero new words;
+  - pipe_expr's output is ~6M rows — the single pandas canonicalize/
+    compare blows the per-query budget.
+
+Each entry here computes the IDENTICAL result a cheaper way:
+
+  - CC queries: exact-duplicate collapse first (copies of one content
+    share every band/cosine by construction, so the rep-level pair
+    graph expands losslessly — the engine's own F10 collapse argument),
+    then iterative min-label propagation with pointer jumping over
+    SEQUENCED TEMP TABLES (O(log n) rounds) instead of the path-
+    enumerating recursive CTE;
+  - BPE: the merge replay runs once per DISTINCT WORD (the registry
+    CTE's '|sym||sym|' state never merges across the ' ' word
+    separator, so per-word replay is exactly equivalent), then a plain
+    positional join assembles per-document id lists;
+  - pipe_expr: the registry SQL runs unchanged, but engine and oracle
+    frames compare in K deterministic row slices (l_orderkey % K) so
+    no single canonicalize exceeds the budget.
+
+Equality with the registry oracles is not assumed: `python3
+tools/scaled_oracles.py <sfdir> <outdir>` self-tests every
+restructured oracle against the ORIGINAL SQL at that (small) scale
+factor and against the engine outputs.
+
+Activated in driver_compare.py via SCALED_ORACLES=1.
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+import pandas as pd
+
+
+# ——— helpers shared with driver_compare (imported lazily: this module
+#     is imported BY driver_compare, and both live in tools/) ———
+
+def _dc():
+    import driver_compare
+    return driver_compare
+
+
+def _engine_df(outdir, name):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def _result(got, want, name):
+    dc = _dc()
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": len(got), "oracle_rows": len(want), "err": None}
+    got, want = dc.canon(got), dc.canon(want)
+    rec["schema_match"] = list(got.columns) == list(want.columns)
+    rec["rows_match"] = len(got) == len(want)
+    rec["hash_match"] = (rec["schema_match"] and rec["rows_match"]
+                         and got.equals(want))
+    if rec["hash_match"]:
+        lines = [f"OK   {name} ({len(got)} rows, scaled oracle)"]
+    elif not rec["schema_match"]:
+        lines = [f"FAIL {name}: cols spark={list(got.columns)} duck={list(want.columns)}"]
+    elif not rec["rows_match"]:
+        lines = [f"FAIL {name}: rows {len(got)} vs {len(want)}"]
+    else:
+        neq = (got != want).any(axis=1)
+        lines = [f"FAIL {name}: {int(neq.sum())} differing rows, first:"]
+        for i in got.index[neq][:3]:
+            lines.append(f"  spark={got.loc[i].to_dict()}")
+            lines.append(f"  duck ={want.loc[i].to_dict()}")
+    return rec, lines
+
+
+# ——— iterative connected components over temp tables ———
+
+def _cc_components(con, pairs_table):
+    """Min-label propagation with pointer jumping over `pairs_table(a, b)`
+    -> temp table `lab(s, l)` = component-min label for every node with
+    at least one edge. Sequenced temp tables, O(log n) rounds.
+    """
+    con.sql(f"""CREATE OR REPLACE TEMP TABLE e AS
+        SELECT a AS s, b AS d FROM {pairs_table}
+        UNION SELECT b, a FROM {pairs_table}""")
+    con.sql("""CREATE OR REPLACE TEMP TABLE lab AS
+        SELECT s, LEAST(s, MIN(d)) AS l FROM e GROUP BY s""")
+    for _ in range(64):
+        # next label: min over own, neighbors', and label-of-label
+        # (pointer jump — labels are node ids present in lab)
+        con.sql("""CREATE OR REPLACE TEMP TABLE lab2 AS
+            SELECT n.s, LEAST(n.l, COALESCE(j.l, n.l)) AS l FROM (
+              SELECT e.s, LEAST(MIN(ls.l), MIN(ld.l)) AS l
+              FROM e
+              JOIN lab ls ON ls.s = e.s
+              JOIN lab ld ON ld.s = e.d
+              GROUP BY e.s) n
+            LEFT JOIN lab j ON j.s = n.l""")
+        (changed,) = con.sql(
+            """SELECT COUNT(*) FROM lab JOIN lab2 USING (s)
+               WHERE lab.l <> lab2.l""").fetchone()
+        con.sql("CREATE OR REPLACE TEMP TABLE lab AS SELECT * FROM lab2")
+        if changed == 0:
+            return
+    raise RuntimeError("label propagation did not converge in 64 rounds")
+
+
+# ——— text-side collapse + rep-level minhash pair graph ———
+
+def _text_rep_clusters(con, oracle_sql):
+    """Builds temp tables:
+      grp(text, rep, cnt)            exact-content groups
+      rpairs(a, b)                   minhash band pairs among reps
+      repcomp(rep, comp, cnt, text)  component-min per rep
+      docclusters(doc_id, cluster)   the EXPANDED doc-level CC result
+    Expansion is lossless: copies of one content share every shingle,
+    hence every band, so the doc-level pair graph is the rep-level
+    graph expanded by content cliques; the component min over docs IS
+    the component min over reps (each rep is its content's min doc).
+    """
+    con.sql("""CREATE OR REPLACE TEMP TABLE grp AS
+        SELECT text, MIN(doc_id) AS rep, COUNT(*) AS cnt
+        FROM documents GROUP BY text""")
+    con.sql("""CREATE OR REPLACE TEMP TABLE repdocs AS
+        SELECT rep AS doc_id, text FROM grp""")
+    pair_sql = oracle_sql["dedup_minhash_lsh"].replace(
+        "FROM documents", "FROM repdocs")
+    con.sql(f"CREATE OR REPLACE TEMP TABLE rpairs AS {pair_sql}")
+    _cc_components(con, "rpairs")
+    con.sql("""CREATE OR REPLACE TEMP TABLE repcomp AS
+        SELECT g.rep, COALESCE(lab.l, g.rep) AS comp, g.cnt, g.text
+        FROM grp g LEFT JOIN lab ON lab.s = g.rep""")
+    # a doc participates iff its content has a copy (cnt >= 2) or its
+    # rep has a cross-content band pair
+    con.sql("""CREATE OR REPLACE TEMP TABLE docclusters AS
+        SELECT d.doc_id, rc.comp AS cluster
+        FROM documents d JOIN repcomp rc ON d.text = rc.text
+        WHERE rc.cnt >= 2 OR rc.rep IN (SELECT s FROM e)""")
+
+
+def _dedup_clusters_want(con, oracle_sql):
+    _text_rep_clusters(con, oracle_sql)
+    return con.sql("SELECT doc_id, cluster FROM docclusters").df()
+
+
+def _dedup_clusters(sfdir, outdir, oracle_sql, name):
+    con = _dc().connect(sfdir)
+    return _result(_engine_df(outdir, name),
+                   _dedup_clusters_want(con, oracle_sql), name)
+
+
+def _dedup_cluster_sizes_want(con, oracle_sql):
+    _text_rep_clusters(con, oracle_sql)
+    return con.sql("""
+        WITH sz AS (SELECT cluster, COUNT(*) AS sz FROM docclusters GROUP BY 1)
+        SELECT sz, COUNT(*) AS n_clusters FROM sz GROUP BY 1
+        UNION ALL
+        SELECT 1 AS sz,
+          (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM docclusters)
+            AS n_clusters""").df()
+
+
+def _dedup_cluster_sizes(sfdir, outdir, oracle_sql, name):
+    con = _dc().connect(sfdir)
+    return _result(_engine_df(outdir, name),
+                   _dedup_cluster_sizes_want(con, oracle_sql), name)
+
+
+# ——— embedding-side collapse (dedup_semantic / dedup_semantic_inc) ———
+
+_COS = ("round(list_cosine_similarity(CAST({a} AS DOUBLE[]), "
+        "CAST({b} AS DOUBLE[])), 4)")
+
+
+def _dedup_semantic_want(con, oracle_sql):
+    con.sql("""CREATE OR REPLACE TEMP TABLE vgrp AS
+        SELECT label, embedding, MIN(vec_id) AS rep, COUNT(*) AS cnt
+        FROM embeddings GROUP BY label, embedding""")
+    cos = _COS.format(a="a.embedding", b="b.embedding")
+    con.sql(f"""CREATE OR REPLACE TEMP TABLE rpairs AS
+        SELECT a.rep AS a, b.rep AS b
+        FROM vgrp a JOIN vgrp b
+          ON a.label = b.label AND a.rep < b.rep
+        WHERE {cos} >= 0.4""")
+    _cc_components(con, "rpairs")
+    con.sql("""CREATE OR REPLACE TEMP TABLE repcomp AS
+        SELECT g.rep, COALESCE(lab.l, g.rep) AS comp, g.cnt,
+               g.label, g.embedding
+        FROM vgrp g LEFT JOIN lab ON lab.s = g.rep""")
+    return con.sql("""
+        SELECT v.vec_id, rc.comp AS cluster, v.vec_id = rc.comp AS keep
+        FROM embeddings v
+        JOIN repcomp rc ON v.label = rc.label AND v.embedding = rc.embedding
+        WHERE rc.cnt >= 2 OR rc.rep IN (SELECT s FROM e)""").df()
+
+
+def _dedup_semantic(sfdir, outdir, oracle_sql, name):
+    con = _dc().connect(sfdir)
+    return _result(_engine_df(outdir, name),
+                   _dedup_semantic_want(con, oracle_sql), name)
+
+
+def _dedup_semantic_inc_want(con, oracle_sql):
+    """Collapse-first replay of the F17 chain: centroids from the
+    standing 90% (identical scaled-int64 arithmetic), every DISTINCT
+    embedding assigned once, veto/pairs among distinct (cell,
+    embedding) groups, then lossless expansion to batch vec_ids.
+    """
+    con.sql("""CREATE OR REPLACE TEMP TABLE cent AS
+        WITH u AS (SELECT label,
+            CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS dim,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576.0) AS BIGINT)
+              AS sv
+          FROM embeddings WHERE vec_id % 10 <> 0),
+        c AS (SELECT label, dim, SUM(sv) AS s, COUNT(*) AS n
+              FROM u GROUP BY 1, 2)
+        SELECT label AS c_label,
+          CAST(list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY dim)
+               AS FLOAT[]) AS c_emb
+        FROM c GROUP BY label""")
+    # assign each DISTINCT embedding once (cells depend only on values)
+    cosc = _COS.format(a="g.embedding", b="c.c_emb")
+    con.sql(f"""CREATE OR REPLACE TEMP TABLE gasg AS
+        WITH g AS (SELECT DISTINCT embedding FROM embeddings),
+        sc AS (SELECT g.embedding, c.c_label, {cosc} AS cos_r
+               FROM g CROSS JOIN cent c),
+        r AS (SELECT *, row_number() OVER (PARTITION BY embedding
+                ORDER BY cos_r DESC, c_label) AS rn FROM sc)
+        SELECT embedding, c_label AS cell FROM r WHERE rn = 1""")
+    # batch/index groups of identical (embedding) content
+    con.sql("""CREATE OR REPLACE TEMP TABLE bgrp AS
+        SELECT v.embedding, a.cell, MIN(v.vec_id) AS rep, COUNT(*) AS cnt
+        FROM embeddings v JOIN gasg a ON v.embedding = a.embedding
+        WHERE v.vec_id % 10 = 0 GROUP BY 1, 2""")
+    con.sql("""CREATE OR REPLACE TEMP TABLE igrp AS
+        SELECT DISTINCT v.embedding, a.cell
+        FROM embeddings v JOIN gasg a ON v.embedding = a.embedding
+        WHERE v.vec_id % 10 <> 0""")
+    cosbi = _COS.format(a="b.embedding", b="i.embedding")
+    con.sql(f"""CREATE OR REPLACE TEMP TABLE vet AS
+        SELECT DISTINCT b.rep FROM bgrp b JOIN igrp i ON b.cell = i.cell
+        WHERE {cosbi} >= 0.4""")
+    cosxy = _COS.format(a="x.embedding", b="y.embedding")
+    con.sql(f"""CREATE OR REPLACE TEMP TABLE rpairs AS
+        SELECT x.rep AS a, y.rep AS b
+        FROM bgrp x JOIN bgrp y ON x.cell = y.cell AND x.rep < y.rep
+        WHERE x.rep NOT IN (SELECT rep FROM vet)
+          AND y.rep NOT IN (SELECT rep FROM vet)
+          AND {cosxy} >= 0.4""")
+    _cc_components(con, "rpairs")
+    # expansion: batch copies of one content share cell and veto
+    # verdict; batch-internal copy cliques put them in one component
+    # whose min is the content-group component min
+    return con.sql("""
+        WITH bg AS (SELECT g.embedding, g.cell, g.rep, g.cnt,
+                 g.rep IN (SELECT rep FROM vet) AS vetoed,
+                 COALESCE(lab.l, g.rep) AS comp
+               FROM bgrp g LEFT JOIN lab ON lab.s = g.rep)
+        SELECT v.vec_id, bg.cell,
+          CASE WHEN bg.vetoed THEN NULL ELSE bg.comp END AS survivor,
+          CASE WHEN bg.vetoed THEN 'vetoed'
+               WHEN v.vec_id = bg.comp THEN 'keep'
+               ELSE 'collapsed' END AS status
+        FROM embeddings v JOIN bg ON v.embedding = bg.embedding
+        WHERE v.vec_id % 10 = 0""").df()
+
+
+def _dedup_semantic_inc(sfdir, outdir, oracle_sql, name):
+    con = _dc().connect(sfdir)
+    return _result(_engine_df(outdir, name),
+                   _dedup_semantic_inc_want(con, oracle_sql), name)
+
+
+# ——— BPE replay over distinct words ———
+
+def _bpe_ids_table(con, oracle_sql):
+    """Temp table ids(doc_id, ids INTEGER[]) equal to the registry
+    bpeCtes' `ids` CTE, built by replaying merges once per DISTINCT
+    word. Merge table and vocab map are lifted verbatim from the
+    registry SQL so the two can never drift.
+    """
+    src = oracle_sql["bpe_encode"]
+    m = re.search(r"VALUES (\(.*?\))\) v\(i, a, b\)", src, re.S)
+    merges = m.group(1)
+    n_merges = len(re.findall(r"\(\d+, '", merges))
+    vocab = re.search(r"(MAP \{.*?\})\)\[t\]\[1\]", src, re.S).group(1)
+    con.sql(f"""CREATE OR REPLACE TEMP TABLE wids AS
+        WITH RECURSIVE m(i, a, b) AS (SELECT * FROM (VALUES {merges}) v(i, a, b)),
+        ws AS (SELECT string_split_regex(trim(lower(
+                 regexp_replace(text, '\\|', ' ', 'g'))), ' +') AS w
+               FROM documents),
+        words AS (SELECT DISTINCT u.w FROM ws, UNNEST(ws.w) AS u(w)
+                  WHERE u.w <> ''),
+        init AS (SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS state
+                 FROM words),
+        bpe AS (
+          SELECT w, state, 0 AS i FROM init
+          UNION ALL
+          SELECT bpe.w,
+            replace(bpe.state, '|'||m.a||'||'||m.b||'|', '|'||m.a||m.b||'|'),
+            bpe.i + 1
+          FROM bpe JOIN m ON m.i = bpe.i),
+        fin AS (SELECT w, state FROM bpe WHERE i = {n_merges})
+        SELECT w, list_transform(
+            string_split(trim(state, '|'), '||'),
+            t -> coalesce(({vocab})[t][1], -1)) AS ids
+        FROM fin""")
+    con.sql("""CREATE OR REPLACE TEMP TABLE ids AS
+        WITH t AS (SELECT doc_id, string_split_regex(trim(lower(
+                 regexp_replace(text, '\\|', ' ', 'g'))), ' +') AS ws
+               FROM documents),
+        wp0 AS (SELECT doc_id, unnest(ws) AS w,
+                  unnest(generate_series(1, len(ws))) AS pos
+                FROM t),
+        wp AS (SELECT doc_id, pos, w FROM wp0 WHERE w <> ''),
+        agg AS (SELECT wp.doc_id, flatten(list(wi.ids ORDER BY wp.pos)) AS ids
+                FROM wp JOIN wids wi ON wi.w = wp.w
+                GROUP BY wp.doc_id)
+        SELECT d.doc_id,
+          COALESCE(a.ids, CAST([] AS INTEGER[])) AS ids
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN agg a USING (doc_id)""")
+
+
+def _bpe_encode_want(con, oracle_sql):
+    _bpe_ids_table(con, oracle_sql)
+    return con.sql("""
+        SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_bpe,
+          '[' || array_to_string(ids, ',') || ']' AS ids_str
+        FROM ids""").df()
+
+
+def _bpe_encode(sfdir, outdir, oracle_sql, name):
+    con = _dc().connect(sfdir)
+    return _result(_engine_df(outdir, name),
+                   _bpe_encode_want(con, oracle_sql), name)
+
+
+def _pack_sequences_bpe_want(con, oracle_sql):
+    _bpe_ids_table(con, oracle_sql)
+    return con.sql("""
+        WITH t AS (SELECT d.doc_id, d.source AS shard,
+            CAST(len(ids.ids) AS BIGINT) AS n_tok
+          FROM documents d JOIN ids USING (doc_id)),
+        c AS (SELECT doc_id, shard, n_tok,
+          CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_before
+          FROM t)
+        SELECT doc_id, shard, n_tok, cum_before,
+          cum_before // 256 AS bin, cum_before % 256 AS off_tok
+        FROM c""").df()
+
+
+def _pack_sequences_bpe(sfdir, outdir, oracle_sql, name):
+    con = _dc().connect(sfdir)
+    return _result(_engine_df(outdir, name),
+                   _pack_sequences_bpe_want(con, oracle_sql), name)
+
+
+# ——— pipe_expr: registry SQL unchanged, sliced compare ———
+
+def _pipe_expr(sfdir, outdir, oracle_sql, name, k_slices=8):
+    dc = _dc()
+    con = dc.connect(sfdir)
+    sql = oracle_sql[name]
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    got_all = pd.concat([pd.read_parquet(f) for f in files],
+                        ignore_index=True)
+    rec = {"rows_match": True, "schema_match": True, "hash_match": True,
+           "spark_rows": 0, "oracle_rows": 0, "err": None}
+    for k in range(k_slices):
+        want = con.sql(
+            f"SELECT * FROM ({sql}) __s WHERE l_orderkey % {k_slices} = {k}"
+        ).df()
+        got = got_all[got_all["l_orderkey"] % k_slices == k]
+        r, lines = _result(got, want, f"{name}[slice {k}/{k_slices}]")
+        rec["spark_rows"] += r["spark_rows"]
+        rec["oracle_rows"] += r["oracle_rows"]
+        for key in ("rows_match", "schema_match", "hash_match"):
+            rec[key] = rec[key] and r[key]
+        if not r["hash_match"]:
+            return rec, lines
+    return rec, [f"OK   {name} ({rec['spark_rows']} rows, "
+                 f"{k_slices} compare slices)"]
+
+
+CUSTOM = {
+    "dedup_clusters": _dedup_clusters,
+    "dedup_clusters_star": _dedup_clusters,  # identical cluster contract
+    "dedup_cluster_sizes": _dedup_cluster_sizes,
+    "dedup_semantic": _dedup_semantic,
+    "dedup_semantic_inc": _dedup_semantic_inc,
+    "bpe_encode": _bpe_encode,
+    "pack_sequences_bpe": _pack_sequences_bpe,
+    "pipe_expr": _pipe_expr,
+}
+
+
+def get(name):
+    return CUSTOM.get(name)
+
+
+# ——— self-test: restructured == original SQL AND == engine, small SF ———
+
+_WANTS = {
+    "dedup_clusters": _dedup_clusters_want,
+    "dedup_clusters_star": _dedup_clusters_want,
+    "dedup_cluster_sizes": _dedup_cluster_sizes_want,
+    "dedup_semantic": _dedup_semantic_want,
+    "dedup_semantic_inc": _dedup_semantic_inc_want,
+    "bpe_encode": _bpe_encode_want,
+    "pack_sequences_bpe": _pack_sequences_bpe_want,
+}
+
+
+def _selftest(sfdir, outdir):
+    """At a small SF the registry oracles are feasible, so both legs
+    run: (a) restructured oracle == registry SQL result, frame to
+    frame; (b) restructured oracle == engine output (the same compare
+    the sweep will run). pipe_expr runs only leg (b): its registry
+    SQL executes unchanged inside the sliced compare.
+    """
+    dc = _dc()
+    oracle_sql = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = 0
+    for name, fn in sorted(CUSTOM.items()):
+        if name not in oracle_sql:
+            print(f"SKIP {name}: no registry oracle in {outdir}")
+            continue
+        if name in _WANTS:
+            con = dc.connect(sfdir)
+            orig = dc.canon(con.sql(oracle_sql[name]).df())
+            restructured = dc.canon(_WANTS[name](con, oracle_sql))
+            if orig.equals(restructured):
+                print(f"OK   {name}: restructured == registry SQL "
+                      f"({len(orig)} rows)", flush=True)
+            else:
+                print(f"FAIL {name}: restructured DIVERGES from registry SQL "
+                      f"({len(restructured)} vs {len(orig)} rows)", flush=True)
+                failures += 1
+        rec, lines = fn(sfdir, outdir, oracle_sql, name)
+        for ln in lines:
+            print(ln, flush=True)
+        if not rec["hash_match"]:
+            failures += 1
+    print(f"== scaled-oracle self-test: "
+          f"{'PASS' if failures == 0 else f'{failures} FAILURES'}")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if _selftest(sys.argv[1], sys.argv[2]) else 0)
