@@ -666,9 +666,9 @@ object TextAnalysis {
     *
     * Plan shape: feature extraction and scoring are map-side
     * projections over the corpus scan; the only exchanges are the
-    * (dims)-row posexploded partial-agg for the two bucket histograms
-    * (G17's explode-then-combine shape — map-side combines to
-    * dims rows per partition before the shuffle) and the
+    * vector-summed 1-row histogram aggregate (both bucket histograms
+    * in one [[graft.functions.VecSumAgg]] pass — one Array[Long]
+    * buffer per partition, no posexplode row inflation) and the
     * TakeOrdered top-k. λ rides to executors as a one-row broadcast.
     * Nothing corpus-sized ever shuffles: at 100 TB this runs as two
     * scans (histogram pass + scoring pass) or one with the feature
@@ -687,22 +687,27 @@ object TextAnalysis {
         GraftBridge.column(graft.functions.HashedFeatureCounts(
           GraftBridge.expression(toks), dims, bigrams = true)),
         array_repeat(lit(0L), dims)).as("c"))
-    val tot = f.select(col("is_t"), posexplode(col("c")).as(Seq("b", "cnt")))
-      .groupBy("b").agg(
-        sum(when(col("is_t"), col("cnt")).otherwise(0L)).as("tc"),
-        sum(col("cnt")).as("rc"))
-    val sums = tot.groupBy().agg(
-      sum("tc").as("tt"), sum("rc").as("rt"))
-    val lam = tot.crossJoin(broadcast(sums))
-      .select(col("b"),
-        round((log((col("tc").cast("double") + lit(1.0)) /
+    // the two bucket histograms as ONE vector-summed 1-row aggregate
+    // (VecSumAgg long path; a non-target row contributes a null array
+    // to the target sum — skipped, the conditional-sum semantics of
+    // the per-bucket plan this replaces). λ is then a 64-element
+    // map-side zip on that single row — identical integer sums and
+    // per-bucket log arithmetic, two fewer exchanges.
+    val zeroVec = array_repeat(lit(0L), dims)
+    val lam = f.groupBy().agg(
+        Similarity.vecSum(when(col("is_t"), col("c")), 1.0).as("tcs"),
+        Similarity.vecSum(col("c"), 1.0).as("rcs"))
+      .select(coalesce(col("tcs"), zeroVec).as("tcs"),
+        coalesce(col("rcs"), zeroVec).as("rcs"))
+      .select(col("tcs"), col("rcs"),
+        aggregate(col("tcs"), lit(0L), (a, x) => a + x).as("tt"),
+        aggregate(col("rcs"), lit(0L), (a, x) => a + x).as("rt"))
+      .select(zip_with(col("tcs"), col("rcs"), (tc, rc) =>
+        round((log((tc.cast("double") + lit(1.0)) /
                    (col("tt").cast("double") + lit(dims.toDouble))) -
-               log((col("rc").cast("double") + lit(1.0)) /
+               log((rc.cast("double") + lit(1.0)) /
                    (col("rt").cast("double") + lit(dims.toDouble)))) *
-          lit(1000000.0)).cast("long").as("lam"))
-      .groupBy().agg(sort_array(collect_list(struct(col("b"), col("lam"))))
-        .as("packed"))
-      .select(transform(col("packed"), _.getField("lam")).as("lam"))
+          lit(1000000.0)).cast("long")).as("lam"))
     val lw = aggregate(
       zip_with(col("c"), col("lam"), (ci, li) => ci * li),
       lit(0L), (acc, x) => acc + x)

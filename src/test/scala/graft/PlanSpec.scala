@@ -374,6 +374,11 @@ class PlanSpec extends SparkTestBase {
       iters = 2, persist = false))
     assert("Generate".r.findAllIn(ctPlan).size == 1, ctPlan)
     assert(ctPlan.contains("vec_sum"), ctPlan)
+    // H24: the DSIR bucket histograms vector-sum too — no explode
+    val dsirPlan = executed(TextAnalysis.dsirSelect(t.documents,
+      "doc_id", "text", targetPred = col("lang") === "en"))
+    assert(!dsirPlan.contains("Generate"), dsirPlan)
+    assert(dsirPlan.contains("vec_sum"), dsirPlan)
   }
 
   test("classifier training scans the corpus ONCE: GD steps read the checkpointed features") {

@@ -110,6 +110,12 @@ def has_parquet(outdir, name):
 
 
 def run_engine(cp, sfdir, outdir, names, workers, cpus_per, xmx):
+    # the expect-excluded queries are out of CONTRACT at this scale
+    # (SURVEY §2 F3: the full quadratic pair graph) — exclude them
+    # from the ENGINE run too, not just the compare, or a worker
+    # grinds on an O(n^2·copies^2) plan forever
+    names = [n for n in names
+             if n not in EXPECT_EXCLUDE.split(",")]
     todo = [n for n in names if not has_parquet(outdir, n)]
     print(f"= engine: {len(names) - len(todo)} done, {len(todo)} to run",
           flush=True)
