@@ -47,6 +47,15 @@ def canon(df):
 
 def connect(sfdir):
     con = duckdb.connect()
+    # parallel sweep splits each get a RAM budget and a spill dir —
+    # without these, N concurrent compares each assume 80% of the box
+    # and the heavy oracles OOM each other
+    mem = os.environ.get("DUCKDB_MEMLIMIT")
+    if mem:
+        tmp = os.environ.get("DUCKDB_TMP", "/tmp/duckdb_spill")
+        os.makedirs(tmp, exist_ok=True)
+        con.sql(f"SET memory_limit='{mem}'")
+        con.sql(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         # driver testdata is one file per table; MakeScale-scaled dirs
         # are parquet DIRECTORIES of part files

@@ -285,11 +285,10 @@ def _dedup_semantic_inc(sfdir, outdir, oracle_sql, name):
 
 # ——— BPE replay over distinct words ———
 
-def _bpe_ids_table(con, oracle_sql):
-    """Temp table ids(doc_id, ids INTEGER[]) equal to the registry
-    bpeCtes' `ids` CTE, built by replaying merges once per DISTINCT
-    word. Merge table and vocab map are lifted verbatim from the
-    registry SQL so the two can never drift.
+def _bpe_wids_table(con, oracle_sql):
+    """Temp table wids(w, ids INTEGER[]): the merge replay once per
+    DISTINCT word. Merge table and vocab map are lifted verbatim from
+    the registry SQL so the two can never drift.
     """
     src = oracle_sql["bpe_encode"]
     m = re.search(r"VALUES (\(.*?\))\) v\(i, a, b\)", src, re.S)
@@ -317,6 +316,13 @@ def _bpe_ids_table(con, oracle_sql):
             string_split(trim(state, '|'), '||'),
             t -> coalesce(({vocab})[t][1], -1)) AS ids
         FROM fin""")
+
+
+def _bpe_ids_table(con, oracle_sql):
+    """Temp table ids(doc_id, ids INTEGER[]) equal to the registry
+    bpeCtes' `ids` CTE: per-word replay + positional assembly.
+    """
+    _bpe_wids_table(con, oracle_sql)
     con.sql("""CREATE OR REPLACE TEMP TABLE ids AS
         WITH t AS (SELECT doc_id, string_split_regex(trim(lower(
                  regexp_replace(text, '\\|', ' ', 'g'))), ' +') AS ws
@@ -349,11 +355,23 @@ def _bpe_encode(sfdir, outdir, oracle_sql, name):
 
 
 def _pack_sequences_bpe_want(con, oracle_sql):
-    _bpe_ids_table(con, oracle_sql)
+    # packing needs only len(ids) per doc — a plain (fully spillable)
+    # SUM of per-word id counts, never the ordered flattened lists
+    # (which is what exhausts memory at 100x)
+    _bpe_wids_table(con, oracle_sql)
+    con.sql("""CREATE OR REPLACE TEMP TABLE ntok AS
+        WITH t AS (SELECT doc_id, string_split_regex(trim(lower(
+                 regexp_replace(text, '\\|', ' ', 'g'))), ' +') AS ws
+               FROM documents),
+        wp AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        nz AS (SELECT doc_id, w FROM wp WHERE w <> '')
+        SELECT nz.doc_id, CAST(SUM(len(wi.ids)) AS BIGINT) AS n_tok
+        FROM nz JOIN wids wi ON wi.w = nz.w
+        GROUP BY nz.doc_id""")
     return con.sql("""
         WITH t AS (SELECT d.doc_id, d.source AS shard,
-            CAST(len(ids.ids) AS BIGINT) AS n_tok
-          FROM documents d JOIN ids USING (doc_id)),
+            CAST(COALESCE(ntok.n_tok, 0) AS BIGINT) AS n_tok
+          FROM documents d LEFT JOIN ntok USING (doc_id)),
         c AS (SELECT doc_id, shard, n_tok,
           CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)

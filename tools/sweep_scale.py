@@ -186,7 +186,9 @@ def run_compares(sfdir, outdir, names, splits_n, timeout, heavy_timeout,
         is_heavy = heavy and i == len(groups) - 1
         env = dict(os.environ, SCALED_ORACLES="1",
                    ORACLE_TIMEOUT=str(heavy_timeout if is_heavy else timeout),
-                   EXPECT_EXCLUDE=EXPECT_EXCLUDE)
+                   EXPECT_EXCLUDE=EXPECT_EXCLUDE,
+                   DUCKDB_MEMLIMIT=os.environ.get(
+                       "DUCKDB_MEMLIMIT", f"{max(4, 96 // len(groups))}GB"))
         log = open(f"{view}/compare.log", "w")
         p = subprocess.Popen(
             [sys.executable, f"{REPO}/tools/driver_compare.py",
