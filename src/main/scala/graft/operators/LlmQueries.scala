@@ -94,6 +94,11 @@ object LlmQueries {
     "embed_pq_codes" -> ((s, dir) =>
       Similarity.pqCodes(s, emb(s, dir), m = 4, dsub = 16, ksub = 4,
         iters = 2)),
+    // —— G19b: PQ ADC search — codes-only scan, integer-exact ——
+    "sim_topk_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(s, e, e.filter(col("vec_id") < 10), k = 5)
+    }),
     // —— G18: Matryoshka truncated-prefix coarse pass + exact rerank ——
     "sim_topk_truncated" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -508,17 +513,26 @@ object LlmQueries {
     * (round(v·2²⁰) quantized squared-L2) so the replay carries NO
     * float-summation or libm parity assumption at all.
     */
-  private val pqSql: String = {
-    val dist = "list_sum([ (CAST(round(svec[i]*1048576.0) AS BIGINT)" +
+  /** quantized-L2 over (svec, cvec) — pure int64, shared by training
+    * replay and the ADC lookup table
+    */
+  private val pqDist =
+    "list_sum([ (CAST(round(svec[i]*1048576.0) AS BIGINT)" +
       " - CAST(round(cvec[i]*1048576.0) AS BIGINT))" +
       " * (CAST(round(svec[i]*1048576.0) AS BIGINT)" +
       " - CAST(round(cvec[i]*1048576.0) AS BIGINT))" +
       " for i in generate_series(1, 16) ])"
+
+  /** G19's full training chain (subvectors → init → two Lloyd steps →
+    * final assignment a3, codebook c2) as shared CTEs — the code
+    * emitter and the ADC search replay ONE training.
+    */
+  private val pqChain: String = {
     def assignCte(a: String, c: String) =
       s"""$a AS (SELECT * FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
          |              ORDER BY dist, cid) AS rn
-         |  FROM (SELECT sv.vec_id, sv.sub, sv.svec, c.cid, $dist AS dist
+         |  FROM (SELECT sv.vec_id, sv.sub, sv.svec, c.cid, $pqDist AS dist
          |        FROM sv JOIN $c c USING (sub)))
          |  WHERE rn = 1)""".stripMargin
     def centCtes(mName: String, cName: String, a: String) =
@@ -530,7 +544,7 @@ object LlmQueries {
          |$cName AS (SELECT sub, cid,
          |    list(CAST(CAST(mv AS FLOAT) AS DOUBLE) ORDER BY d) AS cvec
          |  FROM $mName GROUP BY 1, 2)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
        |sv AS (SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS svec
        |       FROM e, (SELECT unnest(range(4)) AS sub) s),
@@ -540,13 +554,35 @@ object LlmQueries {
        |${centCtes("m1", "c1", "a1")},
        |${assignCte("a2", "c1")},
        |${centCtes("m2", "c2", "a2")},
-       |${assignCte("a3", "c2")}
+       |${assignCte("a3", "c2")}""".stripMargin
+  }
+
+  private val pqSql: String =
+    s"""WITH $pqChain
        |SELECT vec_id,
        |  '[' || array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sub), ',')
        |      || ']' AS codes,
        |  round(CAST(SUM(dist) AS BIGINT) / 1099511627776.0, 6) AS err2
        |FROM a3 GROUP BY 1""".stripMargin
-  }
+
+  /** G19b: ADC search replay — the query-side (m × ksub) LUT of
+    * quantized-L2 distances, summed along each corpus vector's codes.
+    * Integer-exact end to end.
+    */
+  private[graft] val pqTopKSql: String =
+    s"""WITH $pqChain,
+       |qsv AS (SELECT vec_id, sub, svec FROM sv WHERE vec_id < 10),
+       |lut AS (SELECT q.vec_id AS query_id, q.sub, c.cid, $pqDist AS dq
+       |        FROM qsv q JOIN c2 c ON q.sub = c.sub),
+       |sc AS (SELECT l.query_id, a.vec_id, SUM(l.dq) AS adc
+       |       FROM a3 a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
+       |       WHERE a.vec_id <> l.query_id
+       |       GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc, vec_id) AS rank FROM sc)
+       |SELECT query_id, vec_id AS neighbor_id,
+       |  CAST(adc AS BIGINT) AS adc_dist, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
 
   private val bruteTopKSql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
@@ -748,6 +784,7 @@ object LlmQueries {
          |WHERE cos_r >= 0.4""".stripMargin,
     "sim_topk_bruteforce" -> bruteTopKSql,
     "embed_pq_codes" -> pqSql,
+    "sim_topk_pq" -> pqTopKSql,
     // G20: exact scaled-int64 mean (float-snapped), then map-side
     // cosine-to-mean + integer-exact centered norm
     "embed_center" -> {

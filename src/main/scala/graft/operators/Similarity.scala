@@ -396,40 +396,62 @@ object Similarity {
     * dsub-long int64 buffer per cell per partition, map-side
     * combined; no per-dimension row inflation anywhere).
     */
-  def pqCodes(s: SparkSession, emb: DataFrame, m: Int = 4, dsub: Int = 16,
-              ksub: Int = 4, iters: Int = 2): DataFrame = {
+  private val PqScale = 1048576.0 // 2^20, the G2b exact-accumulation scale
+  private def pqQ(c: Column): Column = round(c * lit(PqScale)).cast("long")
+  /** Quantized squared-L2 between `svec` and `cvec` — pure int64. */
+  private def pqD2: Column = aggregate(
+    zip_with(col("svec"), col("cvec"),
+      (x, y) => (pqQ(x) - pqQ(y)) * (pqQ(x) - pqQ(y))),
+    lit(0L), (acc, x) => acc + x)
+
+  /** (vec_id, sub, svec): the m-way subvector split. */
+  private def pqSubvecs(df: DataFrame, m: Int, dsub: Int): DataFrame = {
     val subs = array((0 until m).map(i =>
       slice(col("embedding").cast("array<double>"), i * dsub + 1, dsub)): _*)
-    val svecs = emb.select(col("vec_id"),
-      posexplode(subs).as(Seq("sub", "svec")))
+    df.select(col("vec_id"), posexplode(subs).as(Seq("sub", "svec")))
+  }
+
+  /** Nearest-codeword assignment of subvectors under a codebook:
+    * (vec_id, sub, cid, dist, svec) — integer-exact argmin,
+    * deterministic (dist, cid) ties.
+    */
+  private def pqAssign(svecs: DataFrame, c: DataFrame): DataFrame =
+    svecs.join(broadcast(c), Seq("sub"))
+      .withColumn("dist", pqD2)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"),
+        min(col("dist")).as("dist"),
+        first(col("svec")).as("svec"))
+
+  /** The trained (sub, cid, cvec) codebook — G19's deterministic
+    * all-subspaces-in-one-plan Lloyd iterations, shared by the code
+    * emitter ([[pqCodes]]) and the ADC search ([[pqTopK]]) so the
+    * two can never train differently.
+    */
+  private[operators] def pqCodebook(emb: DataFrame, m: Int, dsub: Int,
+                                    ksub: Int, iters: Int): DataFrame = {
+    val svecs = pqSubvecs(emb, m, dsub)
     val cent0 = svecs.filter(col("vec_id") < ksub)
       .select(col("sub"), col("vec_id").cast("int").as("cid"),
         col("svec").as("cvec"))
-    val Scale = 1048576.0 // 2^20, the G2b exact-accumulation scale
-    def q(c: Column): Column = round(c * lit(Scale)).cast("long")
-    def d2: Column = aggregate(
-      zip_with(col("svec"), col("cvec"), (x, y) => (q(x) - q(y)) * (q(x) - q(y))),
-      lit(0L), (acc, x) => acc + x)
-    def assign(c: DataFrame): DataFrame =
-      svecs.join(broadcast(c), Seq("sub"))
-        .withColumn("dist", d2)
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"),
-          min(col("dist")).as("dist"),
-          first(col("svec")).as("svec"))
     def recenter(assigned: DataFrame): DataFrame =
       // vector-summed re-center (identical Σ q(v) int64 sums; float
       // snap then double, exactly the exploded plan's arithmetic)
       assigned
         .groupBy(col("sub"), col("cid"))
-        .agg(vecSum(col("svec"), Scale).as("__s"),
+        .agg(vecSum(col("svec"), PqScale).as("__s"),
           count(col("svec")).as("__n"))
         .select(col("sub"), col("cid"),
           transform(col("__s"), sc =>
-            (sc.cast("double") / (col("__n") * lit(Scale)))
+            (sc.cast("double") / (col("__n") * lit(PqScale)))
               .cast("float").cast("double")).as("cvec"))
-    val trained = (1 to iters).foldLeft(cent0)((c, _) => recenter(assign(c)))
-    assign(trained)
+    (1 to iters).foldLeft(cent0)((c, _) => recenter(pqAssign(svecs, c)))
+  }
+
+  def pqCodes(s: SparkSession, emb: DataFrame, m: Int = 4, dsub: Int = 16,
+              ksub: Int = 4, iters: Int = 2): DataFrame = {
+    val trained = pqCodebook(emb, m, dsub, ksub, iters)
+    pqAssign(pqSubvecs(emb, m, dsub), trained)
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"),
         sum(col("dist")).as("dsum"))
@@ -438,6 +460,49 @@ object Similarity {
           array_join(expr("transform(sc, x -> CAST(x.cid AS STRING))"), ","),
           lit("]")).as("codes"),
         round(col("dsum").cast("double") / lit(1099511627776.0), 6).as("err2"))
+  }
+
+  /** G19b: PQ ADC top-k search — the SEARCH side of G19's index
+    * compression (Jégou et al.'s asymmetric distance computation):
+    * the corpus is stored as m small codes per vector; a query
+    * pre-computes one (m × ksub) lookup table of quantized-L2
+    * distances from its own subvectors to every codeword, and a
+    * corpus vector scores as the SUM of m table entries picked by
+    * its codes — the scan touches codes, never corpus floats.
+    *
+    * Everything is exact int64 (the G19 arithmetic): LUT entries,
+    * sums, and the (adc ASC, vec_id ASC) ranking carry ZERO
+    * float-summation or libm parity assumptions — hash-exact against
+    * the oracle end to end.
+    *
+    * Plan: codebook and the queries' LUT are tiny broadcasts; the
+    * corpus encodes in one pass (the pqCodes chain); scoring joins
+    * the m-row-per-vector code table to the broadcast LUT and
+    * combines map-side on (query, vec) before the single rank
+    * exchange. At scale the codes table IS the stored index (32
+    * bits/vector here vs 256 float bytes) — the memory lever G19
+    * documents, now queryable.
+    */
+  def pqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, dsub: Int = 16, ksub: Int = 4,
+             iters: Int = 2): DataFrame = {
+    val trained = pqCodebook(emb, m, dsub, ksub, iters)
+    val codes = pqAssign(pqSubvecs(emb, m, dsub), trained)
+      .select(col("vec_id"), col("sub"), col("cid"))
+    val lut = pqSubvecs(queries, m, dsub)
+      .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
+      .join(broadcast(trained), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"), pqD2.as("dq"))
+    codes.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dq")).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist").asc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"), col("rank"))
   }
 
   /** G20: corpus mean-centering diagnostics — retrieval embeddings
@@ -617,11 +682,11 @@ object Similarity {
     * frame (one brute-force pass) would persist — it is exactly the
     * ground-truth sample such evaluations maintain.
     *
-    * Strategy set = the repo's six ANN paths at their registry
+    * Strategy set = the repo's seven ANN paths at their registry
     * parameterizations, all evaluated at the same k: exact
     * error-bounded pruning (must recall 1.0 by construction), int8
     * quantized scan, Matryoshka truncated-prefix rerank, trained
-    * IVF, fixed-quantizer IVF, and hyperplane LSH.
+    * IVF, fixed-quantizer IVF, hyperplane LSH, and PQ ADC.
     */
   def recallMatrix(s: SparkSession, emb: DataFrame, queries: DataFrame,
                    k: Int = 3): DataFrame = {
@@ -635,7 +700,8 @@ object Similarity {
         cands = 20, k = k),
       "ivf" -> ivfTopK(s, emb, queries, k),
       "ivf_fixed" -> ivfTopK(s, emb, queries, k, iters = 0),
-      "lsh" -> lshTopK(s, emb, queries, k, planes = 8))
+      "lsh" -> lshTopK(s, emb, queries, k, planes = 8),
+      "pq" -> pqTopK(s, emb, queries, k))
     val picks = strategies.map { case (nm, df) =>
       df.select(lit(nm).as("strategy"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionAll(_))

@@ -604,7 +604,8 @@ object ExtendedQueries {
       "truncated" -> "s_trunc",
       "ivf" -> "s_ivf",
       "ivf_fixed" -> "s_ivff",
-      "lsh" -> "s_lsh")
+      "lsh" -> "s_lsh",
+      "pq" -> "s_pq")
     val rows = strategies.map { case (nm, cte) =>
       s"""SELECT '$nm' AS strategy,
          |  (SELECT COUNT(*) FROM truth t JOIN $cte s
@@ -617,6 +618,8 @@ object ExtendedQueries {
        |s_ivf AS (${ids(ivfTrainedSql)}),
        |s_ivff AS (${ids(ivfFixedSql)}),
        |s_lsh AS (${ids(lsh)}),
+       |s_pq AS (${ids(graft.operators.LlmQueries.pqTopKSql,
+                      "WHERE rank <= 3")}),
        |m AS (
        |  $rows)
        |SELECT strategy,

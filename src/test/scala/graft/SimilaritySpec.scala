@@ -153,12 +153,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSet == run(17).toSet)
   }
 
+  test("pq ADC top-k: integer-exact, layout-invariant, k per query, never self") {
+    def run(parts: Int) = Similarity.pqTopK(spark, emb.repartition(parts),
+        emb.filter(col("vec_id") < 10), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val out = run(4)
+    val perQ = out.groupBy(_._1)
+    assert(perQ.keySet == (0L until 10L).toSet)
+    perQ.values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length) && g.length == 5)
+      // ADC distances are non-negative ints, ascending in rank
+      assert(g.sortBy(_._4).map(_._3).toSeq == g.map(_._3).sorted.toSeq)
+      assert(g.forall(r => r._3 >= 0L && r._2 != r._1))
+    }
+    // pure-integer ranking: bit-identical on any partition layout
+    assert(out.toSet == run(17).toSet)
+  }
+
   test("recall matrix: exact recalls 1.0; known strategy ordering holds") {
     val m = Similarity.recallMatrix(spark, emb, emb.filter(col("vec_id") < 10), k = 3)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(m.keySet == Set("exact_pruned", "int8", "truncated", "ivf",
-      "ivf_fixed", "lsh"))
+      "ivf_fixed", "lsh", "pq"))
     // micro-average over all (query, truth-neighbor) pairs
     assert(m.values.forall { case (nt, nh, r) =>
       nt == 30 && nh >= 0 && nh <= nt && r >= 0.0 && r <= 1.0 })
