@@ -147,6 +147,24 @@ object LlmQueries {
     // —— H6: real RIFF/WAV and ISO-BMFF header walks over binary payloads ——
     "mm_audio_meta" -> ((s, dir) => Multimodal.audioMeta(docs(s, dir), "doc_id")),
     "mm_video_meta" -> ((s, dir) => Multimodal.videoMeta(docs(s, dir), "doc_id")),
+    // —— H6d: INTERLEAVED multimodal packing — each doc costs its text
+    //    tokens PLUS an image-token budget derived from the REAL
+    //    decoded image dims (⌈w/256⌉·⌈h/256⌉ patch tiles, the
+    //    vision-encoder accounting; corrupted payloads contribute 0),
+    //    through the exact H15 packing machinery ——
+    "mm_pack" -> ((s, dir) => {
+      import graft.functions.Hash60.tokens
+      val d = docs(s, dir)
+      val dims = Multimodal.imageDims(d, "doc_id")
+        .select(col("media_id").as("doc_id"), col("width"), col("height"))
+      val imgTok = when(col("width").isNull, lit(0L))
+        .otherwise((expr("(width + 255) div 256") *
+          expr("(height + 255) div 256")).cast("long"))
+      graft.operators.Pipeline100TB.packSequencesBy(
+        d.join(dims, Seq("doc_id")), "doc_id",
+        size(tokens(col("text"))).cast("long") + imgTok,
+        shardCol = "source", cap = 512)
+    }),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir), "doc_id", "text")),
     // —— F8: benchmark decontamination (trigram overlap vs eval set) ——
     "decon_ngram" -> ((s, dir) =>
@@ -1021,6 +1039,24 @@ object LlmQueries {
         |       ELSE CAST(data_bytes * 1000 // byte_rate AS BIGINT)
         |       END AS duration_ms
         |FROM r""".stripMargin,
+    // H6d: text tokens + analytically-predicted image patch tiles,
+    // through the standard packing window
+    "mm_pack" ->
+      """WITH t AS (SELECT d.doc_id, d.source AS shard,
+        |    CAST(len(string_split_regex(trim(lower(d.text)), ' +')) AS BIGINT)
+        |    + CASE WHEN d.doc_id % 13 = 0 THEN 0
+        |           ELSE ((16 + d.doc_id % 2048 + 255) // 256)
+        |                * ((16 + (d.doc_id * 3) % 2048 + 255) // 256)
+        |      END AS n_tok
+        |  FROM documents d),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before
+        |  FROM t)
+        |SELECT doc_id, shard, n_tok, cum_before,
+        |  cum_before // 512 AS bin, cum_before % 512 AS off_tok
+        |FROM c""".stripMargin,
     // H6: the analytic ground truth of the MP4 generator
     "mm_video_meta" ->
       """WITH p AS (SELECT doc_id,

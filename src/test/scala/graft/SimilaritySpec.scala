@@ -492,6 +492,22 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("mm_pack: image docs cost text + patch tiles; corrupted payloads cost text alone") {
+    import graft.functions.Hash60.tokens
+    val d = graft.sources.TableCatalog(spark, sfDir).documents
+    val out = graft.operators.LlmQueries.queries("mm_pack")(spark, sfDir)
+      .select(col("doc_id"), col("n_tok")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val textTok = d.select(col("doc_id"), size(tokens(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    textTok.foreach { case (id, nt) =>
+      val tiles =
+        if (id % 13 == 0) 0L
+        else ((16 + id % 2048 + 255) / 256) * ((16 + id * 3 % 2048 + 255) / 256)
+      assert(out(id) == nt + tiles, s"doc $id: ${out(id)} vs $nt + $tiles")
+    }
+  }
+
   test("Int8Dot matches the interpreted integer dot product and stays in codegen") {
     import org.apache.spark.sql.GraftBridge
     import spark.implicits._
