@@ -591,6 +591,52 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** F8c: SPAN-level benchmark decontamination — the character-level
+    * complement of the trigram (F8) and band (F8b) decontaminators:
+    * per corpus document, how many of its aligned `blockLen`-char
+    * blocks appear VERBATIM anywhere in the benchmark set. Catches
+    * long literal quotations of eval content that token-shingle
+    * overlap under-weights and paraphrase-band matching misses, and
+    * pinpoints HOW MUCH of the doc is quoted (the trim decision
+    * input — compose with [[substrTrimIncremental]] against
+    * `blockIndex(bench)` to actually remove the spans).
+    *
+    * Shape: the bench side reduces to its distinct block-hash index
+    * (tiny — broadcast); the corpus side is one exploded aligned-grid
+    * scan with a map-side-combined per-doc rollup. Never corpus ×
+    * corpus; the corpus text is scanned once.
+    */
+  def decontaminateSpans(docs: DataFrame, idCol: String, textCol: String,
+                         benchPred: org.apache.spark.sql.Column,
+                         blockLen: Int = 30): DataFrame = {
+    require(blockLen > 0, s"decontaminateSpans blockLen must be positive: $blockLen")
+    // fail-closed NULL-predicate handling, like the F8/F8b guards:
+    // a row whose predicate is NULL is checked as corpus
+    val isBench = coalesce(benchPred, lit(false))
+    val idx = blockIndex(docs.filter(isBench), textCol, blockLen)
+      .withColumn("__hit", lit(true))
+    val corpus = docs.filter(!isBench)
+    val blocks = corpus
+      .filter(length(col(textCol)) >= blockLen)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1), length(col(textCol)) - (blockLen - 1),
+          lit(blockLen))).as("__p"),
+        col(textCol).as("__t"))
+      .select(col("doc_id"),
+        hash60(substring(col("__t"), col("__p"), lit(blockLen))).as("h"))
+    val per = blocks.join(broadcast(idx), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contamination", when(col("n_blocks") > 0,
+        round(col("n_hit").cast("double") / col("n_blocks"), 6)))
+  }
+
   /** The standing BLOCK index of an already-accepted corpus — one
     * 60-bit hash per distinct aligned block, the artifact an
     * incremental span-trimming pipeline persists between batches

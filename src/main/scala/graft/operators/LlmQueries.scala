@@ -170,6 +170,14 @@ object LlmQueries {
     "decon_ngram" -> ((s, dir) =>
       Dedup.decontaminate(docs(s, dir), "doc_id", "text", n = 3,
         benchPred = col("doc_id") % 20 === 0)),
+    // —— F8c: span-level decontamination — verbatim aligned-block
+    //    overlap with the benchmark set ——
+    "decon_spans" -> ((s, dir) =>
+      Dedup.decontaminateSpans(docs(s, dir), "doc_id", "text",
+        benchPred = col("doc_id") % 20 === 0)),
+    // —— G22: label-blocked kNN graph over collapsed distinct vectors ——
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(s, emb(s, dir), k = 3)),
     // —— F9: SemDeDup pass: cosine pairs → CC → survivors ——
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(s, emb(s, dir), tau = 0.4)),
@@ -1600,6 +1608,48 @@ object LlmQueries {
         |FROM documents""".stripMargin,
     // F15: the identical span grid (1-based char positions every 7,
     // 30-char windows) and the shared md5-60bit span hash
+    // F8c: aligned-grid blocks vs the bench set's distinct block set
+    "decon_spans" ->
+      """WITH idx AS (SELECT DISTINCT unnest(
+        |    [CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 30)), 1, 15)
+        |          AS BIGINT)
+        |     for i in generate_series(1, len(text) - 29, 30)]) AS h
+        |  FROM documents WHERE doc_id % 20 = 0 AND len(text) >= 30),
+        |s0 AS (SELECT doc_id,
+        |    [CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 30)), 1, 15)
+        |          AS BIGINT)
+        |     for i in generate_series(1, len(text) - 29, 30)] AS hs
+        |  FROM documents WHERE doc_id % 20 <> 0 AND len(text) >= 30),
+        |s AS (SELECT doc_id, unnest(hs) AS h FROM s0),
+        |per AS (SELECT s.doc_id, COUNT(*) AS n_blocks,
+        |          COUNT(CASE WHEN idx.h IS NOT NULL THEN 1 END) AS n_hit
+        |        FROM s LEFT JOIN idx USING (h) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(per.n_blocks, 0) AS BIGINT) AS n_blocks,
+        |  CAST(COALESCE(per.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CASE WHEN per.n_blocks > 0
+        |       THEN round(CAST(per.n_hit AS DOUBLE) / per.n_blocks, 6)
+        |  END AS contamination
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |WHERE d.doc_id % 20 <> 0""".stripMargin,
+    // G22: collapse to distinct (label, embedding) reps, label-blocked
+    // pairs, top-k per rep by (cos DESC, nbr)
+    "sim_knn_graph" -> {
+      val kcos = cosSql.format("a.embedding", "b.embedding")
+      s"""WITH g AS (SELECT label, embedding, MIN(vec_id) AS vec_id,
+         |    COUNT(*) AS n_members
+         |  FROM embeddings GROUP BY label, embedding),
+         |p AS (SELECT a.vec_id AS vec_id, a.n_members AS n_id,
+         |    b.vec_id AS nbr, b.n_members AS n_nbr,
+         |    round($kcos, 4) AS cos_r
+         |  FROM g a JOIN g b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cos_r DESC, nbr) AS rk FROM p)
+         |SELECT vec_id, CAST(rk AS INTEGER) AS rk, nbr, cos_r,
+         |  CAST(n_id AS BIGINT) AS n_id, CAST(n_nbr AS BIGINT) AS n_nbr
+         |FROM r WHERE rk <= 3""".stripMargin
+    },
     "dedup_substr_spans" ->
       """WITH s0 AS (
         |  SELECT doc_id,

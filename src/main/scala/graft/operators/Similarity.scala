@@ -594,6 +594,47 @@ object Similarity {
       .select(col("label"), col("a"), col("b"), col("cos_r"), col("n_a"), col("n_b"))
   }
 
+  /** G22: label-blocked kNN GRAPH over collapsed distinct vectors —
+    * the graph-construction step cluster-aware curation runs
+    * (SemDeDup's neighbor structure, diversity audits, graph-based
+    * dedup): each DISTINCT (label, embedding) representative gets its
+    * top-k most-similar representatives within its coarse cell, with
+    * both collapsed group sizes attached (a row stands for
+    * n_id·n_nbr underlying vector pairs).
+    *
+    * Collapse-first is the F10 duplicate-dense guard applied to
+    * graph building: pair volume is quadratic in DISTINCT contents
+    * per cell, never in the copy factor — the collapsed graph is
+    * copy-factor INVARIANT, which is also what makes it replayable
+    * at scaled decades. Per-rep state is the [[graft.functions.BoundedTopK]]
+    * aggregate (≤ k entries per group at every stage — map-side
+    * partials ship k rows per rep, the dedup_ngram_topk contract),
+    * never a window over the full pair set.
+    */
+  def knnGraph(s: SparkSession, emb: DataFrame, k: Int = 3): DataFrame = {
+    withCosine(s)
+    val reps = emb
+      .groupBy(col("label"), col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("n_members"))
+    val a = reps.select(col("label"), col("vec_id").as("id"),
+      col("embedding").as("ea"), col("n_members").as("n_id"))
+    val b = reps.select(col("label"), col("vec_id").as("nbr"),
+      col("embedding").as("eb"), col("n_members").as("n_nbr"))
+    val scored = a.join(b, Seq("label"))
+      .filter(col("id") =!= col("nbr"))
+      .withColumn("cos_r", expr("round(cosine_sim(ea, eb), 4)"))
+    val best = GraftBridge.column(graft.functions.BoundedTopK(
+      GraftBridge.expression(struct(col("cos_r"), col("nbr"))),
+      GraftBridge.expression(struct(col("nbr"), col("cos_r"), col("n_nbr"))),
+      k, Seq(-1, 1), keepLargest = false, emitDesc = false,
+      skipNullValue = false).toAggregateExpression())
+    scored.groupBy(col("id"), col("n_id")).agg(best.as("top"))
+      .select(col("id").as("vec_id"), col("n_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.nbr").as("nbr"), col("col.cos_r").as("cos_r"),
+        col("n_id"), col("col.n_nbr").as("n_nbr"))
+  }
+
   /** G13: deterministic negative sampling for contrastive training:
     * k pseudo-random partners per anchor via the shared 60-bit hash
     * (`hash60(anchor + "-" + draw) mod N`), self-pairs and same-label

@@ -76,6 +76,30 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("decontaminateSpans: verbatim aligned quotes counted; clean docs zero; fail-closed") {
+    import spark.implicits._
+    val benchText = "A" * 30 + "B" * 30 + "C" * 30 // 3 aligned blocks
+    val docs = Seq(
+      (0L, benchText, Some(true)),             // the bench doc
+      (1L, "B" * 30 + "z" * 35, Some(false)),  // quotes bench block 2, aligned
+      (2L, "x" * 95, Some(false)),             // clean, 3 blocks, 0 hits
+      (3L, "short", Some(false)),              // shorter than a block
+      (4L, benchText, None: Option[Boolean])   // NULL pred → corpus, fully quoted
+    ).toDF("doc_id", "text", "is_bench")
+    val out = graft.operators.Dedup.decontaminateSpans(
+        docs, "doc_id", "text", benchPred = col("is_bench") === true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // bench doc not in output
+    assert(out(1L) == ((2L, 1L, 0.5)), out(1L).toString)
+    assert(out(2L) == ((3L, 0L, 0.0)), out(2L).toString)
+    assert(out(3L) == ((0L, 0L, -1.0)), out(3L).toString)
+    // fail-closed: the NULL-pred doc is checked as corpus and is
+    // 100% quoted bench content
+    assert(out(4L) == ((3L, 3L, 1.0)), out(4L).toString)
+  }
+
   test("decontamination guards fail closed: NULL-predicate rows are checked as corpus") {
     import spark.implicits._
     // doc 1's source is NULL: benchPred is NULL there — it must be

@@ -153,6 +153,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSet == run(17).toSet)
   }
 
+  test("kNN graph: collapsed rows are copy-factor invariant; member counts scale") {
+    def graph(df: org.apache.spark.sql.DataFrame) =
+      Similarity.knnGraph(spark, df, k = 3).collect()
+        .map(r => ((r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)),
+          (r.getLong(4), r.getLong(5)))).toMap
+    val base = graph(emb)
+    // MakeScale-style replication: ids shift by the domain size, so
+    // reps (min ids) and cosines are unchanged — the collapsed graph
+    // must be IDENTICAL except n_members scaling 3x
+    val n = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val tripled = (0 until 3).map(i =>
+      emb.select((col("vec_id") + lit(i * n)).as("vec_id"),
+        col("label"), col("embedding"))).reduce(_.unionByName(_))
+    val big = graph(tripled)
+    assert(base.keySet == big.keySet,
+      s"collapsed edges changed under replication: ${base.size} vs ${big.size}")
+    base.foreach { case (k0, (nid, nnbr)) =>
+      assert(big(k0) == (nid * 3, nnbr * 3), s"member counts at $k0")
+    }
+  }
+
   test("pq ADC top-k: integer-exact, layout-invariant, k per query, never self") {
     def run(parts: Int) = Similarity.pqTopK(spark, emb.repartition(parts),
         emb.filter(col("vec_id") < 10), k = 5)
