@@ -591,6 +591,34 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** F18: banding-quality evaluation — the F-family twin of the ANN
+    * recall matrix (G21b): the precision/recall of the MinHash-LSH
+    * candidate generator against the TRUE n-gram-Jaccard ≥ τ pair
+    * set, the readout that tunes the banding knobs (k signatures ×
+    * bands) the whole fuzzy-dedup family rides on. Both pair sets
+    * compute over the fingerprint-COLLAPSED corpus (the F10 guard —
+    * pair volume quadratic in distinct contents, copy-factor
+    * independent, which also keeps the exact side feasible at scaled
+    * decades). One row: n_true, n_cand, n_hit, prec, recall.
+    */
+  def bandingEval(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 2, tau: Double = 0.8, k: Int = 16,
+                  bands: Int = 4): DataFrame = {
+    val reps = collapseFingerprints(docs, idCol, textCol).drop("n_members")
+    val tp = ngramJaccard(reps, idCol, textCol, n, tau)
+      .select(col("a"), col("b"))
+    val cp = minhashCandidates(reps, idCol, textCol, n, k, bands)
+    val hit = tp.join(cp, Seq("a", "b"), "left_semi")
+    tp.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cp.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_cand") > 0,
+          round(col("n_hit").cast("double") / col("n_cand"), 6)).as("prec"),
+        when(col("n_true") > 0,
+          round(col("n_hit").cast("double") / col("n_true"), 6)).as("recall"))
+  }
+
   /** F8c: SPAN-level benchmark decontamination — the character-level
     * complement of the trigram (F8) and band (F8b) decontaminators:
     * per corpus document, how many of its aligned `blockLen`-char

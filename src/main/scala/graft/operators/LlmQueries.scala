@@ -178,6 +178,9 @@ object LlmQueries {
     // —— G22: label-blocked kNN graph over collapsed distinct vectors ——
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(s, emb(s, dir), k = 3)),
+    // —— F18: precision/recall of the MinHash banding vs true Jaccard ——
+    "dedup_eval" -> ((s, dir) =>
+      Dedup.bandingEval(docs(s, dir), "doc_id", "text")),
     // —— F9: SemDeDup pass: cosine pairs → CC → survivors ——
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(s, emb(s, dir), tau = 0.4)),
@@ -1608,6 +1611,41 @@ object LlmQueries {
         |FROM documents""".stripMargin,
     // F15: the identical span grid (1-based char positions every 7,
     // 30-char windows) and the shared md5-60bit span hash
+    // F18: both pair pipelines over the collapsed corpus, then the
+    // precision/recall readout of the banding against true Jaccard
+    "dedup_eval" ->
+      s"""WITH t0 AS ($toksCte),
+         |fpt AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |  FROM t0),
+         |grp AS (SELECT fp, min(doc_id) AS rep FROM fpt GROUP BY 1),
+         |t AS (SELECT t0.doc_id, t0.toks
+         |      FROM t0 JOIN grp g ON t0.doc_id = g.rep),
+         |$shingleBody,
+         |$jaccardPairBody,
+         |tp AS (SELECT i.a, i.b FROM inter i
+         |       WHERE round(CAST(i.i AS DOUBLE) / (i.sza + i.szb - i.i), 6)
+         |             >= 0.8),
+         |$minhashSigSql,
+         |bandkeys AS (
+         |$bandKeysSql),
+         |cp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |       FROM bandkeys x JOIN bandkeys y
+         |         ON x.band = y.band AND x.key = y.key
+         |        AND x.doc_id < y.doc_id),
+         |m AS (SELECT
+         |  (SELECT COUNT(*) FROM tp) AS n_true,
+         |  (SELECT COUNT(*) FROM cp) AS n_cand,
+         |  (SELECT COUNT(*) FROM tp JOIN cp
+         |     ON tp.a = cp.a AND tp.b = cp.b) AS n_hit)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CASE WHEN n_cand > 0
+         |       THEN round(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS prec,
+         |  CASE WHEN n_true > 0
+         |       THEN round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall
+         |FROM m""".stripMargin,
     // F8c: aligned-grid blocks vs the bench set's distinct block set
     "decon_spans" ->
       """WITH idx AS (SELECT DISTINCT unnest(

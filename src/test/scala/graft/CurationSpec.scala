@@ -76,6 +76,24 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("bandingEval: metric identities hold; all-duplicate corpus reads empty/null") {
+    import spark.implicits._
+    val d = TableCatalog(spark, sfDir).documents
+    val m = graft.operators.Dedup.bandingEval(d, "doc_id", "text").head
+    val (nt, nc, nh) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    assert(nh <= math.min(nt, nc), m.toString)
+    if (nc > 0) assert(m.getDouble(3) == (nh.toDouble / nc * 1e6).round / 1e6)
+    if (nt > 0) assert(m.getDouble(4) == (nh.toDouble / nt * 1e6).round / 1e6)
+    // a corpus of pure exact duplicates collapses to ONE rep: no
+    // pairs on either side, rates null — the guard works before the
+    // generators ever run
+    val dup = (1L to 6L).map(i => (i, "same text every time here ok"))
+      .toDF("doc_id", "text")
+    val z = graft.operators.Dedup.bandingEval(dup, "doc_id", "text").head
+    assert((z.getLong(0), z.getLong(1), z.getLong(2)) == ((0L, 0L, 0L)))
+    assert(z.isNullAt(3) && z.isNullAt(4))
+  }
+
   test("decontaminateSpans: verbatim aligned quotes counted; clean docs zero; fail-closed") {
     import spark.implicits._
     val benchText = "A" * 30 + "B" * 30 + "C" * 30 // 3 aligned blocks
