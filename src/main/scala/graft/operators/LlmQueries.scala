@@ -545,7 +545,7 @@ object LlmQueries {
   /** quantized-L2 over (svec, cvec) — pure int64, shared by training
     * replay and the ADC lookup table
     */
-  private val pqDist =
+  private[graft] val pqDist =
     "list_sum([ (CAST(round(svec[i]*1048576.0) AS BIGINT)" +
       " - CAST(round(cvec[i]*1048576.0) AS BIGINT))" +
       " * (CAST(round(svec[i]*1048576.0) AS BIGINT)" +
@@ -556,7 +556,7 @@ object LlmQueries {
     * final assignment a3, codebook c2) as shared CTEs — the code
     * emitter and the ADC search replay ONE training.
     */
-  private val pqChain: String = {
+  private[graft] val pqChain: String = {
     def assignCte(a: String, c: String) =
       s"""$a AS (SELECT * FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub

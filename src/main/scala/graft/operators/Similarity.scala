@@ -505,6 +505,71 @@ object Similarity {
         col("adc_dist"), col("rank"))
   }
 
+  /** G23: IVF∘PQ composed top-k search — Jégou et al.'s IVFADC, the
+    * composition that turns PQ from a compressed LINEAR scan ([[pqTopK]]
+    * ADC-scores every corpus code for every query) into a billion-scale
+    * INDEX: a coarse quantizer routes vectors into `nlist` cells
+    * (inverted lists); a query probes only its `nprobe` closest cells
+    * and ADC-scores just those cells' codes. Per-query work drops from
+    * n to ≈ n·nprobe/nlist while storage stays m codes/vector.
+    *
+    * Coarse side = the FIXED quantizer contract of `sim_topk_ivf_fixed`
+    * (cells = the first `nlist` vectors, assignment by deterministic
+    * cosine argmax with (cs DESC, cid ASC) ties) so cell routing is
+    * plain column algebra the oracle replays; fine side = the SAME
+    * trained codebook as [[pqCodes]]/[[pqTopK]] ([[pqCodebook]] — train
+    * and search can never drift) with the all-int64 ADC arithmetic:
+    * LUT entries, sums and the (adc ASC, vec_id ASC) ranking carry
+    * zero float-summation assumptions.
+    *
+    * Plan shape: the stored index is the (cell, vec_id, sub, cid) code
+    * table — at deployment scale persisted BUCKETED ON `cell` (the
+    * inverted-list layout), built once per corpus. Search is
+    * broadcast-only against it: probes (queries × nprobe rows) and the
+    * LUT (queries × m × ksub rows) are tiny broadcasts, so the scan
+    * touches exactly the probed cells' codes, combines map-side on
+    * (query, vec) and pays ONE rank exchange. No corpus-sized shuffle
+    * on the query path.
+    */
+  def ivfPqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 8, nprobe: Int = 4, m: Int = 4, dsub: Int = 16,
+                ksub: Int = 4, iters: Int = 2): DataFrame = {
+    withCosine(s)
+    val cents = broadcast(emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")))
+    // inverted lists: deterministic coarse cell per corpus vector
+    val cells = emb.join(cents, expr("true"))
+      .withColumn("cs", expr("cosine_sim(embedding, cvec)"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cell"))
+    val trained = pqCodebook(emb, m, dsub, ksub, iters)
+    // the stored index: codes keyed by their coarse cell
+    val codes = pqAssign(pqSubvecs(emb, m, dsub), trained)
+      .select(col("vec_id"), col("sub"), col("cid"))
+      .join(cells, Seq("vec_id"))
+    val probes = queries.join(cents, expr("true"))
+      .withColumn("cs", expr("cosine_sim(embedding, cvec)"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val lut = pqSubvecs(queries, m, dsub)
+      .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
+      .join(broadcast(trained), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"), pqD2.as("dq"))
+    codes.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dq")).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist").asc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"), col("rank"))
+  }
+
   /** G20: corpus mean-centering diagnostics — retrieval embeddings
     * cluster around a dominant mean direction (anisotropy); centering
     * is the standard preprocessing before cosine search/whitening
@@ -723,11 +788,12 @@ object Similarity {
     * frame (one brute-force pass) would persist — it is exactly the
     * ground-truth sample such evaluations maintain.
     *
-    * Strategy set = the repo's seven ANN paths at their registry
+    * Strategy set = the repo's eight ANN paths at their registry
     * parameterizations, all evaluated at the same k: exact
     * error-bounded pruning (must recall 1.0 by construction), int8
     * quantized scan, Matryoshka truncated-prefix rerank, trained
-    * IVF, fixed-quantizer IVF, hyperplane LSH, and PQ ADC.
+    * IVF, fixed-quantizer IVF, hyperplane LSH, exhaustive PQ ADC,
+    * and the composed IVF∘PQ index ([[ivfPqTopK]]).
     */
   def recallMatrix(s: SparkSession, emb: DataFrame, queries: DataFrame,
                    k: Int = 3): DataFrame = {
@@ -742,7 +808,8 @@ object Similarity {
       "ivf" -> ivfTopK(s, emb, queries, k),
       "ivf_fixed" -> ivfTopK(s, emb, queries, k, iters = 0),
       "lsh" -> lshTopK(s, emb, queries, k, planes = 8),
-      "pq" -> pqTopK(s, emb, queries, k))
+      "pq" -> pqTopK(s, emb, queries, k),
+      "ivfpq" -> ivfPqTopK(s, emb, queries, k))
     val picks = strategies.map { case (nm, df) =>
       df.select(lit(nm).as("strategy"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionAll(_))

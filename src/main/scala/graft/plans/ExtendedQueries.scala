@@ -349,6 +349,14 @@ object ExtendedQueries {
       graft.operators.Similarity.ivfTopK(
         s, e, e.filter(col("vec_id") < 10), k = 3, iters = 0)
     }),
+    // —— G23: IVF∘PQ composed search (IVFADC) — coarse cell probing
+    //    in front of the ADC code scan; only nprobe cells' codes are
+    //    touched per query ——
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val e = TableCatalog(s, dir).embeddings
+      graft.operators.Similarity.ivfPqTopK(
+        s, e, e.filter(col("vec_id") < 10), k = 5)
+    }),
     // —— G21b: recall@3 of all six ANN strategies vs brute force ——
     "sim_recall_matrix" -> ((s, dir) => {
       val e = TableCatalog(s, dir).embeddings
@@ -558,6 +566,45 @@ object ExtendedQueries {
       |  CAST(rank AS INTEGER) AS rank
       |FROM r WHERE rank <= 3""".stripMargin
 
+  /** G23 oracle: the IVFADC replay — ivfFixedSql's coarse cell /
+    * probe CTEs composed with the PQ training chain's codes (a3) and
+    * codebook (c2); ADC restricted to probed cells. Integer-exact on
+    * the ADC side; coarse routing carries the ivf_fixed cosine-argmax
+    * parity assumption.
+    */
+  private val ivfPqSql: String =
+    s"""WITH ${graft.operators.LlmQueries.pqChain},
+       |coarse AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec
+       |           FROM embeddings WHERE vec_id < 8),
+       |casg AS (SELECT e2.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e2.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]),
+       |                 CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
+       |  FROM embeddings e2 CROSS JOIN coarse c),
+       |cells AS (SELECT vec_id, cid AS cell FROM casg WHERE rn = 1),
+       |probes AS (SELECT q.vec_id AS query_id, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                 CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS prn
+       |  FROM embeddings q CROSS JOIN coarse c WHERE q.vec_id < 10),
+       |qsv AS (SELECT vec_id, sub, svec FROM sv WHERE vec_id < 10),
+       |lut AS (SELECT q.vec_id AS query_id, q.sub, cb.cid,
+       |          ${graft.operators.LlmQueries.pqDist} AS dq
+       |        FROM qsv q JOIN c2 cb ON q.sub = cb.sub),
+       |sc AS (SELECT p.query_id, a.vec_id, SUM(l.dq) AS adc
+       |       FROM (SELECT query_id, cell FROM probes WHERE prn <= 4) p
+       |       JOIN cells s ON s.cell = p.cell
+       |       JOIN a3 a ON a.vec_id = s.vec_id
+       |       JOIN lut l ON l.query_id = p.query_id
+       |                 AND l.sub = a.sub AND l.cid = a.cid
+       |       WHERE a.vec_id <> p.query_id
+       |       GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc, vec_id) AS rank FROM sc)
+       |SELECT query_id, vec_id AS neighbor_id,
+       |  CAST(adc AS BIGINT) AS adc_dist, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
+
   private val int8Sql: String =
     """WITH m AS (
       |  SELECT e.vec_id, MAX(abs(CAST(e.embedding[d] AS DOUBLE))) AS max_abs
@@ -605,7 +652,8 @@ object ExtendedQueries {
       "ivf" -> "s_ivf",
       "ivf_fixed" -> "s_ivff",
       "lsh" -> "s_lsh",
-      "pq" -> "s_pq")
+      "pq" -> "s_pq",
+      "ivfpq" -> "s_ivfpq")
     val rows = strategies.map { case (nm, cte) =>
       s"""SELECT '$nm' AS strategy,
          |  (SELECT COUNT(*) FROM truth t JOIN $cte s
@@ -620,6 +668,7 @@ object ExtendedQueries {
        |s_lsh AS (${ids(lsh)}),
        |s_pq AS (${ids(graft.operators.LlmQueries.pqTopKSql,
                       "WHERE rank <= 3")}),
+       |s_ivfpq AS (${ids(ivfPqSql, "WHERE rank <= 3")}),
        |m AS (
        |  $rows)
        |SELECT strategy,
@@ -904,6 +953,7 @@ object ExtendedQueries {
     // at an argmax boundary could flip one assignment elsewhere.
     "sim_topk_ivf" -> ivfTrainedSql,
     "sim_topk_ivf_fixed" -> ivfFixedSql,
+    "sim_topk_ivfpq" -> ivfPqSql,
     "sim_topk_int8" -> int8Sql,
     // G21b: recall@k of every ANN strategy against brute-force truth,
     // all at k = 3 — each strategy's oracle replay is reused verbatim

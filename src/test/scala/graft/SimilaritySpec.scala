@@ -191,12 +191,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSet == run(17).toSet)
   }
 
+  test("ivf∘pq: composed IVFADC is layout-invariant and confined to probed cells") {
+    def run(parts: Int) = Similarity.ivfPqTopK(spark, emb.repartition(parts),
+        emb.filter(col("vec_id") < 10), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val out = run(4)
+    // fixed coarse routing + all-int64 ADC: bit-identical on any layout
+    assert(out.toSet == run(17).toSet)
+    val perQ = out.groupBy(_._1)
+    assert(perQ.keySet == (0L until 10L).toSet)
+    perQ.values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length) && g.length == 5)
+      assert(g.sortBy(_._4).map(_._3).toSeq == g.map(_._3).sorted.toSeq)
+      assert(g.forall(r => r._3 >= 0L && r._2 != r._1))
+    }
+    // the IVFADC contract: a neighbor can only come from one of its
+    // query's nprobe probed cells — ivf_fixed at a corpus-sized k
+    // enumerates exactly the probed cells' membership, so every
+    // ivfpq pick must appear in it
+    val probedCells = Similarity.ivfTopK(spark, emb,
+        emb.filter(col("vec_id") < 10), k = 100000, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall(r => probedCells.contains((r._1, r._2))),
+      "ivfpq returned a neighbor outside its query's probed cells")
+  }
+
   test("recall matrix: exact recalls 1.0; known strategy ordering holds") {
     val m = Similarity.recallMatrix(spark, emb, emb.filter(col("vec_id") < 10), k = 3)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(m.keySet == Set("exact_pruned", "int8", "truncated", "ivf",
-      "ivf_fixed", "lsh", "pq"))
+      "ivf_fixed", "lsh", "pq", "ivfpq"))
+    // the composition can only rescore a SUBSET of the exhaustive ADC
+    // scan's candidates under the same codebook — on this corpus it
+    // loses nothing (and must never fall under the one-bucket LSH scan)
+    assert(m("ivfpq")._3 >= m("lsh")._3)
+    assert(m("ivfpq")._3 >= m("pq")._3 - 1e-9,
+      s"cell probing lost ADC recall: ${m("ivfpq")} vs ${m("pq")}")
     // micro-average over all (query, truth-neighbor) pairs
     assert(m.values.forall { case (nt, nh, r) =>
       nt == 30 && nh >= 0 && nh <= nt && r >= 0.0 && r <= 1.0 })
