@@ -724,6 +724,76 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** F19: OFF-GRID exact-substring trim — closes [[substrTrim]]'s
+    * documented grid-alignment trade-off with content-defined block
+    * boundaries (the rolling-anchor move of CDC chunking / rsync):
+    * a position starts a new block when the 60-bit hash of the
+    * `window`-char text starting there is ≡ 0 mod `divisor`. Anchors
+    * are a function of LOCAL CONTENT, not of position, so a duplicated
+    * run at ANY byte offset carries the same interior anchors in every
+    * copy — its interior blocks are identical strings across copies
+    * and the same df ≥ 2 rule that drives [[substrTrim]] removes them.
+    * A +3-char shift that is invisible to the aligned grid (F16) and
+    * only *detectable* by the overlapping-window profile (F15) is
+    * actually TRIMMED here.
+    *
+    * Contract: every char belongs to exactly one block (no tail);
+    * expected block length ≈ `divisor` chars; a run must span ≥ 2
+    * anchors for its interior to collapse (the CDC boundary-effect —
+    * partial head/tail blocks of a run stay, exactly like rsync).
+    * Degenerate anchor-free text forms one whole-document block; the
+    * document-length bound itself caps block size.
+    *
+    * Shape is [[substrTrim]]'s: blocks ship as 60-bit hashes into the
+    * df groupBy+join (map-side combined, never a window over span
+    * keys), and the one text-carrying aggregate is the per-document
+    * reassembly whose state is the document itself. The block cut is
+    * pure array algebra inside the row (filter/transform over a
+    * position sequence — no explode until blocks exist), so the
+    * corpus scans once.
+    */
+  def substrTrimCdc(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int = 8, divisor: Int = 32): DataFrame = {
+    require(window > 0, s"substrTrimCdc window must be positive: $window")
+    require(divisor > 1, s"substrTrimCdc divisor must be > 1: $divisor")
+    val d0 = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        length(col(textCol)).as("__n"))
+      .withColumn("__starts", concat(array(lit(1)),
+        when(col("__n") >= window + 1,
+          filter(sequence(lit(2), col("__n") - (window - 1)),
+            p => hash60(col("__t").substr(p, lit(window))) % divisor === 0))
+          .otherwise(expr("CAST(array() AS array<int>)"))))
+      // block i: starts[i] .. next start - 1 (last block runs to the
+      // end); `get` is 0-based and NULL-safe past the end (no ANSI
+      // out-of-bounds throw, unlike element_at)
+      .withColumn("__blk", transform(col("__starts"), (st, i) =>
+        struct(st.as("__p"),
+          col("__t").substr(st,
+            coalesce(get(col("__starts"), i + 1), col("__n") + 1) - st)
+            .as("__b"))))
+    val blocks = d0
+      .select(col("doc_id"), explode(col("__blk")).as("blk"))
+      .select(col("doc_id"), col("blk.__p").as("__p"), col("blk.__b").as("__b"))
+      .withColumn("h", hash60(col("__b")))
+    val nd = blocks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("__ndocs"))
+    val kept = blocks.join(nd, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__ndocs") >= 2, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__ndocs") < 2,
+            struct(col("__p"), col("__b"))))),
+          x => x.getField("__b")), "").as("__body"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__body"), lit("")).as("clean_text"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   def substrSpans(docs: DataFrame, idCol: String, textCol: String,
                   spanLen: Int = 30, stride: Int = 7): DataFrame = {
     require(spanLen > 0, s"substrSpans spanLen must be positive: $spanLen")

@@ -343,6 +343,11 @@ object LlmQueries {
     // —— H7c: BPE merge learning, k = 3 unrolled iterations ——
     "vocab_bpe_learn" -> ((s, dir) =>
       TextAnalysis.bpeLearn(docs(s, dir), "doc_id", "text", k = 3)),
+    // —— F19: OFF-GRID span trim — content-defined block boundaries
+    //    (rolling-anchor CDC), so shifted duplicate runs collapse ——
+    "dedup_substr_offgrid" -> ((s, dir) =>
+      Dedup.substrTrimCdc(docs(s, dir), "doc_id", "text",
+        window = 8, divisor = 32)),
     // —— F16b: incremental span trim of a batch vs the standing index ——
     "dedup_substr_trim_inc" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -1760,6 +1765,40 @@ object LlmQueries {
         |SELECT d.doc_id,
         |  COALESCE(k.body, '') ||
         |    substr(d.text, (len(d.text) // 30) * 30 + 1) AS clean_text,
+        |  CAST(COALESCE(k.n_blocks, 0) AS BIGINT) AS n_blocks,
+        |  CAST(COALESCE(k.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    // F19: content-defined (rolling-anchor) block boundaries — a
+    // position starts a block when hash60 of its 8-char window ≡ 0
+    // mod 32; then the same df ≥ 2 removal and reassembly as F16
+    "dedup_substr_offgrid" ->
+      """WITH st AS (
+        |  SELECT doc_id, text, len(text) AS n,
+        |    list_prepend(1, CASE WHEN len(text) >= 9 THEN
+        |      [p for p in generate_series(2, len(text) - 7)
+        |       if CAST('0x'||substr(md5(substr(text, p, 8)),1,15) AS BIGINT)
+        |          % 32 = 0]
+        |    ELSE [] END) AS starts
+        |  FROM documents),
+        |b0 AS (SELECT doc_id,
+        |  [{'p': CAST(starts[i] AS INTEGER),
+        |    'b': substr(text, starts[i],
+        |                COALESCE(starts[i+1], n+1) - starts[i])}
+        |   for i in generate_series(1, len(starts))] AS bs
+        |  FROM st),
+        |b AS (SELECT doc_id, unnest(bs, recursive := false) AS s FROM b0),
+        |bb AS (SELECT doc_id, s.p AS p, s.b AS blk,
+        |         CAST('0x' || substr(md5(s.b), 1, 15) AS BIGINT) AS h
+        |       FROM b),
+        |nd AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM bb GROUP BY h),
+        |kept AS (SELECT bb.doc_id,
+        |           COUNT(*) AS n_blocks,
+        |           CAST(SUM(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |             AS n_removed,
+        |           COALESCE(string_agg(CASE WHEN nd.ndocs < 2 THEN bb.blk END, ''
+        |                               ORDER BY bb.p), '') AS body
+        |         FROM bb JOIN nd USING (h) GROUP BY bb.doc_id)
+        |SELECT d.doc_id, COALESCE(k.body, '') AS clean_text,
         |  CAST(COALESCE(k.n_blocks, 0) AS BIGINT) AS n_blocks,
         |  CAST(COALESCE(k.n_removed, 0) AS BIGINT) AS n_removed
         |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin,

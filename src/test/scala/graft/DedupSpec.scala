@@ -392,6 +392,57 @@ class DedupSpec extends SparkTestBase {
     assert(got(5L) == ((uniqE, 2L, 1L)), s"E: ${got(5L)}")
   }
 
+  test("offgrid trim: a shifted duplicate run invisible to the aligned grid is trimmed") {
+    import spark.implicits._
+    // the same ~350-char run embedded at offsets that differ by 3
+    // chars — the case F16's aligned grid cannot collapse (no block
+    // of A equals any block of B) but content-defined boundaries must
+    // NON-periodic 330-char run (a repeated sentence would let the
+    // grid re-align across repetition indices)
+    val run = "Seventeen jugglers tossed bright copper vases across " +
+      "the plaza while a quiet librarian catalogued forgotten atlases " +
+      "near the fountain; two cartographers argued about meridians, a " +
+      "blacksmith hammered silver hinges, and the evening train from " +
+      "Dorchester unloaded crates of lemons, telescopes, and woolen " +
+      "blankets onto platform nine."
+    val prefA = "unique prefix alpha Zet. " // 25 chars
+    val prefB = "other prefix beta Quorum ABC " // 29 chars (+4 shift)
+    val df = Seq(
+      (1L, prefA + run + " unique suffix alpha."),
+      (2L, prefB + run + " unrelated suffix beta."),
+      (3L, "an entirely unrelated third document with its own words")
+    ).toDF("doc_id", "text")
+    // the aligned grid sees nothing: run blocks of A and B are offset
+    // by 4 ≢ 0 (mod 30) and the run has no internal period to re-align
+    val grid = Dedup.substrTrim(df, "doc_id", "text", blockLen = 30)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_removed")).toMap
+    assert(grid.values.forall(_ == 0L), s"grid should be blind here: $grid")
+    val got = Dedup.substrTrimCdc(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_blocks"),
+          r.getAs[Long]("n_removed")))).toMap
+    // interior run blocks collapse from BOTH copies...
+    assert(got(1L)._3 >= 2, s"A removed nothing: ${got(1L)}")
+    assert(got(2L)._3 >= 2, s"B removed nothing: ${got(2L)}")
+    assert(!got(1L)._1.contains(run), s"A still carries the run")
+    assert(!got(2L)._1.contains(run), s"B still carries the run")
+    // ...while unique content survives verbatim in order
+    assert(got(1L)._1.startsWith(prefA) &&
+      got(1L)._1.endsWith(" unique suffix alpha."), s"A: ${got(1L)}")
+    assert(got(2L)._1.startsWith(prefB) &&
+      got(2L)._1.endsWith(" unrelated suffix beta."), s"B: ${got(2L)}")
+    // a doc with no cross-doc duplication is reassembled exactly
+    assert(got(3L) ==
+      (("an entirely unrelated third document with its own words",
+        got(3L)._2, 0L)))
+    // layout-invariance: the whole pipeline is deterministic
+    val again = Dedup.substrTrimCdc(df.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_blocks"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(again == got)
+  }
+
   test("ccnet selection: full head, deterministic half middle, no tail") {
     val buckets = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
