@@ -286,6 +286,10 @@ object LlmQueries {
     // —— H18: unigram LM quality score (avg token log-prob) ——
     "text_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")),
+    // —— H18c: trigram LM, interpolated backoff over corpus
+    //    trigram/bigram/unigram tables (0.5/0.3/0.2, add-0.5) ——
+    "text_trigram_lp" -> ((s, dir) =>
+      TextAnalysis.trigramLogProb(docs(s, dir), "doc_id", "text")),
     // —— H18b: bigram LM conditional log-prob, add-0.5 smoothing ——
     "text_bigram_lp" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")),
@@ -1560,6 +1564,59 @@ object LlmQueries {
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_big,
         |  round(CAST(SUM(micronats) AS BIGINT) / 1000000.0
         |        / CAST(SUM(tf) AS DOUBLE), 4) AS avg_logp2
+        |FROM c GROUP BY 1""".stripMargin,
+    // H18c: interpolated-backoff trigram replay — the three corpus
+    // tables as CTEs, one smooth formula shared operation for
+    // operation with the engine, micronat fixed-point pre-sum
+    "text_trigram_lp" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), ' +') AS toks
+        |  FROM documents),
+        |t3 AS (SELECT doc_id,
+        |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                 for i in generate_series(1, len(toks)-2)]) AS tg
+        |       FROM t WHERE len(toks) >= 3),
+        |dtf AS (SELECT doc_id, tg, COUNT(*) AS tf FROM t3 GROUP BY 1, 2),
+        |cf3 AS (SELECT tg, CAST(SUM(tf) AS BIGINT) AS cf3,
+        |         split_part(tg,' ',1) || ' ' || split_part(tg,' ',2) AS ab,
+        |         split_part(tg,' ',2) || ' ' || split_part(tg,' ',3) AS bc,
+        |         split_part(tg,' ',2) AS b,
+        |         split_part(tg,' ',3) AS c
+        |       FROM dtf GROUP BY 1),
+        |ctx3 AS (SELECT ab, CAST(SUM(cf3) AS BIGINT) AS ctx3
+        |         FROM cf3 GROUP BY 1),
+        |b0 AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+        |                 for i in generate_series(1, len(toks)-1)]) AS bg
+        |       FROM t WHERE len(toks) >= 2),
+        |cf2 AS (SELECT bg, COUNT(*) AS cf2, split_part(bg,' ',1) AS b1
+        |        FROM b0 GROUP BY 1),
+        |ctx2 AS (SELECT b1, CAST(SUM(cf2) AS BIGINT) AS ctx2
+        |         FROM cf2 GROUP BY 1),
+        |u AS (SELECT unnest(toks) AS tok FROM t),
+        |uni AS (SELECT tok, COUNT(*) AS cf1 FROM u GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(string_split(tg, ' ')) AS tok FROM cf3)),
+        |nt AS (SELECT CAST(SUM(cf1) AS BIGINT) AS nt FROM uni),
+        |c AS (SELECT dtf.doc_id, dtf.tf,
+        |        CAST(round(CAST(dtf.tf AS DOUBLE) * ln(
+        |            0.5 * ((CAST(cf3.cf3 AS DOUBLE) + 0.5)
+        |                   / (CAST(ctx3.ctx3 AS DOUBLE)
+        |                      + 0.5 * CAST(v.v AS DOUBLE)))
+        |          + 0.3 * ((CAST(cf2.cf2 AS DOUBLE) + 0.5)
+        |                   / (CAST(ctx2.ctx2 AS DOUBLE)
+        |                      + 0.5 * CAST(v.v AS DOUBLE)))
+        |          + 0.2 * ((CAST(uni.cf1 AS DOUBLE) + 0.5)
+        |                   / (CAST(nt.nt AS DOUBLE)
+        |                      + 0.5 * CAST(v.v AS DOUBLE)))
+        |          ) * 1000000.0) AS BIGINT) AS micronats
+        |      FROM dtf JOIN cf3 USING (tg)
+        |      JOIN ctx3 ON ctx3.ab = cf3.ab
+        |      JOIN cf2 ON cf2.bg = cf3.bc
+        |      JOIN ctx2 ON ctx2.b1 = cf3.b
+        |      JOIN uni ON uni.tok = cf3.c, v, nt)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tri,
+        |  round(CAST(SUM(micronats) AS BIGINT) / 1000000.0
+        |        / CAST(SUM(tf) AS DOUBLE), 4) AS avg_logp3
         |FROM c GROUP BY 1""".stripMargin,
     "text_unigram_lp" ->
       """WITH t AS (

@@ -360,6 +360,84 @@ object TextAnalysis {
           col("n_big").cast("double"), 4).as("avg_logp2"))
   }
 
+  /** H18c: trigram-LM quality score with interpolated backoff — the
+    * next honest step from [[bigramLogProb]] toward CCNet's KenLM
+    * 5-gram filter: per-document average log-prob over trigram
+    * positions of ln P̂(c|a,b) under the fixed-weight interpolation
+    *   P̂ = 0.5·P3 + 0.3·P2 + 0.2·P1,
+    * each level add-α smoothed (α = 0.5) against its own
+    * corpus-derived context:
+    *   P3 = (c(abc)+α)/(c(ab·)+αV)   c(ab·) = Σ_c c(abc)
+    *   P2 = (c(bc)+α)/(c(b·)+αV)     from the corpus bigram table
+    *   P1 = (c(c)+α)/(N+αV)          from the corpus unigram table
+    * with V = distinct token types observed in any trigram (the
+    * H18b vocabulary rule, one level up). Interpolation (vs strict
+    * Katz backoff) keeps the score a single smooth formula both
+    * engines replay operation for operation.
+    *
+    * Shape (the unigram/bigram discipline): ONE doc-keyed explode
+    * builds per-(doc, trigram) counts via the codegen non-distinct
+    * [[graft.functions.WordShinglesAll]]; every corpus table — cf3,
+    * its ab-context, the bigram cf2/b-context, unigram cf1 — is a
+    * partial-agg groupBy to VOCAB-sized rows (never a token-keyed
+    * window; Zipf-hot n-grams stay splittable, the joins
+    * AQE-skew-split), and every lower-level lookup key (bc, b, c) of
+    * a trigram necessarily occurs in its own corpus table, so all
+    * joins are inner and lossless. V, N fold in as broadcast 1-row
+    * aggregates. Per-position contributions fix-point to int64
+    * micronats scaled by tf BEFORE the per-doc sum — exact,
+    * order-free; `ln` carries the BM25-documented parity assumption.
+    * Docs with fewer than 3 tokens have no trigram position and are
+    * excluded.
+    */
+  def trigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    def grams(n: Int) = GraftBridge.column(graft.functions.WordShinglesAll(
+      GraftBridge.expression(tokens(col(textCol))), n))
+    val alpha = lit(0.5)
+    val docTf = docs.select(col(idCol).as("doc_id"), explode(grams(3)).as("tg"))
+      .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("tf"))
+    val cf3 = docTf.groupBy(col("tg")).agg(sum(col("tf")).as("cf3"))
+      .withColumn("__p", split(col("tg"), " "))
+      .select(col("tg"), col("cf3"),
+        concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)).as("ab"),
+        concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)).as("bc"),
+        col("__p").getItem(1).as("b"), col("__p").getItem(2).as("c"))
+    val ctx3 = cf3.groupBy(col("ab")).agg(sum(col("cf3")).as("ctx3"))
+    val bi = docs.select(explode(grams(2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cf2"))
+      .withColumn("b", split(col("bg"), " ").getItem(0))
+    val ctx2 = bi.groupBy(col("b")).agg(sum(col("cf2")).as("ctx2"))
+    val uni = docs.select(explode(tokens(col(textCol))).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("cf1"))
+    val vocab = broadcast(cf3
+      .select(explode(split(col("tg"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v")))
+    val nTot = broadcast(uni.agg(sum(col("cf1")).as("nt")))
+    val vd = col("v").cast("double")
+    docTf
+      .join(cf3, "tg")
+      .join(ctx3, "ab")
+      .join(bi.select(col("bg").as("bc"), col("cf2")), "bc")
+      .join(ctx2, "b")
+      .join(uni, "c")
+      .crossJoin(vocab).crossJoin(nTot)
+      .withColumn("__c", round(col("tf").cast("double") *
+        log(lit(0.5) * ((col("cf3").cast("double") + alpha) /
+              (col("ctx3").cast("double") + alpha * vd)) +
+            lit(0.3) * ((col("cf2").cast("double") + alpha) /
+              (col("ctx2").cast("double") + alpha * vd)) +
+            lit(0.2) * ((col("cf1").cast("double") + alpha) /
+              (col("nt").cast("double") + alpha * vd))) *
+        lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tri"), sum(col("__c")).as("__lp"))
+      .select(col("doc_id"), col("n_tri"),
+        round(col("__lp").cast("double") / lit(1000000.0) /
+          col("n_tri").cast("double"), 4).as("avg_logp3"))
+  }
+
   /** H7d: PMI phrase mining — top-k adjacent token pairs by pointwise
     * mutual information, the classic collocation/phrase-detection
     * statistic (word2vec-phrases, NPMI corpus studies):

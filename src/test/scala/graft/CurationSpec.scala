@@ -566,6 +566,48 @@ class CurationSpec extends SparkTestBase {
       s"got ${out.head.getDouble(2)}, want $expR")
   }
 
+  test("trigram LM score: fluent > clause-rotated > rare; sub-trigram docs drop") {
+    // background docs train the model; the fluent doc re-uses their
+    // trigrams, the shuffled doc has the SAME unigrams in an unseen
+    // order (only backoff mass), the rare doc is singleton everything
+    val docs = docsDf(
+      10L -> "the cat sat on the mat",
+      11L -> "the cat sat on the mat",
+      12L -> "the cat sat on the mat",
+      1L -> "the cat sat on the mat",
+      2L -> "on the mat the cat sat", // clause-rotated: 2/4 trigrams seen
+      3L -> "qzx wvut jjk plom drat krel",
+      4L -> "too short")
+    val out = TextAnalysis.trigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(4L), "2-token doc must have no trigram positions")
+    assert(out(1L)._1 == 4 && out(2L)._1 == 4 && out(3L)._1 == 4)
+    assert(out(1L)._2 > out(2L)._2,
+      s"fluent ${out(1L)._2} must beat rotated ${out(2L)._2}")
+    assert(out(2L)._2 > out(3L)._2,
+      s"rotated ${out(2L)._2} must beat rare ${out(3L)._2}")
+  }
+
+  test("trigram LM score: hand-checked interpolated backoff") {
+    // corpus = one doc "x y z x y z": trigrams xyz(2), yzx(1), zxy(1);
+    // ctx3 x y=2, y z=1, z x=1; bigrams xy(2), yz(2), zx(1) with
+    // contexts x=2, y=2, z=1; unigrams all 2, N=6; V={x,y,z}=3, α=.5
+    val docs = docsDf(1L -> "x y z x y z")
+    val out = TextAnalysis.trigramLogProb(docs, "doc_id", "text").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 4)
+    def p(cf3: Double, ctx3: Double, cf2: Double, ctx2: Double,
+          cf1: Double): Double =
+      0.5 * ((cf3 + 0.5) / (ctx3 + 1.5)) +
+        0.3 * ((cf2 + 0.5) / (ctx2 + 1.5)) +
+        0.2 * ((cf1 + 0.5) / (6.0 + 1.5))
+    val exp = (math.round(2.0 * math.log(p(2, 2, 2, 2, 2)) * 1e6) +
+      math.round(1.0 * math.log(p(1, 1, 1, 1, 2)) * 1e6) +
+      math.round(1.0 * math.log(p(1, 1, 2, 2, 2)) * 1e6)) / 1e6 / 4.0
+    val expR = BigDecimal(exp).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(out.head.getDouble(2)) == expR,
+      s"got ${out.head.getDouble(2)}, want $expR")
+  }
+
   // ——— negativeSamples ———
 
   test("negative sampling: deterministic, capped at k, never self or same-label") {
