@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -617,6 +617,52 @@ object Dedup {
           round(col("n_hit").cast("double") / col("n_cand"), 6)).as("prec"),
         when(col("n_true") > 0,
           round(col("n_hit").cast("double") / col("n_true"), 6)).as("recall"))
+  }
+
+  /** F18b: banding auto-tune — the closed-form solver that ACTS on
+    * what [[bandingEval]] measures: for every factorization r·b = k
+    * of the signature budget, the MinHash-LSH S-curve
+    * P(candidate | s) = 1 − (1 − s^r)^b is evaluated at the dedup
+    * threshold τ (→ expected recall of true pairs) and at a
+    * dissimilar reference s_fp (→ false-candidate rate), and the
+    * CHOSEN row is the factorization meeting the recall target with
+    * the lowest false-positive mass (ties → larger r). At k = 16,
+    * τ = 0.8, target 0.85 the solver lands on (r = 4, b = 4) — the
+    * (k = 16, bands = 4) defaults every fuzzy path (F4/F8b/F14)
+    * ships with, which is exactly the point: the defaults are the
+    * solver's output, not folklore.
+    *
+    * All probabilities are exact int64 MICRO-UNITS with floor
+    * division at every multiply (s^r and (1−s^r)^b unroll as
+    * `aggregate` folds), so the table is bit-identical on any
+    * engine/partitioning — no `pow` libm parity anywhere. The table
+    * is |divisors(k)| rows; the one window is over those few rows by
+    * construction (a solver, not a data pass).
+    */
+  def bandChoose(s: SparkSession, k: Int = 16, tau: Double = 0.8,
+                 targetRecall: Double = 0.85, sFp: Double = 0.3): DataFrame = {
+    require(k > 0, s"bandChoose k must be positive: $k")
+    import s.implicits._
+    val tauM = Math.round(tau * 1e6)
+    val fpM = Math.round(sFp * 1e6)
+    val tgtM = Math.round(targetRecall * 1e6)
+    def powM(baseSql: String, nCol: String): String =
+      s"aggregate(sequence(1, $nCol), CAST(1000000 AS BIGINT), " +
+        s"(acc, i) -> (acc * $baseSql) div 1000000L)"
+    (1 to k).filter(k % _ == 0).map(r => (r, k / r)).toDF("r", "b")
+      .withColumn("__pr", expr(powM(s"${tauM}L", "r")))
+      .withColumn("__pf", expr(powM(s"${fpM}L", "r")))
+      .withColumn("__recall_m",
+        expr(s"1000000L - ${powM("(1000000L - __pr)", "b")}"))
+      .withColumn("__fp_m",
+        expr(s"1000000L - ${powM("(1000000L - __pf)", "b")}"))
+      .withColumn("meets", col("__recall_m") >= lit(tgtM))
+      .withColumn("__rk", row_number().over(Window.orderBy(
+        col("meets").desc, col("__fp_m").asc, col("r").desc)))
+      .select(col("r"), col("b"),
+        round(col("__recall_m").cast("double") / lit(1000000.0), 6).as("recall"),
+        round(col("__fp_m").cast("double") / lit(1000000.0), 6).as("fp_rate"),
+        col("meets"), (col("__rk") === 1 && col("meets")).as("chosen"))
   }
 
   /** F8c: SPAN-level benchmark decontamination — the character-level

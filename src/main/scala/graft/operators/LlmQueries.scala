@@ -181,6 +181,9 @@ object LlmQueries {
     // —— F18: precision/recall of the MinHash banding vs true Jaccard ——
     "dedup_eval" -> ((s, dir) =>
       Dedup.bandingEval(docs(s, dir), "doc_id", "text")),
+    // —— F18b: closed-form S-curve banding solver — the (r, b)
+    //    factorization table with the chosen knobs flagged ——
+    "dedup_band_choose" -> ((s, dir) => Dedup.bandChoose(s)),
     // —— F9: SemDeDup pass: cosine pairs → CC → survivors ——
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(s, emb(s, dir), tau = 0.4)),
@@ -1673,6 +1676,37 @@ object LlmQueries {
         |FROM documents""".stripMargin,
     // F15: the identical span grid (1-based char positions every 7,
     // 30-char windows) and the shared md5-60bit span hash
+    // F18b: the integer S-curve solver — floor-division fixed-point
+    // powers, so the replay is bit-exact with zero libm assumptions
+    "dedup_band_choose" ->
+      """WITH cand AS (SELECT CAST(d AS INTEGER) AS r,
+        |         CAST(16 // d AS INTEGER) AS b
+        |       FROM generate_series(1, 16) t(d) WHERE 16 % d = 0),
+        |p AS (SELECT r, b,
+        |  list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+        |      [CAST(0 AS BIGINT) for i in generate_series(1, r)]),
+        |    (acc, x) -> (acc * 800000) // 1000000) AS pr,
+        |  list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+        |      [CAST(0 AS BIGINT) for i in generate_series(1, r)]),
+        |    (acc, x) -> (acc * 300000) // 1000000) AS pf
+        |  FROM cand),
+        |q AS (SELECT r, b,
+        |  1000000 - list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+        |      [CAST(0 AS BIGINT) for i in generate_series(1, b)]),
+        |    (acc, x) -> (acc * (1000000 - pr)) // 1000000) AS recall_m,
+        |  1000000 - list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+        |      [CAST(0 AS BIGINT) for i in generate_series(1, b)]),
+        |    (acc, x) -> (acc * (1000000 - pf)) // 1000000) AS fp_m
+        |  FROM p),
+        |m AS (SELECT r, b, recall_m, fp_m, recall_m >= 850000 AS meets,
+        |        row_number() OVER (ORDER BY recall_m >= 850000 DESC,
+        |                           fp_m ASC, r DESC) AS rk
+        |      FROM q)
+        |SELECT r, b,
+        |  round(CAST(recall_m AS DOUBLE) / 1000000.0, 6) AS recall,
+        |  round(CAST(fp_m AS DOUBLE) / 1000000.0, 6) AS fp_rate,
+        |  meets, (rk = 1 AND meets) AS chosen
+        |FROM m""".stripMargin,
     // F18: both pair pipelines over the collapsed corpus, then the
     // precision/recall readout of the banding against true Jaccard
     "dedup_eval" ->

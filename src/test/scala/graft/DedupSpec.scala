@@ -392,6 +392,28 @@ class DedupSpec extends SparkTestBase {
     assert(got(5L) == ((uniqE, 2L, 1L)), s"E: ${got(5L)}")
   }
 
+  test("band choose: solver picks the shipped F4 knobs; measured recall honors the target") {
+    val t = Dedup.bandChoose(spark).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(t.length == 5 && t.count(_._6) == 1, s"table: ${t.toSeq}")
+    val chosen = t.find(_._6).get
+    // the defaults every fuzzy path ships (k = 16, bands = 4 → r = 4)
+    // are the solver's own output at (τ = 0.8, target recall 0.85)
+    assert((chosen._1, chosen._2) == ((4, 4)), s"chosen: $chosen")
+    // chosen = the lowest-fp candidate among those meeting the target
+    assert(t.filter(_._5).forall(_._4 >= chosen._4), s"table: ${t.toSeq}")
+    // S-curve sanity: recall at τ decreases as rows-per-band grow
+    val byR = t.sortBy(_._1).map(_._3)
+    assert(byR.sameElements(byR.sorted.reverse), s"recalls: ${byR.toSeq}")
+    // close the loop with F18: the banding evaluation at the chosen
+    // knobs must measure at least the recall the solver promised
+    val ev = Dedup.bandingEval(docs, "doc_id", "text",
+        k = chosen._1 * chosen._2, bands = chosen._2).collect().head
+    val measured = ev.getAs[Double]("recall")
+    assert(measured >= 0.85, s"measured recall $measured under solver target")
+  }
+
   test("offgrid trim: a shifted duplicate run invisible to the aligned grid is trimmed") {
     import spark.implicits._
     // the same ~350-char run embedded at offsets that differ by 3
