@@ -262,6 +262,12 @@ def main():
     ap.add_argument("--compare-only", action="store_true")
     ap.add_argument("--no-commit", action="store_true")
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--daemon", action="store_true",
+                    help="run the CurationJob daemon loop over the "
+                         "scaled docs (graft.tools.DaemonSweep) and "
+                         "commit DAEMON_SWEEP_rN.json instead of the "
+                         "oracle sweep")
+    ap.add_argument("--daemon-batches", type=int, default=10)
     args = ap.parse_args()
     if args.dry_run:
         dry_run()
@@ -270,6 +276,34 @@ def main():
     cp = classpath()
     if not args.compare_only:
         make_scale(cp, args.sf_src, args.workdir, args.copies)
+    if args.daemon:
+        ddir = f"{args.workdir}_daemon"
+        sh(["rm", "-rf", ddir])
+        env = dict(os.environ, SPARK_GRAFT_CPUS="32")
+        sh(["java", *JAVA_OPENS, "-Xmx48g", "-cp", cp,
+            "-Dspark.ui.enabled=false",
+            "-Dspark.sql.session.timeZone=UTC",
+            "graft.tools.DaemonSweep", args.workdir, ddir,
+            str(args.daemon_batches)], env=env, cwd=REPO)
+        payload = json.load(open(f"{ddir}/daemon_sweep.json"))
+        flags = [k for k, v in payload.items() if v is False]
+        relpath = f"DAEMON_SWEEP_{args.round}.json"
+        if args.no_commit:
+            with open(f"/tmp/{relpath}", "w") as f:
+                json.dump(payload, f, indent=2, sort_keys=True)
+            print(f"= artifact (uncommitted, --no-commit): /tmp/{relpath}")
+        else:
+            commit_artifact(
+                REPO, relpath, payload,
+                f"Daemon sweep {args.round}: CurationJob full gate stack "
+                f"over {payload.get('n_docs')} scaled docs in "
+                f"{payload.get('n_batches')} batches"
+                + (f" — FAILED invariants: {flags}" if flags else
+                   " — all invariants hold"))
+        if flags:
+            raise SystemExit(f"daemon sweep invariants FAILED: {flags}")
+        print(f"= daemon sweep done at {time.time() - t0:.0f}s", flush=True)
+        return
     os.makedirs(args.outdir, exist_ok=True)
     # oracle_sql.json is written by ANY Verify invocation; ensure it
     # exists by running one trivially-filtered worker first if needed
