@@ -493,16 +493,32 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
       .join(broadcast(trained), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid"), pqD2.as("dq"))
-    codes.join(broadcast(lut), Seq("sub", "cid"))
+    adcRank(codes.join(broadcast(lut), Seq("sub", "cid")), k)
+  }
+
+  /** Shared ADC ranking tail of [[pqTopK]]/[[ivfPqTopK]]: per-(query,
+    * vec) int64 ADC sums, then the per-query top-k via the BOUNDED
+    * [[graft.functions.BoundedTopK]] aggregate — map-side partials
+    * ship ≤ k rows per query per partition, so the rank step costs a
+    * k·queries-row exchange instead of the full scored set through a
+    * window sort (the dedup_ngram_topk contract applied to ADC).
+    * (adc ASC, vec_id ASC) ordering, deterministic, no ties possible.
+    */
+  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
+    val best = GraftBridge.column(graft.functions.BoundedTopK(
+      GraftBridge.expression(struct(col("adc_dist"), col("vec_id"))),
+      GraftBridge.expression(struct(col("vec_id"), col("adc_dist"))),
+      k, Seq(1, 1), keepLargest = false, emitDesc = false,
+      skipNullValue = false).toAggregateExpression())
+    scored
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("dq")).as("adc_dist"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("adc_dist").asc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("adc_dist"), col("rank"))
+      .groupBy(col("query_id")).agg(best.as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
+        col("col.adc_dist").as("adc_dist"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** G23: IVF∘PQ composed top-k search — Jégou et al.'s IVFADC, the
@@ -535,39 +551,62 @@ object Similarity {
                 nlist: Int = 8, nprobe: Int = 4, m: Int = 4, dsub: Int = 16,
                 ksub: Int = 4, iters: Int = 2): DataFrame = {
     withCosine(s)
-    val cents = broadcast(emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")))
-    // inverted lists: deterministic coarse cell per corpus vector
-    val cells = emb.join(cents, expr("true"))
-      .withColumn("cs", expr("cosine_sim(embedding, cvec)"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cell"))
+    import s.implicits._
+    // the fixed coarse model is nlist tiny rows — it lives on the
+    // driver (exactly like ivfTopK's centroid state) and folds into a
+    // LITERAL array, so cell routing is a pure MAP-SIDE expression
+    // over the corpus scan: no crossJoin fanout, no assignment
+    // shuffle, and the per-vector cell rides the SAME (vec, sub)
+    // encode aggregate the plain PQ path already pays. The only
+    // plan-shape difference vs pqTopK is the probe filter — which
+    // SHRINKS the ADC join by nprobe/nlist.
+    val cents = emb.filter(col("vec_id") < nlist).orderBy("vec_id")
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .toSeq
+    // per-cent (cosine, -cid) score structs; struct ORDER = (cs DESC,
+    // cid ASC) — the G17 deterministic tie rule. The CORPUS-side cell
+    // pick is an UNROLLED `greatest` over nlist structs (plain
+    // codegen'd expressions — a transform() lambda would drop the
+    // whole corpus projection to interpreted eval); the query side
+    // (tiny) sorts the same structs as an array for its nprobe list.
+    def centCos(cvec: Seq[Float]): Column = GraftBridge.column(
+      CosineSimilarity(GraftBridge.expression(col("embedding")),
+        GraftBridge.expression(typedLit(cvec))))
+    val scoreStructs = cents.map { case (cid, cvec) =>
+      struct(centCos(cvec), lit(-cid)) }
+    val cellOf = (-greatest(scoreStructs: _*).getField("col2")).as("cell")
+    val scores = array(scoreStructs: _*)
     val trained = pqCodebook(emb, m, dsub, ksub, iters)
-    // the stored index: codes keyed by their coarse cell
-    val codes = pqAssign(pqSubvecs(emb, m, dsub), trained)
-      .select(col("vec_id"), col("sub"), col("cid"))
-      .join(cells, Seq("vec_id"))
-    val probes = queries.join(cents, expr("true"))
-      .withColumn("cs", expr("cosine_sim(embedding, cvec)"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("pr") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    // the stored index: (cell, vec_id, sub, cid) — cell threads
+    // through the one encode aggregate as a first(), zero extra
+    // shuffles; at deployment scale this table persists BUCKETED on
+    // cell (the inverted-list layout) and search is broadcast-only
+    val subs = array((0 until m).map(i =>
+      slice(col("embedding").cast("array<double>"), i * dsub + 1, dsub)): _*)
+    val svecsC = emb.select(col("vec_id"), cellOf,
+      posexplode(subs).as(Seq("sub", "svec")))
+    val codes = svecsC.join(broadcast(trained), Seq("sub"))
+      .withColumn("dist", pqD2)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"),
+        first(col("cell")).as("cell"))
+    // probes: top-nprobe cells of each query — an in-row sort of the
+    // nlist-long score array, exploded to (query, cell) pairs (tiny)
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        explode(slice(reverse(array_sort(scores)), 1, nprobe)).as("__s"))
+      .select(col("query_id"), (-col("__s.col2")).as("cell"))
     val lut = pqSubvecs(queries, m, dsub)
       .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
       .join(broadcast(trained), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid"), pqD2.as("dq"))
-    codes.join(broadcast(probes), Seq("cell"))
-      .join(broadcast(lut), Seq("query_id", "sub", "cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("dq")).as("adc_dist"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("adc_dist").asc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("adc_dist"), col("rank"))
+    // probe-filtered LUT: (queries × nprobe × m × ksub) rows — still
+    // tiny, and folding the probe filter into the broadcast means the
+    // stored index pays ONE join on (cell, sub, cid), not two
+    val plut = probes.join(lut, Seq("query_id"))
+    adcRank(codes.join(broadcast(plut), Seq("cell", "sub", "cid")), k)
   }
 
   /** G20: corpus mean-centering diagnostics — retrieval embeddings
