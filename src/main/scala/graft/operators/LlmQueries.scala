@@ -1600,8 +1600,7 @@ object LlmQueries {
         |v AS (SELECT COUNT(DISTINCT tok) AS v
         |      FROM (SELECT unnest(string_split(tg, ' ')) AS tok FROM cf3)),
         |nt AS (SELECT CAST(SUM(cf1) AS BIGINT) AS nt FROM uni),
-        |c AS (SELECT dtf.doc_id, dtf.tf,
-        |        CAST(round(CAST(dtf.tf AS DOUBLE) * ln(
+        |c0 AS (SELECT dtf.doc_id, dtf.tf,
         |            0.5 * ((CAST(cf3.cf3 AS DOUBLE) + 0.5)
         |                   / (CAST(ctx3.ctx3 AS DOUBLE)
         |                      + 0.5 * CAST(v.v AS DOUBLE)))
@@ -1610,16 +1609,46 @@ object LlmQueries {
         |                      + 0.5 * CAST(v.v AS DOUBLE)))
         |          + 0.2 * ((CAST(uni.cf1 AS DOUBLE) + 0.5)
         |                   / (CAST(nt.nt AS DOUBLE)
-        |                      + 0.5 * CAST(v.v AS DOUBLE)))
-        |          ) * 1000000.0) AS BIGINT) AS micronats
+        |                      + 0.5 * CAST(v.v AS DOUBLE))) AS p
         |      FROM dtf JOIN cf3 USING (tg)
         |      JOIN ctx3 ON ctx3.ab = cf3.ab
         |      JOIN cf2 ON cf2.bg = cf3.bc
         |      JOIN ctx2 ON ctx2.b1 = cf3.b
-        |      JOIN uni ON uni.tok = cf3.c, v, nt)
+        |      JOIN uni ON uni.tok = cf3.c, v, nt),
+        |-- deterministic ln (the engine's withLnDet, op for op): exact
+        |-- power-of-two range reduction to m in [0.5,1), atanh series
+        |-- through t^25, ln = 2*s - e*ln2 — zero libm anywhere
+        |rd AS (SELECT doc_id, tf,
+        |  CASE WHEN p*4294967296.0 < 1.0 THEN p*4294967296.0 ELSE p END AS m1,
+        |  CASE WHEN p*4294967296.0 < 1.0 THEN 32 ELSE 0 END AS e1,
+        |  CASE WHEN m1*65536.0 < 1.0 THEN m1*65536.0 ELSE m1 END AS m2,
+        |  CASE WHEN m1*65536.0 < 1.0 THEN e1+16 ELSE e1 END AS e2,
+        |  CASE WHEN m2*256.0 < 1.0 THEN m2*256.0 ELSE m2 END AS m3,
+        |  CASE WHEN m2*256.0 < 1.0 THEN e2+8 ELSE e2 END AS e3,
+        |  CASE WHEN m3*16.0 < 1.0 THEN m3*16.0 ELSE m3 END AS m4,
+        |  CASE WHEN m3*16.0 < 1.0 THEN e3+4 ELSE e3 END AS e4,
+        |  CASE WHEN m4*4.0 < 1.0 THEN m4*4.0 ELSE m4 END AS m5,
+        |  CASE WHEN m4*4.0 < 1.0 THEN e4+2 ELSE e4 END AS e5,
+        |  CASE WHEN m5*2.0 < 1.0 THEN m5*2.0 ELSE m5 END AS m6,
+        |  CASE WHEN m5*2.0 < 1.0 THEN e5+1 ELSE e5 END AS e6
+        |  FROM c0),
+        |sr AS (SELECT doc_id, tf,
+        |  (m6 - 1.0) / (m6 + 1.0) AS t, t*t AS t2,
+        |  t AS q1, q1*t2 AS q3, q3*t2 AS q5, q5*t2 AS q7, q7*t2 AS q9,
+        |  q9*t2 AS q11, q11*t2 AS q13, q13*t2 AS q15, q15*t2 AS q17,
+        |  q17*t2 AS q19, q19*t2 AS q21, q21*t2 AS q23, q23*t2 AS q25,
+        |  2.0 * (q1 + q3/3.0 + q5/5.0 + q7/7.0 + q9/9.0 + q11/11.0
+        |         + q13/13.0 + q15/15.0 + q17/17.0 + q19/19.0 + q21/21.0
+        |         + q23/23.0 + q25/25.0)
+        |    - CAST(e6 AS DOUBLE) * 0.6931471805599453 AS lnp
+        |  FROM rd),
+        |c AS (SELECT doc_id, tf,
+        |        CAST(round(CAST(tf AS DOUBLE) * lnp * 1000000.0) AS BIGINT)
+        |          AS micronats
+        |      FROM sr)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tri,
-        |  round(CAST(SUM(micronats) AS BIGINT) / 1000000.0
-        |        / CAST(SUM(tf) AS DOUBLE), 4) AS avg_logp3
+        |  round(CAST(SUM(micronats) AS DOUBLE)
+        |        / (CAST(SUM(tf) AS DOUBLE) * 100.0)) / 10000.0 AS avg_logp3
         |FROM c GROUP BY 1""".stripMargin,
     "text_unigram_lp" ->
       """WITH t AS (

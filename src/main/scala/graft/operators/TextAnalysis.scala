@@ -386,10 +386,61 @@ object TextAnalysis {
     * joins are inner and lossless. V, N fold in as broadcast 1-row
     * aggregates. Per-position contributions fix-point to int64
     * micronats scaled by tf BEFORE the per-doc sum — exact,
-    * order-free; `ln` carries the BM25-documented parity assumption.
-    * Docs with fewer than 3 tokens have no trigram position and are
-    * excluded.
+    * order-free — and, unlike H18/H18b, the logarithm itself is the
+    * DETERMINISTIC shared-algorithm [[withLnDet]], so this query
+    * carries ZERO libm parity assumptions (a JVM-vs-DuckDB 1-ulp
+    * `ln` disagreement flipped one doc's micronat rounding at the
+    * 100× decade before this). Docs with fewer than 3 tokens have
+    * no trigram position and are excluded.
     */
+  /** Deterministic natural log for probabilities in (0, 1] — BOTH
+    * engines evaluate the SAME sequence of IEEE-754 +,−,×,÷ ops, so
+    * the result is bit-identical by construction (unlike
+    * `Math.log` vs libm `ln`, which differ by 1 ulp on some inputs —
+    * the parity risk H18/H18b document; at the 100× decade one such
+    * ulp flipped a trigram micronat rounding, so H18c eliminates the
+    * assumption instead of documenting it):
+    *   1. range-reduce by EXACT power-of-two scaling (6 unrolled
+    *      conditional steps, 2^32…2^1 — covers p ≥ 2^-63, far below
+    *      any smoothed probability at any corpus size) to m ∈ [0.5, 1);
+    *   2. atanh series: t = (m−1)/(m+1), |t| ≤ 1/3, odd powers
+    *      through t^25 (truncation ≈ 4·10⁻¹⁵ — invisible at micronat
+    *      scale);
+    *   3. ln(x) = 2·s − e·ln2 with ln2 as a shared literal.
+    * Emitted as named intermediate columns (no tree duplication);
+    * plain codegen expressions, no higher-order functions.
+    */
+  private[operators] def withLnDet(df: DataFrame, x: Column,
+                                   out: String): DataFrame = {
+    val steps = Seq(32, 16, 8, 4, 2, 1)
+    val reduced = steps.zipWithIndex.foldLeft(
+      df.withColumn("__m0", x).withColumn("__e0", lit(0))) {
+      case (d, (k, i)) =>
+        val scale = math.pow(2.0, k) // exact: power of two
+        d.withColumn(s"__m${i + 1}",
+            when(col(s"__m$i") * lit(scale) < 1.0, col(s"__m$i") * lit(scale))
+              .otherwise(col(s"__m$i")))
+          .withColumn(s"__e${i + 1}",
+            when(col(s"__m$i") * lit(scale) < 1.0, col(s"__e$i") + k)
+              .otherwise(col(s"__e$i")))
+    }
+    val n = steps.length
+    val powers = reduced
+      .withColumn("__t", (col(s"__m$n") - 1.0) / (col(s"__m$n") + 1.0))
+      .withColumn("__t2", col("__t") * col("__t"))
+    val withQ = (1 to 12).foldLeft(powers.withColumn("__q1", col("__t"))) {
+      (d, j) => d.withColumn(s"__q${2 * j + 1}",
+        col(s"__q${2 * j - 1}") * col("__t2"))
+    }
+    val series = (1 to 12).foldLeft(col("__q1"): Column) { (acc, j) =>
+      acc + col(s"__q${2 * j + 1}") / lit((2 * j + 1).toDouble) }
+    val outDf = withQ.withColumn(out,
+      lit(2.0) * series -
+        col(s"__e$n").cast("double") * lit(0.6931471805599453))
+    outDf.drop((0 to n).flatMap(i => Seq(s"__m$i", s"__e$i")) ++
+      Seq("__t", "__t2") ++ (0 to 12).map(j => s"__q${2 * j + 1}"): _*)
+  }
+
   def trigramLogProb(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     import org.apache.spark.sql.GraftBridge
@@ -416,26 +467,35 @@ object TextAnalysis {
       .agg(countDistinct(col("tok")).as("v")))
     val nTot = broadcast(uni.agg(sum(col("cf1")).as("nt")))
     val vd = col("v").cast("double")
-    docTf
+    val scored = docTf
       .join(cf3, "tg")
       .join(ctx3, "ab")
       .join(bi.select(col("bg").as("bc"), col("cf2")), "bc")
       .join(ctx2, "b")
       .join(uni, "c")
       .crossJoin(vocab).crossJoin(nTot)
-      .withColumn("__c", round(col("tf").cast("double") *
-        log(lit(0.5) * ((col("cf3").cast("double") + alpha) /
-              (col("ctx3").cast("double") + alpha * vd)) +
-            lit(0.3) * ((col("cf2").cast("double") + alpha) /
-              (col("ctx2").cast("double") + alpha * vd)) +
-            lit(0.2) * ((col("cf1").cast("double") + alpha) /
-              (col("nt").cast("double") + alpha * vd))) *
+      .withColumn("__p",
+        lit(0.5) * ((col("cf3").cast("double") + alpha) /
+          (col("ctx3").cast("double") + alpha * vd)) +
+        lit(0.3) * ((col("cf2").cast("double") + alpha) /
+          (col("ctx2").cast("double") + alpha * vd)) +
+        lit(0.2) * ((col("cf1").cast("double") + alpha) /
+          (col("nt").cast("double") + alpha * vd)))
+    withLnDet(scored, col("__p"), "__ln")
+      .withColumn("__c", round(col("tf").cast("double") * col("__ln") *
         lit(1000000.0)).cast("long"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tri"), sum(col("__c")).as("__lp"))
+      // final 4-decimal rounding at INTEGER scale: one IEEE division
+      // to deci-milli-nats, round to a whole number (scale-0 rounding
+      // of the SAME double is engine-identical — fractional-scale
+      // round(x, 4) scales by 10⁴ internally in DuckDB and disagreed
+      // with exact-decimal HALF_UP on a boundary double at the 100×
+      // decade), then an exact /10⁴ back to the display value
       .select(col("doc_id"), col("n_tri"),
-        round(col("__lp").cast("double") / lit(1000000.0) /
-          col("n_tri").cast("double"), 4).as("avg_logp3"))
+        (round(col("__lp").cast("double") /
+          (col("n_tri").cast("double") * lit(100.0))) / lit(10000.0))
+          .as("avg_logp3"))
   }
 
   /** H7d: PMI phrase mining — top-k adjacent token pairs by pointwise

@@ -600,11 +600,13 @@ class CurationSpec extends SparkTestBase {
       0.5 * ((cf3 + 0.5) / (ctx3 + 1.5)) +
         0.3 * ((cf2 + 0.5) / (ctx2 + 1.5)) +
         0.2 * ((cf1 + 0.5) / (6.0 + 1.5))
-    val exp = (math.round(2.0 * math.log(p(2, 2, 2, 2, 2)) * 1e6) +
+    val sumMicro = math.round(2.0 * math.log(p(2, 2, 2, 2, 2)) * 1e6) +
       math.round(1.0 * math.log(p(1, 1, 1, 1, 2)) * 1e6) +
-      math.round(1.0 * math.log(p(1, 1, 2, 2, 2)) * 1e6)) / 1e6 / 4.0
-    val expR = BigDecimal(exp).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    assert(BigDecimal(out.head.getDouble(2)) == expR,
+      math.round(1.0 * math.log(p(1, 1, 2, 2, 2)) * 1e6)
+    // the operator's integer-scale final rounding: deci-milli-nats
+    val expR = BigDecimal(sumMicro / (4.0 * 100.0))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 10000.0
+    assert(out.head.getDouble(2) == expR,
       s"got ${out.head.getDouble(2)}, want $expR")
   }
 
