@@ -632,12 +632,19 @@ object Dedup {
     * ships with, which is exactly the point: the defaults are the
     * solver's output, not folklore.
     *
-    * All probabilities are exact int64 MICRO-UNITS with floor
-    * division at every multiply (s^r and (1−s^r)^b unroll as
-    * `aggregate` folds), so the table is bit-identical on any
-    * engine/partitioning — no `pow` libm parity anywhere. The table
-    * is |divisors(k)| rows; the one window is over those few rows by
-    * construction (a solver, not a data pass).
+    * All probabilities are int64 MICRO-UNITS with floor division at
+    * every multiply (s^r and (1−s^r)^b unroll as `aggregate` folds),
+    * so the table is bit-identical on any engine/partitioning — no
+    * `pow` libm parity anywhere. Floor-at-every-multiply makes
+    * recall_m a ONE-SIDED approximation: each multiply rounds the
+    * running product down, so s^r is under-estimated, (1−s^r)^b
+    * over-estimated, and recall_m is a strict LOWER BOUND on the true
+    * S-curve recall — off by at most ~(r+b) micro-units. A
+    * factorization whose true recall sits exactly at targetRecall can
+    * therefore be reported as (just) missing it; the chosen knobs are
+    * conservative, never optimistic. The table is |divisors(k)| rows;
+    * the one window is over those few rows by construction (a solver,
+    * not a data pass).
     */
   def bandChoose(s: SparkSession, k: Int = 16, tau: Double = 0.8,
                  targetRecall: Double = 0.85, sFp: Double = 0.3): DataFrame = {
@@ -796,19 +803,32 @@ object Dedup {
     * reassembly whose state is the document itself. The block cut is
     * pure array algebra inside the row (filter/transform over a
     * position sequence — no explode until blocks exist), so the
-    * corpus scans once.
+    * corpus scans once. The anchor scan is CHUNKED: positions are
+    * generated 4096 at a time (an outer n/4096-element chunk-start
+    * sequence, an inner ≤4096-element sequence per chunk that dies
+    * after its filter), so per-row transient memory is O(4096) and
+    * the only length-proportional in-row array is the ANCHOR list —
+    * ≈ n/divisor ints, the same order as the document text the
+    * reassembly aggregate already carries, never the n-element
+    * per-character array a flat scan would materialize.
     */
   def substrTrimCdc(docs: DataFrame, idCol: String, textCol: String,
                     window: Int = 8, divisor: Int = 32): DataFrame = {
     require(window > 0, s"substrTrimCdc window must be positive: $window")
     require(divisor > 1, s"substrTrimCdc divisor must be > 1: $divisor")
+    val chunk = 4096
     val d0 = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
         length(col(textCol)).as("__n"))
       .withColumn("__starts", concat(array(lit(1)),
         when(col("__n") >= window + 1,
-          filter(sequence(lit(2), col("__n") - (window - 1)),
-            p => hash60(col("__t").substr(p, lit(window))) % divisor === 0))
+          flatten(transform(
+            sequence(lit(2), col("__n") - (window - 1), lit(chunk)),
+            cs => filter(
+              sequence(cs, least(cs + (chunk - 1),
+                col("__n") - (window - 1))),
+              p => hash60(col("__t").substr(p, lit(window)))
+                % divisor === 0))))
           .otherwise(expr("CAST(array() AS array<int>)"))))
       // block i: starts[i] .. next start - 1 (last block runs to the
       // end); `get` is 0-based and NULL-safe past the end (no ANSI

@@ -502,7 +502,10 @@ object Similarity {
     * ship ≤ k rows per query per partition, so the rank step costs a
     * k·queries-row exchange instead of the full scored set through a
     * window sort (the dedup_ngram_topk contract applied to ADC).
-    * (adc ASC, vec_id ASC) ordering, deterministic, no ties possible.
+    * (adc ASC, vec_id ASC) ordering — adc_dist ties ARE possible
+    * (two corpus vectors that encode to identical PQ codes score
+    * identically for every query), so determinism rests on the
+    * vec_id ASC tiebreak, not on distinctness of the distances.
     */
   private def adcRank(scored: DataFrame, k: Int): DataFrame = {
     val best = GraftBridge.column(graft.functions.BoundedTopK(

@@ -357,7 +357,7 @@ object ExtendedQueries {
       graft.operators.Similarity.ivfPqTopK(
         s, e, e.filter(col("vec_id") < 10), k = 5)
     }),
-    // —— G21b: recall@3 of all six ANN strategies vs brute force ——
+    // —— G21b: recall@3 of all eight ANN strategies vs brute force ——
     "sim_recall_matrix" -> ((s, dir) => {
       val e = TableCatalog(s, dir).embeddings
       graft.operators.Similarity.recallMatrix(
@@ -634,7 +634,7 @@ object ExtendedQueries {
 
   /** G21b oracle: each strategy's EXISTING oracle replay, scoped as a
     * subquery (DuckDB CTE names inside a derived table are local, so
-    * the six WITH-chains compose without collisions), truncated to a
+    * the eight WITH-chains compose without collisions), truncated to a
     * common k = 3 — per-query ranks are a total order, so top-3 of a
     * top-5 replay IS the k=3 result — then micro-averaged recall
     * against the brute-force truth.

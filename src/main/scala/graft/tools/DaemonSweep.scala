@@ -100,12 +100,20 @@ object DaemonSweep {
     CurationJob.applyBatch(docs.select("doc_id", "text"), eq1Dir,
       "doc_id", "text", batchId = 0L, compactEvery = 0,
       markup = true, classifier = clf)
+    // setEq is set-based (duplicate-blind), so the equality invariant also
+    // checks multiset cardinality: streamed and batch corpora must have the
+    // SAME row count AND distinct doc_ids — a daemon bug that leaves both a
+    // compaction generation and its source shards live (duplicating rows)
+    // fails here instead of slipping past the two except() calls.
     val eqRows = corpusDF(eqDir).count()
-    val eqStreamEqualsBatch = setEq(
+    val eq1Rows = corpusDF(eq1Dir).count()
+    val eqIdsDistinct =
+      corpusDF(eqDir).select("doc_id").distinct().count() == eqRows
+    val eqStreamEqualsBatch = eqRows == eq1Rows && eqIdsDistinct && setEq(
       corpusDF(eqDir).select("doc_id", "text"),
       corpusDF(eq1Dir).select("doc_id", "text"))
-    println(s"[daemon-sweep] eq: $eqRows corpus rows, " +
-      s"streamed==batch: $eqStreamEqualsBatch")
+    println(s"[daemon-sweep] eq: $eqRows corpus rows (batch: $eq1Rows, " +
+      s"ids-distinct: $eqIdsDistinct), streamed==batch: $eqStreamEqualsBatch")
 
     // ——— 2. full stack + index ≡ corpus ———
     val fDir = s"$workDir/full"
@@ -165,7 +173,8 @@ object DaemonSweep {
     val secs = (System.nanoTime() - t0) / 1e9
     val json =
       s"""{"n_docs": $nDocs, "n_batches": $nBatches, "chunk": $chunk,
-         | "eq_corpus_rows": $eqRows,
+         | "eq_corpus_rows": $eqRows, "eq_batch_rows": $eq1Rows,
+         | "eq_ids_distinct": $eqIdsDistinct,
          | "eq_streamed_equals_batch": $eqStreamEqualsBatch,
          | "full_corpus_rows": $fullRows, "ids_distinct": $idsDistinct,
          | "fp_index_covers_corpus": $fpCovers,
