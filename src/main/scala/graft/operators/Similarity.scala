@@ -375,10 +375,10 @@ object Similarity {
     *
     * Training is the G2b deterministic k-means generalized by a
     * `sub` key, so ALL subspaces train in one plan — no per-subspace
-    * driver loop, no collect anywhere: the codebook is a (m·ksub)-row
-    * broadcast DataFrame flowing iteration to iteration (the
-    * classifierTrain state-as-broadcast shape). Init = subvectors of
-    * the first `ksub` vectors; `iters` unrolled Lloyd steps.
+    * driver loop: the codebook is (m·ksub)-row DRIVER STATE flowing
+    * iteration to iteration (the [[ivfTopK]] centroid shape — see
+    * [[pqCodebook]] for why). Init = subvectors of the first `ksub`
+    * vectors; `iters` Lloyd steps of one job each.
     *
     * DISTANCE IS EXACT INTEGER: components quantize to round(v·2²⁰)
     * int64 and the squared-L2 sums those integer differences — no
@@ -425,27 +425,47 @@ object Similarity {
 
   /** The trained (sub, cid, cvec) codebook — G19's deterministic
     * all-subspaces-in-one-plan Lloyd iterations, shared by the code
-    * emitter ([[pqCodes]]) and the ADC search ([[pqTopK]]) so the
-    * two can never train differently.
+    * emitter ([[pqCodes]]) and the ADC search ([[pqTopK]]/
+    * [[ivfPqTopK]]) so the consumers can never train differently.
+    *
+    * The codebook is MODEL STATE (m·ksub rows — 16 at the defaults)
+    * and lives on the DRIVER between iterations, exactly like
+    * [[ivfTopK]]'s centroids: each Lloyd step is ONE job (the
+    * re-center collect) against a LITERAL codebook whose broadcast is
+    * driver-side-free (LocalTableScan — no broadcast-build job), and
+    * every consumer branch (encode join, query LUT, probe LUT) joins
+    * the literal state instead of replaying the Lloyd chain. All
+    * subspaces still train in ONE plan via the `sub` key — no
+    * per-subspace loop. At deployment scale this is exactly where the
+    * trained codebook persists as a table between index build and
+    * search; the per-iteration state transfer is 16 rows, never data.
     */
-  private[operators] def pqCodebook(emb: DataFrame, m: Int, dsub: Int,
+  private[graft] def pqCodebook(emb: DataFrame, m: Int, dsub: Int,
                                     ksub: Int, iters: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val svecs = pqSubvecs(emb, m, dsub)
-    val cent0 = svecs.filter(col("vec_id") < ksub)
+    def lit3(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      rows.toDF("sub", "cid", "cvec")
+    def collect3(df: DataFrame): Seq[(Int, Int, Seq[Double])] =
+      df.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
+    var cents = collect3(svecs.filter(col("vec_id") < ksub)
       .select(col("sub"), col("vec_id").cast("int").as("cid"),
-        col("svec").as("cvec"))
-    def recenter(assigned: DataFrame): DataFrame =
+        col("svec").as("cvec")))
+    for (_ <- 1 to iters) {
       // vector-summed re-center (identical Σ q(v) int64 sums; float
       // snap then double, exactly the exploded plan's arithmetic)
-      assigned
+      cents = collect3(pqAssign(svecs, lit3(cents))
         .groupBy(col("sub"), col("cid"))
         .agg(vecSum(col("svec"), PqScale).as("__s"),
           count(col("svec")).as("__n"))
         .select(col("sub"), col("cid"),
           transform(col("__s"), sc =>
             (sc.cast("double") / (col("__n") * lit(PqScale)))
-              .cast("float").cast("double")).as("cvec"))
-    (1 to iters).foldLeft(cent0)((c, _) => recenter(pqAssign(svecs, c)))
+              .cast("float").cast("double")).as("cvec")))
+    }
+    lit3(cents)
   }
 
   def pqCodes(s: SparkSession, emb: DataFrame, m: Int = 4, dsub: Int = 16,

@@ -362,11 +362,35 @@ class PlanSpec extends SparkTestBase {
     }
     // G19: the only Generates are the m-way subvector splits
     // (structural, m rows/vec, one per assign pass) — never a
-    // per-dimension explode; the re-center aggregates whole vectors
-    val pqPlan = executed(Similarity.pqCodes(spark, embT))
+    // per-dimension explode. The Lloyd re-centers run as driver-state
+    // jobs during pqCodebook (capture them via listener and assert
+    // they vector-sum whole subvectors); the final encode plan joins
+    // the trained codebook as a LITERAL (LocalTableScan — broadcast
+    // with no upstream Lloyd replay).
+    val lloydPlans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val lloydListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        lloydPlans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(lloydListener)
+    val pqDf = Similarity.pqCodes(spark, embT) // eager: runs the Lloyd jobs
+    // execution listeners deliver async — poll for the re-center jobs
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (!lloydPlans.toArray.map(_.toString).exists(_.contains("vec_sum")) &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    spark.listenerManager.unregister(lloydListener)
+    val recenters = lloydPlans.toArray.map(_.toString).filter(_.contains("vec_sum"))
+    assert(recenters.nonEmpty, "no vector-summed Lloyd re-center job captured")
+    assert(recenters.forall(p => !p.contains("posexplode(svec")), recenters.head)
+    val pqPlan = executed(pqDf)
     assert(!pqPlan.contains("posexplode(svec"), pqPlan)
     assert(!pqPlan.contains("posexplode(embedding"), pqPlan)
-    assert(pqPlan.contains("vec_sum"), pqPlan)
+    assert(pqPlan.contains("LocalTableScan"), pqPlan)
     // H20b (lazy path, inspectable): the only Generate is the final
     // (bucket, w_micro) output unpack — gradients vector-sum
     val ctPlan = executed(TextAnalysis.classifierTrain(t.documents,
