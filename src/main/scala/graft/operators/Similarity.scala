@@ -632,6 +632,61 @@ object Similarity {
     adcRank(codes.join(broadcast(plut), Seq("cell", "sub", "cid")), k)
   }
 
+  /** G19c: PQ search with exact re-ranking — Jégou et al.'s "+R"
+    * refinement (IVFADC+R): the ADC scan is cheap but lossy (each
+    * corpus vector is m codes), so retrieve a SHORTLIST of
+    * `kShort` > k candidates by ADC distance, fetch just those
+    * candidates' true vectors, re-score them with the EXACT
+    * quantized squared-L2 (full 64-dim, the same round(v·2²⁰) int64
+    * arithmetic as the codebook — zero float-summation assumptions),
+    * and emit the top k of the re-ranked shortlist. Recall at k
+    * strictly dominates raw [[pqTopK]] whenever the true neighbor is
+    * in the shortlist but ADC mis-orders it — `sim_recall_matrix`
+    * grades exactly that gap (pq_rerank vs pq rows).
+    *
+    * Plan shape — the scale story is that the refinement touches
+    * corpus floats only for queries×kShort rows: the shortlist is a
+    * tiny broadcast, so the candidate fetch is ONE pass over the
+    * stored embeddings (broadcast hash join, no shuffle), query
+    * vectors fold in as a second tiny broadcast, and the final top-k
+    * is the same BOUNDED [[graft.functions.BoundedTopK]] exchange as
+    * [[pqTopK]] — ≤ k rows per query per partition. At deployment
+    * scale this is the standard billion-vector memory ladder: codes
+    * in RAM for the scan, full vectors on slower storage touched
+    * kShort-per-query times.
+    */
+  def pqRerankTopK(s: SparkSession, emb: DataFrame, queries: DataFrame,
+                   k: Int, kShort: Int, m: Int = 4, dsub: Int = 16,
+                   ksub: Int = 4, iters: Int = 2): DataFrame = {
+    require(kShort >= k, s"shortlist $kShort must be >= k=$k")
+    val short = pqTopK(s, emb, queries, kShort, m, dsub, ksub, iters)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"))
+    val cand = emb
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("n_emb"))
+      .join(broadcast(short), Seq("neighbor_id"))
+    val qemb = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val exact = cand.join(broadcast(qemb), Seq("query_id"))
+      .withColumn("d2", aggregate(
+        zip_with(col("n_emb"), col("q_emb"),
+          (x, y) => (pqQ(x) - pqQ(y)) * (pqQ(x) - pqQ(y))),
+        lit(0L), (acc, x) => acc + x))
+    // (d2 ASC, neighbor_id ASC) re-rank — d2 ties possible for
+    // duplicate vectors, so determinism rests on the id tiebreak
+    val best = GraftBridge.column(graft.functions.BoundedTopK(
+      GraftBridge.expression(struct(col("d2"), col("neighbor_id"))),
+      GraftBridge.expression(
+        struct(col("neighbor_id"), col("adc_dist"), col("d2"))),
+      k, Seq(1, 1), keepLargest = false, emitDesc = false,
+      skipNullValue = false).toAggregateExpression())
+    exact.groupBy(col("query_id")).agg(best.as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.adc_dist").as("adc_dist"), col("col.d2").as("d2"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** G20: corpus mean-centering diagnostics — retrieval embeddings
     * cluster around a dominant mean direction (anisotropy); centering
     * is the standard preprocessing before cosine search/whitening
@@ -850,7 +905,7 @@ object Similarity {
     * frame (one brute-force pass) would persist — it is exactly the
     * ground-truth sample such evaluations maintain.
     *
-    * Strategy set = the repo's eight ANN paths at their registry
+    * Strategy set = the repo's nine ANN paths at their registry
     * parameterizations, all evaluated at the same k: exact
     * error-bounded pruning (must recall 1.0 by construction), int8
     * quantized scan, Matryoshka truncated-prefix rerank, trained
@@ -871,7 +926,8 @@ object Similarity {
       "ivf_fixed" -> ivfTopK(s, emb, queries, k, iters = 0),
       "lsh" -> lshTopK(s, emb, queries, k, planes = 8),
       "pq" -> pqTopK(s, emb, queries, k),
-      "ivfpq" -> ivfPqTopK(s, emb, queries, k))
+      "ivfpq" -> ivfPqTopK(s, emb, queries, k),
+      "pq_rerank" -> pqRerankTopK(s, emb, queries, k, kShort = 15))
     val picks = strategies.map { case (nm, df) =>
       df.select(lit(nm).as("strategy"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionAll(_))

@@ -357,7 +357,14 @@ object ExtendedQueries {
       graft.operators.Similarity.ivfPqTopK(
         s, e, e.filter(col("vec_id") < 10), k = 5)
     }),
-    // —— G21b: recall@3 of all eight ANN strategies vs brute force ——
+    // —— G19c: PQ search + exact re-rank (IVFADC+R refinement) — ADC
+    //    shortlist of 15, exact int64 quantized-L2 re-score, top 5 ——
+    "sim_topk_pq_rerank" -> ((s, dir) => {
+      val e = TableCatalog(s, dir).embeddings
+      graft.operators.Similarity.pqRerankTopK(
+        s, e, e.filter(col("vec_id") < 10), k = 5, kShort = 15)
+    }),
+    // —— G21b: recall@3 of all nine ANN strategies vs brute force ——
     "sim_recall_matrix" -> ((s, dir) => {
       val e = TableCatalog(s, dir).embeddings
       graft.operators.Similarity.recallMatrix(
@@ -605,6 +612,39 @@ object ExtendedQueries {
        |  CAST(adc AS BIGINT) AS adc_dist, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** G19c oracle: ADC shortlist (rank ≤ 15 of the pqTopKSql replay)
+    * re-scored with the EXACT full-64-dim quantized L2 — the same
+    * round(v·2²⁰) int64 arithmetic as the training chain, so the
+    * re-rank side carries zero float-summation assumptions.
+    */
+  private val pqRerankSql: String =
+    s"""WITH ${graft.operators.LlmQueries.pqChain},
+       |qsv AS (SELECT vec_id, sub, svec FROM sv WHERE vec_id < 10),
+       |lut AS (SELECT q.vec_id AS query_id, q.sub, c.cid,
+       |          ${graft.operators.LlmQueries.pqDist} AS dq
+       |        FROM qsv q JOIN c2 c ON q.sub = c.sub),
+       |sc AS (SELECT l.query_id, a.vec_id, SUM(l.dq) AS adc
+       |       FROM a3 a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
+       |       WHERE a.vec_id <> l.query_id
+       |       GROUP BY 1, 2),
+       |shortl AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc, vec_id) AS srank FROM sc),
+       |ex AS (SELECT c.query_id, c.vec_id, c.adc,
+       |    list_sum([ (CAST(round(qe.v[i]*1048576.0) AS BIGINT)
+       |                - CAST(round(ne.v[i]*1048576.0) AS BIGINT))
+       |             * (CAST(round(qe.v[i]*1048576.0) AS BIGINT)
+       |                - CAST(round(ne.v[i]*1048576.0) AS BIGINT))
+       |             for i in generate_series(1, 64) ]) AS d2
+       |  FROM (SELECT query_id, vec_id, adc FROM shortl WHERE srank <= 15) c
+       |  JOIN e qe ON qe.vec_id = c.query_id
+       |  JOIN e ne ON ne.vec_id = c.vec_id),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY d2, vec_id) AS rank FROM ex)
+       |SELECT query_id, vec_id AS neighbor_id,
+       |  CAST(adc AS BIGINT) AS adc_dist, CAST(d2 AS BIGINT) AS d2,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM rr WHERE rank <= 5""".stripMargin
+
   private val int8Sql: String =
     """WITH m AS (
       |  SELECT e.vec_id, MAX(abs(CAST(e.embedding[d] AS DOUBLE))) AS max_abs
@@ -634,7 +674,7 @@ object ExtendedQueries {
 
   /** G21b oracle: each strategy's EXISTING oracle replay, scoped as a
     * subquery (DuckDB CTE names inside a derived table are local, so
-    * the eight WITH-chains compose without collisions), truncated to a
+    * the nine WITH-chains compose without collisions), truncated to a
     * common k = 3 — per-query ranks are a total order, so top-3 of a
     * top-5 replay IS the k=3 result — then micro-averaged recall
     * against the brute-force truth.
@@ -653,7 +693,8 @@ object ExtendedQueries {
       "ivf_fixed" -> "s_ivff",
       "lsh" -> "s_lsh",
       "pq" -> "s_pq",
-      "ivfpq" -> "s_ivfpq")
+      "ivfpq" -> "s_ivfpq",
+      "pq_rerank" -> "s_rerank")
     val rows = strategies.map { case (nm, cte) =>
       s"""SELECT '$nm' AS strategy,
          |  (SELECT COUNT(*) FROM truth t JOIN $cte s
@@ -669,6 +710,7 @@ object ExtendedQueries {
        |s_pq AS (${ids(graft.operators.LlmQueries.pqTopKSql,
                       "WHERE rank <= 3")}),
        |s_ivfpq AS (${ids(ivfPqSql, "WHERE rank <= 3")}),
+       |s_rerank AS (${ids(pqRerankSql, "WHERE rank <= 3")}),
        |m AS (
        |  $rows)
        |SELECT strategy,
@@ -954,6 +996,7 @@ object ExtendedQueries {
     "sim_topk_ivf" -> ivfTrainedSql,
     "sim_topk_ivf_fixed" -> ivfFixedSql,
     "sim_topk_ivfpq" -> ivfPqSql,
+    "sim_topk_pq_rerank" -> pqRerankSql,
     "sim_topk_int8" -> int8Sql,
     // G21b: recall@k of every ANN strategy against brute-force truth,
     // all at k = 3 — each strategy's oracle replay is reused verbatim

@@ -216,12 +216,45 @@ class SimilaritySpec extends SparkTestBase {
       "ivfpq returned a neighbor outside its query's probed cells")
   }
 
+  test("pq re-rank: picks confined to the ADC shortlist, exact-d2 ordered, layout-invariant") {
+    def run(parts: Int) = Similarity.pqRerankTopK(spark, emb.repartition(parts),
+        emb.filter(col("vec_id") < 10), k = 5, kShort = 15)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val out = run(4)
+    // all-int64 ADC + all-int64 exact re-score: bit-identical layouts
+    assert(out.toSet == run(17).toSet)
+    val perQ = out.groupBy(_._1)
+    assert(perQ.keySet == (0L until 10L).toSet)
+    perQ.values.foreach { g =>
+      assert(g.map(_._5).sorted.toSeq == (1 to g.length) && g.length == 5)
+      // ranked by the EXACT distance, ascending — not by ADC
+      assert(g.sortBy(_._5).map(_._4).toSeq == g.map(_._4).sorted.toSeq)
+      assert(g.forall(r => r._3 >= 0L && r._4 >= 0L && r._2 != r._1))
+    }
+    // the "+R" contract: every pick comes from the ADC top-15 shortlist
+    val short = Similarity.pqTopK(spark, emb,
+        emb.filter(col("vec_id") < 10), k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall(r => short.contains((r._1, r._2))),
+      "re-rank returned a neighbor outside its ADC shortlist")
+    // and the shortlist's ADC distance rides through unchanged
+    val adcOf = Similarity.pqTopK(spark, emb,
+        emb.filter(col("vec_id") < 10), k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.forall(r => adcOf((r._1, r._2)) == r._3))
+  }
+
   test("recall matrix: exact recalls 1.0; known strategy ordering holds") {
     val m = Similarity.recallMatrix(spark, emb, emb.filter(col("vec_id") < 10), k = 3)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(m.keySet == Set("exact_pruned", "int8", "truncated", "ivf",
-      "ivf_fixed", "lsh", "pq", "ivfpq"))
+      "ivf_fixed", "lsh", "pq", "ivfpq", "pq_rerank"))
+    // exact re-ranking a 15-deep ADC shortlist can only help: the
+    // re-rank must dominate the raw ADC ordering it refines
+    assert(m("pq_rerank")._3 >= m("pq")._3 - 1e-9,
+      s"re-rank lost recall vs raw ADC: ${m("pq_rerank")} vs ${m("pq")}")
     // the composition can only rescore a SUBSET of the exhaustive ADC
     // scan's candidates under the same codebook — on this corpus it
     // loses nothing (and must never fall under the one-bucket LSH scan)
