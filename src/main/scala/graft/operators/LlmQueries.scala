@@ -293,6 +293,10 @@ object LlmQueries {
     //    trigram/bigram/unigram tables (0.5/0.3/0.2, add-0.5) ——
     "text_trigram_lp" -> ((s, dir) =>
       TextAnalysis.trigramLogProb(docs(s, dir), "doc_id", "text")),
+    // —— H18d: interpolated Kneser-Ney trigram (D = 0.75,
+    //    continuation-count lower orders — the KenLM-grade smoothing) ——
+    "text_kn_lp" -> ((s, dir) =>
+      TextAnalysis.knTrigramLogProb(docs(s, dir), "doc_id", "text")),
     // —— H18b: bigram LM conditional log-prob, add-0.5 smoothing ——
     "text_bigram_lp" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")),
@@ -636,6 +640,41 @@ object LlmQueries {
        |SELECT query_id, vec_id AS neighbor_id, cos_r,
        |  CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 5""".stripMargin
+
+  /** The engine's deterministic natural log
+    * ([[TextAnalysis.withLnDet]]) as SQL CTEs `rd`/`sr`: consumes a
+    * (doc_id, tf, p) source CTE, yields (doc_id, tf, lnp). ONE shared
+    * replay for every lnDet-scored oracle (H18c trigram, H18d
+    * Kneser-Ney) so the op-for-op parity argument lives in one place.
+    */
+  private def lnDetCtes(src: String): String =
+    s"""-- deterministic ln (the engine's withLnDet, op for op): exact
+       |-- power-of-two range reduction to m in [0.5,1), atanh series
+       |-- through t^25, ln = 2*s - e*ln2 — zero libm anywhere
+       |rd AS (SELECT doc_id, tf,
+       |  CASE WHEN p*4294967296.0 < 1.0 THEN p*4294967296.0 ELSE p END AS m1,
+       |  CASE WHEN p*4294967296.0 < 1.0 THEN 32 ELSE 0 END AS e1,
+       |  CASE WHEN m1*65536.0 < 1.0 THEN m1*65536.0 ELSE m1 END AS m2,
+       |  CASE WHEN m1*65536.0 < 1.0 THEN e1+16 ELSE e1 END AS e2,
+       |  CASE WHEN m2*256.0 < 1.0 THEN m2*256.0 ELSE m2 END AS m3,
+       |  CASE WHEN m2*256.0 < 1.0 THEN e2+8 ELSE e2 END AS e3,
+       |  CASE WHEN m3*16.0 < 1.0 THEN m3*16.0 ELSE m3 END AS m4,
+       |  CASE WHEN m3*16.0 < 1.0 THEN e3+4 ELSE e3 END AS e4,
+       |  CASE WHEN m4*4.0 < 1.0 THEN m4*4.0 ELSE m4 END AS m5,
+       |  CASE WHEN m4*4.0 < 1.0 THEN e4+2 ELSE e4 END AS e5,
+       |  CASE WHEN m5*2.0 < 1.0 THEN m5*2.0 ELSE m5 END AS m6,
+       |  CASE WHEN m5*2.0 < 1.0 THEN e5+1 ELSE e5 END AS e6
+       |  FROM $src),
+       |sr AS (SELECT doc_id, tf,
+       |  (m6 - 1.0) / (m6 + 1.0) AS t, t*t AS t2,
+       |  t AS q1, q1*t2 AS q3, q3*t2 AS q5, q5*t2 AS q7, q7*t2 AS q9,
+       |  q9*t2 AS q11, q11*t2 AS q13, q13*t2 AS q15, q15*t2 AS q17,
+       |  q17*t2 AS q19, q19*t2 AS q21, q21*t2 AS q23, q23*t2 AS q25,
+       |  2.0 * (q1 + q3/3.0 + q5/5.0 + q7/7.0 + q9/9.0 + q11/11.0
+       |         + q13/13.0 + q15/15.0 + q17/17.0 + q19/19.0 + q21/21.0
+       |         + q23/23.0 + q25/25.0)
+       |    - CAST(e6 AS DOUBLE) * 0.6931471805599453 AS lnp
+       |  FROM rd)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1572,7 +1611,7 @@ object LlmQueries {
     // tables as CTEs, one smooth formula shared operation for
     // operation with the engine, micronat fixed-point pre-sum
     "text_trigram_lp" ->
-      """WITH t AS (SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id,
         |  string_split_regex(trim(lower(text)), ' +') AS toks
         |  FROM documents),
         |t3 AS (SELECT doc_id,
@@ -1615,33 +1654,7 @@ object LlmQueries {
         |      JOIN cf2 ON cf2.bg = cf3.bc
         |      JOIN ctx2 ON ctx2.b1 = cf3.b
         |      JOIN uni ON uni.tok = cf3.c, v, nt),
-        |-- deterministic ln (the engine's withLnDet, op for op): exact
-        |-- power-of-two range reduction to m in [0.5,1), atanh series
-        |-- through t^25, ln = 2*s - e*ln2 — zero libm anywhere
-        |rd AS (SELECT doc_id, tf,
-        |  CASE WHEN p*4294967296.0 < 1.0 THEN p*4294967296.0 ELSE p END AS m1,
-        |  CASE WHEN p*4294967296.0 < 1.0 THEN 32 ELSE 0 END AS e1,
-        |  CASE WHEN m1*65536.0 < 1.0 THEN m1*65536.0 ELSE m1 END AS m2,
-        |  CASE WHEN m1*65536.0 < 1.0 THEN e1+16 ELSE e1 END AS e2,
-        |  CASE WHEN m2*256.0 < 1.0 THEN m2*256.0 ELSE m2 END AS m3,
-        |  CASE WHEN m2*256.0 < 1.0 THEN e2+8 ELSE e2 END AS e3,
-        |  CASE WHEN m3*16.0 < 1.0 THEN m3*16.0 ELSE m3 END AS m4,
-        |  CASE WHEN m3*16.0 < 1.0 THEN e3+4 ELSE e3 END AS e4,
-        |  CASE WHEN m4*4.0 < 1.0 THEN m4*4.0 ELSE m4 END AS m5,
-        |  CASE WHEN m4*4.0 < 1.0 THEN e4+2 ELSE e4 END AS e5,
-        |  CASE WHEN m5*2.0 < 1.0 THEN m5*2.0 ELSE m5 END AS m6,
-        |  CASE WHEN m5*2.0 < 1.0 THEN e5+1 ELSE e5 END AS e6
-        |  FROM c0),
-        |sr AS (SELECT doc_id, tf,
-        |  (m6 - 1.0) / (m6 + 1.0) AS t, t*t AS t2,
-        |  t AS q1, q1*t2 AS q3, q3*t2 AS q5, q5*t2 AS q7, q7*t2 AS q9,
-        |  q9*t2 AS q11, q11*t2 AS q13, q13*t2 AS q15, q15*t2 AS q17,
-        |  q17*t2 AS q19, q19*t2 AS q21, q21*t2 AS q23, q23*t2 AS q25,
-        |  2.0 * (q1 + q3/3.0 + q5/5.0 + q7/7.0 + q9/9.0 + q11/11.0
-        |         + q13/13.0 + q15/15.0 + q17/17.0 + q19/19.0 + q21/21.0
-        |         + q23/23.0 + q25/25.0)
-        |    - CAST(e6 AS DOUBLE) * 0.6931471805599453 AS lnp
-        |  FROM rd),
+        |${lnDetCtes("c0")},
         |c AS (SELECT doc_id, tf,
         |        CAST(round(CAST(tf AS DOUBLE) * lnp * 1000000.0) AS BIGINT)
         |          AS micronats
@@ -1649,6 +1662,64 @@ object LlmQueries {
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tri,
         |  round(CAST(SUM(micronats) AS DOUBLE)
         |        / (CAST(SUM(tf) AS DOUBLE) * 100.0)) / 10000.0 AS avg_logp3
+        |FROM c GROUP BY 1""".stripMargin,
+    // H18d: interpolated Kneser-Ney replay — context totals and the
+    // three continuation-count tables all derive from the distinct
+    // trigram-TYPE table cf3; one fixed-order IEEE formula, shared
+    // lnDet CTEs, micronat fixed-point pre-sum
+    "text_kn_lp" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), ' +') AS toks
+        |  FROM documents),
+        |t3 AS (SELECT doc_id,
+        |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                 for i in generate_series(1, len(toks)-2)]) AS tg
+        |       FROM t WHERE len(toks) >= 3),
+        |dtf AS (SELECT doc_id, tg, COUNT(*) AS tf FROM t3 GROUP BY 1, 2),
+        |cf3 AS (SELECT tg, CAST(SUM(tf) AS BIGINT) AS cf3,
+        |         split_part(tg,' ',1) || ' ' || split_part(tg,' ',2) AS ab,
+        |         split_part(tg,' ',2) || ' ' || split_part(tg,' ',3) AS bc,
+        |         split_part(tg,' ',2) AS b,
+        |         split_part(tg,' ',3) AS c
+        |       FROM dtf GROUP BY 1),
+        |x3 AS (SELECT ab, CAST(SUM(cf3) AS BIGINT) AS cab,
+        |         CAST(COUNT(*) AS BIGINT) AS n1p_ab
+        |       FROM cf3 GROUP BY 1),
+        |cb AS (SELECT bc, CAST(COUNT(*) AS BIGINT) AS n1p_bc,
+        |         split_part(bc,' ',1) AS b, split_part(bc,' ',2) AS c
+        |       FROM cf3 GROUP BY bc),
+        |mb AS (SELECT b, CAST(SUM(n1p_bc) AS BIGINT) AS n1p_mid_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n1p_b_dot
+        |       FROM cb GROUP BY 1),
+        |-- the N₁₊(··) total rides cc as a window over the GROUPED
+        |-- result (Σ over c partitions of cb = COUNT(*) of cb): a
+        |-- separate 1-row CTE re-referencing the cb chain sends
+        |-- DuckDB's join-order planner into a minutes-long spiral
+        |cc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n1p_c,
+        |         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS nbc
+        |       FROM cb GROUP BY 1),
+        |c0 AS (SELECT dtf.doc_id, dtf.tf,
+        |          (CAST(cf3.cf3 AS DOUBLE) - 0.75) / CAST(x3.cab AS DOUBLE)
+        |        + 0.75 * CAST(x3.n1p_ab AS DOUBLE) / CAST(x3.cab AS DOUBLE)
+        |          * ((CAST(cb.n1p_bc AS DOUBLE) - 0.75)
+        |               / CAST(mb.n1p_mid_b AS DOUBLE)
+        |             + 0.75 * CAST(mb.n1p_b_dot AS DOUBLE)
+        |               / CAST(mb.n1p_mid_b AS DOUBLE)
+        |               * (CAST(cc.n1p_c AS DOUBLE)
+        |                  / CAST(cc.nbc AS DOUBLE))) AS p
+        |      FROM dtf JOIN cf3 USING (tg)
+        |      JOIN x3 ON x3.ab = cf3.ab
+        |      JOIN cb ON cb.bc = cf3.bc
+        |      JOIN mb ON mb.b = cf3.b
+        |      JOIN cc ON cc.c = cf3.c),
+        |${lnDetCtes("c0")},
+        |c AS (SELECT doc_id, tf,
+        |        CAST(round(CAST(tf AS DOUBLE) * lnp * 1000000.0) AS BIGINT)
+        |          AS micronats
+        |      FROM sr)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tri,
+        |  round(CAST(SUM(micronats) AS DOUBLE)
+        |        / (CAST(SUM(tf) AS DOUBLE) * 100.0)) / 10000.0 AS avg_logp_kn
         |FROM c GROUP BY 1""".stripMargin,
     "text_unigram_lp" ->
       """WITH t AS (

@@ -498,6 +498,96 @@ object TextAnalysis {
           .as("avg_logp3"))
   }
 
+  /** H18d: interpolated Kneser-Ney trigram score — the smoothing the
+    * production CCNet/KenLM filter actually uses, one grade above
+    * [[trigramLogProb]]'s add-α interpolation. Absolute-discount D
+    * at the top level with CONTINUATION-count lower orders (Chen &
+    * Goodman's interpolated KN): per trigram position,
+    *   P(c|ab) = (c(abc)−D)/c(ab·) + D·N₁₊(ab·)/c(ab·) · P(c|b)
+    *   P(c|b)  = (N₁₊(·bc)−D)/N₁₊(·b·) + D·N₁₊(b·)/N₁₊(·b·) · P(c)
+    *   P(c)    = N₁₊(·c)/N₁₊(··)
+    * where c(ab·) is the trigram context total, N₁₊(ab·) the distinct
+    * continuations after ab, N₁₊(·bc) the distinct LEFT contexts of
+    * bc (the "novel-continuation" reweighting that makes KN beat
+    * plain backoff: "francisco" is frequent but only ever follows
+    * "san"), N₁₊(·b·)=Σ_c N₁₊(·bc), N₁₊(b·) the distinct continuation
+    * types after b, and N₁₊(··) the distinct trigram-suffix bigram
+    * types. All max(x−D,0) guards drop because every lookup key
+    * OCCURS (counts ≥ 1 > D = 0.75) — the corpus is its own model,
+    * the H18c discipline — so every join is inner and lossless, and
+    * P > 0 always (the unigram continuation level never vanishes).
+    *
+    * Shape = H18c exactly: ONE doc-keyed trigram explode; every count
+    * table (cf3/ctx3 and the three continuation tables, all derived
+    * from the DISTINCT-trigram-type table, never re-scanning the
+    * corpus) is a partial-agg groupBy to vocab-sized rows; N₁₊(··)
+    * folds in as a broadcast 1-row aggregate; the probability is ONE
+    * fixed-order IEEE formula both engines replay op for op; ln is
+    * the deterministic [[withLnDet]] (zero libm parity); per-position
+    * contributions fix-point to int64 micronats scaled by tf BEFORE
+    * the per-doc sum. Docs with < 3 tokens have no trigram position
+    * and are excluded.
+    */
+  def knTrigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                       discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    def grams(n: Int) = GraftBridge.column(graft.functions.WordShinglesAll(
+      GraftBridge.expression(tokens(col(textCol))), n))
+    val d = lit(discount)
+    val docTf = docs.select(col(idCol).as("doc_id"), explode(grams(3)).as("tg"))
+      .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("tf"))
+    val cf3 = docTf.groupBy(col("tg")).agg(sum(col("tf")).as("cf3"))
+      .withColumn("__p", split(col("tg"), " "))
+      .select(col("tg"), col("cf3"),
+        concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)).as("ab"),
+        concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)).as("bc"),
+        col("__p").getItem(1).as("b"), col("__p").getItem(2).as("c"))
+    // trigram-context totals + distinct-continuation counts: cf3 rows
+    // are unique trigram TYPES, so count(*) per ab IS N₁₊(ab·)
+    val ctx3 = cf3.groupBy(col("ab"))
+      .agg(sum(col("cf3")).as("cab"), count(lit(1)).as("n1p_ab"))
+    // continuation tables — all from the TYPE table: count(*) per bc
+    // over unique (a,b,c) rows = distinct left contexts N₁₊(·bc)
+    val contBc = cf3.groupBy(col("bc")).agg(count(lit(1)).as("n1p_bc"))
+      .withColumn("__q", split(col("bc"), " "))
+      .select(col("bc"), col("n1p_bc"),
+        col("__q").getItem(0).as("b"), col("__q").getItem(1).as("c"))
+    val midB = contBc.groupBy(col("b"))
+      .agg(sum(col("n1p_bc")).as("n1p_mid_b"),
+        count(lit(1)).as("n1p_b_dot"))
+    val contC = contBc.groupBy(col("c")).agg(count(lit(1)).as("n1p_c"))
+    val nBc = broadcast(contBc.agg(count(lit(1)).as("nbc")))
+    val scored = docTf
+      .join(cf3, "tg")
+      .join(ctx3, "ab")
+      .join(contBc.select(col("bc"), col("n1p_bc")), "bc")
+      .join(midB, "b")
+      .join(contC, "c")
+      .crossJoin(nBc)
+      // fixed-order IEEE formula — the oracle mirrors every op
+      .withColumn("__pc",
+        col("n1p_c").cast("double") / col("nbc").cast("double"))
+      .withColumn("__p2",
+        (col("n1p_bc").cast("double") - d) /
+          col("n1p_mid_b").cast("double") +
+        d * col("n1p_b_dot").cast("double") /
+          col("n1p_mid_b").cast("double") * col("__pc"))
+      .withColumn("__pkn",
+        (col("cf3").cast("double") - d) / col("cab").cast("double") +
+        d * col("n1p_ab").cast("double") / col("cab").cast("double") *
+          col("__p2"))
+    withLnDet(scored, col("__pkn"), "__ln")
+      .withColumn("__c", round(col("tf").cast("double") * col("__ln") *
+        lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tri"), sum(col("__c")).as("__lp"))
+      // the H18c display rounding: scale-0 round at integer scale
+      .select(col("doc_id"), col("n_tri"),
+        (round(col("__lp").cast("double") /
+          (col("n_tri").cast("double") * lit(100.0))) / lit(10000.0))
+          .as("avg_logp_kn"))
+  }
+
   /** H7d: PMI phrase mining — top-k adjacent token pairs by pointwise
     * mutual information, the classic collocation/phrase-detection
     * statistic (word2vec-phrases, NPMI corpus studies):

@@ -610,6 +610,50 @@ class CurationSpec extends SparkTestBase {
       s"got ${out.head.getDouble(2)}, want $expR")
   }
 
+  test("KN trigram: fluent > rotated > rare; sub-trigram docs drop; layout-invariant") {
+    val docs = docsDf(
+      10L -> "the cat sat on the mat",
+      11L -> "the cat sat on the mat",
+      12L -> "the cat sat on the mat",
+      1L -> "the cat sat on the mat",
+      2L -> "on the mat the cat sat",
+      3L -> "qzx wvut jjk plom drat krel",
+      4L -> "too short")
+    def run(parts: Int) = TextAnalysis.knTrigramLogProb(
+        docs.repartition(parts), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val out = run(3)
+    assert(!out.contains(4L), "2-token doc must have no trigram positions")
+    assert(out(1L)._1 == 4 && out(2L)._1 == 4 && out(3L)._1 == 4)
+    assert(out(1L)._2 > out(2L)._2,
+      s"fluent ${out(1L)._2} must beat rotated ${out(2L)._2}")
+    assert(out(2L)._2 > out(3L)._2,
+      s"rotated ${out(2L)._2} must beat rare ${out(3L)._2}")
+    // int64 micronat pre-sum: bit-identical on any partition layout
+    assert(out == run(7))
+  }
+
+  test("KN trigram score: hand-checked continuation-count formula") {
+    // corpus = "x y z x y z": trigram TYPES xyz(cf3=2), yzx(1), zxy(1);
+    // contexts c(xy·)=2, c(yz·)=1, c(zx·)=1, each with ONE distinct
+    // continuation; every bc suffix type has ONE left context, every
+    // token ONE continuation type, N₁₊(··)=3 bc types, D=0.75
+    val docs = docsDf(1L -> "x y z x y z")
+    val out = TextAnalysis.knTrigramLogProb(docs, "doc_id", "text").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 4)
+    val pc = 1.0 / 3.0
+    val p2 = (1.0 - 0.75) / 1.0 + 0.75 * 1.0 / 1.0 * pc // = 0.5
+    def p3(cf3: Double, cab: Double) =
+      (cf3 - 0.75) / cab + 0.75 * 1.0 / cab * p2
+    val sumMicro = math.round(2.0 * math.log(p3(2, 2)) * 1e6) +
+      math.round(1.0 * math.log(p3(1, 1)) * 1e6) +
+      math.round(1.0 * math.log(p3(1, 1)) * 1e6)
+    val expR = BigDecimal(sumMicro / (4.0 * 100.0))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 10000.0
+    assert(out.head.getDouble(2) == expR,
+      s"got ${out.head.getDouble(2)}, want $expR")
+  }
+
   // ——— negativeSamples ———
 
   test("negative sampling: deterministic, capped at k, never self or same-label") {
