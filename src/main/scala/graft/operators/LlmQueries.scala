@@ -279,6 +279,12 @@ object LlmQueries {
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
         terms = Seq("spark", "query", "stream"), k = 20)),
+    // —— G24: hybrid sparse+dense retrieval — the H19 BM25 leg and a
+    //    cosine dense leg fused by reciprocal rank (RRF, c = 60),
+    //    integer micro-unit contributions, missing leg = 0 ——
+    "sim_hybrid_rrf" -> ((s, dir) =>
+      Similarity.hybridRrf(s, docs(s, dir), emb(s, dir),
+        terms = Seq("spark", "query", "stream"), queryVec = 0L)),
     // —— H7b: BPE pair-merge statistics, top-20 adjacent pairs ——
     "vocab_pairs" -> ((s, dir) =>
       TextAnalysis.pairCounts(docs(s, dir), "doc_id", "text", k = 20)),
@@ -552,6 +558,35 @@ object LlmQueries {
     "list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
 
   private val stopIn = "x -> x IN ('the', 'a', 'of', 'is')"
+
+  /** H19 BM25 replay (k1=1.2, b=0.75, the engine's literal-for-literal
+    * formula) — emits the (id, score) top-k; shared by the `text_bm25`
+    * oracle and the G24 hybrid-fusion oracle so the sparse leg can
+    * never drift between them.
+    */
+  private def bm25Sql(terms: Seq[String], k: Int): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n  ")
+    val dfs = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(",\n  ")
+    val score = terms.indices.map(i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2 / " +
+        s"(tf$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))")
+      .mkString(" + ")
+    s"""WITH t AS ($toksCte),
+       |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |  $tfs
+       |  FROM t),
+       |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) AS sumdl,
+       |  $dfs
+       |  FROM d),
+       |sc AS (SELECT d.doc_id AS id, round($score, 6) AS score FROM d, s)
+       |SELECT id, score FROM sc WHERE score > 0
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
 
   /** G19 oracle: PQ training unrolled (the sim_topk_ivf move), all
     * subspaces as one `sub`-keyed chain. Distance is pure int64
@@ -1520,30 +1555,40 @@ object LlmQueries {
         |  CAST(COALESCE(tr.true_n, 0) AS BIGINT) AS true_n,
         |  CAST(est_n - COALESCE(tr.true_n, 0) AS BIGINT) AS over_n
         |FROM est LEFT JOIN tr ON tr.tok = est.probe""".stripMargin,
-    "text_bm25" -> {
-      val terms = Seq("spark", "query", "stream")
-      val tfs = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
-      }.mkString(",\n  ")
-      val dfs = terms.indices.map(i =>
-        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
-        .mkString(",\n  ")
-      val score = terms.indices.map(i =>
-        s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2 / " +
-          s"(tf$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))")
-        .mkString(" + ")
-      s"""WITH t AS ($toksCte),
-         |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-         |  $tfs
-         |  FROM t),
-         |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         |  CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) AS sumdl,
-         |  $dfs
-         |  FROM d),
-         |sc AS (SELECT d.doc_id AS id, round($score, 6) AS score FROM d, s)
-         |SELECT id, score FROM sc WHERE score > 0
-         |ORDER BY score DESC, id LIMIT 20""".stripMargin
-    },
+    "text_bm25" -> bm25Sql(Seq("spark", "query", "stream"), 20),
+    // G24: both legs replay their existing oracles (the BM25 chain
+    // scoped as a derived table, the brute-force cosine inline); the
+    // fusion is pure int64 — ⌊10⁹/(c+rank)⌋ via // , COALESCE 0
+    "sim_hybrid_rrf" ->
+      s"""WITH bm AS (SELECT id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER)
+         |      AS bm25_rank
+         |  FROM (${bm25Sql(Seq("spark", "query", "stream"), 20)}) __b),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |      FROM embeddings WHERE vec_id = 0),
+         |dsc AS (SELECT e.vec_id,
+         |    round(${cosSql.format("q.q_emb", "e.embedding")}, 4) AS cos_r
+         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |dn0 AS (SELECT vec_id, row_number() OVER
+         |          (ORDER BY cos_r DESC, vec_id) AS rk FROM dsc),
+         |dn AS (SELECT vec_id AS doc_id, CAST(rk AS INTEGER) AS dense_rank
+         |       FROM dn0 WHERE rk <= 20),
+         |f AS (SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+         |        COALESCE(bm.bm25_rank, 0) AS bm25_rank,
+         |        COALESCE(dn.dense_rank, 0) AS dense_rank
+         |      FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id),
+         |r AS (SELECT doc_id, bm25_rank, dense_rank,
+         |        CAST(CASE WHEN bm25_rank > 0
+         |               THEN 1000000000 // (60 + bm25_rank) ELSE 0 END
+         |           + CASE WHEN dense_rank > 0
+         |               THEN 1000000000 // (60 + dense_rank) ELSE 0 END
+         |             AS BIGINT) AS rrf_micro
+         |      FROM f),
+         |rk AS (SELECT *, row_number() OVER
+         |         (ORDER BY rrf_micro DESC, doc_id) AS rank FROM r)
+         |SELECT doc_id, bm25_rank, dense_rank, rrf_micro,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM rk WHERE rank <= 10""".stripMargin,
     "vocab_pairs" ->
       s"""WITH t AS ($toksCte),
          |p0 AS (SELECT [toks[i] || ' ' || toks[i+1]

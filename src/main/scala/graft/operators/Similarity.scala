@@ -687,6 +687,55 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** G24: hybrid sparse+dense retrieval via reciprocal-rank fusion —
+    * the standard production composition (Cormack et al.'s RRF; every
+    * hybrid-search engine ships it): a BM25 keyword leg and a dense
+    * cosine leg each produce a bounded top-kLeg ranking, and a
+    * document's fused score is Σ_legs 1/(c + rank). Rank fusion beats
+    * score fusion because BM25 scores and cosines are incommensurable
+    * — ranks need no calibration.
+    *
+    * Contributions are INTEGER micro-units (⌊10⁹/(c+rank)⌋ via int64
+    * DIV — no FP reciprocals to disagree on), a missing leg
+    * contributes 0 (rank columns COALESCE to 0 = "not retrieved by
+    * this leg"), and the final ordering is (rrf_micro DESC, doc_id) —
+    * hash-exact end to end; the only float anywhere is inside each
+    * leg's own already-oracle-checked ranking.
+    *
+    * Plan shape: both legs are the EXISTING bounded searches (BM25's
+    * TakeOrdered, brute-force cosine's broadcast scan) so the fusion
+    * itself touches ≤ 2·kLeg rows — the full-outer join and the rank
+    * window are driver-tiny by construction, and at deployment scale
+    * the legs stay the distributed parts (any leg upgrade — IVFADC
+    * for dense, an inverted index for sparse — drops in behind the
+    * same (doc_id, rank) contract).
+    */
+  def hybridRrf(s: SparkSession, docs: DataFrame, emb: DataFrame,
+                terms: Seq[String], queryVec: Long, kLeg: Int = 20,
+                k: Int = 10, c: Int = 60): DataFrame = {
+    val sparse = TextAnalysis.bm25(docs, "doc_id", "text", terms, kLeg)
+      .withColumn("bm25_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("id"))))
+      .select(col("id").as("doc_id"), col("bm25_rank"))
+    val dense = bruteForceTopK(s, emb,
+        emb.filter(col("vec_id") === queryVec), kLeg)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("bm25_rank"), lit(0)).as("bm25_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"))
+      .withColumn("rrf_micro",
+        when(col("bm25_rank") > 0,
+          expr(s"CAST(1000000000 DIV ($c + bm25_rank) AS BIGINT)"))
+          .otherwise(lit(0L)) +
+        when(col("dense_rank") > 0,
+          expr(s"CAST(1000000000 DIV ($c + dense_rank) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_micro").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** G20: corpus mean-centering diagnostics — retrieval embeddings
     * cluster around a dominant mean direction (anisotropy); centering
     * is the standard preprocessing before cosine search/whitening

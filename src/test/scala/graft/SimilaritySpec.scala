@@ -245,6 +245,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.forall(r => adcOf((r._1, r._2)) == r._3))
   }
 
+  test("hybrid RRF: fused ranking equals the recomputed leg fusion, layout-invariant") {
+    val docs = TableCatalog(spark, sfDir).documents
+    val terms = Seq("spark", "query", "stream")
+    def run(parts: Int) = Similarity.hybridRrf(spark, docs.repartition(parts),
+        emb, terms, queryVec = 0L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getInt(4)))
+    val out = run(4)
+    assert(out.length == 10 && out.map(_._5).sorted.toSeq == (1 to 10))
+    // integer fusion: bit-identical on any layout
+    assert(out.toSet == run(9).toSet)
+    // recompute both legs independently and fuse in plain Scala
+    val bmLeg = graft.operators.TextAnalysis
+      .bm25(docs, "doc_id", "text", terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val dnLeg = Similarity.bruteForceTopK(spark, emb,
+        emb.filter(col("vec_id") === 0L), k = 20)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    def contrib(r: Option[Int]) = r.fold(0L)(x => 1000000000L / (60L + x))
+    val expected = (bmLeg.keySet ++ dnLeg.keySet).toSeq
+      .map(id => (id, contrib(bmLeg.get(id)) + contrib(dnLeg.get(id))))
+      .sortBy { case (id, m) => (-m, id) }.take(10).zipWithIndex
+      .map { case ((id, m), i) => (id, bmLeg.getOrElse(id, 0),
+        dnLeg.getOrElse(id, 0), m, i + 1) }
+    assert(out.sortBy(_._5).toSeq == expected,
+      s"fusion mismatch:\n${out.sortBy(_._5).mkString("\n")}\nvs\n${expected.mkString("\n")}")
+  }
+
   test("recall matrix: exact recalls 1.0; known strategy ordering holds") {
     val m = Similarity.recallMatrix(spark, emb, emb.filter(col("vec_id") < 10), k = 3)
       .collect().map(r => r.getString(0) ->
