@@ -374,11 +374,10 @@ object Similarity {
     * sizes a PQ deployment.
     *
     * Training is the G2b deterministic k-means generalized by a
-    * `sub` key, so ALL subspaces train in one plan — no per-subspace
-    * driver loop: the codebook is (m·ksub)-row DRIVER STATE flowing
+    * `sub` key: the codebook is (m·ksub)-row DRIVER STATE flowing
     * iteration to iteration (the [[ivfTopK]] centroid shape — see
-    * [[pqCodebook]] for why). Init = subvectors of the first `ksub`
-    * vectors; `iters` Lloyd steps of one job each.
+    * [[pqCodebookSeq]] for why). Init = subvectors of the first
+    * `ksub` vectors; `iters` Lloyd steps.
     *
     * DISTANCE IS EXACT INTEGER: components quantize to round(v·2²⁰)
     * int64 and the squared-L2 sums those integer differences — no
@@ -390,96 +389,147 @@ object Similarity {
     * exactly like G2b/G17. Empty cells drop out of the codebook
     * identically in both engines.
     *
-    * Per iteration: one broadcast join (codebook) + one
-    * (vec,sub)-keyed argmin shuffle + one (sub,cid)-keyed
-    * vector-summed re-center ([[graft.functions.VecSumAgg]] — one
-    * dsub-long int64 buffer per cell per partition, map-side
-    * combined; no per-dimension row inflation anywhere).
+    * ASSIGNMENT IS A NATIVE MAP-SIDE PRIMITIVE LOOP (round 13):
+    * because the codebook is literal driver state, nearest-codeword
+    * assignment runs as ONE [[graft.functions.PqEncode]] expression
+    * per vector (a tight m×ksub×dsub int64 loop over the stored
+    * float array — no joins, no argmin shuffles, no interpreted HOF
+    * lambdas, no per-element Round/BigDecimal; the r12 shape paid a
+    * broadcast join + a (vec,sub)-keyed argmin exchange + an
+    * interpreted zip_with per candidate). Per Lloyd iteration the
+    * only exchange left is the (sub,cid)-keyed re-center
+    * ([[graft.functions.VecSumAgg]] — one dsub-long int64 buffer per
+    * cell per partition, map-side combined).
     */
   private val PqScale = 1048576.0 // 2^20, the G2b exact-accumulation scale
+  /** Column-side exact quantization (kept for the shortlist-sized
+    * re-rank path; the corpus-sized paths use the native
+    * [[graft.functions.PqQuant]] — same values bit-for-bit).
+    */
   private def pqQ(c: Column): Column = round(c * lit(PqScale)).cast("long")
-  /** Quantized squared-L2 between `svec` and `cvec` — pure int64. */
-  private def pqD2: Column = aggregate(
-    zip_with(col("svec"), col("cvec"),
-      (x, y) => (pqQ(x) - pqQ(y)) * (pqQ(x) - pqQ(y))),
-    lit(0L), (acc, x) => acc + x)
 
-  /** (vec_id, sub, svec): the m-way subvector split. */
-  private def pqSubvecs(df: DataFrame, m: Int, dsub: Int): DataFrame = {
-    val subs = array((0 until m).map(i =>
-      slice(col("embedding").cast("array<double>"), i * dsub + 1, dsub)): _*)
-    df.select(col("vec_id"), posexplode(subs).as(Seq("sub", "svec")))
+  /** Codebook as driver state: (sub, cid, cvec) entries. */
+  private type PqCents = Seq[(Int, Int, Seq[Double])]
+
+  /** Flatten the codebook into the literal model the NATIVE
+    * expressions consume, in (sub ASC, cid ASC) order — which is
+    * also the flat LUT position order the ADC scan indexes by:
+    * per-sub candidate offsets, candidate→cid, candidate→sub, and
+    * the pre-quantized int64 codewords
+    * ([[graft.functions.PqQuant.quantize]] — exact, see its
+    * exactness argument).
+    */
+  private def pqFlat(cents: PqCents, m: Int)
+      : (Seq[Int], Seq[Int], Seq[Long], Seq[Int]) = {
+    val sorted = cents.sortBy(t => (t._1, t._2))
+    val counts = Array.fill(m)(0)
+    sorted.foreach(t => counts(t._1) += 1)
+    (counts.scanLeft(0)(_ + _).toSeq, sorted.map(_._2),
+      sorted.flatMap(_._3.map(graft.functions.PqQuant.quantize)),
+      sorted.map(_._1))
   }
 
-  /** Nearest-codeword assignment of subvectors under a codebook:
-    * (vec_id, sub, cid, dist, svec) — integer-exact argmin,
-    * deterministic (dist, cid) ties.
+  /** The per-vector encode struct (cids, pos, dsum) — ONE native
+    * primitive loop over the stored float array against the literal
+    * codebook ([[graft.functions.PqEncode]]): zero joins, zero
+    * shuffles, zero per-element Round allocations on the corpus
+    * path.
     */
-  private def pqAssign(svecs: DataFrame, c: DataFrame): DataFrame =
-    svecs.join(broadcast(c), Seq("sub"))
-      .withColumn("dist", pqD2)
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"),
-        min(col("dist")).as("dist"),
-        first(col("svec")).as("svec"))
+  private def pqEncodeCol(cents: PqCents, m: Int, dsub: Int): Column = {
+    val (subOff, cids, qcw, _) = pqFlat(cents, m)
+    GraftBridge.column(graft.functions.PqEncode(
+      GraftBridge.expression(col("embedding")), m, dsub, subOff, cids, qcw))
+  }
 
-  /** The trained (sub, cid, cvec) codebook — G19's deterministic
-    * all-subspaces-in-one-plan Lloyd iterations, shared by the code
-    * emitter ([[pqCodes]]) and the ADC search ([[pqTopK]]/
-    * [[ivfPqTopK]]) so the consumers can never train differently.
+  /** The query-side flat ADC lookup table (int64, LUT-position
+    * order) — [[graft.functions.PqAdcLut]] on the tiny query frame.
+    */
+  private def pqLutCol(cents: PqCents, m: Int, dsub: Int): Column = {
+    val (_, _, qcw, subOfCand) = pqFlat(cents, m)
+    GraftBridge.column(graft.functions.PqAdcLut(
+      GraftBridge.expression(col("embedding")), dsub, subOfCand, qcw))
+  }
+
+  /** One tiny prefix job: the first `n` vectors (vec_id ASC) as
+    * driver state — shared by the codebook init (subvectors of the
+    * first ksub vectors) and [[ivfPqTopK]]'s fixed coarse quantizer
+    * (the first nlist vectors), so the composed index pays ONE
+    * prefix collect, not two.
+    */
+  private def embPrefix(emb: DataFrame, n: Int): Seq[(Int, Seq[Float])] =
+    emb.filter(col("vec_id") < n).orderBy("vec_id")
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+
+  /** The trained (sub, cid, cvec) codebook — deterministic Lloyd
+    * iterations shared by the code emitter ([[pqCodes]]) and the ADC
+    * searches ([[pqTopK]]/[[ivfPqTopK]]) so the consumers can never
+    * train differently.
     *
     * The codebook is MODEL STATE (m·ksub rows — 16 at the defaults)
     * and lives on the DRIVER between iterations, exactly like
-    * [[ivfTopK]]'s centroids: each Lloyd step is ONE job (the
-    * re-center collect) against a LITERAL codebook whose broadcast is
-    * driver-side-free (LocalTableScan — no broadcast-build job), and
-    * every consumer branch (encode join, query LUT, probe LUT) joins
-    * the literal state instead of replaying the Lloyd chain. All
-    * subspaces still train in ONE plan via the `sub` key — no
-    * per-subspace loop. At deployment scale this is exactly where the
+    * [[ivfTopK]]'s centroids: each Lloyd step folds the current
+    * codebook into the NATIVE literal-model assignment
+    * ([[graft.functions.PqEncode]] — map-side, one primitive loop
+    * per vector) and pays exactly ONE exchange (the
+    * (sub,cid)-keyed VecSumAgg re-center) plus its collect; every
+    * consumer likewise encodes against literal state instead of
+    * replaying a join. At deployment scale this is exactly where the
     * trained codebook persists as a table between index build and
     * search; the per-iteration state transfer is 16 rows, never data.
+    *
+    * `prefix` = the pre-collected [[embPrefix]] rows (≥ ksub) — the
+    * init subvectors slice driver-side from it, so training launches
+    * no separate init job.
     */
-  private[graft] def pqCodebook(emb: DataFrame, m: Int, dsub: Int,
-                                    ksub: Int, iters: Int): DataFrame = {
-    val s = emb.sparkSession
-    import s.implicits._
-    val svecs = pqSubvecs(emb, m, dsub)
-    def lit3(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
-      rows.toDF("sub", "cid", "cvec")
-    def collect3(df: DataFrame): Seq[(Int, Int, Seq[Double])] =
-      df.collect().map(r =>
-        (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
-    var cents = collect3(svecs.filter(col("vec_id") < ksub)
-      .select(col("sub"), col("vec_id").cast("int").as("cid"),
-        col("svec").as("cvec")))
+  private[graft] def pqCodebookSeq(emb: DataFrame, m: Int, dsub: Int,
+                                   ksub: Int, iters: Int,
+                                   prefix: Seq[(Int, Seq[Float])]): PqCents = {
+    var cents: PqCents =
+      for (i <- 0 until m; (vid, v) <- prefix.take(ksub))
+        yield (i, vid, v.slice(i * dsub, (i + 1) * dsub).map(_.toDouble))
     for (_ <- 1 to iters) {
-      // vector-summed re-center (identical Σ q(v) int64 sums; float
-      // snap then double, exactly the exploded plan's arithmetic)
-      cents = collect3(pqAssign(svecs, lit3(cents))
-        .groupBy(col("sub"), col("cid"))
-        .agg(vecSum(col("svec"), PqScale).as("__s"),
-          count(col("svec")).as("__n"))
+      // map-side NATIVE assignment vs the literal codebook, exploded
+      // to the (sub, cid, svec) rows the re-center sums; the svec
+      // slice is the identical cast-then-slice arithmetic of every
+      // prior round
+      val assigned = emb
+        .select(col("embedding"),
+          pqEncodeCol(cents, m, dsub).getField("cids").as("__c"))
+        .select(posexplode(array((0 until m).map { i =>
+          struct(lit(i).as("sub"), element_at(col("__c"), i + 1).as("cid"),
+            slice(col("embedding").cast("array<double>"), i * dsub + 1, dsub)
+              .as("svec"))
+        }: _*)).as(Seq("__p", "a")))
+      cents = assigned
+        .groupBy(col("a.sub").as("sub"), col("a.cid").as("cid"))
+        .agg(vecSum(col("a.svec"), PqScale).as("__s"),
+          count(col("a.svec")).as("__n"))
         .select(col("sub"), col("cid"),
           transform(col("__s"), sc =>
             (sc.cast("double") / (col("__n") * lit(PqScale)))
-              .cast("float").cast("double")).as("cvec")))
+              .cast("float").cast("double")).as("cvec"))
+        .collect().map(r =>
+          (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
     }
-    lit3(cents)
+    cents.sortBy(t => (t._1, t._2))
   }
 
   def pqCodes(s: SparkSession, emb: DataFrame, m: Int = 4, dsub: Int = 16,
               ksub: Int = 4, iters: Int = 2): DataFrame = {
-    val trained = pqCodebook(emb, m, dsub, ksub, iters)
-    pqAssign(pqSubvecs(emb, m, dsub), trained)
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"),
-        sum(col("dist")).as("dsum"))
+    val cents = pqCodebookSeq(emb, m, dsub, ksub, iters, embPrefix(emb, ksub))
+    // ONE zero-shuffle projection over the corpus: codes string and
+    // quantization error both read the single native encode struct —
+    // the r12 shape paid an m-way explode + broadcast join + two
+    // keyed aggregations for the same output
+    emb.select(col("vec_id"), pqEncodeCol(cents, m, dsub).as("__e"))
       .select(col("vec_id"),
         concat(lit("["),
-          array_join(expr("transform(sc, x -> CAST(x.cid AS STRING))"), ","),
+          concat_ws(",", (0 until m).map(i =>
+            element_at(col("__e.cids"), i + 1).cast("string")): _*),
           lit("]")).as("codes"),
-        round(col("dsum").cast("double") / lit(1099511627776.0), 6).as("err2"))
+        round(col("__e.dsum").cast("double") /
+          lit(1099511627776.0), 6).as("err2"))
   }
 
   /** G19b: PQ ADC top-k search — the SEARCH side of G19's index
@@ -495,29 +545,33 @@ object Similarity {
     * float-summation or libm parity assumptions — hash-exact against
     * the oracle end to end.
     *
-    * Plan: codebook and the queries' LUT are tiny broadcasts; the
-    * corpus encodes in one pass (the pqCodes chain); scoring joins
-    * the m-row-per-vector code table to the broadcast LUT and
-    * combines map-side on (query, vec) before the single rank
-    * exchange. At scale the codes table IS the stored index (32
+    * Plan (round 13 shape): the corpus encodes MAP-SIDE against the
+    * literal codebook into an m-int position array; each query row
+    * carries its whole LUT as one flat int64 array, so the scan is a
+    * broadcast nested-loop of the tiny query frame against the code
+    * table — BY DEFINITION the exhaustive ADC linear scan (every
+    * query scores every code; [[ivfPqTopK]] is the indexed
+    * alternative) — with the per-pair score just m array lookups.
+    * The ONLY exchange in the whole search is the final bounded
+    * rank. At scale the codes table IS the stored index (32
     * bits/vector here vs 256 float bytes) — the memory lever G19
     * documents, now queryable.
     */
   def pqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
              m: Int = 4, dsub: Int = 16, ksub: Int = 4,
              iters: Int = 2): DataFrame = {
-    val trained = pqCodebook(emb, m, dsub, ksub, iters)
-    val codes = pqAssign(pqSubvecs(emb, m, dsub), trained)
-      .select(col("vec_id"), col("sub"), col("cid"))
-    val lut = pqSubvecs(queries, m, dsub)
-      .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
-      .join(broadcast(trained), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cid"), pqD2.as("dq"))
-    adcRank(codes.join(broadcast(lut), Seq("sub", "cid")), k)
+    val cents = pqCodebookSeq(emb, m, dsub, ksub, iters, embPrefix(emb, ksub))
+    val codes = emb.select(col("vec_id"),
+      pqEncodeCol(cents, m, dsub).getField("pos").as("cp"))
+    val lutQ = queries.select(col("vec_id").as("query_id"),
+      pqLutCol(cents, m, dsub).as("lut"))
+    adcRank(codes.crossJoin(broadcast(lutQ)), m, k)
   }
 
-  /** Shared ADC ranking tail of [[pqTopK]]/[[ivfPqTopK]]: per-(query,
-    * vec) int64 ADC sums, then the per-query top-k via the BOUNDED
+  /** Shared ADC ranking tail of [[pqTopK]]/[[ivfPqTopK]]: the in-row
+    * ADC sum (m LUT lookups via the code-position array — int64, no
+    * grouping needed since the (query, vec) pair is already one row),
+    * then the per-query top-k via the BOUNDED
     * [[graft.functions.BoundedTopK]] aggregate — map-side partials
     * ship ≤ k rows per query per partition, so the rank step costs a
     * k·queries-row exchange instead of the full scored set through a
@@ -527,7 +581,9 @@ object Similarity {
     * identically for every query), so determinism rests on the
     * vec_id ASC tiebreak, not on distinctness of the distances.
     */
-  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
+  private def adcRank(scored: DataFrame, m: Int, k: Int): DataFrame = {
+    val adc = (0 until m).map(i =>
+      element_at(col("lut"), element_at(col("cp"), i + 1) + 1)).reduce(_ + _)
     val best = GraftBridge.column(graft.functions.BoundedTopK(
       GraftBridge.expression(struct(col("adc_dist"), col("vec_id"))),
       GraftBridge.expression(struct(col("vec_id"), col("adc_dist"))),
@@ -535,8 +591,7 @@ object Similarity {
       skipNullValue = false).toAggregateExpression())
     scored
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("dq")).as("adc_dist"))
+      .select(col("query_id"), col("vec_id"), adc.as("adc_dist"))
       .groupBy(col("query_id")).agg(best.as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
@@ -556,38 +611,30 @@ object Similarity {
     * (cells = the first `nlist` vectors, assignment by deterministic
     * cosine argmax with (cs DESC, cid ASC) ties) so cell routing is
     * plain column algebra the oracle replays; fine side = the SAME
-    * trained codebook as [[pqCodes]]/[[pqTopK]] ([[pqCodebook]] — train
-    * and search can never drift) with the all-int64 ADC arithmetic:
-    * LUT entries, sums and the (adc ASC, vec_id ASC) ranking carry
-    * zero float-summation assumptions.
+    * trained codebook as [[pqCodes]]/[[pqTopK]] ([[pqCodebookSeq]] —
+    * train and search can never drift) with the all-int64 ADC
+    * arithmetic: LUT entries, sums and the (adc ASC, vec_id ASC)
+    * ranking carry zero float-summation assumptions.
     *
-    * Plan shape: the stored index is the (cell, vec_id, sub, cid) code
-    * table — at deployment scale persisted BUCKETED ON `cell` (the
-    * inverted-list layout), built once per corpus. Search is
-    * broadcast-only against it: probes (queries × nprobe rows) and the
-    * LUT (queries × m × ksub rows) are tiny broadcasts, so the scan
-    * touches exactly the probed cells' codes, combines map-side on
-    * (query, vec) and pays ONE rank exchange. No corpus-sized shuffle
-    * on the query path.
+    * Plan shape (round 13): the stored index is the (cell, vec_id, cp)
+    * code table, built in ONE zero-shuffle projection (cell routing
+    * AND code assignment are both literal-codebook codegen — the r12
+    * shape paid an explode + broadcast join + keyed aggregation); at
+    * deployment scale it persists BUCKETED ON `cell` (the
+    * inverted-list layout), built once per corpus. Search joins the
+    * broadcast (cell, query, lut) probe frame BY CELL — a broadcast
+    * HASH join, so unprobed cells' codes never reach scoring — and
+    * pays the same single bounded-rank exchange as [[pqTopK]]. The
+    * coarse centroids and the codebook init share ONE prefix collect
+    * ([[embPrefix]]), so the composed index launches no more jobs
+    * than the exhaustive scan despite carrying the extra model.
     */
   def ivfPqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
                 nlist: Int = 8, nprobe: Int = 4, m: Int = 4, dsub: Int = 16,
                 ksub: Int = 4, iters: Int = 2): DataFrame = {
     withCosine(s)
-    import s.implicits._
-    // the fixed coarse model is nlist tiny rows — it lives on the
-    // driver (exactly like ivfTopK's centroid state) and folds into a
-    // LITERAL array, so cell routing is a pure MAP-SIDE expression
-    // over the corpus scan: no crossJoin fanout, no assignment
-    // shuffle, and the per-vector cell rides the SAME (vec, sub)
-    // encode aggregate the plain PQ path already pays. The only
-    // plan-shape difference vs pqTopK is the probe filter — which
-    // SHRINKS the ADC join by nprobe/nlist.
-    val cents = emb.filter(col("vec_id") < nlist).orderBy("vec_id")
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1)))
-      .toSeq
+    val prefix = embPrefix(emb, math.max(nlist, ksub))
+    val coarse = prefix.take(nlist)
     // per-cent (cosine, -cid) score structs; struct ORDER = (cs DESC,
     // cid ASC) — the G17 deterministic tie rule. The CORPUS-side cell
     // pick is an UNROLLED `greatest` over nlist structs (plain
@@ -597,39 +644,24 @@ object Similarity {
     def centCos(cvec: Seq[Float]): Column = GraftBridge.column(
       CosineSimilarity(GraftBridge.expression(col("embedding")),
         GraftBridge.expression(typedLit(cvec))))
-    val scoreStructs = cents.map { case (cid, cvec) =>
+    val scoreStructs = coarse.map { case (cid, cvec) =>
       struct(centCos(cvec), lit(-cid)) }
     val cellOf = (-greatest(scoreStructs: _*).getField("col2")).as("cell")
     val scores = array(scoreStructs: _*)
-    val trained = pqCodebook(emb, m, dsub, ksub, iters)
-    // the stored index: (cell, vec_id, sub, cid) — cell threads
-    // through the one encode aggregate as a first(), zero extra
-    // shuffles; at deployment scale this table persists BUCKETED on
-    // cell (the inverted-list layout) and search is broadcast-only
-    val subs = array((0 until m).map(i =>
-      slice(col("embedding").cast("array<double>"), i * dsub + 1, dsub)): _*)
-    val svecsC = emb.select(col("vec_id"), cellOf,
-      posexplode(subs).as(Seq("sub", "svec")))
-    val codes = svecsC.join(broadcast(trained), Seq("sub"))
-      .withColumn("dist", pqD2)
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"),
-        first(col("cell")).as("cell"))
-    // probes: top-nprobe cells of each query — an in-row sort of the
-    // nlist-long score array, exploded to (query, cell) pairs (tiny)
-    val probes = queries
+    val cents = pqCodebookSeq(emb, m, dsub, ksub, iters, prefix)
+    // the stored index: (cell, vec_id, cp) in ONE map-side projection
+    val codes = emb.select(col("vec_id"), cellOf,
+      pqEncodeCol(cents, m, dsub).getField("pos").as("cp"))
+    // probe frame: each query's top-nprobe cells (an in-row sort of
+    // the nlist-long score array) exploded to (cell, query, lut) rows
+    // — queries × nprobe rows, each carrying the query's whole LUT,
+    // so the code table pays ONE broadcast hash join keyed on cell
+    val probeLut = queries
       .select(col("vec_id").as("query_id"),
-        explode(slice(reverse(array_sort(scores)), 1, nprobe)).as("__s"))
-      .select(col("query_id"), (-col("__s.col2")).as("cell"))
-    val lut = pqSubvecs(queries, m, dsub)
-      .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
-      .join(broadcast(trained), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cid"), pqD2.as("dq"))
-    // probe-filtered LUT: (queries × nprobe × m × ksub) rows — still
-    // tiny, and folding the probe filter into the broadcast means the
-    // stored index pays ONE join on (cell, sub, cid), not two
-    val plut = probes.join(lut, Seq("query_id"))
-    adcRank(codes.join(broadcast(plut), Seq("cell", "sub", "cid")), k)
+        explode(slice(reverse(array_sort(scores)), 1, nprobe)).as("__s"),
+        pqLutCol(cents, m, dsub).as("lut"))
+      .select(col("query_id"), (-col("__s.col2")).as("cell"), col("lut"))
+    adcRank(codes.join(broadcast(probeLut), Seq("cell")), m, k)
   }
 
   /** G19c: PQ search with exact re-ranking — Jégou et al.'s "+R"

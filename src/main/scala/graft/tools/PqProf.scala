@@ -36,7 +36,10 @@ object PqProf {
         if (i == 3) { Thread.sleep(200); printCounts(name) }
       }
     }
-    t("codebook") { graft.operators.Similarity.pqCodebook(emb, 4, 16, 4, 2).count() }
+    t("codebook") { graft.operators.Similarity.pqCodebookSeq(emb, 4, 16, 4, 2,
+      emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq).size.toLong }
     t("codes")    { graft.operators.Similarity.pqCodes(spark, emb).count() }
     t("topk_pq")  { graft.operators.Similarity.pqTopK(spark, emb, emb.filter(col("vec_id") < 10), 5).count() }
     t("topk_ivfpq") { graft.operators.Similarity.ivfPqTopK(spark, emb, emb.filter(col("vec_id") < 10), 5).count() }

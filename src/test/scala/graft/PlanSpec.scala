@@ -360,13 +360,13 @@ class PlanSpec extends SparkTestBase {
       assert(!plan.contains("Generate"), s"posexplode in agg path:\n$plan")
       assert(plan.contains("vec_sum"), plan)
     }
-    // G19: the only Generates are the m-way subvector splits
-    // (structural, m rows/vec, one per assign pass) — never a
-    // per-dimension explode. The Lloyd re-centers run as driver-state
-    // jobs during pqCodebook (capture them via listener and assert
-    // they vector-sum whole subvectors); the final encode plan joins
-    // the trained codebook as a LITERAL (LocalTableScan — broadcast
-    // with no upstream Lloyd replay).
+    // G19: the only Generate is the training re-center's m-way
+    // subvector split (structural, m rows/vec, one per Lloyd pass) —
+    // never a per-dimension explode. The Lloyd re-centers run as
+    // driver-state jobs during pqCodebookSeq (capture them via
+    // listener and assert they vector-sum whole subvectors); the
+    // final encode plan assigns codes MAP-SIDE against the literal
+    // codebook (round 13) — no join, no exchange, no explode.
     val lloydPlans = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val lloydListener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -387,10 +387,13 @@ class PlanSpec extends SparkTestBase {
     val recenters = lloydPlans.toArray.map(_.toString).filter(_.contains("vec_sum"))
     assert(recenters.nonEmpty, "no vector-summed Lloyd re-center job captured")
     assert(recenters.forall(p => !p.contains("posexplode(svec")), recenters.head)
+    // round 13: the encode is a single zero-shuffle projection against
+    // the LITERAL codebook (constant-folded assignment expressions) —
+    // no join, no exchange, no explode anywhere in the final plan
     val pqPlan = executed(pqDf)
-    assert(!pqPlan.contains("posexplode(svec"), pqPlan)
-    assert(!pqPlan.contains("posexplode(embedding"), pqPlan)
-    assert(pqPlan.contains("LocalTableScan"), pqPlan)
+    assert(!pqPlan.contains("posexplode"), pqPlan)
+    assert(!pqPlan.contains("Join"), pqPlan)
+    assert(!pqPlan.contains("Exchange"), pqPlan)
     // H20b (lazy path, inspectable): the only Generate is the final
     // (bucket, w_micro) output unpack — gradients vector-sum
     val ctPlan = executed(TextAnalysis.classifierTrain(t.documents,
