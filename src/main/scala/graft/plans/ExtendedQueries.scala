@@ -104,6 +104,25 @@ object ExtendedQueries {
                         "range": {"step": 1, "unit": "hour", "bounds": "partition"}}},
           {"$fill": {"partitionBy": "$_id_u", "sortBy": {"_id_h": 1},
                      "output": {"cents": {"method": "locf"}}}}]""")),
+    // —— C35: $geoNear (planar legacy-2d proximity search; places
+    //    derived deterministically from customer — integer lattice
+    //    coords over [-180,180)×[-90,90), so every arithmetic step is
+    //    an IEEE correctly-rounded op both engines reproduce) ——
+    "pipe_geonear" -> ((s, dir) => {
+      val cat = TableCatalog(s, dir)
+      val places = cat.table("customer").select(
+        col("c_custkey").as("ck"),
+        array(
+          pmod(col("c_custkey") * 7919, lit(36000)) / lit(100.0) - lit(180.0),
+          pmod(col("c_custkey") * 104729, lit(18000)) / lit(100.0) - lit(90.0))
+          .as("loc"),
+        col("c_mktsegment").as("seg"))
+      MongoPipeline(places,
+        """[{"$geoNear": {"near": [12.5, -33.25], "distanceField": "dist",
+             "key": "loc", "query": {"seg": {"$in": ["BUILDING", "AUTOMOBILE"]}},
+             "maxDistance": 60.0, "distanceMultiplier": 111.325, "num": 40}},
+            {"$project": {"ck": 1, "seg": 1, "dist": 1}}]""")
+    }),
     // —— C25: $graphLookup (bounded BFS over a key chain) ——
     "pipe_graphlookup" -> ((s, dir) => {
       val cat = TableCatalog(s, dir)
@@ -761,6 +780,23 @@ object ExtendedQueries {
         |    PARTITION BY g.u ORDER BY g.h
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents
         |FROM grid g LEFT JOIN agg a ON a.u = g.u AND a.h = g.h""".stripMargin,
+    // raw (pre-multiplier) distance bounds the filter and drives the
+    // order — exactly $geoNear's order of operations; ties break by
+    // ck (the translator's all-columns tiebreak reduces to ck on a
+    // frame keyed by it)
+    "pipe_geonear" ->
+      """WITH places AS (
+        |  SELECT c_custkey AS ck, c_mktsegment AS seg,
+        |    (c_custkey*7919 % 36000) / 100.0 - 180.0 AS x,
+        |    (c_custkey*104729 % 18000) / 100.0 - 90.0 AS y
+        |  FROM customer),
+        |d AS (
+        |  SELECT ck, seg,
+        |    sqrt((x - 12.5)*(x - 12.5) + (y - (-33.25))*(y - (-33.25))) AS raw
+        |  FROM places WHERE seg IN ('BUILDING','AUTOMOBILE'))
+        |SELECT ck, seg, raw * 111.325 AS dist
+        |FROM d WHERE raw <= 60.0
+        |ORDER BY raw, ck LIMIT 40""".stripMargin,
     "pipe_graphlookup" ->
       """SELECT c.c_custkey AS origin, c.c_custkey - 1 - t.i AS node,
         |  CAST(t.i AS INTEGER) AS depth

@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * $group, $sort, $skip, $limit, $count, $unwind, $lookup, $bucket,
   * $bucketAuto, $sortByCount, $replaceRoot/$replaceWith, $facet,
   * $unionWith, $sample, $setWindowFields, $densify, $fill,
-  * $graphLookup, $out, $merge (the last two via [[PipelineSinks]]).
+  * $graphLookup, $geoNear, $out, $merge (the last two via
+  * [[PipelineSinks]]).
   *
   * Distributed-determinism deviation: `$sample` draws the n smallest
   * by a 60-bit content hash (uniform but reproducible) rather than a
@@ -149,6 +150,11 @@ object MongoPipeline {
           require(spec.isArray, "$documents requires a document array")
           cur = documentsSource(cur.sparkSession, spec)
         case "$redact" => cur = redact(cur, spec)
+        case "$geoNear" =>
+          require(stageIdx == 0,
+            s"$$geoNear must be the first pipeline stage (found at stage $stageIdx)")
+          cur = geoNear(cur, spec)
+          lastSort = Seq((spec.get("distanceField").asText(), true))
         case "$facet" =>
           // each facet = a sub-pipeline over the same input; output is
           // one row with an array-of-struct column per facet
@@ -234,6 +240,79 @@ object MongoPipeline {
       .asInstanceOf[StructType]
     val rows = docs.map(d => convert(d, schema).asInstanceOf[Row]).asJava
     spark.createDataFrame(rows, schema)
+  }
+
+  /** `$geoNear` (SURVEY.md §2 C35) — proximity sort + distance
+    * readout over a legacy coordinate-pair field (`key` names the
+    * [x, y] array column; there is no 2d/2dsphere index metadata to
+    * infer it from, so `key` is REQUIRED, as modern Mongo itself
+    * requires with more than one geo index).
+    *
+    * Semantics implemented (Mongo order of operations):
+    * `query` filters FIRST; the raw distance to `near` is flat
+    * Euclidean for the default planar (legacy 2d) mode or the
+    * haversine great-circle angle in RADIANS for `spherical: true`
+    * (the legacy-pair spherical convention); `minDistance` /
+    * `maxDistance` bound the RAW distance; `distanceMultiplier`
+    * scales only the REPORTED `distanceField`; `num` caps the
+    * result after the proximity sort.
+    *
+    * Determinism & oracle parity: the planar distance is
+    * sqrt/multiply/subtract over the operands in a FIXED expression
+    * shape — every step is an IEEE-754 correctly-rounded operation
+    * (no libm transcendentals), so DuckDB reproduces it
+    * bit-for-bit and the planar query is hash-oracle-checked.
+    * Spherical needs sin/cos/atan — JVM StrictMath-vs-libm parity
+    * is not guaranteed at 1 ulp, so the spherical mode is
+    * spec-checked against a plain-Scala haversine instead
+    * (ExtendedPipelineSpec), the same split as $expMovingAvg.
+    * Mongo leaves equal-distance order unspecified; a distributed
+    * re-run must not, so ties break by ALL input columns in frame
+    * order (a total order whenever rows are distinct — the same
+    * contract $bucketAuto uses for its boundary ties).
+    */
+  private def geoNear(df: DataFrame, spec: JsonNode): DataFrame = {
+    val near = spec.get("near")
+    require(near != null && near.isArray && near.size == 2,
+      "$geoNear.near must be a [x, y] coordinate pair")
+    require(spec.get("distanceField") != null, "$geoNear.distanceField is required")
+    require(spec.get("key") != null,
+      "$geoNear.key is required (no geo-index metadata to infer the location field)")
+    val distField = spec.get("distanceField").asText()
+    val key = spec.get("key").asText()
+    val spherical = Option(spec.get("spherical")).exists(_.asBoolean())
+    val mult = Option(spec.get("distanceMultiplier")).map(_.asDouble()).getOrElse(1.0)
+    val nx = near.get(0).asDouble()
+    val ny = near.get(1).asDouble()
+    val x = element_at(col(key), 1).cast("double")
+    val y = element_at(col(key), 2).cast("double")
+    val raw =
+      if (!spherical)
+        sqrt((x - lit(nx)) * (x - lit(nx)) + (y - lit(ny)) * (y - lit(ny)))
+      else {
+        // haversine central angle (radians) on (lon, lat) degrees
+        val toRad = math.Pi / 180.0
+        val sLat = sin((y * lit(toRad) - lit(ny * toRad)) / 2)
+        val sLon = sin((x * lit(toRad) - lit(nx * toRad)) / 2)
+        lit(2) * asin(sqrt(sLat * sLat +
+          cos(y * lit(toRad)) * lit(math.cos(ny * toRad)) * sLon * sLon))
+      }
+    val filtered = Option(spec.get("query"))
+      .map(q => df.filter(matchPredicate(q))).getOrElse(df)
+    val tie = filtered.columns.map(col).toSeq
+    var out = filtered.withColumn("__geo_raw", raw)
+    Option(spec.get("minDistance")).foreach(v =>
+      out = out.filter(col("__geo_raw") >= lit(v.asDouble())))
+    Option(spec.get("maxDistance")).foreach(v =>
+      out = out.filter(col("__geo_raw") <= lit(v.asDouble())))
+    out = out
+      .withColumn(distField,
+        if (mult == 1.0) col("__geo_raw") else col("__geo_raw") * lit(mult))
+      .drop("__geo_raw")
+      .orderBy(col(distField) +: tie: _*)
+    Option(spec.get("num")).orElse(Option(spec.get("limit")))
+      .foreach(n => out = out.limit(n.asInt()))
+    out
   }
 
   // ——— $match query language ———

@@ -1013,4 +1013,75 @@ class ExtendedPipelineSpec extends SparkTestBase {
                     "cond": {"$gte": ["$$x", "$$c"]}}}}}}}}]""").head()
     assert(out.getAs[Int]("kept") == 3)
   }
+
+  // ——— $geoNear (C35) ———
+
+  private def geoPlaces = cat.table("customer")
+    .filter(col("c_custkey") <= 140).select(
+    col("c_custkey").as("ck"),
+    array(
+      pmod(col("c_custkey") * 7919, lit(36000)) / lit(100.0) - lit(180.0),
+      pmod(col("c_custkey") * 104729, lit(18000)) / lit(100.0) - lit(90.0))
+      .as("loc"))
+
+  test("$geoNear spherical matches a plain-Scala haversine, sorted, num-capped") {
+    val out = MongoPipeline(geoPlaces,
+      """[{"$geoNear": {"near": [10.0, 20.0], "distanceField": "d",
+           "key": "loc", "spherical": true, "num": 25}}]""")
+      .select("ck", "d").collect()
+    assert(out.length == 25)
+    // reference: haversine central angle in radians over the same
+    // derived lattice, computed independently in Scala
+    def hav(ck: Long): Double = {
+      val x = (ck * 7919 % 36000) / 100.0 - 180.0
+      val y = (ck * 104729 % 18000) / 100.0 - 90.0
+      val toRad = math.Pi / 180.0
+      val sLat = math.sin((y - 20.0) * toRad / 2)
+      val sLon = math.sin((x - 10.0) * toRad / 2)
+      2 * math.asin(math.sqrt(sLat * sLat +
+        math.cos(y * toRad) * math.cos(20.0 * toRad) * sLon * sLon))
+    }
+    val expect = (0L to 140L).map(ck => (ck, hav(ck)))
+      .sortBy { case (ck, d) => (d, ck) }.take(25)
+    out.zip(expect).foreach { case (row, (ck, d)) =>
+      assert(row.getLong(0) == ck)
+      assert(math.abs(row.getDouble(1) - d) < 1e-12,
+        s"ck=$ck spark=${row.getDouble(1)} scala=$d")
+    }
+  }
+
+  test("$geoNear bounds the RAW distance while reporting the multiplied one") {
+    val out = MongoPipeline(geoPlaces,
+      """[{"$geoNear": {"near": [0.0, 0.0], "distanceField": "d",
+           "key": "loc", "minDistance": 30.0, "maxDistance": 90.0,
+           "distanceMultiplier": 2.0}}]""")
+      .select("ck", "d").collect()
+    assert(out.nonEmpty)
+    // every reported d = 2 * raw with raw in [30, 90] — values outside
+    // [60, 180] would mean the bounds applied to the multiplied value
+    assert(out.forall(r => r.getDouble(1) >= 60.0 && r.getDouble(1) <= 180.0))
+    def raw(ck: Long): Double = {
+      val x = (ck * 7919 % 36000) / 100.0 - 180.0
+      val y = (ck * 104729 % 18000) / 100.0 - 90.0
+      math.sqrt(x * x + y * y)
+    }
+    val expectCks = (0L to 140L).filter(ck => raw(ck) >= 30.0 && raw(ck) <= 90.0)
+    assert(out.map(_.getLong(0)).sorted.toSeq == expectCks)
+  }
+
+  test("$geoNear anywhere but stage 0 fails loudly; missing key/distanceField too") {
+    val base = geoPlaces
+    intercept[IllegalArgumentException] {
+      MongoPipeline(base,
+        """[{"$match": {"ck": {"$lte": 100}}},
+            {"$geoNear": {"near": [0.0, 0.0], "distanceField": "d", "key": "loc"}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(base,
+        """[{"$geoNear": {"near": [0.0, 0.0], "distanceField": "d"}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(base, """[{"$geoNear": {"near": [0.0, 0.0], "key": "loc"}}]""")
+    }
+  }
 }
