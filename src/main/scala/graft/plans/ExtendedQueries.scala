@@ -35,6 +35,18 @@ object ExtendedQueries {
   private val centsExpr =
     """{"$toLong": {"$round": [{"$multiply": ["$o_totalprice", 100]}, 0]}}"""
 
+  /** C36's query vector: a 64-dim deterministic lattice of eighths
+    * (k/8 is exactly representable in float32, so the stage's
+    * array<float> cast is lossless and the DOUBLE[] oracle literal is
+    * bit-identical). Shared by the pipeline JSON and the oracle SQL so
+    * the two can never drift.
+    */
+  private lazy val vsQueryVec: IndexedSeq[Double] =
+    (0 until 64).map(i => ((i * 37) % 19 - 9) / 8.0)
+  private lazy val vsQueryJson = vsQueryVec.mkString("[", ", ", "]")
+  private def vsQuerySqlList(n: Int) =
+    vsQueryVec.take(n).mkString("CAST([", ", ", "] AS DOUBLE[])")
+
   /** The H21 extract chain as one DuckDB scalar expression over a
     * `text` column wrapped in the synthetic page — shared by the
     * standalone `text_extract_markup` oracle and the composed
@@ -122,6 +134,19 @@ object ExtendedQueries {
              "key": "loc", "query": {"seg": {"$in": ["BUILDING", "AUTOMOBILE"]}},
              "maxDistance": 60.0, "distanceMultiplier": 111.325, "num": 40}},
             {"$project": {"ck": 1, "seg": 1, "dist": 1}}]""")
+    }),
+    // —— C36: $vectorSearch (Atlas ANN as a pipeline stage —
+    //    pre-filter, coarse-prefix shortlist of numCandidates, exact
+    //    cosine re-rank, score via {$meta: "vectorSearchScore"}) ——
+    "pipe_vectorsearch" -> ((s, dir) => {
+      val cat = TableCatalog(s, dir)
+      MongoPipeline(cat.table("embeddings"),
+        s"""[{"$$vectorSearch": {"path": "embedding",
+              "queryVector": $vsQueryJson,
+              "numCandidates": 60, "limit": 12,
+              "filter": {"label": {"$$gte": 1}}}},
+             {"$$project": {"vec_id": 1, "label": 1,
+              "score": {"$$meta": "vectorSearchScore"}}}]""")
     }),
     // —— C25: $graphLookup (bounded BFS over a key chain) ——
     "pipe_graphlookup" -> ((s, dir) => {
@@ -797,6 +822,27 @@ object ExtendedQueries {
         |SELECT ck, seg, raw * 111.325 AS dist
         |FROM d WHERE raw <= 60.0
         |ORDER BY raw, ck LIMIT 40""".stripMargin,
+    // two-stage replay of the stage's ANN path: coarse 16-dim prefix
+    // score → top-60 shortlist → exact 64-dim re-rank → top-12; both
+    // scores are (1 + round(cos, 4))/2 — exact IEEE normalization of
+    // the proven-portable rounded cosine. vec_id is unique, so the
+    // all-columns tiebreak reduces to vec_id on both sides.
+    "pipe_vectorsearch" ->
+      s"""WITH f AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE label >= 1),
+        |c AS (SELECT vec_id, embedding, label,
+        |    (1 + round(list_cosine_similarity(
+        |       CAST(embedding[1:16] AS DOUBLE[]), ${vsQuerySqlList(16)}), 4)) / 2
+        |      AS coarse
+        |  FROM f),
+        |s AS (SELECT * FROM c ORDER BY coarse DESC, vec_id LIMIT 60),
+        |e AS (SELECT vec_id, label,
+        |    (1 + round(list_cosine_similarity(
+        |       CAST(embedding AS DOUBLE[]), ${vsQuerySqlList(64)}), 4)) / 2
+        |      AS score
+        |  FROM s)
+        |SELECT vec_id, label, score FROM e
+        |ORDER BY score DESC, vec_id LIMIT 12""".stripMargin,
     "pipe_graphlookup" ->
       """SELECT c.c_custkey AS origin, c.c_custkey - 1 - t.i AS node,
         |  CAST(t.i AS INTEGER) AS depth

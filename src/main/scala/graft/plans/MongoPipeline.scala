@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   * $group, $sort, $skip, $limit, $count, $unwind, $lookup, $bucket,
   * $bucketAuto, $sortByCount, $replaceRoot/$replaceWith, $facet,
   * $unionWith, $sample, $setWindowFields, $densify, $fill,
-  * $graphLookup, $geoNear, $out, $merge (the last two via
-  * [[PipelineSinks]]).
+  * $graphLookup, $geoNear, $vectorSearch, $out, $merge (the last two
+  * via [[PipelineSinks]]).
   *
   * Distributed-determinism deviation: `$sample` draws the n smallest
   * by a 60-bit content hash (uniform but reproducible) rather than a
@@ -155,6 +155,11 @@ object MongoPipeline {
             s"$$geoNear must be the first pipeline stage (found at stage $stageIdx)")
           cur = geoNear(cur, spec)
           lastSort = Seq((spec.get("distanceField").asText(), true))
+        case "$vectorSearch" =>
+          require(stageIdx == 0,
+            s"$$vectorSearch must be the first pipeline stage (found at stage $stageIdx)")
+          cur = vectorSearch(cur, spec)
+          lastSort = Seq((VsScoreCol, false)) // score DESC = best-first
         case "$facet" =>
           // each facet = a sub-pipeline over the same input; output is
           // one row with an array-of-struct column per facet
@@ -170,7 +175,11 @@ object MongoPipeline {
           throw new IllegalArgumentException(s"unsupported stage: $other")
       }
     }
-    cur
+    // $vectorSearch's score rides a hidden column so {$meta:
+    // "vectorSearchScore"} can read it from any later stage; if no
+    // projection consumed it, it must not leak into the output schema
+    // (Mongo adds no field unless $meta is asked for).
+    cur.drop(VsScoreCol)
   }
 
   /** `$documents` source: a handful of driver-side literal rows. The
@@ -315,6 +324,108 @@ object MongoPipeline {
     out
   }
 
+  /** Hidden column carrying `$vectorSearch`'s similarity score until a
+    * `{$meta: "vectorSearchScore"}` projection reads it (or the end of
+    * the pipeline drops it). `__`-prefixed like every internal column.
+    */
+  private val VsScoreCol = "__vs_score"
+
+  /** `$vectorSearch` (SURVEY.md §2 C36) — Atlas vector search as a
+    * pipeline stage, composed onto the engine's ANN machinery rather
+    * than re-derived: exact mode is G1's scan shape (scan + bounded
+    * top-k), approximate mode is G18's Matryoshka two-stage shape
+    * (coarse prefix score → `numCandidates` shortlist → exact
+    * re-rank), both ending in TakeOrderedAndProject — no full sort at
+    * any scale.
+    *
+    * Semantics (Atlas order of operations): `filter` (MQL match
+    * expressions) prunes BEFORE the search; `numCandidates` bounds the
+    * approximate search's candidate pool (required when `exact` is
+    * false, must be ≥ `limit`, as Atlas requires); `limit` caps the
+    * final result. The score is NOT a result field — it is exposed
+    * only through `{$meta: "vectorSearchScore"}` in a later
+    * projection, exactly Mongo's contract; un-projected scores never
+    * appear in the output schema.
+    *
+    * Similarity functions mirror Atlas' score normalizations:
+    * `cosine`/`dotProduct` → (1 + sim)/2, `euclidean` → 1/(1 + d²).
+    * Atlas reads the function off the vector-index definition; with no
+    * index catalog to consult, the stage takes a `similarity` field
+    * (default `cosine`) — the same required-`key` move `$geoNear`
+    * makes for its missing geo index.
+    *
+    * Determinism: the raw similarity is rounded to 4 decimals before
+    * normalization (the G1 scheme the brute-force oracle proved
+    * engine-portable), the normalization itself is exact IEEE
+    * arithmetic (add, halve, or divide of exactly-representable
+    * operands), and ties break by ALL input columns in frame order —
+    * Mongo leaves equal-score order unspecified; a distributed replay
+    * must not. dotProduct/euclidean fold in array-index order via
+    * `aggregate` over double-cast arrays, the order DuckDB's list
+    * kernels use.
+    */
+  private def vectorSearch(df: DataFrame, spec: JsonNode): DataFrame = {
+    val qvNode = spec.get("queryVector")
+    require(qvNode != null && qvNode.isArray && qvNode.size > 0,
+      "$vectorSearch.queryVector must be a non-empty number array")
+    require(spec.get("path") != null, "$vectorSearch.path is required")
+    require(spec.get("limit") != null, "$vectorSearch.limit is required")
+    val path = spec.get("path").asText()
+    val limit = spec.get("limit").asInt()
+    val exact = Option(spec.get("exact")).exists(_.asBoolean())
+    val numCand = Option(spec.get("numCandidates")).map(_.asInt())
+    require(exact || numCand.isDefined,
+      "$vectorSearch.numCandidates is required when exact is false")
+    numCand.foreach(nc => require(nc >= limit,
+      s"$$vectorSearch.numCandidates ($nc) must be >= limit ($limit)"))
+    val simFn = Option(spec.get("similarity")).map(_.asText()).getOrElse("cosine")
+    val qv = qvNode.elements().asScala.map(_.asDouble()).toSeq
+
+    def qLit(v: Seq[Double]): Column =
+      array(v.map(lit): _*).cast("array<float>")
+    def cosine(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(graft.functions.CosineSimilarity(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+    // fixed-order double folds (array-index order, like DuckDB's list
+    // kernels) for the two non-cosine similarities
+    def dotF(a: Column, b: Column): Column =
+      aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    def score(embCol: Column, q: Seq[Double]): Column = simFn match {
+      case "cosine"     => (lit(1.0) + round(cosine(embCol, qLit(q)), 4)) / lit(2.0)
+      case "dotProduct" => (lit(1.0) + round(dotF(embCol, qLit(q)), 4)) / lit(2.0)
+      case "euclidean"  => lit(1.0) / (lit(1.0) + round(sqDist(embCol, qLit(q)), 4))
+      case other => throw new IllegalArgumentException(
+        s"unsupported $$vectorSearch.similarity: $other")
+    }
+
+    val filtered = Option(spec.get("filter"))
+      .map(f => df.filter(matchPredicate(f))).getOrElse(df)
+    val tie = filtered.columns.map(col).toSeq
+    val pool =
+      if (exact) filtered
+      else {
+        // Matryoshka-style coarse pass: score the first dPrefix dims
+        // (G18's shape — at scale this is the cheap scan; the exact
+        // re-rank touches only numCandidates rows)
+        val dPrefix = math.min(16, qv.size)
+        filtered
+          .withColumn("__vs_coarse",
+            score(slice(col(path), 1, dPrefix), qv.take(dPrefix)))
+          .orderBy(col("__vs_coarse").desc +: tie: _*)
+          .limit(numCand.get)
+          .drop("__vs_coarse")
+      }
+    pool
+      .withColumn(VsScoreCol, score(col(path), qv))
+      .orderBy(col(VsScoreCol).desc +: tie: _*)
+      .limit(limit)
+  }
+
   // ——— $match query language ———
 
   /** Compile a MongoDB query document to one boolean Column. */
@@ -419,6 +530,13 @@ object MongoPipeline {
     val (op, a) = (fields.head.getKey, fields.head.getValue)
     def args: Seq[Column] = a.elements().asScala.map(x => expression(x, binds)).toSeq
     op match {
+      // {$meta: "vectorSearchScore"}: read $vectorSearch's hidden
+      // score column (the only meta the engine defines — textScore
+      // etc. belong to features with no counterpart here, fail loudly)
+      case "$meta" =>
+        require(a.isTextual && a.asText() == "vectorSearchScore",
+          s"unsupported $$meta: $a")
+        col(VsScoreCol)
       case "$add"      => args.reduce(_ + _)
       case "$subtract" => args.reduce(_ - _)
       case "$multiply" => args.reduce(_ * _)

@@ -1069,6 +1069,100 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).sorted.toSeq == expectCks)
   }
 
+  // ——— $vectorSearch (C36) ———
+
+  test("$vectorSearch exact mode matches a plain-Scala cosine top-k; score hidden unless $meta asks") {
+    val ref = cat.embeddings.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val q = (0 until 64).map(i => ((i * 37) % 19 - 9) / 8.0).toArray
+    def cos(a: Array[Double]): Double = {
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) { dot += a(i) * q(i); na += a(i) * a(i); nb += q(i) * q(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qjson = q.mkString("[", ", ", "]")
+    val out = MongoPipeline(cat.embeddings,
+      s"""[{"$$vectorSearch": {"path": "embedding", "queryVector": $qjson,
+            "limit": 7, "exact": true}},
+           {"$$project": {"vec_id": 1, "score": {"$$meta": "vectorSearchScore"}}}]""")
+      .collect()
+    val expect = ref.map { case (id, emb, _) =>
+      (id, (1.0 + BigDecimal(cos(emb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) / 2.0)
+    }.sortBy { case (id, sc) => (-sc, id) }.take(7)
+    assert(out.length == 7)
+    out.zip(expect).foreach { case (row, (id, sc)) =>
+      assert(row.getLong(0) == id)
+      assert(math.abs(row.getDouble(1) - sc) < 1e-12,
+        s"vec $id spark=${row.getDouble(1)} scala=$sc")
+    }
+    // without a $meta projection the score column must not leak
+    val bare = MongoPipeline(cat.embeddings,
+      s"""[{"$$vectorSearch": {"path": "embedding", "queryVector": $qjson,
+            "limit": 3, "exact": true}}]""")
+    assert(bare.columns.toSeq == cat.embeddings.columns.toSeq)
+  }
+
+  test("$vectorSearch euclidean and dotProduct normalize per Atlas; ANN pool ⊆ corpus and respects filter") {
+    val q = (0 until 64).map(i => ((i * 29) % 17 - 8) / 8.0)
+    val qjson = q.mkString("[", ", ", "]")
+    val eu = MongoPipeline(cat.embeddings,
+      s"""[{"$$vectorSearch": {"path": "embedding", "queryVector": $qjson,
+            "limit": 5, "exact": true, "similarity": "euclidean"}},
+           {"$$project": {"vec_id": 1, "score": {"$$meta": "vectorSearchScore"}}}]""")
+      .collect()
+    assert(eu.length == 5)
+    // euclidean score = 1/(1+d²) ∈ (0, 1]
+    assert(eu.forall(r => r.getDouble(1) > 0 && r.getDouble(1) <= 1.0))
+    val ref = cat.embeddings.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    def d2(a: Seq[Double]): Double = {
+      // fixed array-index fold, like the stage
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - q(i); acc += d * d; i += 1 }
+      acc
+    }
+    val euExpect = ref.map { case (id, emb) =>
+      (id, 1.0 / (1.0 + BigDecimal(d2(emb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.sortBy { case (id, sc) => (-sc, id) }.take(5)
+    eu.zip(euExpect).foreach { case (row, (id, sc)) =>
+      assert(row.getLong(0) == id && math.abs(row.getDouble(1) - sc) < 1e-12)
+    }
+    val dp = MongoPipeline(cat.embeddings,
+      s"""[{"$$vectorSearch": {"path": "embedding", "queryVector": $qjson,
+            "limit": 5, "numCandidates": 30, "similarity": "dotProduct",
+            "filter": {"label": 0}}},
+           {"$$project": {"vec_id": 1, "label": 1,
+            "score": {"$$meta": "vectorSearchScore"}}}]""").collect()
+    assert(dp.length == 5)
+    assert(dp.forall(_.getInt(1) == 0)) // pre-filter applied
+  }
+
+  test("$vectorSearch contract errors: stage position, numCandidates, limit, unknown $meta") {
+    val q = (0 until 64).map(_ => 0.125).mkString("[", ", ", "]")
+    intercept[IllegalArgumentException] {
+      MongoPipeline(cat.embeddings,
+        s"""[{"$$match": {"label": 0}},
+             {"$$vectorSearch": {"path": "embedding", "queryVector": $q, "limit": 3}}]""")
+    }
+    intercept[IllegalArgumentException] { // ANN mode without numCandidates
+      MongoPipeline(cat.embeddings,
+        s"""[{"$$vectorSearch": {"path": "embedding", "queryVector": $q, "limit": 3}}]""")
+    }
+    intercept[IllegalArgumentException] { // numCandidates < limit
+      MongoPipeline(cat.embeddings,
+        s"""[{"$$vectorSearch": {"path": "embedding", "queryVector": $q,
+              "limit": 10, "numCandidates": 5}}]""")
+    }
+    intercept[IllegalArgumentException] { // unsupported meta kind
+      MongoPipeline(cat.embeddings,
+        s"""[{"$$vectorSearch": {"path": "embedding", "queryVector": $q,
+              "limit": 3, "exact": true}},
+             {"$$project": {"s": {"$$meta": "textScore"}}}]""")
+    }
+  }
+
   test("$geoNear anywhere but stage 0 fails loudly; missing key/distanceField too") {
     val base = geoPlaces
     intercept[IllegalArgumentException] {
