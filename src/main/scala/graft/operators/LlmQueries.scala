@@ -306,6 +306,14 @@ object LlmQueries {
     // —— H18b: bigram LM conditional log-prob, add-0.5 smoothing ——
     "text_bigram_lp" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")),
+    // —— H7e: unigram-LM tokenizer learning (SentencePiece family,
+    //    deterministic Viterbi hard-EM, 2 rounds) ——
+    "vocab_unigram_learn" -> ((s, dir) =>
+      TextAnalysis.unigramLearn(docs(s, dir), "doc_id", "text")),
+    // —— H22b: unigram-LM tokenizer apply — per-doc Viterbi
+    //    segmentation readout under the learned vocab ——
+    "text_unigram_tok" -> ((s, dir) =>
+      TextAnalysis.unigramApply(docs(s, dir), "doc_id", "text")),
     // —— G13: deterministic contrastive negative sampling, k=4 ——
     "embed_negatives" -> ((s, dir) =>
       Similarity.negativeSamples(emb(s, dir), k = 4)),
@@ -682,11 +690,18 @@ object LlmQueries {
     * replay for every lnDet-scored oracle (H18c trigram, H18d
     * Kneser-Ney) so the op-for-op parity argument lives in one place.
     */
-  private def lnDetCtes(src: String): String =
+  private def lnDetCtes(src: String): String = lnDetCtesN(src, "")
+
+  /** Suffix-parameterized form of [[lnDetCtes]] (CTEs `rd<sfx>` /
+    * `sr<sfx>`) so one oracle can replay the deterministic ln more
+    * than once — the unigram-LM EM re-costs its vocab every
+    * iteration.
+    */
+  private def lnDetCtesN(src: String, sfx: String): String =
     s"""-- deterministic ln (the engine's withLnDet, op for op): exact
        |-- power-of-two range reduction to m in [0.5,1), atanh series
        |-- through t^25, ln = 2*s - e*ln2 — zero libm anywhere
-       |rd AS (SELECT doc_id, tf,
+       |rd$sfx AS (SELECT doc_id, tf,
        |  CASE WHEN p*4294967296.0 < 1.0 THEN p*4294967296.0 ELSE p END AS m1,
        |  CASE WHEN p*4294967296.0 < 1.0 THEN 32 ELSE 0 END AS e1,
        |  CASE WHEN m1*65536.0 < 1.0 THEN m1*65536.0 ELSE m1 END AS m2,
@@ -700,7 +715,7 @@ object LlmQueries {
        |  CASE WHEN m5*2.0 < 1.0 THEN m5*2.0 ELSE m5 END AS m6,
        |  CASE WHEN m5*2.0 < 1.0 THEN e5+1 ELSE e5 END AS e6
        |  FROM $src),
-       |sr AS (SELECT doc_id, tf,
+       |sr$sfx AS (SELECT doc_id, tf,
        |  (m6 - 1.0) / (m6 + 1.0) AS t, t*t AS t2,
        |  t AS q1, q1*t2 AS q3, q3*t2 AS q5, q5*t2 AS q7, q7*t2 AS q9,
        |  q9*t2 AS q11, q11*t2 AS q13, q13*t2 AS q15, q15*t2 AS q17,
@@ -709,7 +724,86 @@ object LlmQueries {
        |         + q13/13.0 + q15/15.0 + q17/17.0 + q19/19.0 + q21/21.0
        |         + q23/23.0 + q25/25.0)
        |    - CAST(e6 AS DOUBLE) * 0.6931471805599453 AS lnp
-       |  FROM rd)""".stripMargin
+       |  FROM rd$sfx)""".stripMargin
+
+  /** H7e/H22b oracle scaffolding: the unigram-LM Viterbi hard-EM
+    * replayed in DuckDB op for op. Per EM round k: `lat`/`dp`/`seg`
+    * CTEs mirror [[TextAnalysis.unigramSegment]]'s two `aggregate`
+    * folds as `list_reduce` folds (the list-of-lists trick supplies
+    * the fold's init; the backward walk rides a VARCHAR list whose
+    * head is the current position), `cnt` re-counts pieces over the
+    * candidate set, and the suffixed lnDet replay re-costs them. All
+    * DP arithmetic is int64 micronats with the same (en, st)
+    * struct-sort tiebreaks, so every engine walks the same path.
+    */
+  private def unigramCtes(iters: Int, maxPieceLen: Int = 4,
+                          maxVocab: Int = 64): String = {
+    def costCtes(cntTbl: String, k: Int): String =
+      s"""tot$k AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS nc
+         |  FROM $cntTbl),
+         |lp$k AS (SELECT piece AS doc_id, cnt AS tf,
+         |  (CAST(cnt AS DOUBLE) + 0.5) /
+         |    (CAST(tot AS DOUBLE) + 0.5 * CAST(nc AS DOUBLE)) AS p
+         |  FROM $cntTbl CROSS JOIN tot$k),
+         |${lnDetCtesN(s"lp$k", k.toString)},
+         |cost$k AS (SELECT doc_id AS piece, tf AS cnt,
+         |  CAST(floor(lnp * -1000000.0) AS BIGINT) AS cost FROM sr$k)""".stripMargin
+    def segCtes(k: Int): String =
+      s"""lat$k AS (SELECT wp.w, wp.freq, length(wp.w) AS n,
+         |    list({'en': wp.en, 'st': wp.st, 'cost': c.cost}) AS ps
+         |  FROM wp JOIN cost${k - 1} c ON wp.piece = c.piece
+         |  GROUP BY wp.w, wp.freq),
+         |dp$k AS (SELECT w, freq, n, ps,
+         |    list_reduce(list_prepend([CAST(0 AS BIGINT)],
+         |        list_transform(range(1, n + 1), i -> [CAST(i AS BIGINT)])),
+         |      (acc, x) -> list_append(acc, coalesce(
+         |        list_min(list_transform(
+         |          list_filter(ps, p -> p.en = CAST(x[1] AS INT)),
+         |          p -> acc[p.st] + p.cost)),
+         |        CAST(1000000000000000 AS BIGINT)))) AS best
+         |  FROM lat$k),
+         |pth$k AS (SELECT w, freq, n, best,
+         |    list_reduce(list_prepend([''],
+         |        list_transform(range(1, n + 1), i -> [CAST(i AS VARCHAR)])),
+         |      (acc, x) -> list_append(acc,
+         |        list_transform(
+         |          [list_min(list_transform(list_filter(ps,
+         |              p -> p.en = CAST(x[1] AS INT)
+         |                AND best[p.st] + p.cost = best[CAST(x[1] AS INT) + 1]),
+         |            p -> p.st))],
+         |          s -> acc[s] || ' ' ||
+         |            substring(w, s, CAST(x[1] AS INT) - s + 1))[1]))
+         |    AS paths
+         |  FROM dp$k),
+         |seg$k AS (SELECT w, freq, n, best,
+         |    list_filter(string_split(paths[n + 1], ' '), x -> x <> '') AS segs
+         |  FROM pth$k),
+         |cnt$k AS (SELECT cand.piece, CAST(coalesce(sc.c, 0) AS BIGINT) AS cnt
+         |  FROM cand LEFT JOIN (SELECT seg AS piece, SUM(freq) AS c FROM (
+         |      SELECT unnest(segs) AS seg, freq FROM seg$k) GROUP BY 1) sc
+         |  ON cand.piece = sc.piece)""".stripMargin
+    val rounds = (1 to iters).map(k =>
+      s"${segCtes(k)},\n${costCtes(s"cnt$k", k)}").mkString(",\n")
+    s"""uw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+       |    FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |wp AS (SELECT w, freq, CAST(t.st AS INT) AS st,
+       |    CAST(t.st + u.ln - 1 AS INT) AS en,
+       |    substring(w, CAST(t.st AS INT), CAST(u.ln AS INT)) AS piece
+       |  FROM uw CROSS JOIN range(1, 65) t(st)
+       |    CROSS JOIN range(1, ${maxPieceLen + 1}) u(ln)
+       |  WHERE t.st <= length(w)
+       |    AND u.ln <= least($maxPieceLen, length(w) - t.st + 1)),
+       |c0 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM wp GROUP BY piece),
+       |cand AS (SELECT DISTINCT piece, cnt FROM (
+       |  (SELECT piece, cnt FROM c0 ORDER BY cnt DESC, piece LIMIT $maxVocab)
+       |  UNION ALL
+       |  (SELECT piece, cnt FROM c0 WHERE length(piece) = 1))),
+       |${costCtes("cand", 0)},
+       |$rounds""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1623,6 +1717,26 @@ object LlmQueries {
         |JOIN u ub ON ub.tok = split_part(b.bg, ' ', 2),
         |nt, nb
         |ORDER BY pmi DESC, bg LIMIT 20""".stripMargin,
+    // H7e: the 2-round unigram-LM hard-EM replay; the learned vocab
+    // is cost2 (piece, last E-step count, smoothed micronat cost)
+    "vocab_unigram_learn" ->
+      s"""WITH ${unigramCtes(2)}
+         |SELECT piece, cnt, cost AS cost_mnat FROM cost2""".stripMargin,
+    // H22b: one more Viterbi pass (seg3) under the final cost2 vocab,
+    // joined back to per-doc word counts
+    "text_unigram_tok" ->
+      s"""WITH ${unigramCtes(3)},
+         |aw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+         |    FROM documents)
+         |  WHERE length(w) > 0 GROUP BY doc_id, w),
+         |ws AS (SELECT w, CAST(len(segs) AS INT) AS np, best[n + 1] AS wcost
+         |  FROM seg3)
+         |SELECT doc_id, CAST(SUM(wc) AS BIGINT) AS n_words,
+         |  CAST(SUM(wc * np) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(wc * wcost) AS BIGINT) AS cost_mnat
+         |FROM aw JOIN ws USING (w) GROUP BY doc_id""".stripMargin,
     // H18b: sparse replay of the bigram LM — non-distinct bigram
     // comprehension (every occurrence), add-0.5 smoothing, micronat
     // fixed-point pre-sum

@@ -588,6 +588,174 @@ object TextAnalysis {
           .as("avg_logp_kn"))
   }
 
+  // ——— H7e/H22b: unigram-LM (SentencePiece-style) tokenizer ———
+
+  /** Candidate-piece lattice over the distinct-word table: one row per
+    * (word, start, end, piece) substring occurrence with piece length
+    * ≤ maxPieceLen — the shared input of candidate counting and every
+    * Viterbi pass. Never corpus-sized: |distinct words| · len · L.
+    */
+  private def unigramWp(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words.select(col("w"), col("freq"),
+      explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), st ->
+              transform(sequence(1, least($maxPieceLen, length(w) - st + 1)),
+                ln -> named_struct('st', st, 'ln', ln))))""")).as("sl"))
+      .select(col("w"), col("freq"), col("sl.st").as("st"),
+        (col("sl.st") + col("sl.ln") - 1).as("en"),
+        expr("substring(w, sl.st, sl.ln)").as("piece"))
+
+  /** Add-0.5-smoothed unigram piece costs in integer micronats:
+    * cost(piece) = ⌊−10⁶·ln p⌋ with p = (cnt+½)/(tot+½·|C|) and ln
+    * the deterministic [[withLnDet]] — so every Viterbi comparison
+    * downstream is pure int64 arithmetic, bit-identical on any
+    * engine/partitioning. Smoothing keeps pieces that the previous
+    * hard-EM segmentation abandoned alive (cnt = 0 still costs a
+    * finite amount), the standard guard against EM lock-in.
+    */
+  private def unigramCosts(cnts: DataFrame): DataFrame = {
+    val tot = broadcast(cnts.agg(sum(col("cnt")).as("tot"),
+      count(lit(1)).as("nc")))
+    val withP = cnts.crossJoin(tot)
+      .withColumn("__p", (col("cnt").cast("double") + lit(0.5)) /
+        (col("tot").cast("double") + lit(0.5) * col("nc").cast("double")))
+    withLnDet(withP, col("__p"), "__lnp")
+      .select(col("piece"), col("cnt"),
+        floor(col("__lnp") * lit(-1000000.0)).cast("long").as("cost"))
+  }
+
+  /** ONE declarative Viterbi pass: per distinct word, the minimal-cost
+    * segmentation into vocab pieces. The lattice join is broadcast
+    * (the candidate vocab is maxVocab+|chars| rows by construction),
+    * the DP is two `aggregate` folds over arrays of ≤ |word| · L
+    * structs — no shuffle beyond the one word-keyed groupBy, and the
+    * whole pass costs O(len·L) int64 ops per DISTINCT word, not per
+    * corpus occurrence. The first fold builds best[i] = min cost of
+    * the length-i prefix (best[0] = 0, INF-guarded, though single-char
+    * pieces make every position reachable); the second re-derives the
+    * canonical argmin path FORWARD — at every prefix end i the chosen
+    * last piece is the one with MINIMAL start among cost-achieving
+    * candidates (longest-piece-first; the piece itself is recovered
+    * as substring(w, st, i−st+1), so the fold carries only path
+    * strings, space-separated — words cannot contain spaces by
+    * construction). Viterbi ties are real (equal-cost splits) and a
+    * distributed replay must break them identically; both folds are
+    * order-insensitive in the lattice array (min over a filtered
+    * set), so the unsorted collect_list is safe.
+    */
+  private def unigramSegment(wp: DataFrame, cost: DataFrame): DataFrame =
+    wp.join(broadcast(cost.select(col("piece"), col("cost"))), "piece")
+      .groupBy(col("w"), col("freq"))
+      .agg(collect_list(struct(col("en"), col("st"), col("cost"))).as("ps"))
+      .withColumn("n", length(col("w")))
+      .withColumn("best", expr(
+        """aggregate(sequence(1, n), array(CAST(0 AS BIGINT)),
+             (acc, i) -> concat(acc, array(coalesce(
+               array_min(transform(filter(ps, p -> p.en = i),
+                 p -> element_at(acc, p.st) + p.cost)),
+               CAST(1000000000000000 AS BIGINT)))))"""))
+      .withColumn("__paths", expr(
+        """aggregate(sequence(1, n), array(''),
+             (acc, i) -> concat(acc, array(
+               element_at(transform(
+                 array(array_min(transform(filter(ps,
+                   p -> p.en = i AND
+                        element_at(best, p.st) + p.cost =
+                        element_at(best, i + 1)),
+                   p -> p.st))),
+                 s -> concat(element_at(acc, s), ' ',
+                   substring(w, s, i - s + 1))), 1))))"""))
+      .select(col("w"), col("freq"), col("n"),
+        element_at(col("best"), col("n") + 1).as("wcost"),
+        expr("filter(split(element_at(__paths, n + 1), ' '), x -> x <> '')")
+          .as("segs"))
+
+  /** Shared learn core: word vocab → candidate set → `iters` rounds of
+    * Viterbi hard-EM. Returns the (localCheckpoint'd) lattice and the
+    * final cost table so apply can segment without re-learning.
+    *
+    * 100 TB shape: ONE corpus scan builds the distinct-word table
+    * (localCheckpoint'd — the classifier_train seam, so the EM loop
+    * NEVER rescans the corpus); everything after runs on word-vocab- /
+    * piece-vocab-sized tables. The candidate cap is TakeOrdered (top
+    * maxVocab by (cnt DESC, piece)) ∪ all single chars — the union
+    * guarantees every word segments (full character coverage), the
+    * cap bounds the broadcast. Each EM round: segment (map-side
+    * broadcast join + per-row folds) → piece counts (vocab-sized
+    * shuffle) → smoothed costs. Hard (Viterbi) EM rather than full
+    * forward–backward: deterministic integer DP with exact tiebreaks
+    * is worth more at replay time than the soft E-step's fractional
+    * counts, and the coordinate-descent objective still decreases
+    * (spec-asserted).
+    */
+  private def unigramModel(docs: DataFrame, idCol: String, textCol: String,
+                           maxPieceLen: Int, maxVocab: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
+    require(iters >= 1, s"unigram EM needs at least one iteration: $iters")
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val wp = unigramWp(words, maxPieceLen).localCheckpoint()
+    val counts0 = wp.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val cand = counts0.orderBy(col("cnt").desc, col("piece")).limit(maxVocab)
+      .unionByName(counts0.filter(length(col("piece")) === 1))
+      .distinct().localCheckpoint()
+    var cost = unigramCosts(cand)
+    for (_ <- 1 to iters) {
+      val segCnt = unigramSegment(wp, cost)
+        .select(col("freq"), explode(col("segs")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("c"))
+      cost = unigramCosts(
+        cand.select(col("piece"))
+          .join(segCnt, Seq("piece"), "left")
+          .select(col("piece"), coalesce(col("c"), lit(0L)).as("cnt")))
+        .localCheckpoint() // bound the iterated plan (vocab-sized job)
+    }
+    (wp, cost)
+  }
+
+  /** H7e: unigram-LM tokenizer LEARNING (SentencePiece's model family,
+    * via deterministic Viterbi hard-EM) — the second trained tokenizer
+    * next to H7c's BPE, closing the same loop from the other classic
+    * direction: BPE grows pieces bottom-up by merge frequency; the
+    * unigram LM starts from all substrings and lets EM concentrate
+    * probability mass on the pieces that segment the corpus cheaply.
+    * Emits the final vocab: (piece, cnt, cost_mnat) with cnt the last
+    * hard-E-step piece count and cost_mnat the smoothed −10⁶·ln p.
+    */
+  def unigramLearn(docs: DataFrame, idCol: String, textCol: String,
+                   maxPieceLen: Int = 4, maxVocab: Int = 64,
+                   iters: Int = 2): DataFrame = {
+    val (_, cost) = unigramModel(docs, idCol, textCol, maxPieceLen, maxVocab, iters)
+    cost.select(col("piece"), col("cnt"), col("cost").as("cost_mnat"))
+  }
+
+  /** H22b: unigram-LM tokenizer APPLY — Viterbi-segment every document
+    * under the learned vocab and emit per-doc (n_words, n_pieces,
+    * cost_mnat = Σ best-path cost). The segmentation runs ONCE per
+    * DISTINCT word (the dedup move — at 100 TB the word vocab is
+    * millions of rows; the corpus is billions of occurrences) and
+    * joins back to doc-level word counts on the word key; the join's
+    * small side is the segmented vocab, left to AQE to broadcast or
+    * shuffle by measured size.
+    */
+  def unigramApply(docs: DataFrame, idCol: String, textCol: String,
+                   maxPieceLen: Int = 4, maxVocab: Int = 64,
+                   iters: Int = 2): DataFrame = {
+    val (wp, cost) = unigramModel(docs, idCol, textCol, maxPieceLen, maxVocab, iters)
+    val ws = unigramSegment(wp, cost)
+      .select(col("w"), size(col("segs")).as("np"), col("wcost"))
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("wc"))
+      .join(ws, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wc")).as("n_words"),
+        sum(col("wc") * col("np")).as("n_pieces"),
+        sum(col("wc") * col("wcost")).as("cost_mnat"))
+  }
+
   /** H7d: PMI phrase mining — top-k adjacent token pairs by pointwise
     * mutual information, the classic collocation/phrase-detection
     * statistic (word2vec-phrases, NPMI corpus studies):

@@ -1171,4 +1171,61 @@ class CurationSpec extends SparkTestBase {
     // α=1 → p_temp is the plain token share
     assert(out("a")._1 == 0.3 && out("b")._1 == 0.7)
   }
+
+  // ——— unigram-LM tokenizer (H7e learn / H22b apply) ———
+
+  test("unigram learn: pieces are corpus substrings, single chars always covered, counts consistent") {
+    val docs = docsDf(
+      1L -> "spark spark stream",
+      2L -> "spa park stream stream")
+    val vocab = TextAnalysis.unigramLearn(docs, "doc_id", "text",
+      maxPieceLen = 3, maxVocab = 16, iters = 2).collect()
+    val words = Seq("spark", "stream", "spa", "park")
+    val chars = words.flatMap(_.toSeq).toSet
+    vocab.foreach { r =>
+      val piece = r.getString(0)
+      assert(words.exists(_.contains(piece)), s"piece $piece not a substring")
+      assert(r.getLong(2) > 0, "smoothed cost must be positive")
+    }
+    // full character coverage survives the maxVocab cap
+    val pieces = vocab.map(_.getString(0)).toSet
+    chars.foreach(c => assert(pieces.contains(c.toString), s"char $c missing"))
+    // hard-EM counts: total piece occurrences ≤ total corpus chars
+    // (each char consumed by exactly one piece per word occurrence)
+    val totChars = Seq("spark" -> 2, "stream" -> 3, "spa" -> 1, "park" -> 1)
+      .map { case (w, f) => w.length * f }.sum
+    assert(vocab.map(_.getLong(1)).sum <= totChars)
+  }
+
+  test("unigram apply: EM concentrates mass so frequent whole words become single pieces") {
+    // 'zq' dominates; the lone 'z q' doc keeps both singles alive
+    val docs = docsDf(
+      (1L to 10L).map(i => i -> "zq zq zq zq") :+ (11L -> "z q"): _*)
+    val out = TextAnalysis.unigramApply(docs, "doc_id", "text",
+        maxPieceLen = 2, maxVocab = 8, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // p(zq) ≈ p(z) ≈ p(q) ⇒ one 'zq' piece beats 'z'+'q' — each
+    // frequent word segments as ONE piece
+    (1L to 10L).foreach(i => assert(out(i) == ((4L, 4L)), s"doc $i: ${out(i)}"))
+    assert(out(11L) == ((2L, 2L)))
+  }
+
+  test("unigram EM objective is non-increasing across iterations and runs deterministically") {
+    val docs = TableCatalog(spark, sfDir).documents
+    def totalCost(iters: Int): Long =
+      TextAnalysis.unigramApply(docs, "doc_id", "text", iters = iters)
+        .agg(sum(col("cost_mnat"))).collect().head.getLong(0)
+    val j1 = totalCost(1)
+    val j2 = totalCost(2)
+    // hard-EM coordinate descent: re-segmentation can only lower the
+    // objective; the smoothed M-step is within α-mass of the ML
+    // minimizer, hence the 1% + 1-nat slack
+    assert(j2 <= math.round(j1 * 1.01) + 1000000L, s"J1=$j1 J2=$j2")
+    val a = TextAnalysis.unigramLearn(docs, "doc_id", "text")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = TextAnalysis.unigramLearn(docs, "doc_id", "text")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
 }
