@@ -271,6 +271,11 @@ object LlmQueries {
         tokCol = size(tokens(col("text"))).cast("long"),
         alpha = 0.3, budget = 100000L, capEpochs = 2L)
     }),
+    // —— H25: DoReMi-style excess-loss domain reweighting (weak
+    //    unigram reference vs KN-trigram proxy, deterministic exp) ——
+    "corpus_mix_doremi" -> ((s, dir) =>
+      graft.operators.Pipeline100TB.doremiMix(docs(s, dir),
+        "doc_id", "text", "source")),
     // —— G21: Count-Min sketch with probe-term error readout ——
     "sketch_cms" -> ((s, dir) =>
       graft.operators.Pipeline100TB.cmsProbe(docs(s, dir), "text",
@@ -725,6 +730,93 @@ object LlmQueries {
        |         + q23/23.0 + q25/25.0)
        |    - CAST(e6 AS DOUBLE) * 0.6931471805599453 AS lnp
        |  FROM rd$sfx)""".stripMargin
+
+  /** H18's unigram-LM per-doc score chain as prefix-`p` CTEs ending in
+    * `<p>lp(doc_id, n_tok, avg_logp)` — ONE definition shared by the
+    * standalone `text_unigram_lp` oracle and the H25 DoReMi
+    * composition, so the reference leg can never drift. The libm `ln`
+    * parity caveat H18 documents is absorbed by the 4-decimal round
+    * exactly as in the standalone query.
+    */
+  private def uniLpCtes(p: String): String =
+    s"""${p}t AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+       |  FROM documents),
+       |${p}tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ${p}t GROUP BY 1, 2),
+       |${p}cf AS (SELECT doc_id, tok, tf,
+       |         SUM(tf) OVER (PARTITION BY tok) AS cf
+       |       FROM ${p}tf),
+       |${p}nt AS (SELECT CAST(SUM(tf) AS DOUBLE) AS nt FROM ${p}tf),
+       |${p}c AS (SELECT doc_id, tf,
+       |        CAST(round(CAST(tf AS DOUBLE)
+       |               * ln(CAST(cf AS DOUBLE) / nt) * 1000000.0) AS BIGINT)
+       |          AS micronats
+       |      FROM ${p}cf, ${p}nt),
+       |${p}lp AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+       |  round(CAST(SUM(micronats) AS BIGINT) / 1000000.0 / SUM(tf), 4)
+       |    AS avg_logp
+       |  FROM ${p}c GROUP BY doc_id)""".stripMargin
+
+  /** H18d's Kneser-Ney per-doc score chain as prefix-`p` CTEs ending
+    * in `<p>lp(doc_id, n_tri, avg_logp_kn)` — shared by the
+    * standalone `text_kn_lp` oracle and the H25 DoReMi proxy leg.
+    * Inner table aliases keep the body references unprefixed; the
+    * lnDet replay rides the same prefix. The N₁₊(··) total rides the
+    * cc CTE as a window over the GROUPED result (Σ over c partitions
+    * = COUNT(*) of cb): a separate 1-row CTE re-referencing the cb
+    * chain sends DuckDB's join-order planner into a minutes-long
+    * spiral.
+    */
+  private def knLpCtes(p: String): String =
+    s"""${p}t AS (SELECT doc_id,
+       |  string_split_regex(trim(lower(text)), ' +') AS toks
+       |  FROM documents),
+       |${p}t3 AS (SELECT doc_id,
+       |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                 for i in generate_series(1, len(toks)-2)]) AS tg
+       |       FROM ${p}t WHERE len(toks) >= 3),
+       |${p}dtf AS (SELECT doc_id, tg, COUNT(*) AS tf FROM ${p}t3 GROUP BY 1, 2),
+       |${p}cf3 AS (SELECT tg, CAST(SUM(tf) AS BIGINT) AS cf3,
+       |         split_part(tg,' ',1) || ' ' || split_part(tg,' ',2) AS ab,
+       |         split_part(tg,' ',2) || ' ' || split_part(tg,' ',3) AS bc,
+       |         split_part(tg,' ',2) AS b,
+       |         split_part(tg,' ',3) AS c
+       |       FROM ${p}dtf GROUP BY 1),
+       |${p}x3 AS (SELECT ab, CAST(SUM(cf3) AS BIGINT) AS cab,
+       |         CAST(COUNT(*) AS BIGINT) AS n1p_ab
+       |       FROM ${p}cf3 GROUP BY 1),
+       |${p}cb AS (SELECT bc, CAST(COUNT(*) AS BIGINT) AS n1p_bc,
+       |         split_part(bc,' ',1) AS b, split_part(bc,' ',2) AS c
+       |       FROM ${p}cf3 GROUP BY bc),
+       |${p}mb AS (SELECT b, CAST(SUM(n1p_bc) AS BIGINT) AS n1p_mid_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n1p_b_dot
+       |       FROM ${p}cb GROUP BY 1),
+       |${p}cc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n1p_c,
+       |         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS nbc
+       |       FROM ${p}cb GROUP BY 1),
+       |${p}c0 AS (SELECT dtf.doc_id, dtf.tf,
+       |          (CAST(cf3.cf3 AS DOUBLE) - 0.75) / CAST(x3.cab AS DOUBLE)
+       |        + 0.75 * CAST(x3.n1p_ab AS DOUBLE) / CAST(x3.cab AS DOUBLE)
+       |          * ((CAST(cb.n1p_bc AS DOUBLE) - 0.75)
+       |               / CAST(mb.n1p_mid_b AS DOUBLE)
+       |             + 0.75 * CAST(mb.n1p_b_dot AS DOUBLE)
+       |               / CAST(mb.n1p_mid_b AS DOUBLE)
+       |               * (CAST(cc.n1p_c AS DOUBLE)
+       |                  / CAST(cc.nbc AS DOUBLE))) AS p
+       |      FROM ${p}dtf dtf JOIN ${p}cf3 cf3 USING (tg)
+       |      JOIN ${p}x3 x3 ON x3.ab = cf3.ab
+       |      JOIN ${p}cb cb ON cb.bc = cf3.bc
+       |      JOIN ${p}mb mb ON mb.b = cf3.b
+       |      JOIN ${p}cc cc ON cc.c = cf3.c),
+       |${lnDetCtesN(s"${p}c0", p)},
+       |${p}mn AS (SELECT doc_id, tf,
+       |        CAST(round(CAST(tf AS DOUBLE) * lnp * 1000000.0) AS BIGINT)
+       |          AS micronats
+       |      FROM sr$p),
+       |${p}lp AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tri,
+       |  round(CAST(SUM(micronats) AS DOUBLE)
+       |        / (CAST(SUM(tf) AS DOUBLE) * 100.0)) / 10000.0 AS avg_logp_kn
+       |  FROM ${p}mn GROUP BY 1)""".stripMargin
 
   /** H7e/H22b oracle scaffolding: the unigram-LM Viterbi hard-EM
     * replayed in DuckDB op for op. Per EM round k: `lat`/`dp`/`seg`
@@ -1827,77 +1919,56 @@ object LlmQueries {
     // trigram-TYPE table cf3; one fixed-order IEEE formula, shared
     // lnDet CTEs, micronat fixed-point pre-sum
     "text_kn_lp" ->
-      s"""WITH t AS (SELECT doc_id,
-        |  string_split_regex(trim(lower(text)), ' +') AS toks
-        |  FROM documents),
-        |t3 AS (SELECT doc_id,
-        |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |                 for i in generate_series(1, len(toks)-2)]) AS tg
-        |       FROM t WHERE len(toks) >= 3),
-        |dtf AS (SELECT doc_id, tg, COUNT(*) AS tf FROM t3 GROUP BY 1, 2),
-        |cf3 AS (SELECT tg, CAST(SUM(tf) AS BIGINT) AS cf3,
-        |         split_part(tg,' ',1) || ' ' || split_part(tg,' ',2) AS ab,
-        |         split_part(tg,' ',2) || ' ' || split_part(tg,' ',3) AS bc,
-        |         split_part(tg,' ',2) AS b,
-        |         split_part(tg,' ',3) AS c
-        |       FROM dtf GROUP BY 1),
-        |x3 AS (SELECT ab, CAST(SUM(cf3) AS BIGINT) AS cab,
-        |         CAST(COUNT(*) AS BIGINT) AS n1p_ab
-        |       FROM cf3 GROUP BY 1),
-        |cb AS (SELECT bc, CAST(COUNT(*) AS BIGINT) AS n1p_bc,
-        |         split_part(bc,' ',1) AS b, split_part(bc,' ',2) AS c
-        |       FROM cf3 GROUP BY bc),
-        |mb AS (SELECT b, CAST(SUM(n1p_bc) AS BIGINT) AS n1p_mid_b,
-        |         CAST(COUNT(*) AS BIGINT) AS n1p_b_dot
-        |       FROM cb GROUP BY 1),
-        |-- the N₁₊(··) total rides cc as a window over the GROUPED
-        |-- result (Σ over c partitions of cb = COUNT(*) of cb): a
-        |-- separate 1-row CTE re-referencing the cb chain sends
-        |-- DuckDB's join-order planner into a minutes-long spiral
-        |cc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n1p_c,
-        |         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS nbc
-        |       FROM cb GROUP BY 1),
-        |c0 AS (SELECT dtf.doc_id, dtf.tf,
-        |          (CAST(cf3.cf3 AS DOUBLE) - 0.75) / CAST(x3.cab AS DOUBLE)
-        |        + 0.75 * CAST(x3.n1p_ab AS DOUBLE) / CAST(x3.cab AS DOUBLE)
-        |          * ((CAST(cb.n1p_bc AS DOUBLE) - 0.75)
-        |               / CAST(mb.n1p_mid_b AS DOUBLE)
-        |             + 0.75 * CAST(mb.n1p_b_dot AS DOUBLE)
-        |               / CAST(mb.n1p_mid_b AS DOUBLE)
-        |               * (CAST(cc.n1p_c AS DOUBLE)
-        |                  / CAST(cc.nbc AS DOUBLE))) AS p
-        |      FROM dtf JOIN cf3 USING (tg)
-        |      JOIN x3 ON x3.ab = cf3.ab
-        |      JOIN cb ON cb.bc = cf3.bc
-        |      JOIN mb ON mb.b = cf3.b
-        |      JOIN cc ON cc.c = cf3.c),
-        |${lnDetCtes("c0")},
-        |c AS (SELECT doc_id, tf,
-        |        CAST(round(CAST(tf AS DOUBLE) * lnp * 1000000.0) AS BIGINT)
-        |          AS micronats
-        |      FROM sr)
-        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tri,
-        |  round(CAST(SUM(micronats) AS DOUBLE)
-        |        / (CAST(SUM(tf) AS DOUBLE) * 100.0)) / 10000.0 AS avg_logp_kn
-        |FROM c GROUP BY 1""".stripMargin,
+      s"""WITH ${knLpCtes("n")}
+         |SELECT doc_id, n_tri, avg_logp_kn FROM nlp""".stripMargin,
     "text_unigram_lp" ->
-      """WITH t AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
-        |  FROM documents),
-        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
-        |cf AS (SELECT doc_id, tok, tf,
-        |         SUM(tf) OVER (PARTITION BY tok) AS cf
-        |       FROM tf),
-        |nt AS (SELECT CAST(SUM(tf) AS DOUBLE) AS nt FROM tf),
-        |c AS (SELECT doc_id, tf,
-        |        CAST(round(CAST(tf AS DOUBLE)
-        |               * ln(CAST(cf AS DOUBLE) / nt) * 1000000.0) AS BIGINT)
-        |          AS micronats
-        |      FROM cf, nt)
-        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
-        |  round(CAST(SUM(micronats) AS BIGINT) / 1000000.0 / SUM(tf), 4)
-        |    AS avg_logp
-        |FROM c GROUP BY doc_id""".stripMargin,
+      s"""WITH ${uniLpCtes("u")}
+         |SELECT doc_id, n_tok, avg_logp FROM ulp""".stripMargin,
+    // H25: DoReMi excess-loss reweighting — the two score chains are
+    // the FACTORED uni/kn CTE builders (can't drift from their
+    // standalone oracles), composed with the deterministic-exp replay
+    "corpus_mix_doremi" ->
+      s"""WITH ${uniLpCtes("u")},
+         |${knLpCtes("k")},
+         |pd AS (SELECT d.source, u.n_tok,
+         |    CAST(round(k.avg_logp_kn * 10000.0) AS BIGINT)
+         |      - CAST(round(u.avg_logp * 10000.0) AS BIGINT) AS ex
+         |  FROM documents d JOIN ulp u ON u.doc_id = d.doc_id
+         |  JOIN klp k ON k.doc_id = d.doc_id),
+         |dom AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS toks,
+         |    CAST(SUM(ex) AS BIGINT) AS sx
+         |  FROM pd GROUP BY 1),
+         |dx AS (SELECT *, CAST(round(CAST(sx AS DOUBLE) * 100.0
+         |    / CAST(n_docs AS DOUBLE)) AS BIGINT) AS excess_micro FROM dom),
+         |-- deterministic exp (the engine's withExpDet, op for op):
+         |-- k = floor(x/ln2 + 1/2), Taylor to r^12/12!, exact 2^k fold
+         |e1 AS (SELECT *,
+         |    CAST(excess_micro AS DOUBLE) / 1000000.0 * 1.0 AS xv FROM dx),
+         |e2 AS (SELECT *, CAST(floor(xv * 1.4426950408889634 + 0.5) AS INT)
+         |    AS xk FROM e1),
+         |e3 AS (SELECT *, xv - CAST(xk AS DOUBLE) * 0.6931471805599453 AS xr
+         |  FROM e2),
+         |e4 AS (SELECT *, xr AS p1, p1*xr AS p2, p2*xr AS p3, p3*xr AS p4,
+         |    p4*xr AS p5, p5*xr AS p6, p6*xr AS p7, p7*xr AS p8,
+         |    p8*xr AS p9, p9*xr AS p10, p10*xr AS p11, p11*xr AS p12
+         |  FROM e3),
+         |e5 AS (SELECT *, 1.0 + p1 + p2/2.0 + p3/6.0 + p4/24.0 + p5/120.0
+         |    + p6/720.0 + p7/5040.0 + p8/40320.0 + p9/362880.0
+         |    + p10/3628800.0 + p11/39916800.0 + p12/479001600.0 AS xs
+         |  FROM e4),
+         |e6 AS (SELECT *, list_reduce(list_concat([xs],
+         |      list_transform(range(1, abs(xk) + 1),
+         |        i -> CASE WHEN xk > 0 THEN 2.0 ELSE 0.5 END)),
+         |    (a, b) -> a * b) AS expv FROM e5),
+         |w1 AS (SELECT *, CAST(SUM(toks) OVER () AS BIGINT) AS tot FROM e6),
+         |w2 AS (SELECT *, CAST(round(CAST(toks AS DOUBLE) / CAST(tot AS DOUBLE)
+         |    * expv * 1000000000.0) AS BIGINT) AS wm FROM w1),
+         |w3 AS (SELECT *, CAST(SUM(wm) OVER () AS BIGINT) AS sw FROM w2)
+         |SELECT source, n_docs, toks, excess_micro,
+         |  CAST(round(CAST(wm AS DOUBLE) * 1000000.0 / CAST(sw AS DOUBLE))
+         |    AS BIGINT) AS weight_ppm
+         |FROM w3""".stripMargin,
     "embed_negatives" ->
       """WITH n AS (SELECT MAX(vec_id) + 1 AS nv FROM embeddings),
         |j AS (SELECT e.vec_id AS anchor, e.label AS a_label,

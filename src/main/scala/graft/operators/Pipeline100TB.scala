@@ -456,6 +456,8 @@ object Pipeline100TB {
     *     capped set is bit-deterministic), then
     *     λ = (T − Σ_capped cap_i)/(L − m).
     *
+    * See also [[doremiMix]] for the excess-loss-driven alternative.
+    *
     * Shape: ONE partial-aggregated corpus shuffle to the per-domain
     * totals; everything after (window rank, prefix sums, the λ
     * aggregate) runs on the DOMAIN frame — rows = #domains, so the
@@ -499,6 +501,67 @@ object Pipeline100TB {
           .as("p_temp"),
         round(alloc, 4).as("alloc_tok"),
         round(alloc / col("n_tok").cast("double"), 6).as("epochs"))
+  }
+
+  /** H25: DoReMi-style excess-loss domain reweighting — the
+    * mixture-weight signal of Xie et al.'s DoReMi, re-expressed on
+    * models this engine already trains from the corpus itself: the
+    * REFERENCE model is the weak unigram LM
+    * ([[TextAnalysis.unigramLogProb]]) and the PROXY the strong
+    * Kneser-Ney trigram ([[TextAnalysis.knTrigramLogProb]]); a
+    * domain's excess = mean per-doc (lp_proxy − lp_reference) — how
+    * much a higher-capacity sequence model GAINS on that domain, the
+    * "learnable headroom" DoReMi's group-DRO loop chases with trained
+    * proxies. One exponentiated-gradient step then tilts the baseline
+    * token shares: w_d ∝ share_d · exp(η · excess_d), normalized.
+    *
+    * Determinism end to end: both scores arrive 4-decimal-rounded, so
+    * `round(·10⁴)` lifts them to EXACT int64 deci-millinats; domain
+    * sums are int64; the mean re-enters doubles only through the
+    * established scale-0-round trick; exp is the deterministic
+    * [[TextAnalysis.withExpDet]] (range-reduce + Taylor + exact 2^k
+    * fold — zero libm); normalization integerizes to ppm BEFORE
+    * dividing, with int64 window totals (order-free). Docs with < 3
+    * tokens have no trigram position and drop from BOTH legs (inner
+    * joins — the same exclusion the proxy score itself makes).
+    *
+    * Shape: the two score pipelines are vocab/doc-sized plans (each
+    * one corpus explode+shuffle); everything after the per-domain
+    * groupBy runs on #domains rows, where the unpartitioned windows
+    * are a handful of aggregated rows, never the corpus (the
+    * [[mixTemperature]] precedent).
+    */
+  def doremiMix(docs: DataFrame, idCol: String, textCol: String,
+                srcCol: String, eta: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uni = TextAnalysis.unigramLogProb(docs, idCol, textCol)
+    val kn = TextAnalysis.knTrigramLogProb(docs, idCol, textCol)
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"))
+      .join(uni, "doc_id")
+      .join(kn.select(col("doc_id"), col("avg_logp_kn")), "doc_id")
+      .withColumn("__ex",
+        round(col("avg_logp_kn") * lit(10000.0)).cast("long") -
+          round(col("avg_logp") * lit(10000.0)).cast("long"))
+    val dom = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("toks"),
+        sum(col("__ex")).as("__sx"))
+      .withColumn("excess_micro",
+        round(col("__sx").cast("double") * lit(100.0) /
+          col("n_docs").cast("double")).cast("long"))
+    val w = Window.partitionBy() // #domains rows, post-aggregation
+    TextAnalysis.withExpDet(
+        dom.withColumn("__x",
+          col("excess_micro").cast("double") / lit(1000000.0) * lit(eta)),
+        col("__x"), "__exp")
+      .withColumn("__tot", sum(col("toks")).over(w)) // int64: order-free
+      .withColumn("__wm",
+        round(col("toks").cast("double") / col("__tot").cast("double") *
+          col("__exp") * lit(1000000000.0)).cast("long"))
+      .withColumn("__sw", sum(col("__wm")).over(w))
+      .select(col("source"), col("n_docs"), col("toks"), col("excess_micro"),
+        round(col("__wm").cast("double") * lit(1000000.0) /
+          col("__sw").cast("double")).cast("long").as("weight_ppm"))
   }
 
   /** G16: mixture diagnostics — per-source KL divergence of the

@@ -441,6 +441,43 @@ object TextAnalysis {
       Seq("__t", "__t2") ++ (0 to 12).map(j => s"__q${2 * j + 1}"): _*)
   }
 
+  /** Deterministic natural exp — [[withLnDet]]'s sibling, same
+    * contract: BOTH engines evaluate the SAME sequence of IEEE-754
+    * +,−,×,÷ ops, so the result is bit-identical by construction.
+    *   1. range-reduce x = k·ln2 + r with k = ⌊x/ln2 + ½⌋ (floor is
+    *      exact; |r| ≤ ln2/2 ≈ 0.347);
+    *   2. Taylor series 1 + r + r²/2! + … + r¹²/12! as named power
+    *      columns, left-associated sum (truncation ≈ 10⁻¹⁶);
+    *   3. scale by 2^k as an UNROLLED fold of exact ×2 / ×0.5 steps
+    *      (`aggregate` over sequence — a power-of-two multiply is
+    *      exact, so the fold introduces zero rounding), no libm
+    *      `pow` anywhere.
+    */
+  private[graft] def withExpDet(df: DataFrame, x: Column,
+                                out: String): DataFrame = {
+    val d1 = df
+      .withColumn("__xv", x)
+      .withColumn("__xk",
+        floor(col("__xv") * lit(1.4426950408889634) + lit(0.5)).cast("int"))
+      .withColumn("__xr",
+        col("__xv") - col("__xk").cast("double") * lit(0.6931471805599453))
+    val withP = (2 to 12).foldLeft(d1.withColumn("__xp1", col("__xr"))) {
+      (d, j) => d.withColumn(s"__xp$j", col(s"__xp${j - 1}") * col("__xr"))
+    }
+    val factorials = Seq(1L, 2L, 6L, 24L, 120L, 720L, 5040L, 40320L,
+      362880L, 3628800L, 39916800L, 479001600L)
+    val series = (2 to 12).foldLeft(lit(1.0) + col("__xp1"): Column) {
+      (acc, j) => acc + col(s"__xp$j") / lit(factorials(j - 1).toDouble)
+    }
+    withP.withColumn("__xs", series)
+      .withColumn(out, expr(
+        """IF(__xk = 0, __xs,
+             aggregate(sequence(1, abs(__xk)), __xs,
+               (acc, i) -> IF(__xk > 0, acc * 2.0, acc * 0.5)))"""))
+      .drop("__xv" :: "__xk" :: "__xr" :: "__xs" ::
+        (1 to 12).map(j => s"__xp$j").toList: _*)
+  }
+
   def trigramLogProb(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     import org.apache.spark.sql.GraftBridge

@@ -1172,6 +1172,49 @@ class CurationSpec extends SparkTestBase {
     assert(out("a")._1 == 0.3 && out("b")._1 == 0.7)
   }
 
+  // ——— DoReMi mixture (H25) + deterministic exp ———
+
+  test("withExpDet matches math.exp to 1e-12 relative across [-20, 20]") {
+    import spark.implicits._
+    val xs = (-200 to 200).map(_ / 10.0)
+    val out = TextAnalysis.withExpDet(xs.toDF("x"), col("x"), "e")
+      .select("x", "e").collect()
+    assert(out.length == xs.length)
+    out.foreach { r =>
+      val (x, e) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(e - math.exp(x)) <= 1e-12 * math.exp(x),
+        s"x=$x det=$e libm=${math.exp(x)}")
+    }
+  }
+
+  test("doremiMix upweights the domain a sequence model gains most on") {
+    import spark.implicits._
+    // both domains share ONE unigram distribution (9 tokens, 3 types,
+    // equal counts) so the reference model scores them identically;
+    // 'seq' repeats a fixed trigram pattern the KN proxy learns,
+    // 'bag' scatters the same tokens into per-doc derangements
+    val seq = (1L to 4L).map(i =>
+      (i, "seq", "alpha beta gamma alpha beta gamma alpha beta gamma"))
+    val bags = Seq(
+      "gamma alpha beta beta gamma alpha alpha gamma beta",
+      "beta gamma alpha gamma beta alpha beta alpha gamma",
+      "alpha gamma beta gamma alpha beta beta gamma alpha",
+      "gamma beta alpha alpha gamma beta gamma alpha beta")
+    val bag = bags.zipWithIndex.map { case (t, i) => (10L + i, "bag", t) }
+    val docs = (seq ++ bag).toDF("doc_id", "source", "text")
+    val out = Pipeline100TB.doremiMix(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set("seq", "bag"))
+    val (exSeq, wSeq) = out("seq")
+    val (exBag, wBag) = out("bag")
+    assert(exSeq > exBag,
+      s"sequence-model gain should concentrate on seq: $exSeq vs $exBag")
+    // equal token shares ⇒ the exp tilt alone decides the weights
+    assert(wSeq > wBag)
+    assert(math.abs(wSeq + wBag - 1000000L) <= 2, s"ppm sum: ${wSeq + wBag}")
+  }
+
   // ——— unigram-LM tokenizer (H7e learn / H22b apply) ———
 
   test("unigram learn: pieces are corpus substrings, single chars always covered, counts consistent") {
