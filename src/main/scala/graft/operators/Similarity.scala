@@ -304,31 +304,42 @@ object Similarity {
     * any sane cell size at 100 TB (and k-means quality is unaffected
     * by micro-rounding the centroid).
     */
-  def ivfTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 8, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    withCosine(s)
+  private def centDf(s: SparkSession,
+                     cents: Seq[(Int, Seq[Float])]): DataFrame = {
     import s.implicits._
+    broadcast(cents.toDF("cid", "cvec"))
+  }
 
-    def centDf(cents: Seq[(Int, Seq[Float])]): DataFrame =
-      broadcast(cents.toDF("cid", "cvec"))
+  /** Cosine-argmax cell assignment against a broadcast centroid frame
+    * (ties → lower cid, the G17 `max_by(cid, struct(cs, −cid))`
+    * rule): (vec_id, cid, embedding). Shared by [[ivfTopK]]'s train
+    * loop/search and [[clusterEval]] so assignment can never drift
+    * between the index and its quality readout.
+    */
+  private def ivfAssign(emb: DataFrame, c: DataFrame): DataFrame =
+    emb.join(c, expr("true"))
+      .withColumn("cs", expr("cosine_sim(embedding, cvec)"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"),
+        first(col("embedding")).as("embedding"))
 
+  /** [[ivfTopK]]'s deterministic Lloyd loop as shareable driver model
+    * state (init = first `nlist` vectors; per iteration: [[ivfAssign]]
+    * + exact scaled-int64 re-center with float32 snap).
+    */
+  private[operators] def trainedCentroids(s: SparkSession, emb: DataFrame,
+                                          nlist: Int, iters: Int)
+      : Seq[(Int, Seq[Float])] = {
+    withCosine(s)
     var cents: Seq[(Int, Seq[Float])] = emb.filter(col("vec_id") < nlist)
       .orderBy("vec_id")
       .collect()
       .map(r => (r.getAs[Long]("vec_id").toInt,
         r.getSeq[Float](r.fieldIndex("embedding"))))
       .toSeq
-
-    def assign(c: DataFrame): DataFrame =
-      emb.join(c, expr("true"))
-        .withColumn("cs", expr("cosine_sim(embedding, cvec)"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"),
-          first(col("embedding")).as("embedding"))
-
     val Scale = 1048576.0 // 2^20: exact int64 accumulation, order-free
     for (_ <- 1 to iters) {
-      val assigned = assign(centDf(cents))
+      val assigned = ivfAssign(emb, centDf(s, cents))
       // vector-summed re-center: one Array[Long] buffer per cell, no
       // 64× posexplode row inflation (identical Σ round(v·2²⁰) sums)
       cents = assigned
@@ -343,11 +354,18 @@ object Similarity {
         .map(r => (r.getAs[Int]("cid"), r.getSeq[Float](1)))
         .toSeq
     }
+    cents
+  }
 
-    val cells = assign(centDf(cents)).select(col("vec_id"), col("cid"),
-      col("embedding"))
+  def ivfTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 8, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    withCosine(s)
+
+    val cents = trainedCentroids(s, emb, nlist, iters)
+    val cells = ivfAssign(emb, centDf(s, cents)).select(col("vec_id"),
+      col("cid"), col("embedding"))
     val probes = queries
-      .join(centDf(cents), expr("true"))
+      .join(centDf(s, cents), expr("true"))
       .withColumn("cs", expr("cosine_sim(embedding, cvec)"))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
@@ -363,6 +381,72 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cos_r"), col("rank"))
+  }
+
+  /** G25: clustering-quality evaluation of the trained IVF index —
+    * the Davies-Bouldin readout: per cell, intra-cluster scatter
+    * S_i = mean member→centroid distance; per cell pair, centroid
+    * separation M_ij; R_i = max_{j≠i} (S_i + S_j)/M_ij; DB index =
+    * mean R_i (lower = tighter, better-separated cells — the knob
+    * readout for nlist/iters, the role `sim_recall_matrix` plays for
+    * search recall and `dedup_eval` for banding). Uses the SAME
+    * [[trainedCentroids]] + [[ivfAssign]] the index itself uses, so
+    * the evaluation can never drift from what search actually probes.
+    *
+    * Determinism: every distance is the exact-integer idiom —
+    * components quantize to round(v·2²⁰) int64, squared-L2 sums
+    * integer diffs (order-free), the root is correctly-rounded IEEE
+    * `sqrt` snapped to an int64 scaled unit; means re-enter doubles
+    * only through the scale-0-round trick; ratios integerize to
+    * micro-units before the max. The one remaining parity assumption
+    * is the raw-double cosine argmax inside assignment — exactly the
+    * documented `sim_topk_ivf` assumption, unchanged.
+    *
+    * Shape: ONE broadcast-assign pass over the corpus + a vocab-sized
+    * per-cell aggregate; the pair matrix is nlist² driver-state rows.
+    * Empty cells and coincident centroids (M = 0) drop from the
+    * readout on both engines (inner joins / the m > 0 guard).
+    */
+  def clusterEval(s: SparkSession, emb: DataFrame, nlist: Int = 8,
+                  iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val intDist2 =
+      """aggregate(zip_with(%s, %s, (x, y) ->
+        |  CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) -
+        |  CAST(round(CAST(y AS DOUBLE) * 1048576.0) AS BIGINT)),
+        |  CAST(0 AS BIGINT), (acc, v) -> acc + v * v)""".stripMargin
+    val cents = trainedCentroids(s, emb, nlist, iters)
+    val cdf = centDf(s, cents)
+    val perCell = ivfAssign(emb, cdf)
+      .join(cdf, "cid")
+      .withColumn("__s",
+        round(sqrt(expr(intDist2.format("embedding", "cvec")).cast("double")))
+          .cast("long"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("__s")).as("__ss"))
+      .withColumn("s_scaled",
+        round(col("__ss").cast("double") / col("n_members").cast("double"))
+          .cast("long"))
+    val rAgg = cdf.select(col("cid").as("i"), col("cvec").as("vi"))
+      .crossJoin(cdf.select(col("cid").as("j"), col("cvec").as("vj")))
+      .filter(col("i") =!= col("j"))
+      .withColumn("__m",
+        round(sqrt(expr(intDist2.format("vi", "vj")).cast("double")))
+          .cast("long"))
+      .filter(col("__m") > 0)
+      .join(perCell.select(col("cid").as("i"), col("s_scaled").as("si")), "i")
+      .join(perCell.select(col("cid").as("j"), col("s_scaled").as("sj")), "j")
+      .withColumn("__r",
+        round((col("si") + col("sj")).cast("double") * lit(1000000.0) /
+          col("__m").cast("double")).cast("long"))
+      .groupBy(col("i").as("cid")).agg(max(col("__r")).as("r_micro"))
+    val w = Window.partitionBy() // nlist rows, post-aggregation
+    perCell.join(rAgg, "cid")
+      .withColumn("__sr", sum(col("r_micro")).over(w))
+      .withColumn("__k", count(lit(1)).over(w))
+      .select(col("cid"), col("n_members"), col("s_scaled"), col("r_micro"),
+        round(col("__sr").cast("double") / col("__k").cast("double"))
+          .cast("long").as("db_micro"))
   }
 
   /** G19: product quantization — the memory lever for billion-scale

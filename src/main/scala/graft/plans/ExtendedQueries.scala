@@ -385,6 +385,11 @@ object ExtendedQueries {
       graft.operators.Similarity.ivfTopK(
         s, e, e.filter(col("vec_id") < 10), k = 3)
     }),
+    // —— G25: Davies-Bouldin quality readout over the trained IVF
+    //    cells (same centroids + assignment as the index itself) ——
+    "sim_cluster_eval" -> ((s, dir) =>
+      graft.operators.Similarity.clusterEval(
+        s, TableCatalog(s, dir).embeddings)),
     // —— G2b search path under a FIXED quantizer (iters = 0: cells =
     //    the first nlist vectors): assignment → nprobe probe → exact
     //    rerank, end-to-end hash-checked against DuckDB ——
@@ -588,6 +593,57 @@ object ExtendedQueries {
        |SELECT query_id, vec_id AS neighbor_id, cos_r,
        |  CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 3""".stripMargin
+
+  /** G25's exact-integer distance as SQL: round(v·2²⁰) int64 per
+    * component, integer squared-L2, correctly-rounded sqrt snapped to
+    * an int64 scaled unit — the engine's clusterEval idiom op for op.
+    */
+  private def intDistSql(a: String, b: String): String =
+    s"""CAST(round(sqrt(CAST(
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, len($a) + 1), i ->
+       |      CAST(round(CAST($a[i] AS DOUBLE) * 1048576.0) AS BIGINT)
+       |      - CAST(round(CAST($b[i] AS DOUBLE) * 1048576.0) AS BIGINT))),
+       |    (x, y) -> x + y * y) AS DOUBLE))) AS BIGINT)""".stripMargin
+
+  /** G25 oracle: the trained-IVF centroid replay (kmeansIter ×2, the
+    * ivfTrainedSql chain) + the Davies-Bouldin arithmetic — integer
+    * scatter/separation, micro-unit ratios, scale-0-round means.
+    */
+  private val clusterEvalSql: String =
+    s"""WITH c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec
+       |            FROM embeddings WHERE vec_id < 8),
+       |${kmeansIter("c0", 1, "c1")},
+       |${kmeansIter("c1", 2, "c2")},
+       |asg AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                 CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN c2 c),
+       |cells AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+       |md AS (SELECT m.cid, ${intDistSql("m.embedding", "c.cvec")} AS s
+       |  FROM cells m JOIN c2 c USING (cid)),
+       |pc AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |    CAST(SUM(s) AS BIGINT) AS ss FROM md GROUP BY 1),
+       |pc2 AS (SELECT *, CAST(round(CAST(ss AS DOUBLE)
+       |    / CAST(n_members AS DOUBLE)) AS BIGINT) AS s_scaled FROM pc),
+       |pr AS (SELECT a.cid AS i, b.cid AS j,
+       |    ${intDistSql("a.cvec", "b.cvec")} AS m
+       |  FROM c2 a CROSS JOIN c2 b WHERE a.cid <> b.cid),
+       |rr AS (SELECT pr.i AS cid,
+       |    MAX(CAST(round(CAST(si.s_scaled + sj.s_scaled AS DOUBLE)
+       |      * 1000000.0 / CAST(pr.m AS DOUBLE)) AS BIGINT)) AS r_micro
+       |  FROM pr JOIN pc2 si ON si.cid = pr.i
+       |  JOIN pc2 sj ON sj.cid = pr.j
+       |  WHERE pr.m > 0 GROUP BY 1),
+       |fin AS (SELECT pc2.cid, pc2.n_members, pc2.s_scaled, rr.r_micro,
+       |    CAST(SUM(rr.r_micro) OVER () AS BIGINT) AS sr,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS kk
+       |  FROM pc2 JOIN rr ON rr.cid = pc2.cid)
+       |SELECT cid, n_members, s_scaled, r_micro,
+       |  CAST(round(CAST(sr AS DOUBLE) / CAST(kk AS DOUBLE)) AS BIGINT)
+       |    AS db_micro
+       |FROM fin""".stripMargin
 
   private val ivfFixedSql: String =
     """WITH c AS (SELECT vec_id AS cid, embedding AS cvec
@@ -1076,6 +1132,7 @@ object ExtendedQueries {
     // cosine agree to the last bit on this data; a 1-ulp divergence
     // at an argmax boundary could flip one assignment elsewhere.
     "sim_topk_ivf" -> ivfTrainedSql,
+    "sim_cluster_eval" -> clusterEvalSql,
     "sim_topk_ivf_fixed" -> ivfFixedSql,
     "sim_topk_ivfpq" -> ivfPqSql,
     "sim_topk_pq_rerank" -> pqRerankSql,

@@ -705,4 +705,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("BroadcastExchange"), s"no broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"shuffle join of embeddings:\n$plan")
   }
+
+  // ——— G25: Davies-Bouldin cluster evaluation ———
+
+  test("clusterEval: tight well-separated planted clusters score far better than one split cluster") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes, ids 0/1 seed the cells
+    def jitter(base: Array[Float], k: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, d) => v + 0.001f * ((k + d) % 3) }
+    val a = Array.fill(8)(0.0f).updated(0, 1.0f)
+    val b = Array.fill(8)(0.0f).updated(4, 1.0f)
+    val tight = ((0 until 6).map(i => (i.toLong, jitter(a, i))) ++
+      (6 until 12).map(i => (i.toLong, jitter(b, i))))
+      .toDF("vec_id", "embedding")
+    // re-key so ids 0 and 1 land in DIFFERENT planted clusters (the
+    // nlist=2 init picks vec_id 0 and 1 as seeds)
+    val seeded = tight.withColumn("vec_id",
+      when(col("vec_id") === 1, 6L).when(col("vec_id") === 6, 1L)
+        .otherwise(col("vec_id")))
+    val good = Similarity.clusterEval(spark, seeded, nlist = 2, iters = 2)
+      .collect()
+    assert(good.length == 2)
+    val dbGood = good.head.getAs[Long]("db_micro")
+    assert(good.forall(_.getAs[Long]("db_micro") == dbGood))
+    assert(good.map(_.getAs[Long]("n_members")).sorted.toSeq == Seq(6L, 6L))
+    // same data forced into ONE planted direction split across two
+    // seeds → centroids nearly coincide, scatter spans both blobs
+    val bad = Similarity.clusterEval(spark,
+      tight.withColumn("embedding",
+        when(col("vec_id") >= 6, col("embedding")).otherwise(col("embedding"))),
+      nlist = 2, iters = 0).collect() // untrained: seeds 0,1 both in blob A
+    val dbBad = bad.head.getAs[Long]("db_micro")
+    assert(dbGood < dbBad,
+      s"planted separation should dominate: good=$dbGood bad=$dbBad")
+    // determinism across partitionings
+    val again = Similarity.clusterEval(spark, seeded.repartition(5),
+      nlist = 2, iters = 2).collect()
+    assert(good.map(_.toSeq).sortBy(_.toString).toSeq ==
+      again.map(_.toSeq).sortBy(_.toString).toSeq)
+  }
 }
