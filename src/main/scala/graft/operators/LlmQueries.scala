@@ -271,6 +271,22 @@ object LlmQueries {
         tokCol = size(tokens(col("text"))).cast("long"),
         alpha = 0.3, budget = 100000L, capEpochs = 2L)
     }),
+    // —— G26: bucketed corpus layout — co-located standing-index
+    //    join through the session catalog, zero exchanges ——
+    "corpus_bucketed_join" -> ((s, dir) => {
+      import graft.functions.Hash60.tokens
+      val d = docs(s, dir)
+      graft.operators.Pipeline100TB.writeBucketed(
+        d.select(col("doc_id"), col("source")), "graft_bk_corpus", "doc_id")
+      graft.operators.Pipeline100TB.writeBucketed(
+        d.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok")),
+        "graft_bk_stats", "doc_id")
+      graft.operators.Pipeline100TB
+        .bucketedJoin(s, "graft_bk_corpus", "graft_bk_stats", "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("toks"))
+    }),
     // —— H25: DoReMi-style excess-loss domain reweighting (weak
     //    unigram reference vs KN-trigram proxy, deterministic exp) ——
     "corpus_mix_doremi" -> ((s, dir) =>
@@ -1809,6 +1825,13 @@ object LlmQueries {
         |JOIN u ub ON ub.tok = split_part(b.bg, ' ', 2),
         |nt, nb
         |ORDER BY pmi DESC, bg LIMIT 20""".stripMargin,
+    // G26: the bucketed layout changes the PLAN, never the result —
+    // the oracle is the plain join-free aggregate
+    "corpus_bucketed_join" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(lower(text)), ' +'))) AS BIGINT)
+        |    AS toks
+        |FROM documents GROUP BY 1""".stripMargin,
     // H7e: the 2-round unigram-LM hard-EM replay; the learned vocab
     // is cost2 (piece, last E-step count, smoothed micronat cost)
     "vocab_unigram_learn" ->

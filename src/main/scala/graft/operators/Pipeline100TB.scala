@@ -503,6 +503,39 @@ object Pipeline100TB {
         round(alloc / col("n_tok").cast("double"), 6).as("epochs"))
   }
 
+  /** G26: bucketed corpus layout — the DISK lever the standing-index
+    * joins pull at 100 TB. `writeBucketed` persists a frame BUCKETED
+    * and sorted on `key` through the session catalog (Spark's
+    * bucketed parquet layout: each task routes rows to
+    * hash(key) mod buckets files, the bucket spec recorded in the
+    * catalog); [[bucketedJoin]] then equi-joins two co-bucketed
+    * tables with ZERO exchange on either side — the scan itself IS
+    * the partitioning, so the join that every incremental-dedup
+    * batch (F12/F14/F16b) pays a shuffle for against an unbucketed
+    * index becomes a per-bucket local merge. At 100 TB this is the
+    * difference between re-shuffling a standing multi-TB index per
+    * batch and streaming each bucket file pair once; bucket count is
+    * chosen at write time (buckets ≈ index size / healthy partition
+    * size, stable across batches so layouts stay aligned).
+    * PlanSpec-asserted: the joined plan contains a SortMergeJoin and
+    * NO Exchange node; the same join over unbucketed parquet shows
+    * the shuffle.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 8): Unit =
+    df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** Exchange-free equi-join of two co-bucketed catalog tables (see
+    * [[writeBucketed]]). The merge hint pins the co-located
+    * sort-merge plan — broadcasting the small side would ALSO avoid
+    * the shuffle but stops scaling the moment the "small" side is a
+    * standing index.
+    */
+  def bucketedJoin(s: org.apache.spark.sql.SparkSession, left: String,
+                   right: String, key: String): DataFrame =
+    s.table(left).hint("merge").join(s.table(right), key)
+
   /** H25: DoReMi-style excess-loss domain reweighting — the
     * mixture-weight signal of Xie et al.'s DoReMi, re-expressed on
     * models this engine already trains from the corpus itself: the

@@ -452,6 +452,30 @@ class PlanSpec extends SparkTestBase {
     assert(fast.toSeq == lazyPath.toSeq)
   }
 
+  test("bucketed co-located join: SortMergeJoin with ZERO exchanges; unbucketed control shuffles") {
+    import graft.operators.Pipeline100TB
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = t.documents.select(col("doc_id"), col("source"))
+      val right = t.documents.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+      Pipeline100TB.writeBucketed(left, "bkspec_corpus", "doc_id")
+      Pipeline100TB.writeBucketed(right, "bkspec_stats", "doc_id")
+      val j = Pipeline100TB.bucketedJoin(spark, "bkspec_corpus",
+        "bkspec_stats", "doc_id")
+      val plan = executed(j)
+      assert(plan.contains("SortMergeJoin"), s"not a merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(j.count() == t.documents.count())
+      // control: the same join over the raw (unbucketed) frames pays
+      // the exchange the layout exists to eliminate
+      val control = executed(left.hint("merge").join(right, "doc_id"))
+      assert(control.contains("Exchange"), s"control did not shuffle:\n$control")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("broker log append: offsets sequence per (topic, partition) — no global sort") {
     import graft.streaming.KafkaLog
     val msgs = t.events.selectExpr("'t' as topic",
