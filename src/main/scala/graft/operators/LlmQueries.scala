@@ -94,6 +94,11 @@ object LlmQueries {
     "embed_pq_codes" -> ((s, dir) =>
       Similarity.pqCodes(s, emb(s, dir), m = 4, dsub = 16, ksub = 4,
         iters = 2)),
+    // —— G27: OPQ-lite — variance-balanced dimension permutation in
+    //    front of the same PQ train/encode machinery ——
+    "embed_opq_codes" -> ((s, dir) =>
+      Similarity.opqCodes(s, emb(s, dir), m = 4, dsub = 16, ksub = 4,
+        iters = 2)),
     // —— G19b: PQ ADC search — codes-only scan, integer-exact ——
     "sim_topk_pq" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -636,7 +641,19 @@ object LlmQueries {
     * final assignment a3, codebook c2) as shared CTEs — the code
     * emitter and the ADC search replay ONE training.
     */
-  private[graft] val pqChain: String = {
+  private[graft] val pqChain: String =
+    pqTrainCtes(
+      """sv AS (SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS svec
+        |       FROM e, (SELECT unnest(range(4)) AS sub) s)""".stripMargin)
+
+  /** The PQ Lloyd-training chain (c0 init → two assign/re-center
+    * rounds → final assignment a3) over a caller-supplied `sv`
+    * subvector CTE — [[pqChain]] instantiates it with the contiguous
+    * 16-dim slices; the G27 OPQ oracle with variance-permuted ones.
+    * One definition, so the two quantizers' training replays can
+    * never drift.
+    */
+  private[graft] def pqTrainCtes(svCte: String): String = {
     def assignCte(a: String, c: String) =
       s"""$a AS (SELECT * FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
@@ -655,8 +672,7 @@ object LlmQueries {
          |  FROM $mName GROUP BY 1, 2)""".stripMargin
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
-       |sv AS (SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS svec
-       |       FROM e, (SELECT unnest(range(4)) AS sub) s),
+       |$svCte,
        |c0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cid, svec AS cvec
        |       FROM sv WHERE vec_id < 4),
        |${assignCte("a1", "c0")},
@@ -666,13 +682,48 @@ object LlmQueries {
        |${assignCte("a3", "c2")}""".stripMargin
   }
 
-  private val pqSql: String =
-    s"""WITH $pqChain
-       |SELECT vec_id,
-       |  '[' || array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sub), ',')
-       |      || ']' AS codes,
-       |  round(CAST(SUM(dist) AS BIGINT) / 1099511627776.0, 6) AS err2
-       |FROM a3 GROUP BY 1""".stripMargin
+  /** The (codes, err2) readout over the final PQ assignment `a3` —
+    * shared by the G19 and G27 oracles.
+    */
+  private val pqCodesSelect: String =
+    """SELECT vec_id,
+      |  '[' || array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sub), ',')
+      |      || ']' AS codes,
+      |  round(CAST(SUM(dist) AS BIGINT) / 1099511627776.0, 6) AS err2
+      |FROM a3 GROUP BY 1""".stripMargin
+
+  // plain concatenation: a second stripMargin would eat the leading
+  // `|` of pqCodesSelect's `|| ']'` continuation line
+  private val pqSql: String = s"WITH $pqChain\n$pqCodesSelect"
+
+  /** G27 oracle: the variance-permutation CTEs in front of the SAME
+    * factored PQ training replay ([[pqTrainCtes]]) — rank dims by
+    * int64-snapped variance (ties → dim), deal round-robin
+    * (rank mod 4 → subspace, rank div 4 → slot), then train/encode
+    * on the permuted subvectors.
+    */
+  private val opqSql: String =
+    s"WITH " + pqTrainCtes(
+      """qv AS (SELECT vec_id,
+        |    list_transform(v, x -> CAST(round(x * 1024.0) AS BIGINT)) AS q
+        |  FROM e),
+        |st AS (SELECT g.d, CAST(SUM(q[g.d]) AS BIGINT) AS s1,
+        |    CAST(SUM(q[g.d] * q[g.d]) AS BIGINT) AS s2, COUNT(*) AS n
+        |  FROM qv, generate_series(1, 64) AS g(d) GROUP BY 1),
+        |vr AS (SELECT d, CAST(round((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0)
+        |      AS BIGINT) AS vs
+        |  FROM st),
+        |perm AS (SELECT d,
+        |    CAST((row_number() OVER (ORDER BY vs DESC, d) - 1) % 4 AS INT)
+        |      AS sub,
+        |    CAST((row_number() OVER (ORDER BY vs DESC, d) - 1) // 4 AS INT)
+        |      AS slot
+        |  FROM vr),
+        |sv AS (SELECT vec_id, p.sub, list(v[p.d] ORDER BY p.slot) AS svec
+        |       FROM e, perm p GROUP BY 1, 2)""".stripMargin) +
+      s"\n$pqCodesSelect"
 
   /** G19b: ADC search replay — the query-side (m × ksub) LUT of
     * quantized-L2 distances, summed along each corpus vector's codes.
@@ -1101,6 +1152,7 @@ object LlmQueries {
          |WHERE cos_r >= 0.4""".stripMargin,
     "sim_topk_bruteforce" -> bruteTopKSql,
     "embed_pq_codes" -> pqSql,
+    "embed_opq_codes" -> opqSql,
     "sim_topk_pq" -> pqTopKSql,
     // G20: exact scaled-int64 mean (float-snapped), then map-side
     // cosine-to-mean + integer-exact centered norm

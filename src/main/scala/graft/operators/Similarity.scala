@@ -616,6 +616,62 @@ object Similarity {
           lit(1099511627776.0), 6).as("err2"))
   }
 
+  /** G27: OPQ-lite — the space-decomposition lever of Ge et al.'s
+    * Optimized Product Quantization, in its deterministic
+    * permutation form (the paper's structured baseline: balance the
+    * variance PQ must quantize across subspaces, without a learned
+    * rotation): rank dimensions by corpus variance, deal them
+    * round-robin into the m subspaces (rank r → subspace r mod m),
+    * so no subspace is stuck quantizing all the high-energy
+    * dimensions with the same ksub codewords. Returns the 0-based
+    * source-dimension order (driver model state, like the centroid
+    * seqs): permuted[s·dsub + slot] = dim with rank slot·m + s.
+    *
+    * Variance stats are ONE corpus aggregate in the exact idiom: per
+    * dim, Σ round(v·2¹⁰) and Σ round(v·2¹⁰)² as [[VecSumAgg]] int64
+    * buffers (2¹⁰ keeps q² sums inside int64 to ~10¹² rows), then
+    * var·10⁶ snaps to int64 on the driver — ranking ties break by
+    * dimension index, so the permutation is bit-stable anywhere.
+    */
+  private[graft] def opqPermutation(s: SparkSession, emb: DataFrame,
+                                    m: Int = 4): Seq[Int] = {
+    val qArr =
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))"
+    val row = emb.select(
+      vecSum(expr(qArr), 1.0).as("s1"),
+      vecSum(expr(s"transform($qArr, q -> q * q)"), 1.0).as("s2"),
+      count(lit(1)).as("n")).head()
+    val s1 = row.getSeq[Long](0)
+    val s2 = row.getSeq[Long](1)
+    val n = row.getLong(2).toDouble
+    val varScaled = s1.indices.map { d =>
+      math.round((s2(d).toDouble / n -
+        (s1(d).toDouble / n) * (s1(d).toDouble / n)) * 1e6)
+    }
+    val dims = s1.length
+    val dsub = dims / m
+    val ranked = varScaled.zipWithIndex.sortBy { case (v, d) => (-v, d) }
+      .map(_._2)
+    for (s0 <- 0 until m; slot <- 0 until dsub) yield ranked(slot * m + s0)
+  }
+
+  /** G27: OPQ-lite codes — [[opqPermutation]] composed in front of
+    * the unchanged [[pqCodes]] train/encode machinery (the permuted
+    * frame keeps the (vec_id, embedding) contract, so codebook
+    * training, native encode and the error readout are literally the
+    * G19 path). Same output schema as `embed_pq_codes`; err2 is the
+    * readout that shows what the re-decomposition bought.
+    */
+  def opqCodes(s: SparkSession, emb: DataFrame, m: Int = 4, dsub: Int = 16,
+               ksub: Int = 4, iters: Int = 2): DataFrame = {
+    val perm = opqPermutation(s, emb, m)
+    require(perm.length == m * dsub,
+      s"dims ${perm.length} must equal m*dsub = ${m * dsub}")
+    val permuted = emb.select(col("vec_id"),
+      array(perm.map(d => col("embedding").getItem(d)): _*).as("embedding"))
+    pqCodes(s, permuted, m, dsub, ksub, iters)
+  }
+
   /** G19b: PQ ADC top-k search — the SEARCH side of G19's index
     * compression (Jégou et al.'s asymmetric distance computation):
     * the corpus is stored as m small codes per vector; a query

@@ -706,6 +706,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"shuffle join of embeddings:\n$plan")
   }
 
+  // ——— G27: OPQ-lite variance-balanced permutation ———
+
+  test("opqPermutation: valid, variance-balanced at least as well as contiguous, deterministic") {
+    val perm = Similarity.opqPermutation(spark, emb)
+    assert(perm.sorted == (0 until 64))
+    val rows = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    val n = rows.length.toDouble
+    val vars = (0 until 64).map { d =>
+      val xs = rows.map(_(d)); val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / n
+    }
+    def imbalance(groups: Seq[Seq[Int]]): Double = {
+      val sums = groups.map(_.map(vars).sum)
+      sums.max - sums.min
+    }
+    val contiguous = (0 until 4).map(s => (s * 16 until (s + 1) * 16): Seq[Int])
+    val dealt = (0 until 4).map(s => perm.slice(s * 16, (s + 1) * 16))
+    assert(imbalance(dealt) <= imbalance(contiguous) + 1e-9,
+      s"opq ${imbalance(dealt)} vs contiguous ${imbalance(contiguous)}")
+    assert(Similarity.opqPermutation(spark, emb.repartition(7)) == perm)
+  }
+
+  test("opqCodes beats contiguous PQ when the energy is concentrated in one block") {
+    import spark.implicits._
+    // all the variance lives in dims 0–15: contiguous PQ forces one
+    // 4-codeword codebook to carry it all; the permutation deals the
+    // hot dims 4-per-subspace
+    def mk(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      val h = i * 2654435761L // 16 independent pseudo-random sign bits
+      (0 until 16).foreach(d => a(d) = if (((h >> d) & 1L) == 1L) 1.0f else -1.0f)
+      (16 until 64).foreach(d => a(d) = 0.01f * ((i + d) % 3))
+      a
+    }
+    val skew = (0 until 24).map(i => (i.toLong, mk(i))).toDF("vec_id", "embedding")
+    def totalErr(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum(col("err2"))).head().getDouble(0)
+    val pqErr = totalErr(Similarity.pqCodes(spark, skew))
+    val opqErr = totalErr(Similarity.opqCodes(spark, skew))
+    assert(opqErr < pqErr,
+      s"balanced decomposition should quantize better: opq=$opqErr pq=$pqErr")
+  }
+
   // ——— G25: Davies-Bouldin cluster evaluation ———
 
   test("clusterEval: tight well-separated planted clusters score far better than one split cluster") {
