@@ -32,7 +32,21 @@ object Sketches {
     * correction: a 60-bit hash space never saturates it.
     */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], itemCol: Column,
-                  p: Int = 8): DataFrame = {
+                  p: Int = 8): DataFrame =
+    hllFinish(hllRegisters(df, groupCols, itemCol, p), groupCols, p)
+
+  /** The MERGEABLE half of [[hllDistinct]]: per (group, bucket) max-ρ
+    * registers — the sketch STATE. One groupBy-max, so it runs
+    * unchanged on a STREAMING frame (a single aggregation — the
+    * estimator half is stateless and applies to the sink), and two
+    * register tables merge by plain max per (group, bucket): the
+    * persist-today-merge-tomorrow property a 100 TB cardinality
+    * ledger needs (store m rows per group per day; union+max gives
+    * any date range's registers without re-scanning a byte of
+    * corpus). E20's streamed ≡ batch spec rides exactly this.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], itemCol: Column,
+                   p: Int = 8): DataFrame = {
     // p >= 8 keeps rho <= 53 so the exact-integer register term
     // 2^(53-rho) never needs a negative shift (Java shifts mod 64
     // would silently corrupt reg_sum for p < 8).
@@ -51,9 +65,16 @@ object Sketches {
     val width = 60 - p
     val rho = lit(width + 1) - org.apache.spark.sql.GraftBridge.column(
       graft.functions.LongBitLen(org.apache.spark.sql.GraftBridge.expression(w)))
-    val regs = df
-      .groupBy((groupCols.map(col) :+ bucket.as("__bucket")): _*)
+    df.groupBy((groupCols.map(col) :+ bucket.as("__bucket")): _*)
       .agg(max(rho).as("__rho"))
+  }
+
+  /** The stateless estimator half of [[hllDistinct]], applied to a
+    * register table (fresh, merged, or read back from a sink).
+    */
+  def hllFinish(regs: DataFrame, groupCols: Seq[String],
+                p: Int = 8): DataFrame = {
+    val m = 1 << p
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     regs
       .groupBy(groupCols.map(col): _*)

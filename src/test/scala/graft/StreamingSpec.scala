@@ -334,6 +334,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("E20: streaming HLL registers finish to exactly the batch estimate; registers merge by max") {
+    // the G8 sketch split at its mergeable seam: hllRegisters is ONE
+    // streaming-legal aggregation (the state), hllFinish a stateless
+    // estimator over the sink — so the cardinality ledger runs live
+    // with m rows of state per group and must converge to exactly
+    // the batch estimate over the union of micro-batches
+    import spark.implicits._
+    import graft.operators.Sketches
+    implicit val sq = spark.sqlContext
+    val b1 = Seq(("web", "u1"), ("web", "u2"), ("wiki", "u1"), ("web", "u1"))
+    val b2 = Seq(("web", "u3"), ("wiki", "u4"), ("wiki", "u1"))
+    val ms = MemoryStream[(String, String)]
+    val q = Sketches.hllRegisters(ms.toDF.toDF("source", "user"),
+        Seq("source"), col("user"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val streamed = Sketches.hllFinish(spark.table("hll_stream"), Seq("source"))
+        .collect().map(key).toSet
+      val batch = Sketches.hllDistinct((b1 ++ b2).toDF("source", "user"),
+        Seq("source"), col("user")).collect().map(key).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // mergeability: registers of day 1 ∪ day 2, max-merged per
+      // (group, bucket), ARE the registers of the union
+      val r1 = Sketches.hllRegisters(b1.toDF("source", "user"), Seq("source"), col("user"))
+      val r2 = Sketches.hllRegisters(b2.toDF("source", "user"), Seq("source"), col("user"))
+      val merged = r1.unionByName(r2)
+        .groupBy(col("source"), col("__bucket"))
+        .agg(max(col("__rho")).as("__rho"))
+      val full = Sketches.hllRegisters((b1 ++ b2).toDF("source", "user"),
+        Seq("source"), col("user"))
+      def rk(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1), r.getInt(2))
+      assert(merged.collect().map(rk).toSet == full.collect().map(rk).toSet)
+    } finally q.stop()
+  }
+
   test("E17: streaming count-min grid equals the batch sketch across micro-batches") {
     // the G21 sketch run INCREMENTALLY: the same cmsGrid transform on
     // a stream keeps d·w rows of state (corpus-size-independent) and
