@@ -522,9 +522,23 @@ object Pipeline100TB {
     * the shuffle.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int = 8): Unit =
+                    buckets: Int = 8): Unit = {
+    val s = df.sparkSession
+    // idempotence against ORPHANED managed locations: a fresh
+    // in-memory catalog (every Verify run) has no entry for the
+    // table, but the previous run's warehouse directory survives and
+    // saveAsTable refuses it (LOCATION_ALREADY_EXISTS) — drop the
+    // stale entry AND clear the managed path before writing. A real
+    // metastore deployment never orphans; this is local-catalog
+    // hygiene.
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.format("parquet").mode("overwrite")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 
   /** Exchange-free equi-join of two co-bucketed catalog tables (see
     * [[writeBucketed]]). The merge hint pins the co-located
