@@ -118,6 +118,23 @@ object VecMath {
     bucket
   }
 
+  /** Sign-bit pack: bit (i−lo) of the word is set iff v[lo+i] > 0,
+    * for i in [0, bits). With bits ≤ 32 the word stays in [0, 2³²) —
+    * always non-negative, so cross-engine two's-complement edge cases
+    * never arise. Strict `> 0` on the stored float is exact under any
+    * widening (the DuckDB side compares the same parquet float to 0).
+    */
+  def signBits(v: ArrayData, lo: Int, bits: Int): Long = {
+    val n = v.numElements()
+    var w = 0L
+    var i = 0
+    while (i < bits && lo + i < n) {
+      if (v.getFloat(lo + i) > 0f) w |= 1L << i
+      i += 1
+    }
+    w
+  }
+
   /** Σ|x| over an int array, long accumulation in index order. */
   def l1Int(v: ArrayData): Long = {
     val n = v.numElements()
@@ -233,6 +250,27 @@ case class PlaneSignature(child: Expression, planes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       guarded(a, ev, s"graft.functions.VecMath.planeSig($a, $planes)"))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sign-bit pack of a float-array column slice into a non-negative
+  * long word (see [[VecMath.signBits]]) — the 1-bit quantizer of the
+  * G28 Hamming search leg.
+  */
+case class SignBits(child: Expression, lo: Int, bits: Int)
+    extends FloatArrayUnary {
+  require(bits > 0 && bits <= 32, s"sign_bits needs 1..32 bits, got $bits")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_bits"
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (elementsNullable && VecMath.hasNull(v)) null
+    else VecMath.signBits(v, lo, bits)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      guarded(a, ev, s"graft.functions.VecMath.signBits($a, $lo, $bits)"))
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -85,6 +85,11 @@ object LlmQueries {
       val e = emb(s, dir)
       Similarity.lshTopK(s, e, e.filter(col("vec_id") < 10), k = 3, planes = 8)
     }),
+    // —— G28: 1-bit sign quantization + Hamming-distance scan ——
+    "sim_topk_hamming" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hammingTopK(s, e, e.filter(col("vec_id") < 10), k = 5)
+    }),
     "sim_topk_pruned" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.exactPrunedTopK(s, e, e.filter(col("vec_id") < 10), k = 5)
@@ -744,6 +749,32 @@ object LlmQueries {
        |  CAST(adc AS BIGINT) AS adc_dist, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** G28 oracle: the same sign-bit words (32-bit halves as BIGINT —
+    * never negative, so two's-complement never differs across
+    * engines), XOR + popcount distance, (hamming ASC, vec_id) ranking.
+    * Shared with the G21b recall-matrix chain.
+    */
+  private[graft] val hammingTopKSql: String =
+    """WITH w AS (SELECT vec_id,
+      |    CAST(list_sum([CASE WHEN embedding[i] > 0
+      |           THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END
+      |         for i in generate_series(1, 32)]) AS BIGINT) AS w0,
+      |    CAST(list_sum([CASE WHEN embedding[i] > 0
+      |           THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE CAST(0 AS BIGINT) END
+      |         for i in generate_series(33, 64)]) AS BIGINT) AS w1
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+      |      FROM w WHERE vec_id < 10),
+      |scored AS (SELECT q.query_id, w.vec_id,
+      |    CAST(bit_count(xor(w.w0, q.q0)) + bit_count(xor(w.w1, q.q1))
+      |         AS INTEGER) AS hamming
+      |  FROM q, w WHERE w.vec_id <> q.query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY hamming, vec_id) AS rank FROM scored)
+      |SELECT query_id, vec_id AS neighbor_id, hamming,
+      |  CAST(rank AS INTEGER) AS rank
+      |FROM r WHERE rank <= 5""".stripMargin
+
   private val bruteTopKSql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
        |           FROM embeddings WHERE vec_id < 10),
@@ -1195,6 +1226,7 @@ object LlmQueries {
     // EXACT by construction (error-bounded prefilter + exact rerank)
     // ⇒ the oracle is the brute-force SQL verbatim.
     "sim_topk_pruned" -> bruteTopKSql,
+    "sim_topk_hamming" -> hammingTopKSql,
     "sim_topk_lsh" ->
       s"""WITH dots AS (SELECT vec_id, p,
          |    SUM(CAST(embedding[d + 1] AS DOUBLE) *

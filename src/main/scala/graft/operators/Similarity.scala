@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CosineSimilarity, Int8Dot, Int8Quantize, IntArrayL1, PlaneSignature, VecMaxAbs, VecSqNorm}
+import graft.functions.{CosineSimilarity, Int8Dot, Int8Quantize, IntArrayL1, PlaneSignature, SignBits, VecMaxAbs, VecSqNorm}
 
 /** Similarity search over embedding columns (SURVEY.md §2 group G). */
 object Similarity {
@@ -112,6 +112,47 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cos_r"), col("rank"))
+  }
+
+  /** G28: 1-bit (sign) quantization + Hamming-distance top-k — the
+    * bottom rung of the quantization ladder (float32 → int8 → PQ codes
+    * → 1 bit/dim): a 64-dim embedding collapses to TWO int64 words
+    * (32× smaller than float32), distance is
+    * `bit_count(w0⊕q0) + bit_count(w1⊕q1)` — pure register ops, zero
+    * multiplies, the classic Charikar-sketch search leg (the same
+    * sign-random-projection family as F5's SimHash, applied to the
+    * raw dimensions as an ANN strategy and graded in the G21b recall
+    * matrix like every other leg).
+    *
+    * Words are 32-bit halves stored as BIGINT so every value is
+    * non-negative — two's-complement sign-bit edge cases can't differ
+    * across engines. Strict `v > 0` sign is exact on both sides.
+    * Ranking is (hamming ASC, vec_id): ties are massive by design at
+    * 64 bits, so the id tiebreak carries the determinism argument.
+    *
+    * 100 TB shape: the packed corpus is 16 bytes/vector — a
+    * billion-vector sign index is 16 GB, scan-at-memory-bandwidth
+    * with a broadcast query set and no shuffle of the big side; the
+    * natural FIRST filter in a multi-stage funnel (sign-scan →
+    * shortlist → exact re-rank, the G19c pattern).
+    */
+  def hammingTopK(s: SparkSession, emb: DataFrame, queries: DataFrame,
+                  k: Int): DataFrame = {
+    def words(df: DataFrame, id: String, p: String) = df.select(
+      col("vec_id").as(id),
+      expr1(SignBits(_, 0, 32))(col("embedding")).as(p + "0"),
+      expr1(SignBits(_, 32, 32))(col("embedding")).as(p + "1"))
+    val q = broadcast(words(queries, "query_id", "q"))
+    words(emb, "vec_id", "w")
+      .join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        expr("cast(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) as int)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("hamming"), col("rank"))
   }
 
   /** G5: symmetric int8 quantization of an embedding column — the
@@ -1126,12 +1167,14 @@ object Similarity {
     * frame (one brute-force pass) would persist — it is exactly the
     * ground-truth sample such evaluations maintain.
     *
-    * Strategy set = the repo's nine ANN paths at their registry
+    * Strategy set = the repo's ten ANN paths at their registry
     * parameterizations, all evaluated at the same k: exact
     * error-bounded pruning (must recall 1.0 by construction), int8
     * quantized scan, Matryoshka truncated-prefix rerank, trained
     * IVF, fixed-quantizer IVF, hyperplane LSH, exhaustive PQ ADC,
-    * and the composed IVF∘PQ index ([[ivfPqTopK]]).
+    * the composed IVF∘PQ index ([[ivfPqTopK]]), its exact-re-rank
+    * refinement ([[pqRerankTopK]]), and the 1-bit sign/Hamming scan
+    * ([[hammingTopK]]).
     */
   def recallMatrix(s: SparkSession, emb: DataFrame, queries: DataFrame,
                    k: Int = 3): DataFrame = {
@@ -1148,7 +1191,8 @@ object Similarity {
       "lsh" -> lshTopK(s, emb, queries, k, planes = 8),
       "pq" -> pqTopK(s, emb, queries, k),
       "ivfpq" -> ivfPqTopK(s, emb, queries, k),
-      "pq_rerank" -> pqRerankTopK(s, emb, queries, k, kShort = 15))
+      "pq_rerank" -> pqRerankTopK(s, emb, queries, k, kShort = 15),
+      "hamming" -> hammingTopK(s, emb, queries, k))
     val picks = strategies.map { case (nm, df) =>
       df.select(lit(nm).as("strategy"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionAll(_))

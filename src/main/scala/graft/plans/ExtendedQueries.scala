@@ -413,7 +413,7 @@ object ExtendedQueries {
       graft.operators.Similarity.pqRerankTopK(
         s, e, e.filter(col("vec_id") < 10), k = 5, kShort = 15)
     }),
-    // —— G21b: recall@3 of all nine ANN strategies vs brute force ——
+    // —— G21b: recall@3 of all ten ANN strategies vs brute force ——
     "sim_recall_matrix" -> ((s, dir) => {
       val e = TableCatalog(s, dir).embeddings
       graft.operators.Similarity.recallMatrix(
@@ -774,7 +774,7 @@ object ExtendedQueries {
 
   /** G21b oracle: each strategy's EXISTING oracle replay, scoped as a
     * subquery (DuckDB CTE names inside a derived table are local, so
-    * the nine WITH-chains compose without collisions), truncated to a
+    * the ten WITH-chains compose without collisions), truncated to a
     * common k = 3 — per-query ranks are a total order, so top-3 of a
     * top-5 replay IS the k=3 result — then micro-averaged recall
     * against the brute-force truth.
@@ -794,7 +794,8 @@ object ExtendedQueries {
       "lsh" -> "s_lsh",
       "pq" -> "s_pq",
       "ivfpq" -> "s_ivfpq",
-      "pq_rerank" -> "s_rerank")
+      "pq_rerank" -> "s_rerank",
+      "hamming" -> "s_ham")
     val rows = strategies.map { case (nm, cte) =>
       s"""SELECT '$nm' AS strategy,
          |  (SELECT COUNT(*) FROM truth t JOIN $cte s
@@ -811,6 +812,8 @@ object ExtendedQueries {
                       "WHERE rank <= 3")}),
        |s_ivfpq AS (${ids(ivfPqSql, "WHERE rank <= 3")}),
        |s_rerank AS (${ids(pqRerankSql, "WHERE rank <= 3")}),
+       |s_ham AS (${ids(graft.operators.LlmQueries.hammingTopKSql,
+                       "WHERE rank <= 3")}),
        |m AS (
        |  $rows)
        |SELECT strategy,

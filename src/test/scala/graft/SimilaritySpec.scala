@@ -280,7 +280,7 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(m.keySet == Set("exact_pruned", "int8", "truncated", "ivf",
-      "ivf_fixed", "lsh", "pq", "ivfpq", "pq_rerank"))
+      "ivf_fixed", "lsh", "pq", "ivfpq", "pq_rerank", "hamming"))
     // exact re-ranking a 15-deep ADC shortlist can only help: the
     // re-rank must dominate the raw ADC ordering it refines
     assert(m("pq_rerank")._3 >= m("pq")._3 - 1e-9,
@@ -408,6 +408,55 @@ class SimilaritySpec extends SparkTestBase {
       .join(sig.withColumnRenamed("vec_id", "neighbor_id")
         .withColumnRenamed("bucket", "nb"), "neighbor_id")
     assert(joined.filter(col("qb") =!= col("nb")).count() == 0)
+  }
+
+  test("sign-bit words match a plain-scala pack and run codegen'd") {
+    import org.apache.spark.sql.GraftBridge
+    import graft.functions.SignBits
+    val df = emb.select(col("vec_id"), col("embedding"),
+      GraftBridge.column(SignBits(GraftBridge.expression(col("embedding")), 0, 32)).as("w0"),
+      GraftBridge.column(SignBits(GraftBridge.expression(col("embedding")), 32, 32)).as("w1"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("sign_bits"), s"missing sign_bits in:\n$plan")
+    assert(plan.contains("*(1)"), s"no codegen span in:\n$plan")
+    df.collect().foreach { r =>
+      val v = r.getSeq[Float](1)
+      def pack(lo: Int): Long =
+        (0 until 32).map(i => if (v(lo + i) > 0f) 1L << i else 0L).sum
+      assert(r.getLong(2) == pack(0) && r.getLong(3) == pack(32),
+        s"word mismatch for vec ${r.getLong(0)}")
+      assert(r.getLong(2) >= 0L && r.getLong(3) >= 0L)
+    }
+  }
+
+  test("hamming top-k equals a plain-scala xor/popcount recomputation") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Similarity.hammingTopK(spark, emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Int]("hamming"))).toMap
+    val vecs = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    def sig(v: Seq[Float]): Long =
+      v.zipWithIndex.map { case (x, i) => if (x > 0f) 1L << i else 0L }.sum
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }
+    val expect = (0L until 10L).flatMap { q =>
+      sigs.toSeq.filter(_._1 != q)
+        .map { case (id, s) =>
+          (id, java.lang.Long.bitCount(s ^ sigs(q))) }
+        .sortBy { case (id, h) => (h, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, h), i) => (q, i + 1) -> ((id, h)) }
+    }.toMap
+    assert(got == expect, s"only-got=${got.toSet -- expect.toSet}, " +
+      s"only-expect=${expect.toSet -- got.toSet}")
+  }
+
+  test("hamming top-k is bit-identical across partitionings") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def run(parts: Int) =
+      Similarity.hammingTopK(spark, emb.repartition(parts), queries, k = 5)
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(2) == run(7))
   }
 
   test("ivf: trained cells cover all vectors; probed search recalls most true neighbors") {

@@ -52,7 +52,10 @@ def connect(sfdir):
     # and the heavy oracles OOM each other
     mem = os.environ.get("DUCKDB_MEMLIMIT")
     if mem:
-        tmp = os.environ.get("DUCKDB_TMP", "/tmp/duckdb_spill")
+        # per-process default: concurrent sweep splits sharing one
+        # spill dir race on temp-file cleanup (observed IOException:
+        # "Could not remove file .../duckdb_temp_storage-0.tmp")
+        tmp = os.environ.get("DUCKDB_TMP", f"/tmp/duckdb_spill_{os.getpid()}")
         os.makedirs(tmp, exist_ok=True)
         con.sql(f"SET memory_limit='{mem}'")
         con.sql(f"SET temp_directory='{tmp}'")
@@ -146,7 +149,18 @@ def main():
     con = None if timeout else connect(sfdir)
     n_ok = 0
     report = {}
+    # resumable: a prior interrupted run's report seeds the decided set
+    if report_path and os.path.exists(report_path):
+        prior = json.load(open(report_path))
+        report = {n: r for n, r in prior.items()
+                  if r.get("hash_match") or "excluded" in r}
+        if report:
+            print(f"= resuming: {len(report)} queries already decided",
+                  flush=True)
     for name, sql in sorted(oracle.items()):
+        if name in report:
+            n_ok += 1 if report[name].get("hash_match") else 0
+            continue
         if name in excluded:
             report[name] = {"excluded":
                             "contract out of scope at this scale factor "
@@ -176,6 +190,10 @@ def main():
         n_ok += 1 if rec["hash_match"] else 0
         for ln in lines:
             print(ln, flush=True)
+        # incremental write: an interrupted split resumes from here
+        if report_path:
+            with open(report_path, "w") as f:
+                json.dump(report, f, indent=1, sort_keys=True)
     n_run = len(oracle) - len(excluded & set(oracle))
     suffix = f" ({len(excluded & set(oracle))} expect-excluded)" if excluded else ""
     print(f"== {n_ok}/{n_run} queries match (driver-style){suffix}")
