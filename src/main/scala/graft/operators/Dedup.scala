@@ -94,6 +94,79 @@ object Dedup {
     index.write.mode("overwrite")
       .bucketBy(buckets, "fp").sortBy("fp").saveAsTable(table)
 
+  /** Bit position of probe `p` for fingerprint `fp` in an m-bit Bloom
+    * filter: the engine-wide 60-bit md5 hash of "fp#p", mod m —
+    * deterministic and replayed verbatim by the oracle.
+    */
+  private def bloomBit(fp: org.apache.spark.sql.Column,
+                       p: org.apache.spark.sql.Column,
+                       mBits: Int): org.apache.spark.sql.Column =
+    hash60(concat(fp, lit("#"), p.cast("string"))) % mBits
+
+  /** F20 (state): Bloom filter over a standing fingerprint index — j
+    * deterministic hash60 probes per fingerprint set bits in an m-bit
+    * filter stored as m/32 OR-aggregated 32-bit words (BIGINT-held,
+    * so no two's-complement edge across engines; `bit_or` map-side
+    * combines, ONE tiny shuffle of ≤ m/32 rows).
+    *
+    * The words frame is KBs for any practical m — broadcastable
+    * daemon state next to the bucketed index, and MERGEABLE by plain
+    * per-word OR (union corpora ⇒ OR their filters — the same
+    * register seam as HLL). Size m ≈ 10·|index| for ~1% FPR at j=3;
+    * an undersized filter degrades toward maybe=true, never toward a
+    * wrong answer.
+    */
+  def bloomWords(index: DataFrame, mBits: Int = 1 << 15,
+                 hashes: Int = 3): DataFrame =
+    index
+      .select(col("fp"), explode(sequence(lit(0), lit(hashes - 1))).as("p"))
+      .select(bloomBit(col("fp"), col("p"), mBits).as("bit"))
+      .select(expr("cast(bit div 32 as int)").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(bit % 32 as int))").as("mask"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+
+  /** F20: Bloom-filter prefilter for the F12 incremental loop — the
+    * definitely-new gate in FRONT of the standing-index anti join. A
+    * batch doc whose j probe bits are not ALL set is DEFINITELY
+    * absent from the index (no false negatives — the spec invariant);
+    * only the `maybe` fraction needs the index join at all. Emits one
+    * row per batch doc: (id, bloom_maybe, in_index) — in_index is the
+    * ground truth, so the output doubles as the filter's FPR readout
+    * (maybe ∧ ¬in_index = the false positives).
+    *
+    * 100 TB: a fresh crawl batch is mostly-new by construction, so
+    * the broadcast filter turns the standing-index probe from
+    * every-doc work into work proportional to the duplicate rate —
+    * the index join (even bucketed, G26) still reads index buckets;
+    * the filter is a map-side membership test with NO join at all on
+    * the definite-negative path.
+    *
+    * Null fingerprints (null text) probe nothing and match nothing:
+    * they read (bloom_maybe=false, in_index=false) — consistent with
+    * F12's "null never matches" anti-join semantics.
+    */
+  def bloomProbe(batch: DataFrame, index: DataFrame, idCol: String,
+                 textCol: String, mBits: Int = 1 << 15,
+                 hashes: Int = 3): DataFrame = {
+    val words = broadcast(bloomWords(index, mBits, hashes))
+    batch.select(col(idCol), fingerprintOf(col(textCol)).as("fp"))
+      .withColumn("p", explode(sequence(lit(0), lit(hashes - 1))))
+      .withColumn("bit", bloomBit(col("fp"), col("p"), mBits))
+      .withColumn("word", expr("cast(bit div 32 as int)"))
+      .withColumn("mask", expr("shiftleft(cast(1 as bigint), cast(bit % 32 as int))"))
+      .join(words, Seq("word"), "left")
+      .groupBy(col(idCol), col("fp"))
+      .agg(count(when(coalesce(col("bits"), lit(0L))
+        .bitwiseAND(col("mask")) =!= 0L, 1)).as("n_set"))
+      // ground-truth readout (NOT part of the production fast path —
+      // that's the point of the filter); plain keyed join, AQE sizes it
+      .join(index.select(col("fp"), lit(true).as("__in")), Seq("fp"), "left")
+      .select(col(idCol),
+        (col("n_set") === hashes).as("bloom_maybe"),
+        coalesce(col("__in"), lit(false)).as("in_index"))
+  }
+
   /** The STANDING fuzzy index for the F14 incremental loop: distinct
     * (band, key) rows of a corpus's MinHash LSH banding — two narrow
     * columns, the fuzzy analogue of [[fingerprintIndex]]. Persist it

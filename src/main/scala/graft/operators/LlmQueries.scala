@@ -69,6 +69,15 @@ object LlmQueries {
         Dedup.fingerprintIndex(d.filter(col("doc_id") % 10 =!= 0), "text"),
         "doc_id", "text")
     }),
+    // —— F20: Bloom-filter definitely-new gate in front of the F12
+    //    standing-index anti join ——
+    "dedup_bloom_inc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomProbe(
+        d.filter(col("doc_id") % 10 === 0),
+        Dedup.fingerprintIndex(d.filter(col("doc_id") % 10 =!= 0), "text"),
+        "doc_id", "text")
+    }),
     // —— G15: token-balanced shard assignment in the global hash order ——
     "shard_tokens" -> ((s, dir) => {
       import graft.functions.Hash60.tokens
@@ -1154,6 +1163,34 @@ object LlmQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM fpt i
          |                  WHERE i.doc_id % 10 <> 0 AND i.fp = b.fp)
          |GROUP BY fp""".stripMargin,
+    // F20: m=32768-bit filter as 1024 OR'd 32-bit words, j=3 hash60
+    // probes of "fp#p"; batch docs read (all-bits-set, ground truth)
+    "dedup_bloom_inc" ->
+      s"""WITH t AS ($toksCte),
+         |fpt AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |  FROM t),
+         |idx AS (SELECT DISTINCT fp FROM fpt WHERE doc_id % 10 <> 0),
+         |ib AS (SELECT CAST('0x' || substr(md5(fp || '#' || CAST(p AS VARCHAR)), 1, 15)
+         |         AS BIGINT) % 32768 AS bit
+         |       FROM idx, generate_series(0, 2) s(p)),
+         |words AS (SELECT CAST(bit // 32 AS INTEGER) AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS bits
+         |  FROM ib GROUP BY 1),
+         |b AS (SELECT doc_id, fp FROM fpt WHERE doc_id % 10 = 0),
+         |pr AS (SELECT b.doc_id, b.fp,
+         |    CAST('0x' || substr(md5(b.fp || '#' || CAST(p AS VARCHAR)), 1, 15)
+         |      AS BIGINT) % 32768 AS bit
+         |  FROM b, generate_series(0, 2) s(p)),
+         |hit AS (SELECT pr.doc_id, pr.fp,
+         |    COUNT(CASE WHEN (COALESCE(w.bits, 0)
+         |          & (CAST(1 AS BIGINT) << CAST(pr.bit % 32 AS INTEGER))) <> 0
+         |          THEN 1 END) AS n_set
+         |  FROM pr LEFT JOIN words w ON w.word = CAST(pr.bit // 32 AS INTEGER)
+         |  GROUP BY 1, 2)
+         |SELECT h.doc_id, (h.n_set = 3) AS bloom_maybe,
+         |  EXISTS(SELECT 1 FROM idx i WHERE i.fp = h.fp) AS in_index
+         |FROM hit h""".stripMargin,
     "shard_tokens" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(len(string_split_regex(trim(lower(text)), ' +')) AS BIGINT)

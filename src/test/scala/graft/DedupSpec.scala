@@ -15,6 +15,37 @@ class DedupSpec extends SparkTestBase {
     assert(groups.count() > 0, "expected permuted duplicate groups in testdata")
   }
 
+  test("bloom prefilter: zero false negatives, real pruning, OR-mergeable words") {
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val index = Dedup.fingerprintIndex(corpus, "text")
+    val out = Dedup.bloomProbe(batch, index, "doc_id", "text").collect()
+    // the one guarantee a Bloom filter makes: a member is never missed
+    out.foreach { r =>
+      if (r.getAs[Boolean]("in_index"))
+        assert(r.getAs[Boolean]("bloom_maybe"),
+          s"false negative for doc ${r.getLong(0)}")
+    }
+    // and at the registry sizing it must do real work: most of the
+    // mostly-new batch reads definitely-absent
+    val pruned = out.count(!_.getAs[Boolean]("bloom_maybe"))
+    assert(pruned * 2 > out.length,
+      s"filter pruned only $pruned of ${out.length}")
+    // union corpora ≡ OR their filters (the register merge seam)
+    val half1 = Dedup.fingerprintIndex(corpus.filter(col("doc_id") % 2 === 1), "text")
+    val half2 = Dedup.fingerprintIndex(corpus.filter(col("doc_id") % 2 =!= 1), "text")
+    def wordMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val merged = (wordMap(Dedup.bloomWords(half1)).toSeq ++
+      wordMap(Dedup.bloomWords(half2)).toSeq)
+      .groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).reduce(_ | _) }
+    assert(wordMap(Dedup.bloomWords(index)) == merged)
+    // layout invariance
+    val again = Dedup.bloomProbe(batch.repartition(7), index.repartition(3),
+      "doc_id", "text").collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("ngram jaccard pairs are symmetric-free (a < b) and above threshold") {
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, tau = 0.8).collect()
     pairs.foreach { r =>
