@@ -197,6 +197,16 @@ object LlmQueries {
     // —— G22: label-blocked kNN graph over collapsed distinct vectors ——
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(s, emb(s, dir), k = 3)),
+    // —— G22b: PageRank centrality over the G22 kNN graph — the
+    //    graph-quality-propagation curation signal ——
+    "graph_pagerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val reps = e.groupBy(col("label"), col("embedding"))
+        .agg(min(col("vec_id")).as("id")).select("id")
+      val edges = Similarity.knnGraph(s, e, k = 3)
+        .select(col("vec_id").as("src"), col("nbr").as("dst"))
+      Pipeline100TB.pageRank(reps, edges)
+    }),
     // —— F18: precision/recall of the MinHash banding vs true Jaccard ——
     "dedup_eval" -> ((s, dir) =>
       Dedup.bandingEval(docs(s, dir), "doc_id", "text")),
@@ -783,6 +793,58 @@ object LlmQueries {
       |SELECT query_id, vec_id AS neighbor_id, hamming,
       |  CAST(rank AS INTEGER) AS rank
       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** G22 oracle (factored: the G22b PageRank replay rides on the same
+    * edge set): collapse to distinct (label, embedding) reps,
+    * label-blocked pairs, top-k per rep by (cos DESC, nbr).
+    */
+  private[graft] val knnGraphSql: String = {
+    val kcos = cosSql.format("a.embedding", "b.embedding")
+    s"""WITH g AS (SELECT label, embedding, MIN(vec_id) AS vec_id,
+       |    COUNT(*) AS n_members
+       |  FROM embeddings GROUP BY label, embedding),
+       |p AS (SELECT a.vec_id AS vec_id, a.n_members AS n_id,
+       |    b.vec_id AS nbr, b.n_members AS n_nbr,
+       |    round($kcos, 4) AS cos_r
+       |  FROM g a JOIN g b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos_r DESC, nbr) AS rk FROM p)
+       |SELECT vec_id, CAST(rk AS INTEGER) AS rk, nbr, cos_r,
+       |  CAST(n_id AS BIGINT) AS n_id, CAST(n_nbr AS BIGINT) AS n_nbr
+       |FROM r WHERE rk <= 3""".stripMargin
+  }
+
+  /** G22b oracle: the engine's integer PageRank unrolled — 4
+    * iterations of ⌊15·S/(100·N)⌋ + Σ⌊85·r(u)/(100·deg⁺u)⌋ over the
+    * G22 edge set (scoped as a derived table, the recall-matrix
+    * composition move), S = 10¹².
+    */
+  private def pageRankSql: String = {
+    val S = "1000000000000"
+    def iter(i: Int): String =
+      s"""c$i AS (SELECT e.dst AS id,
+         |    CAST(SUM((85 * r${i - 1}.rank) // (100 * e.outdeg)) AS BIGINT)
+         |      AS inflow
+         |  FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src GROUP BY 1),
+         |r$i AS (SELECT g.vec_id AS id,
+         |    CAST((15 * $S) // (100 * nn.n) AS BIGINT)
+         |      + COALESCE(c$i.inflow, 0) AS rank
+         |  FROM g CROSS JOIN nn LEFT JOIN c$i ON c$i.id = g.vec_id)"""
+        .stripMargin
+    s"""WITH ed AS (SELECT vec_id AS src, nbr AS dst FROM (
+       |$knnGraphSql
+       |) __k),
+       |g AS (SELECT label, embedding, MIN(vec_id) AS vec_id
+       |      FROM embeddings GROUP BY label, embedding),
+       |nn AS (SELECT COUNT(*) AS n FROM g),
+       |dg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY 1),
+       |e AS (SELECT ed.src, ed.dst, dg.outdeg FROM ed JOIN dg USING (src)),
+       |r0 AS (SELECT g.vec_id AS id, CAST($S // nn.n AS BIGINT) AS rank
+       |       FROM g CROSS JOIN nn),
+       |${(1 to 4).map(iter).mkString(",\n")}
+       |SELECT id, rank AS rank_ppt FROM r4""".stripMargin
+  }
 
   private val bruteTopKSql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
@@ -2242,22 +2304,8 @@ object LlmQueries {
         |WHERE d.doc_id % 20 <> 0""".stripMargin,
     // G22: collapse to distinct (label, embedding) reps, label-blocked
     // pairs, top-k per rep by (cos DESC, nbr)
-    "sim_knn_graph" -> {
-      val kcos = cosSql.format("a.embedding", "b.embedding")
-      s"""WITH g AS (SELECT label, embedding, MIN(vec_id) AS vec_id,
-         |    COUNT(*) AS n_members
-         |  FROM embeddings GROUP BY label, embedding),
-         |p AS (SELECT a.vec_id AS vec_id, a.n_members AS n_id,
-         |    b.vec_id AS nbr, b.n_members AS n_nbr,
-         |    round($kcos, 4) AS cos_r
-         |  FROM g a JOIN g b
-         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY cos_r DESC, nbr) AS rk FROM p)
-         |SELECT vec_id, CAST(rk AS INTEGER) AS rk, nbr, cos_r,
-         |  CAST(n_id AS BIGINT) AS n_id, CAST(n_nbr AS BIGINT) AS n_nbr
-         |FROM r WHERE rk <= 3""".stripMargin
-    },
+    "sim_knn_graph" -> knnGraphSql,
+    "graph_pagerank" -> pageRankSql,
     "dedup_substr_spans" ->
       """WITH s0 AS (
         |  SELECT doc_id,

@@ -56,6 +56,51 @@ object Pipeline100TB {
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 
+  /** G22b: PageRank centrality over a directed edge set — fixed
+    * iteration count, damping 85/100, ALL arithmetic int64 floor
+    * division (total mass 10¹² "parts-per-trillion" units), so the
+    * result is bit-exact on any engine/partitioning and the DuckDB
+    * oracle replays the unrolled iterations literally. Applied to the
+    * G22 kNN graph it is the graph-centrality curation signal (the
+    * web-graph quality-propagation move of production crawl pipelines
+    * — highly-connected representatives score high; isolates read the
+    * floor): rank'(v) = ⌊15·S/(100·N)⌋ + Σ_{u→v} ⌊85·r(u)/(100·deg⁺u)⌋.
+    *
+    * Dangling nodes (deg⁺ = 0) leak their damped mass each round —
+    * the "remove dangling" simplification; with a fixed iteration
+    * count the readout stays a total order, which is what a curation
+    * SIGNAL needs (re-normalizing would rescale, not re-rank).
+    *
+    * Scale shape: per iteration exactly TWO keyed shuffles — ranks to
+    * the edges' `src` partitioning (the edge frame is checkpointed
+    * once with its out-degrees and reused every round; persist it
+    * bucketed on `src` at 100 TB and only ranks move), then the
+    * map-side-combined Σ to `dst`. The base term is a broadcast 1-row
+    * N; no window, no driver-sized state, lineage truncated per round
+    * like the CC loops.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 4): DataFrame = {
+    val Scale = 1000000000000L
+    val n = broadcast(nodes.agg(count(lit(1)).as("__n")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(deg, "src").localCheckpoint(eager = false)
+    var ranks = nodes.crossJoin(n)
+      .select(col("id"), expr(s"${Scale}L div __n").as("rank"))
+    for (_ <- 1 to iters) {
+      val inflow = e.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"),
+          expr("(85L * rank) div (100L * outdeg)").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes.crossJoin(n)
+        .join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (expr(s"(15L * ${Scale}L) div (100L * __n)") +
+            coalesce(col("inflow"), lit(0L))).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.select(col("id"), col("rank").as("rank_ppt"))
+  }
+
   /** F7b: connected components via alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
     * the drop-in for [[connectedComponents]] when cluster DIAMETER is

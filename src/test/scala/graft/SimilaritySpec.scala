@@ -410,6 +410,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(joined.filter(col("qb") =!= col("nb")).count() == 0)
   }
 
+  test("pagerank: exact int64 replay on a planted graph; hubs beat leaves; isolates read the floor") {
+    import spark.implicits._
+    import graft.operators.Pipeline100TB
+    // star: 1..5 all point at 0; 0 points back at 1; 6 is isolated
+    val nodes = (0L to 6L).toDF("id")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (0L, 1L)).toDF("src", "dst")
+    val got = Pipeline100TB.pageRank(nodes, edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // plain-Scala replay of the documented integer recurrence
+    val S = 1000000000000L
+    val n = 7L
+    val deg = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 0L -> 1L)
+    val out = Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L)
+      .keys.map(u => u -> Seq(0L)).toMap ++ Map(0L -> Seq(1L))
+    var r = (0L to 6L).map(_ -> S / n).toMap
+    for (_ <- 1 to 4) {
+      val base = (15L * S) / (100L * n)
+      val inflow = (0L to 6L).map { v =>
+        v -> out.toSeq.collect {
+          case (u, dsts) if dsts.contains(v) => (85L * r(u)) / (100L * deg(u))
+        }.sum
+      }.toMap
+      r = (0L to 6L).map(v => v -> (base + inflow(v))).toMap
+    }
+    assert(got == r, s"got=$got expect=$r")
+    // structure: the 0↔1 cycle holds the circulating mass (1 receives
+    // the hub's whole damped rank each round), leaves tie, the
+    // isolate reads the floor
+    assert(got(1L) > got(0L) && got(0L) > got(2L))
+    assert((2L to 5L).map(got).toSet.size == 1)
+    assert(got(6L) == (15L * S) / (100L * n))
+    // mass only leaks (floor losses + dangling): never exceeds S
+    assert(got.values.sum <= S)
+    // layout invariance
+    val again = Pipeline100TB.pageRank(nodes.repartition(5),
+      edges.repartition(3), iters = 4)
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("sign-bit words match a plain-scala pack and run codegen'd") {
     import org.apache.spark.sql.GraftBridge
     import graft.functions.SignBits
