@@ -148,6 +148,18 @@ object ExtendedQueries {
              {"$$project": {"vec_id": 1, "label": 1,
               "score": {"$$meta": "vectorSearchScore"}}}]""")
     }),
+    // —— C37: $rankFusion (Mongo 8.1 hybrid-search RRF as a pipeline
+    //    stage — two selection-only ranked legs, integer-ppb fused
+    //    score via {$meta: "score"}) ——
+    "pipe_rankfusion" -> ((s, dir) => run(s, dir, "orders",
+      """[{"$rankFusion": {"input": {"pipelines": {
+            "price": [{"$match": {"o_orderstatus": "F"}},
+                      {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+                      {"$limit": 25}],
+            "recent": [{"$sort": {"o_orderdate": -1, "o_orderkey": 1}},
+                       {"$limit": 25}]}},
+          "combination": {"weights": {"price": 2}}}},
+         {"$project": {"o_orderkey": 1, "score": {"$meta": "score"}}}]""")),
     // —— C25: $graphLookup (bounded BFS over a key chain) ——
     "pipe_graphlookup" -> ((s, dir) => {
       val cat = TableCatalog(s, dir)
@@ -881,6 +893,26 @@ object ExtendedQueries {
         |SELECT ck, seg, raw * 111.325 AS dist
         |FROM d WHERE raw <= 60.0
         |ORDER BY raw, ck LIMIT 40""".stripMargin,
+    // C37: per-leg row_number over the leg's key-complete sort (the
+    // o_orderkey component makes each leg's rank and limit boundary a
+    // total order, so the engine's all-columns tiebreak is inert),
+    // int64-ppb RRF contributions, fused by sum per document
+    "pipe_rankfusion" ->
+      """WITH lp AS (SELECT o_orderkey,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |lr AS (SELECT o_orderkey,
+        |    row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey) AS rk
+        |  FROM orders),
+        |u AS (SELECT o_orderkey,
+        |        CAST((2 * 1000000000) // (60 + rk) AS BIGINT) AS c
+        |      FROM lp WHERE rk <= 25
+        |      UNION ALL
+        |      SELECT o_orderkey,
+        |        CAST(1000000000 // (60 + rk) AS BIGINT) AS c
+        |      FROM lr WHERE rk <= 25)
+        |SELECT o_orderkey, CAST(SUM(c) AS BIGINT) AS score
+        |FROM u GROUP BY 1""".stripMargin,
     // two-stage replay of the stage's ANN path: coarse 16-dim prefix
     // score → top-60 shortlist → exact 64-dim re-rank → top-12; both
     // scores are (1 + round(cos, 4))/2 — exact IEEE normalization of

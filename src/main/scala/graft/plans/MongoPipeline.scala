@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * $group, $sort, $skip, $limit, $count, $unwind, $lookup, $bucket,
   * $bucketAuto, $sortByCount, $replaceRoot/$replaceWith, $facet,
   * $unionWith, $sample, $setWindowFields, $densify, $fill,
-  * $graphLookup, $geoNear, $vectorSearch, $out, $merge (the last two
+  * $graphLookup, $geoNear, $vectorSearch, $rankFusion, $out, $merge (the last two
   * via [[PipelineSinks]]).
   *
   * Distributed-determinism deviation: `$sample` draws the n smallest
@@ -160,6 +160,11 @@ object MongoPipeline {
             s"$$vectorSearch must be the first pipeline stage (found at stage $stageIdx)")
           cur = vectorSearch(cur, spec)
           lastSort = Seq((VsScoreCol, false)) // score DESC = best-first
+        case "$rankFusion" =>
+          require(stageIdx == 0,
+            s"$$rankFusion must be the first pipeline stage (found at stage $stageIdx)")
+          cur = rankFusion(cur, spec, tables)
+          lastSort = Seq((RfScoreCol, false)) // fused score DESC = best-first
         case "$facet" =>
           // each facet = a sub-pipeline over the same input; output is
           // one row with an array-of-struct column per facet
@@ -175,11 +180,12 @@ object MongoPipeline {
           throw new IllegalArgumentException(s"unsupported stage: $other")
       }
     }
-    // $vectorSearch's score rides a hidden column so {$meta:
-    // "vectorSearchScore"} can read it from any later stage; if no
-    // projection consumed it, it must not leak into the output schema
-    // (Mongo adds no field unless $meta is asked for).
-    cur.drop(VsScoreCol)
+    // $vectorSearch's / $rankFusion's scores ride hidden columns so
+    // {$meta: "vectorSearchScore"} / {$meta: "score"} can read them
+    // from any later stage; if no projection consumed them, they must
+    // not leak into the output schema (Mongo adds no field unless
+    // $meta is asked for).
+    cur.drop(VsScoreCol, RfScoreCol)
   }
 
   /** `$documents` source: a handful of driver-side literal rows. The
@@ -329,6 +335,95 @@ object MongoPipeline {
     * the pipeline drops it). `__`-prefixed like every internal column.
     */
   private val VsScoreCol = "__vs_score"
+
+  /** Hidden column carrying `$rankFusion`'s fused score until a
+    * `{$meta: "score"}` projection reads it. Unit: integer
+    * parts-per-billion (Σ ⌊w·10⁹/(60+rank)⌋ — the G24 `rrf_micro`
+    * convention), a deliberate deviation from Mongo's float score so
+    * the fused ranking is bit-exact on any engine/partitioning.
+    */
+  private val RfScoreCol = "__rf_score"
+
+  /** `$rankFusion` (SURVEY.md §2 C37, MongoDB 8.1) — hybrid-search
+    * rank fusion as a pipeline stage, composed onto the G24
+    * reciprocal-rank-fusion convention: each named input pipeline
+    * ranks documents its own way; a document's fused score is
+    * Σ_p ⌊weight_p·10⁹/(60+rank_p)⌋ (Cormack et al.'s RRF, c=60 —
+    * Mongo's constant), and the stage emits unique documents
+    * best-first.
+    *
+    * Contract (Mongo's, enforced loudly): first-stage-only; input
+    * pipelines are SELECTION-ONLY ($match/$sort/$limit/$skip — stages
+    * that modify documents are refused, so every leg emits the input
+    * schema and fusion can group on the full document); each leg must
+    * carry an explicit $sort — ranks need a total order, completed
+    * with the engine's all-columns tiebreak (Mongo leaves equal-key
+    * order unspecified; a distributed replay must not). Weights are
+    * non-negative INTEGERS (fractional weights would reintroduce the
+    * float-parity risk the integer convention exists to avoid).
+    *
+    * Scale shape: each leg is a bounded ranked pipeline ($sort+$limit
+    * compiles to TakeOrdered — never a full sort); the rank window
+    * runs over the ≤limit surviving rows of a leg, the fusion
+    * group-by touches ≤ Σ limits rows. The legs are the distributed
+    * work; fusion cost is bounded by construction — the same shape as
+    * the standalone `sim_hybrid_rrf`.
+    */
+  private def rankFusion(df: DataFrame, spec: JsonNode,
+                         tables: String => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val input = spec.get("input")
+    require(input != null && input.get("pipelines") != null &&
+      input.get("pipelines").isObject,
+      "$rankFusion.input.pipelines is required")
+    val pipes = input.get("pipelines").properties().asScala.toSeq
+    require(pipes.nonEmpty, "$rankFusion needs at least one input pipeline")
+    val weights = Option(spec.get("combination"))
+      .flatMap(c => Option(c.get("weights")))
+    weights.foreach(w => w.properties().asScala.foreach { e =>
+      require(pipes.exists(_.getKey == e.getKey),
+        s"$$rankFusion weight for unknown pipeline: ${e.getKey}")
+      require(e.getValue.isIntegralNumber && e.getValue.asLong() >= 0,
+        s"$$rankFusion.combination.weights.${e.getKey} must be a " +
+          s"non-negative integer (got ${e.getValue})")
+    })
+    def weightOf(name: String): Long =
+      weights.flatMap(w => Option(w.get(name))).map(_.asLong()).getOrElse(1L)
+    val docCols = df.columns.toSeq
+    val legs = pipes.map { e =>
+      val (name, stages) = (e.getKey, e.getValue)
+      require(stages.isArray && stages.size() > 0,
+        s"$$rankFusion pipeline '$name' must be a non-empty stage array")
+      var sortSpec: Seq[(String, Boolean)] = Nil
+      stages.elements().asScala.foreach { st =>
+        st.properties().asScala.head.getKey match {
+          case "$match" | "$limit" | "$skip" => ()
+          case "$sort" =>
+            sortSpec = st.get("$sort").properties().asScala.toSeq
+              .map(x => (x.getKey, x.getValue.asInt() >= 0))
+          case other => throw new IllegalArgumentException(
+            s"$$rankFusion input pipelines are selection-only " +
+              s"($$match/$$sort/$$limit/$$skip); '$other' modifies documents")
+        }
+      }
+      require(sortSpec.nonEmpty,
+        s"$$rankFusion pipeline '$name' must contain $$sort — " +
+          "ranks need an explicit order")
+      val sub = compile(df, stages.toString, tables, documentsAllowed = false)
+      val order = sortSpec.map { case (f, asc) =>
+        if (asc) col(f).asc else col(f).desc
+      } ++ docCols.map(col(_).asc)
+      sub
+        .withColumn("__rf_rank", row_number().over(Window.orderBy(order: _*)))
+        .withColumn(RfScoreCol,
+          expr(s"(${weightOf(name)}L * 1000000000L) div (60L + __rf_rank)"))
+        .drop("__rf_rank")
+    }
+    legs.reduce(_ unionByName _)
+      .groupBy(docCols.map(col): _*)
+      .agg(sum(col(RfScoreCol)).as(RfScoreCol))
+      .orderBy(col(RfScoreCol).desc +: docCols.map(col(_).asc): _*)
+  }
 
   /** `$vectorSearch` (SURVEY.md §2 C36) — Atlas vector search as a
     * pipeline stage, composed onto the engine's ANN machinery rather
@@ -534,9 +629,15 @@ object MongoPipeline {
       // score column (the only meta the engine defines — textScore
       // etc. belong to features with no counterpart here, fail loudly)
       case "$meta" =>
-        require(a.isTextual && a.asText() == "vectorSearchScore",
-          s"unsupported $$meta: $a")
-        col(VsScoreCol)
+        require(a.isTextual, s"unsupported $$meta: $a")
+        a.asText() match {
+          case "vectorSearchScore" => col(VsScoreCol)
+          // Mongo 8.1's fused-score meta; integer ppb units (see
+          // RfScoreCol) rather than Mongo's float
+          case "score" => col(RfScoreCol)
+          case other => throw new IllegalArgumentException(
+            s"unsupported $$meta: $other")
+        }
       case "$add"      => args.reduce(_ + _)
       case "$subtract" => args.reduce(_ - _)
       case "$multiply" => args.reduce(_ * _)

@@ -1163,6 +1163,79 @@ class ExtendedPipelineSpec extends SparkTestBase {
     }
   }
 
+  // ——— $rankFusion (C37) ———
+
+  test("$rankFusion fuses two ranked legs by weighted integer RRF; score hidden unless $meta asks") {
+    val out = MongoPipeline(cat.orders,
+      """[{"$rankFusion": {"input": {"pipelines": {
+            "price": [{"$match": {"o_orderstatus": "F"}},
+                      {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+                      {"$limit": 25}],
+            "recent": [{"$sort": {"o_orderdate": -1, "o_orderkey": 1}},
+                       {"$limit": 25}]}},
+          "combination": {"weights": {"price": 2}}}},
+         {"$project": {"o_orderkey": 1, "score": {"$meta": "score"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // plain-Scala replay from independently-computed legs
+    // ISO-rendered timestamps sort identically to the raw column
+    val rows = cat.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    val price = rows.filter(_._2 == "F")
+      .sortBy { case (k, _, p, _) => (-p, k) }.take(25)
+      .zipWithIndex.map { case ((k, _, _, _), i) =>
+        k -> (2L * 1000000000L) / (60L + i + 1) }
+    implicit val ord: Ordering[(String, Long)] =
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.Long)
+    val recent = rows
+      .sortBy { case (k, _, _, d) => (d, k) }(ord).take(25)
+      .zipWithIndex.map { case ((k, _, _, _), i) =>
+        k -> 1000000000L / (60L + i + 1) }
+    val expect = (price ++ recent).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(out.toMap == expect, s"only-got=${out.toMap.toSet -- expect.toSet}")
+    // best-first output order: fused score descending
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+    // without a $meta projection the fused score must not leak
+    val bare = MongoPipeline(cat.orders,
+      """[{"$rankFusion": {"input": {"pipelines": {
+            "one": [{"$sort": {"o_orderkey": 1}}, {"$limit": 5}]}}}}]""")
+    assert(bare.columns.toSeq == cat.orders.columns.toSeq)
+    assert(bare.count() == 5)
+  }
+
+  test("$rankFusion contract errors: stage position, selection-only legs, $sort required, integer weights") {
+    intercept[IllegalArgumentException] { // not first
+      MongoPipeline(cat.orders,
+        """[{"$match": {"o_orderstatus": "F"}},
+            {"$rankFusion": {"input": {"pipelines": {
+              "a": [{"$sort": {"o_orderkey": 1}}, {"$limit": 5}]}}}}]""")
+    }
+    intercept[IllegalArgumentException] { // $project modifies documents
+      MongoPipeline(cat.orders,
+        """[{"$rankFusion": {"input": {"pipelines": {
+            "a": [{"$project": {"o_orderkey": 1}},
+                  {"$sort": {"o_orderkey": 1}}, {"$limit": 5}]}}}}]""")
+    }
+    intercept[IllegalArgumentException] { // no $sort — no rank order
+      MongoPipeline(cat.orders,
+        """[{"$rankFusion": {"input": {"pipelines": {
+            "a": [{"$match": {"o_orderstatus": "F"}}, {"$limit": 5}]}}}}]""")
+    }
+    intercept[IllegalArgumentException] { // fractional weight
+      MongoPipeline(cat.orders,
+        """[{"$rankFusion": {"input": {"pipelines": {
+              "a": [{"$sort": {"o_orderkey": 1}}, {"$limit": 5}]}},
+            "combination": {"weights": {"a": 1.5}}}}]""")
+    }
+    intercept[IllegalArgumentException] { // weight for unknown leg
+      MongoPipeline(cat.orders,
+        """[{"$rankFusion": {"input": {"pipelines": {
+              "a": [{"$sort": {"o_orderkey": 1}}, {"$limit": 5}]}},
+            "combination": {"weights": {"nope": 1}}}}]""")
+    }
+  }
+
   test("$geoNear anywhere but stage 0 fails loudly; missing key/distanceField too") {
     val base = geoPlaces
     intercept[IllegalArgumentException] {
