@@ -376,6 +376,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("E21: streaming bloom words equal the batch filter; duplicate fingerprints are idempotent") {
+    // the F20 filter run INCREMENTALLY: bloomWords is ONE bit_or
+    // aggregation over ≤ m/32 word rows — streaming-legal state the
+    // curation daemon can keep live next to its standing indexes; OR
+    // is idempotent, so re-delivered/duplicate fingerprints cannot
+    // corrupt it (the exactly-once property comes free from the
+    // algebra, not the sink)
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      df.select(Dedup.fingerprintOf(col("text")).as("fp"))
+    val ms = MemoryStream[(Long, String)]
+    val q = Dedup.bloomWords(fps(ms.toDF.toDF("doc_id", "text")))
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData((1L, "alpha beta"), (2L, "gamma delta"))
+      q.processAllAvailable()
+      // second batch re-delivers doc 1's content verbatim
+      ms.addData((3L, "alpha beta"), (4L, "epsilon zeta"))
+      q.processAllAvailable()
+      def wk(r: org.apache.spark.sql.Row) = (r.getInt(0), r.getLong(1))
+      val streamed = spark.table("bloom_stream").collect().map(wk).toSet
+      val batch = Dedup.bloomWords(fps(
+        Seq("alpha beta", "gamma delta", "epsilon zeta").toDF("text")))
+        .collect().map(wk).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("E17: streaming count-min grid equals the batch sketch across micro-batches") {
     // the G21 sketch run INCREMENTALLY: the same cmsGrid transform on
     // a stream keeps d·w rows of state (corpus-size-independent) and
