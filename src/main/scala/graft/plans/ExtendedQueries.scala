@@ -160,6 +160,21 @@ object ExtendedQueries {
                        {"$limit": 25}]}},
           "combination": {"weights": {"price": 2}}}},
          {"$project": {"o_orderkey": 1, "score": {"$meta": "score"}}}]""")),
+    // —— C38: $scoreFusion (Mongo 8.2 score-based hybrid fusion —
+    //    a $vectorSearch leg + a $score leg, minMaxScaler normalized,
+    //    weighted-mean combined, score via {$meta: "score"}) ——
+    "pipe_scorefusion" -> ((s, dir) => {
+      val cat = TableCatalog(s, dir)
+      MongoPipeline(cat.table("embeddings"),
+        s"""[{"$$scoreFusion": {"input": {"normalization": "minMaxScaler",
+              "pipelines": {
+                "near": [{"$$vectorSearch": {"path": "embedding",
+                   "queryVector": $vsQueryJson, "limit": 15, "exact": true}}],
+                "ids": [{"$$match": {"label": {"$$gte": 1}}},
+                        {"$$score": {"score": {"$$toDouble": "$$vec_id"}}}]}},
+              "combination": {"weights": {"near": 2, "ids": 1}}}},
+             {"$$project": {"vec_id": 1, "score": {"$$meta": "score"}}}]""")
+    }),
     // —— C25: $graphLookup (bounded BFS over a key chain) ——
     "pipe_graphlookup" -> ((s, dir) => {
       val cat = TableCatalog(s, dir)
@@ -913,6 +928,28 @@ object ExtendedQueries {
         |      FROM lr WHERE rk <= 25)
         |SELECT o_orderkey, CAST(SUM(c) AS BIGINT) AS score
         |FROM u GROUP BY 1""".stripMargin,
+    // C38: exact-mode vectorSearch leg (the proven-portable rounded
+    // cosine) + field-score leg, each minMax-normalized AFTER its own
+    // limit, fused by the stage's literal weighted mean
+    "pipe_scorefusion" ->
+      s"""WITH l1 AS (
+        |  SELECT vec_id, (1 + round(list_cosine_similarity(
+        |      CAST(embedding AS DOUBLE[]), ${vsQuerySqlList(64)}), 4)) / 2.0 AS s
+        |  FROM embeddings
+        |  ORDER BY s DESC, vec_id LIMIT 15),
+        |m1 AS (SELECT min(s) AS mn, max(s) AS mx FROM l1),
+        |n1 AS (SELECT vec_id,
+        |    CASE WHEN mx = mn THEN 0.0 ELSE (s - mn) / (mx - mn) END AS n
+        |  FROM l1, m1),
+        |l2 AS (SELECT vec_id, CAST(vec_id AS DOUBLE) AS s
+        |       FROM embeddings WHERE label >= 1),
+        |m2 AS (SELECT min(s) AS mn, max(s) AS mx FROM l2),
+        |n2 AS (SELECT vec_id,
+        |    CASE WHEN mx = mn THEN 0.0 ELSE (s - mn) / (mx - mn) END AS n
+        |  FROM l2, m2)
+        |SELECT COALESCE(n1.vec_id, n2.vec_id) AS vec_id,
+        |  (2.0 * COALESCE(n1.n, 0.0) + 1.0 * COALESCE(n2.n, 0.0)) / 3.0 AS score
+        |FROM n1 FULL OUTER JOIN n2 ON n1.vec_id = n2.vec_id""".stripMargin,
     // two-stage replay of the stage's ANN path: coarse 16-dim prefix
     // score → top-60 shortlist → exact 64-dim re-rank → top-12; both
     // scores are (1 + round(cos, 4))/2 — exact IEEE normalization of

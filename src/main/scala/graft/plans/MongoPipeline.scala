@@ -52,7 +52,8 @@ object MongoPipeline {
     */
   private def compile(df: DataFrame, pipelineJson: String,
                       tables: String => DataFrame,
-                      documentsAllowed: Boolean): DataFrame = {
+                      documentsAllowed: Boolean,
+                      keepScores: Boolean = false): DataFrame = {
     val root = mapper.readTree(pipelineJson)
     require(root.isArray, "pipeline must be a JSON array of stages")
     var cur = df
@@ -165,6 +166,11 @@ object MongoPipeline {
             s"$$rankFusion must be the first pipeline stage (found at stage $stageIdx)")
           cur = rankFusion(cur, spec, tables)
           lastSort = Seq((RfScoreCol, false)) // fused score DESC = best-first
+        case "$scoreFusion" =>
+          require(stageIdx == 0,
+            s"$$scoreFusion must be the first pipeline stage (found at stage $stageIdx)")
+          cur = scoreFusion(cur, spec, tables)
+          lastSort = Seq((RfScoreCol, false))
         case "$facet" =>
           // each facet = a sub-pipeline over the same input; output is
           // one row with an array-of-struct column per facet
@@ -184,8 +190,9 @@ object MongoPipeline {
     // {$meta: "vectorSearchScore"} / {$meta: "score"} can read them
     // from any later stage; if no projection consumed them, they must
     // not leak into the output schema (Mongo adds no field unless
-    // $meta is asked for).
-    cur.drop(VsScoreCol, RfScoreCol)
+    // $meta is asked for). `$scoreFusion` compiles its scored legs
+    // with keepScores=true — the fusion consumes the hidden column.
+    if (keepScores) cur else cur.drop(VsScoreCol, RfScoreCol)
   }
 
   /** `$documents` source: a handful of driver-side literal rows. The
@@ -422,6 +429,129 @@ object MongoPipeline {
     legs.reduce(_ unionByName _)
       .groupBy(docCols.map(col): _*)
       .agg(sum(col(RfScoreCol)).as(RfScoreCol))
+      .orderBy(col(RfScoreCol).desc +: docCols.map(col(_).asc): _*)
+  }
+
+  /** `$scoreFusion` (SURVEY.md §2 C38, MongoDB 8.2) — SCORE-based
+    * hybrid fusion, the sibling of `$rankFusion` for legs whose
+    * scores are already meaningful: each named input pipeline is a
+    * SCORED pipeline — either it starts with `$vectorSearch` (its
+    * hidden score is the leg score) or it is selection stages
+    * ($match/$sort/$limit/$skip) ending in a `{$score: {score:
+    * <expression>}}` stage (Mongo 8.2's custom-score stage, supported
+    * here as a scoreFusion leg terminal). Per-leg `normalization`
+    * (`input.normalization`): `none`, `minMaxScaler` ((s−min)/(max−min)
+    * over that leg's results, 0 when degenerate), or `sigmoid`
+    * (1/(1+e^(−s)) via the engine's deterministic exp — zero libm).
+    *
+    * Combination — stated exactly, since floats are involved: fused =
+    * (Σ_p w_p·n_p) / (Σ_p w_p) with a doc absent from a leg
+    * contributing n_p = 0, legs folded in declaration order (a FIXED
+    * expression shape, never a float SUM aggregate — deterministic on
+    * any partitioning). Weights are non-negative numbers, Σw > 0.
+    * The fused score rides the same hidden column as `$rankFusion`
+    * and reads via `{$meta: "score"}`.
+    *
+    * Every arithmetic step (min/max, subtract, divide, weighted mean)
+    * is a correctly-rounded IEEE op over engine-portable inputs, so
+    * the minMaxScaler/none paths stay hash-oracle-checkable; sigmoid
+    * carries the deterministic-exp replay (the H24 convention).
+    * Assumes unique input documents (Mongo's _id uniqueness; fusion
+    * joins on the full document).
+    *
+    * Scale: legs are bounded searches/selections (the distributed
+    * work); normalization is a broadcast 2-value aggregate per leg;
+    * fusion is K−1 full-outer joins over ≤ Σ leg sizes rows.
+    */
+  private def scoreFusion(df: DataFrame, spec: JsonNode,
+                          tables: String => DataFrame): DataFrame = {
+    val input = spec.get("input")
+    require(input != null && input.get("pipelines") != null &&
+      input.get("pipelines").isObject,
+      "$scoreFusion.input.pipelines is required")
+    val norm = Option(input.get("normalization")).map(_.asText())
+      .getOrElse("none")
+    require(Seq("none", "minMaxScaler", "sigmoid").contains(norm),
+      s"unsupported $$scoreFusion normalization: $norm")
+    val pipes = input.get("pipelines").properties().asScala.toSeq
+    require(pipes.nonEmpty, "$scoreFusion needs at least one input pipeline")
+    val weights = Option(spec.get("combination"))
+      .flatMap(c => Option(c.get("weights")))
+    weights.foreach(w => w.properties().asScala.foreach { e =>
+      require(pipes.exists(_.getKey == e.getKey),
+        s"$$scoreFusion weight for unknown pipeline: ${e.getKey}")
+      require(e.getValue.isNumber && e.getValue.asDouble() >= 0,
+        s"$$scoreFusion.combination.weights.${e.getKey} must be a " +
+          s"non-negative number (got ${e.getValue})")
+    })
+    def weightOf(name: String): Double =
+      weights.flatMap(w => Option(w.get(name))).map(_.asDouble()).getOrElse(1.0)
+    require(pipes.map(p => weightOf(p.getKey)).sum > 0,
+      "$scoreFusion weights must not all be zero")
+    val docCols = df.columns.toSeq
+
+    def legFrame(name: String, stages: JsonNode): DataFrame = {
+      require(stages.isArray && stages.size() > 0,
+        s"$$scoreFusion pipeline '$name' must be a non-empty stage array")
+      val ops = stages.elements().asScala.toSeq
+        .map(_.properties().asScala.head.getKey)
+      if (ops.head == "$vectorSearch") {
+        ops.tail.foreach(op => require(
+          Seq("$match", "$sort", "$limit", "$skip").contains(op),
+          s"$$scoreFusion pipeline '$name': '$op' not allowed after " +
+            "$vectorSearch (selection stages only)"))
+        compile(df, stages.toString, tables, documentsAllowed = false,
+            keepScores = true)
+          .withColumn("__sf_raw", col(VsScoreCol)).drop(VsScoreCol)
+      } else {
+        require(ops.last == "$score",
+          s"$$scoreFusion pipeline '$name' must start with $$vectorSearch " +
+            "or end with a {$score: {score: <expr>}} stage")
+        ops.init.foreach(op => require(
+          Seq("$match", "$sort", "$limit", "$skip").contains(op),
+          s"$$scoreFusion pipeline '$name': '$op' modifies documents — " +
+            "selection stages only before $score"))
+        val scoreSpec = stages.get(stages.size() - 1).get("$score")
+        require(scoreSpec != null && scoreSpec.get("score") != null,
+          s"$$scoreFusion pipeline '$name': $$score needs a score expression")
+        val prefix = mapper.createArrayNode()
+        stages.elements().asScala.toSeq.init.foreach(prefix.add)
+        compile(df, prefix.toString, tables, documentsAllowed = false)
+          .withColumn("__sf_raw",
+            expression(scoreSpec.get("score")).cast("double"))
+      }
+    }
+
+    def normalized(leg: DataFrame): DataFrame = norm match {
+      case "none" => leg.withColumn("__sf_n", col("__sf_raw"))
+      case "minMaxScaler" =>
+        val mm = broadcast(leg.agg(min(col("__sf_raw")).as("__mn"),
+          max(col("__sf_raw")).as("__mx")))
+        leg.crossJoin(mm)
+          .withColumn("__sf_n",
+            when(col("__mx") === col("__mn"), lit(0.0))
+              .otherwise((col("__sf_raw") - col("__mn")) /
+                (col("__mx") - col("__mn"))))
+          .drop("__mn", "__mx")
+      case "sigmoid" =>
+        graft.operators.TextAnalysis
+          .withExpDet(leg, -col("__sf_raw"), "__sf_e")
+          .withColumn("__sf_n", lit(1.0) / (lit(1.0) + col("__sf_e")))
+          .drop("__sf_e")
+    }
+
+    val legs = pipes.zipWithIndex.map { case (e, i) =>
+      normalized(legFrame(e.getKey, e.getValue))
+        .select(docCols.map(col) :+ col("__sf_n").as(s"__sf_n$i"): _*)
+    }
+    val joined = legs.reduce(_.join(_, docCols, "full_outer"))
+    val wsum = pipes.map(p => weightOf(p.getKey)).sum
+    val fused = pipes.zipWithIndex.map { case (e, i) =>
+      lit(weightOf(e.getKey)) * coalesce(col(s"__sf_n$i"), lit(0.0))
+    }.reduce(_ + _) / lit(wsum)
+    joined
+      .withColumn(RfScoreCol, fused)
+      .drop(pipes.indices.map(i => s"__sf_n$i"): _*)
       .orderBy(col(RfScoreCol).desc +: docCols.map(col(_).asc): _*)
   }
 

@@ -1236,6 +1236,87 @@ class ExtendedPipelineSpec extends SparkTestBase {
     }
   }
 
+  // ——— $scoreFusion (C38) ———
+
+  test("$scoreFusion minMaxScaler fusion equals a plain-Scala replay; absent legs contribute zero") {
+    val out = MongoPipeline(cat.orders,
+      """[{"$scoreFusion": {"input": {"normalization": "minMaxScaler",
+            "pipelines": {
+              "price": [{"$match": {"o_orderstatus": "F"}},
+                        {"$score": {"score": {"$toDouble": "$o_totalprice"}}}],
+              "key": [{"$score": {"score": {"$toDouble": "$o_orderkey"}}}]}},
+            "combination": {"weights": {"price": 3, "key": 1}}}},
+         {"$project": {"o_orderkey": 1, "score": {"$meta": "score"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = cat.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def mm(xs: Seq[(Long, Double)]): Map[Long, Double] = {
+      val (mn, mx) = (xs.map(_._2).min, xs.map(_._2).max)
+      xs.map { case (k, s) =>
+        k -> (if (mx == mn) 0.0 else (s - mn) / (mx - mn)) }.toMap
+    }
+    val n1 = mm(rows.filter(_._2 == "F").map(t => (t._1, t._3)).toSeq)
+    val n2 = mm(rows.map(t => (t._1, t._1.toDouble)).toSeq)
+    val expect = rows.map(_._1).map { k =>
+      k -> (3.0 * n1.getOrElse(k, 0.0) + 1.0 * n2.getOrElse(k, 0.0)) / 4.0
+    }.toMap
+    assert(out == expect)
+    // a doc outside the "price" leg still scores through the "key" leg
+    val nonF = rows.find(_._2 != "F").get._1
+    assert(out(nonF) == 1.0 * n2(nonF) / 4.0)
+  }
+
+  test("$scoreFusion sigmoid normalization: bounded, order-preserving, partition-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) = MongoPipeline(df,
+      """[{"$scoreFusion": {"input": {"normalization": "sigmoid",
+            "pipelines": {
+              "key": [{"$score": {"score": {"$multiply":
+                [{"$toDouble": "$o_orderkey"}, 0.01]}}}]}}}},
+         {"$project": {"o_orderkey": 1, "score": {"$meta": "score"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val out = run(cat.orders.limit(50))
+    assert(out.forall { case (_, s) => s > 0.0 && s < 1.0 })
+    // sigmoid is strictly increasing: bigger key ⇒ bigger score (the
+    // 0.01 scale keeps raw scores ≤ ~2, far from double saturation)
+    val sorted = out.sortBy(_._1)
+    sorted.sliding(2).foreach { case Array((k1, s1), (k2, s2)) =>
+      assert(s2 >= s1, s"sigmoid not monotone: $k1->$s1 vs $k2->$s2")
+    }
+    assert(run(cat.orders.limit(50).repartition(7)).sortBy(_._1).toSeq ==
+      sorted.toSeq)
+  }
+
+  test("$scoreFusion contract errors: position, normalization, scoreless leg, zero weights, modifying stage") {
+    intercept[IllegalArgumentException] { // not first
+      MongoPipeline(cat.orders,
+        """[{"$match": {"o_orderstatus": "F"}},
+            {"$scoreFusion": {"input": {"pipelines": {
+              "a": [{"$score": {"score": 1}}]}}}}]""")
+    }
+    intercept[IllegalArgumentException] { // unknown normalization
+      MongoPipeline(cat.orders,
+        """[{"$scoreFusion": {"input": {"normalization": "zscore",
+            "pipelines": {"a": [{"$score": {"score": 1}}]}}}}]""")
+    }
+    intercept[IllegalArgumentException] { // no $vectorSearch, no $score
+      MongoPipeline(cat.orders,
+        """[{"$scoreFusion": {"input": {"pipelines": {
+            "a": [{"$sort": {"o_orderkey": 1}}, {"$limit": 5}]}}}}]""")
+    }
+    intercept[IllegalArgumentException] { // all-zero weights
+      MongoPipeline(cat.orders,
+        """[{"$scoreFusion": {"input": {"pipelines": {
+              "a": [{"$score": {"score": 1}}]}},
+            "combination": {"weights": {"a": 0}}}}]""")
+    }
+    intercept[IllegalArgumentException] { // $group modifies documents
+      MongoPipeline(cat.orders,
+        """[{"$scoreFusion": {"input": {"pipelines": {
+            "a": [{"$group": {"_id": "$o_orderstatus"}},
+                  {"$score": {"score": 1}}]}}}}]""")
+    }
+  }
+
   test("$geoNear anywhere but stage 0 fails loudly; missing key/distanceField too") {
     val base = geoPlaces
     intercept[IllegalArgumentException] {
