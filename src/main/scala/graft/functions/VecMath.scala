@@ -135,6 +135,43 @@ object VecMath {
     w
   }
 
+  /** Sparse signed random projection (Achlioptas' database-friendly
+    * JL transform, density 1/3): output dim j accumulates
+    * Σ_d c(j,d) · round(v_d·2²⁰) with c(j,d) ∈ {−1, 0, +1} chosen by
+    * (((1 + j·64 + d)·2654435761) mod 1000003) mod 6 →
+    * {0: −1, 5: +1, else 0}. The prime modulus does the mixing (the
+    * [[planeSig]] scheme) — a direct mod 6 would degenerate, since
+    * 2654435761 ≡ 1 (mod 6) makes the product's residue a period-6
+    * comb in d. Same round(v·2²⁰) int64 quantization as the
+    * round(v·2²⁰) int64 quantization as the PQ/centroid kernels
+    * (BigDecimal HALF_UP, the proven-portable `round(double)`), so
+    * every output is an exact int64 the oracle replays term for term.
+    */
+  def rpInt(v: ArrayData, outDims: Int): ArrayData = {
+    val n = math.min(64, v.numElements())
+    val out = new Array[Long](outDims)
+    var j = 0
+    while (j < outDims) {
+      var acc = 0L
+      var d = 0
+      while (d < n) {
+        val m = ((1L + j * 64L + d) * 2654435761L) % 1000003L % 6L
+        if (m == 0L || m == 5L) {
+          val x = v.getFloat(d).toDouble * 1048576.0
+          val q =
+            if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) 0L
+            else java.math.BigDecimal.valueOf(x)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          acc += (if (m == 5L) q else -q)
+        }
+        d += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Σ|x| over an int array, long accumulation in index order. */
   def l1Int(v: ArrayData): Long = {
     val n = v.numElements()
@@ -271,6 +308,27 @@ case class SignBits(child: Expression, lo: Int, bits: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       guarded(a, ev, s"graft.functions.VecMath.signBits($a, $lo, $bits)"))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sparse signed random projection of a float-array column to
+  * `outDims` exact int64 micro-unit sums (see [[VecMath.rpInt]]) —
+  * the G29 Johnson–Lindenstrauss reduction.
+  */
+case class RandomProjection(child: Expression, outDims: Int)
+    extends FloatArrayUnary {
+  require(outDims > 0, s"random_projection needs outDims > 0: $outDims")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "random_projection"
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (elementsNullable && VecMath.hasNull(v)) null
+    else VecMath.rpInt(v, outDims)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      guarded(a, ev, s"graft.functions.VecMath.rpInt($a, $outDims)"))
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

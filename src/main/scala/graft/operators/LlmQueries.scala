@@ -108,6 +108,8 @@ object LlmQueries {
     "embed_pq_codes" -> ((s, dir) =>
       Similarity.pqCodes(s, emb(s, dir), m = 4, dsub = 16, ksub = 4,
         iters = 2)),
+    // —— G29: sparse signed random projection (Achlioptas JL) ——
+    "embed_rp" -> ((s, dir) => Similarity.randomProjection(emb(s, dir))),
     // —— G27: OPQ-lite — variance-balanced dimension permutation in
     //    front of the same PQ train/encode machinery ——
     "embed_opq_codes" -> ((s, dir) =>
@@ -1326,6 +1328,17 @@ object LlmQueries {
     // ⇒ the oracle is the brute-force SQL verbatim.
     "sim_topk_pruned" -> bruteTopKSql,
     "sim_topk_hamming" -> hammingTopKSql,
+    // G29: coefficient formula and round(v·2²⁰) quantization replayed
+    // term for term; list_sum over int64 terms is order-free
+    "embed_rp" ->
+      """SELECT vec_id, CAST(j AS INTEGER) AS rp_dim,
+        |  CAST(list_sum([
+        |    CASE (1 + j*64 + (d-1)) * 2654435761 % 1000003 % 6
+        |      WHEN 0 THEN -CAST(round(embedding[d] * 1048576.0) AS BIGINT)
+        |      WHEN 5 THEN CAST(round(embedding[d] * 1048576.0) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END
+        |    for d in generate_series(1, 64)]) AS BIGINT) AS y_q
+        |FROM embeddings, generate_series(0, 15) t(j)""".stripMargin,
     "sim_topk_lsh" ->
       s"""WITH dots AS (SELECT vec_id, p,
          |    SUM(CAST(embedding[d + 1] AS DOUBLE) *

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CosineSimilarity, Int8Dot, Int8Quantize, IntArrayL1, PlaneSignature, SignBits, VecMaxAbs, VecSqNorm}
+import graft.functions.{CosineSimilarity, Int8Dot, Int8Quantize, IntArrayL1, PlaneSignature, RandomProjection, SignBits, VecMaxAbs, VecSqNorm}
 
 /** Similarity search over embedding columns (SURVEY.md §2 group G). */
 object Similarity {
@@ -154,6 +154,26 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("hamming"), col("rank"))
   }
+
+  /** G29: sparse signed random projection — Achlioptas'
+    * database-friendly Johnson–Lindenstrauss transform (density 1/3,
+    * coefficients in {−1, 0, +1}): projects 64-dim embeddings to
+    * `outDims` integer micro-unit sums in ONE codegen'd map-side pass
+    * ([[graft.functions.RandomProjection]]), no shuffle, no stored
+    * projection matrix (coefficients are a hash formula both engines
+    * replay). JL's guarantee: pairwise distances survive within
+    * (1 ± ε) at k = O(ln n / ε²) dims — the cheap front half of a
+    * project → bucket/search → exact-re-rank funnel, and a 4× scan
+    * reduction for any downstream ANN at 100 TB. All-int64 outputs
+    * (Σ ±round(v·2²⁰)) keep it hash-exact on any partitioning; rows
+    * emit exploded (vec_id, rp_dim, y_q) so no array column crosses
+    * the driver boundary.
+    */
+  def randomProjection(emb: DataFrame, outDims: Int = 16): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(expr1(RandomProjection(_, outDims))(col("embedding"))))
+      .select(col("vec_id"), col("pos").cast("int").as("rp_dim"),
+        col("col").as("y_q"))
 
   /** G5: symmetric int8 quantization of an embedding column — the
     * memory-bandwidth lever for 100 TB ANN (4× smaller scans, SIMD

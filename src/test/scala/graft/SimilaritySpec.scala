@@ -451,6 +451,60 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("random projection: exact plain-scala replay, codegen'd, and distance-preserving on average") {
+    val df = Similarity.randomProjection(emb, outDims = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("random_projection"), s"missing expr in:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val vecs = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    def q(x: Float): Long = java.math.BigDecimal.valueOf(x.toDouble * 1048576.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def rp(v: Seq[Float]): IndexedSeq[Long] =
+      (0 until 16).map { j =>
+        v.indices.map { d =>
+          ((1L + j * 64L + d) * 2654435761L) % 1000003L % 6L match {
+            case 0L => -q(v(d))
+            case 5L => q(v(d))
+            case _  => 0L
+          }
+        }.sum
+      }
+    vecs.foreach { case (id, v) =>
+      val e = rp(v)
+      (0 until 16).foreach(j => assert(got((id, j)) == e(j),
+        s"vec $id dim $j: got ${got((id, j))} expect ${e(j)}"))
+    }
+    // JL property on PLANTED structure (the corpus' own pairwise
+    // distances are concentrated near 2.0 — no scale separation for a
+    // projection to preserve): two tight clusters 10 apart must stay
+    // separated after projection — every cross-cluster projected
+    // distance above every within-cluster one
+    import spark.implicits._
+    val planted = (0 until 10).map { i =>
+      val base = if (i < 5) 0.0f else 10.0f
+      (i.toLong, (0 until 64).map(d => base + ((i * 64 + d) % 7) * 0.01f))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val prj = Similarity.randomProjection(planted, 16).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getLong(2)) }
+    def pd2(a: Long, b: Long): Double =
+      prj(a).zip(prj(b)).map { case (x, y) =>
+        (x - y).toDouble * (x - y) }.sum
+    val within = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield pd2(a, b)
+    val cross = for (a <- 0L to 4L; b <- 5L to 9L) yield pd2(a, b)
+    assert(cross.min > within.max,
+      s"projection lost cluster separation: cross.min=${cross.min} " +
+        s"within.max=${within.max}")
+    // layout invariance
+    val again = Similarity.randomProjection(emb.repartition(7), 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again == got)
+  }
+
   test("sign-bit words match a plain-scala pack and run codegen'd") {
     import org.apache.spark.sql.GraftBridge
     import graft.functions.SignBits
