@@ -624,7 +624,7 @@ object LlmQueries {
     * oracle and the G24 hybrid-fusion oracle so the sparse leg can
     * never drift between them.
     */
-  private def bm25Sql(terms: Seq[String], k: Int): String = {
+  private[graft] def bm25Sql(terms: Seq[String], k: Int): String = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
     }.mkString(",\n  ")

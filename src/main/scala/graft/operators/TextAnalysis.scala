@@ -850,35 +850,48 @@ object TextAnalysis {
     * before the tie-broken ranking so the cut is deterministic.
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
-           terms: Seq[String], k: Int = 20): DataFrame = {
-    require(terms.nonEmpty, "bm25 needs at least one term")
-    val base = docs.withColumn("__toks", tokens(col(textCol)))
-      .select(col(idCol).as("id") +:
-        size(col("__toks")).cast("double").as("dl") +:
-        terms.indices.map(i =>
-          stopCount(col("__toks"), Seq(terms(i))).cast("double").as(s"tf$i")): _*)
-    val aggs = count(lit(1)).cast("double").as("__n") +:
-      sum(col("dl")).cast("long").cast("double").as("__sumdl") +:
-      terms.indices.map(i =>
-        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"__df$i"))
-    val stats = broadcast(base.agg(aggs.head, aggs.tail: _*))
-    // BM25 with k1=1.2, b=0.75 — every literal and the operation
-    // order mirror the DuckDB oracle exactly. The remaining parity
-    // assumption is ln itself: JVM Math.log and DuckDB's libm agree
-    // on this data, but a 1-ulp libm difference near a round(,6)
-    // boundary could flip a rounded score on another platform — the
-    // round is a mitigation, not a proof.
-    val score = terms.indices.map { i =>
-      val (tf, df) = (col(s"tf$i"), col(s"__df$i"))
-      log(lit(1.0) + (col("__n") - df + 0.5) / (df + 0.5)) *
-        tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
-          (col("__sumdl") / col("__n"))))
-    }.reduce(_ + _)
-    base.crossJoin(stats)
-      .select(col("id"), round(score, 6).as("score"))
+           terms: Seq[String], k: Int = 20): DataFrame =
+    bm25WithScore(docs, textCol, terms, "score")
+      .select(col(idCol).as("id"), col("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("id"))
       .limit(k)
+
+  /** The H17 scoring core with ALL input columns preserved — shared
+    * by [[bm25]] and the `$search` pipeline stage (C39) so the two
+    * can never drift: attaches `round(bm25, 6)` as `out`. Every
+    * literal and the operation order mirror the DuckDB oracle
+    * exactly. The remaining parity assumption is ln itself: JVM
+    * Math.log and DuckDB's libm agree on this data, but a 1-ulp libm
+    * difference near a round(,6) boundary could flip a rounded score
+    * on another platform — the round is a mitigation, not a proof.
+    */
+  private[graft] def bm25WithScore(docs: DataFrame, textCol: String,
+                                   terms: Seq[String],
+                                   out: String): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val withTf = terms.indices.foldLeft(
+      docs.withColumn("__toks", tokens(col(textCol)))
+        .withColumn("__dl", size(col("__toks")).cast("double"))) {
+      (d, i) => d.withColumn(s"__tf$i",
+        stopCount(col("__toks"), Seq(terms(i))).cast("double"))
+    }
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      sum(col("__dl")).cast("long").cast("double").as("__sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1).otherwise(0)).cast("double").as(s"__df$i"))
+    val stats = broadcast(withTf.agg(aggs.head, aggs.tail: _*))
+    // BM25 with k1=1.2, b=0.75
+    val score = terms.indices.map { i =>
+      val (tf, df) = (col(s"__tf$i"), col(s"__df$i"))
+      log(lit(1.0) + (col("__n") - df + 0.5) / (df + 0.5)) *
+        tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("__dl") /
+          (col("__sumdl") / col("__n"))))
+    }.reduce(_ + _)
+    withTf.crossJoin(stats)
+      .withColumn(out, round(score, 6))
+      .drop("__toks" :: "__dl" :: "__n" :: "__sumdl" ::
+        terms.indices.toList.flatMap(i => List(s"__tf$i", s"__df$i")): _*)
   }
 
   /** H20: model-based quality filter — fasttext/CCNet-style linear

@@ -160,6 +160,13 @@ object ExtendedQueries {
                        {"$limit": 25}]}},
           "combination": {"weights": {"price": 2}}}},
          {"$project": {"o_orderkey": 1, "score": {"$meta": "score"}}}]""")),
+    // —— C39: $search (Atlas full-text search — BM25 text operator on
+    //    the shared H17 scoring core, score via {$meta: "searchScore"}) ——
+    "pipe_search" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"text": {"query": "spark query stream",
+            "path": "text"}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
     // —— C38: $scoreFusion (Mongo 8.2 score-based hybrid fusion —
     //    a $vectorSearch leg + a $score leg, minMaxScaler normalized,
     //    weighted-mean combined, score via {$meta: "score"}) ——
@@ -928,6 +935,13 @@ object ExtendedQueries {
         |      FROM lr WHERE rk <= 25)
         |SELECT o_orderkey, CAST(SUM(c) AS BIGINT) AS score
         |FROM u GROUP BY 1""".stripMargin,
+    // C39: the factored H17 BM25 replay verbatim (stage and
+    // standalone ranking share one oracle chain), id aliased to the
+    // projected name
+    "pipe_search" ->
+      s"""SELECT id AS doc_id, score FROM (
+         |${graft.operators.LlmQueries.bm25Sql(Seq("spark", "query", "stream"), 20)}
+         |) __s""".stripMargin,
     // C38: exact-mode vectorSearch leg (the proven-portable rounded
     // cosine) + field-score leg, each minMax-normalized AFTER its own
     // limit, fused by the stage's literal weighted mean

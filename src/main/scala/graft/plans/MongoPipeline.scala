@@ -171,6 +171,11 @@ object MongoPipeline {
             s"$$scoreFusion must be the first pipeline stage (found at stage $stageIdx)")
           cur = scoreFusion(cur, spec, tables)
           lastSort = Seq((RfScoreCol, false))
+        case "$search" =>
+          require(stageIdx == 0,
+            s"$$search must be the first pipeline stage (found at stage $stageIdx)")
+          cur = search(cur, spec)
+          lastSort = Seq((SearchScoreCol, false))
         case "$facet" =>
           // each facet = a sub-pipeline over the same input; output is
           // one row with an array-of-struct column per facet
@@ -192,7 +197,7 @@ object MongoPipeline {
     // not leak into the output schema (Mongo adds no field unless
     // $meta is asked for). `$scoreFusion` compiles its scored legs
     // with keepScores=true — the fusion consumes the hidden column.
-    if (keepScores) cur else cur.drop(VsScoreCol, RfScoreCol)
+    if (keepScores) cur else cur.drop(VsScoreCol, RfScoreCol, SearchScoreCol)
   }
 
   /** `$documents` source: a handful of driver-side literal rows. The
@@ -430,6 +435,45 @@ object MongoPipeline {
       .groupBy(docCols.map(col): _*)
       .agg(sum(col(RfScoreCol)).as(RfScoreCol))
       .orderBy(col(RfScoreCol).desc +: docCols.map(col(_).asc): _*)
+  }
+
+  /** Hidden column carrying `$search`'s BM25 relevance until a
+    * `{$meta: "searchScore"}` projection reads it.
+    */
+  private val SearchScoreCol = "__search_score"
+
+  /** `$search` (SURVEY.md §2 C39) — Atlas full-text search as a
+    * pipeline stage, its `text` operator composed onto the H17 BM25
+    * machinery (the scoring core is the SHARED
+    * [[graft.operators.TextAnalysis.bm25WithScore]], so stage and
+    * standalone ranking can never drift): the query string tokenizes
+    * on whitespace (lowercased — the engine-wide tokenizer), each
+    * term contributes its k1=1.2/b=0.75 BM25 component, matching docs
+    * (score > 0) emit best-first with the all-columns tiebreak. The
+    * score reads only via `{$meta: "searchScore"}` (Atlas' meta name);
+    * with no Lucene index to consult, corpus stats (N, Σdl, per-term
+    * df) fold into one broadcast 1-row aggregate — the same
+    * missing-index move as `$geoNear`'s `key`.
+    *
+    * Scale: one corpus scan for tf (codegen'd InSetCount), one for
+    * the stats row (broadcast), ranking via orderBy (+$limit ⇒
+    * TakeOrdered); no shuffle of the corpus.
+    */
+  private def search(df: DataFrame, spec: JsonNode): DataFrame = {
+    val txt = spec.get("text")
+    require(txt != null && txt.get("query") != null && txt.get("path") != null,
+      "$search supports the text operator: {text: {query: ..., path: ...}}")
+    val unknown = spec.properties().asScala.map(_.getKey).filterNot(_ == "text")
+    require(unknown.isEmpty, s"unsupported $$search operators: $unknown")
+    val path = txt.get("path").asText()
+    val terms = txt.get("query").asText().toLowerCase.trim
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "$search.text.query must contain at least one term")
+    val tie = df.columns.map(col).toSeq
+    graft.operators.TextAnalysis
+      .bm25WithScore(df, path, terms, SearchScoreCol)
+      .filter(col(SearchScoreCol) > 0)
+      .orderBy(col(SearchScoreCol).desc +: tie: _*)
   }
 
   /** `$scoreFusion` (SURVEY.md §2 C38, MongoDB 8.2) — SCORE-based
@@ -765,6 +809,7 @@ object MongoPipeline {
           // Mongo 8.1's fused-score meta; integer ppb units (see
           // RfScoreCol) rather than Mongo's float
           case "score" => col(RfScoreCol)
+          case "searchScore" => col(SearchScoreCol)
           case other => throw new IllegalArgumentException(
             s"unsupported $$meta: $other")
         }

@@ -1236,6 +1236,46 @@ class ExtendedPipelineSpec extends SparkTestBase {
     }
   }
 
+  // ——— $search (C39) ———
+
+  test("$search text operator ranks exactly like the standalone BM25; score hidden unless $meta asks") {
+    import graft.operators.TextAnalysis
+    val docs = cat.documents
+    val out = MongoPipeline(docs,
+      """[{"$search": {"text": {"query": "Spark QUERY stream", "path": "text"}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // the stage IS the shared scoring core: identical to H17's top-k
+    // (query string case-folds through the engine-wide tokenizer)
+    val standalone = TextAnalysis.bm25(docs, "doc_id", "text",
+      Seq("spark", "query", "stream"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == standalone.toSeq)
+    assert(out.nonEmpty && out.forall(_._2 > 0))
+    // best-first, and only matching docs
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+    // without $meta the score must not leak
+    val bare = MongoPipeline(docs,
+      """[{"$search": {"text": {"query": "spark", "path": "text"}}},
+          {"$limit": 3}]""")
+    assert(bare.columns.toSeq == docs.columns.toSeq)
+    // contract errors: position, unsupported operator, empty query
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$limit": 5},
+            {"$search": {"text": {"query": "x", "path": "text"}}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"compound": {"must": []}}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"text": {"query": "   ", "path": "text"}}}]""")
+    }
+  }
+
   // ——— $scoreFusion (C38) ———
 
   test("$scoreFusion minMaxScaler fusion equals a plain-Scala replay; absent legs contribute zero") {
