@@ -110,6 +110,8 @@ object LlmQueries {
         iters = 2)),
     // —— G29: sparse signed random projection (Achlioptas JL) ——
     "embed_rp" -> ((s, dir) => Similarity.randomProjection(emb(s, dir))),
+    // —— G30: k-center coreset by farthest-first traversal ——
+    "sample_kcenter" -> ((s, dir) => Similarity.kcenterSample(emb(s, dir))),
     // —— G27: OPQ-lite — variance-balanced dimension permutation in
     //    front of the same PQ train/encode machinery ——
     "embed_opq_codes" -> ((s, dir) =>
@@ -848,6 +850,37 @@ object LlmQueries {
        |SELECT id, rank AS rank_ppt FROM r4""".stripMargin
   }
 
+  /** G30 oracle: k−1 unrolled farthest-first rounds — each round is a
+    * (mind DESC, vec_id) top-1 over the previous round's min-distance
+    * state, then a LEAST fold of the new center's exact int64 L2.
+    */
+  private def kcenterSql(k: Int): String = {
+    def d2(a: String, b: String) =
+      s"""CAST(list_sum([
+         |  (CAST(round(CAST($a[i] AS DOUBLE)*1048576.0) AS BIGINT)
+         |   - CAST(round(CAST($b[i] AS DOUBLE)*1048576.0) AS BIGINT))
+         |  * (CAST(round(CAST($a[i] AS DOUBLE)*1048576.0) AS BIGINT)
+         |     - CAST(round(CAST($b[i] AS DOUBLE)*1048576.0) AS BIGINT))
+         |  for i in generate_series(1, 64)]) AS BIGINT)""".stripMargin
+    val rounds = (2 to k).map { t =>
+      s"""c$t AS (SELECT vec_id AS id$t, embedding AS e$t, __mind AS r$t
+         |  FROM m${t - 1} ORDER BY __mind DESC, vec_id LIMIT 1),
+         |m$t AS (SELECT m.vec_id, m.embedding,
+         |    LEAST(m.__mind, ${d2("m.embedding", s"c$t.e$t")}) AS __mind
+         |  FROM m${t - 1} m, c$t WHERE m.vec_id <> c$t.id$t)""".stripMargin
+    }
+    val selects =
+      s"SELECT CAST(1 AS INTEGER) AS rk, id1 AS vec_id, CAST(NULL AS BIGINT) AS radius_q FROM c1" +:
+        (2 to k).map(t =>
+          s"SELECT CAST($t AS INTEGER), id$t, r$t FROM c$t")
+    s"""WITH c1 AS (SELECT vec_id AS id1, embedding AS e1
+       |  FROM embeddings ORDER BY vec_id LIMIT 1),
+       |m1 AS (SELECT v.vec_id, v.embedding, ${d2("v.embedding", "c1.e1")} AS __mind
+       |  FROM embeddings v, c1 WHERE v.vec_id <> c1.id1),
+       |${rounds.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   private val bruteTopKSql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
        |           FROM embeddings WHERE vec_id < 10),
@@ -1328,6 +1361,7 @@ object LlmQueries {
     // ⇒ the oracle is the brute-force SQL verbatim.
     "sim_topk_pruned" -> bruteTopKSql,
     "sim_topk_hamming" -> hammingTopKSql,
+    "sample_kcenter" -> kcenterSql(8),
     // G29: coefficient formula and round(v·2²⁰) quantization replayed
     // term for term; list_sum over int64 terms is order-free
     "embed_rp" ->

@@ -155,6 +155,59 @@ object Similarity {
         col("hamming"), col("rank"))
   }
 
+  /** G30: k-center coreset by farthest-first traversal (Gonzalez'
+    * 2-approximation — the classic diverse-subset selector; in LLM
+    * curation: pick k maximally-spread exemplars for fine-tuning
+    * sets, eval panels, or cluster seeding). Start from the min
+    * vec_id; each round pick the point FARTHEST from its nearest
+    * chosen center (ties → min vec_id), emitting (rk, vec_id,
+    * radius_q) where radius_q is the chosen point's distance at
+    * selection time — the non-increasing coverage-radius curve that
+    * certifies the spread.
+    *
+    * Determinism: distances are the exact Σ(round(v·2²⁰)Δ)² int64
+    * idiom (the G25/G19 kernel — zero float summation), so argmax +
+    * id tiebreak is a total order any engine replays. Shape: the
+    * min-distance state is ONE narrow column maintained map-side
+    * (each round folds the new center in via `least` — no rescan of
+    * prior centers, no pairwise matrix); the per-round argmax is a
+    * TakeOrdered head (the documented k-means-style driver-state
+    * collect, k−1 single-row actions total); lineage truncated per
+    * round. 100 TB: k passes over the corpus, each map-side + one
+    * top-1 — the textbook distributed farthest-first.
+    */
+  def kcenterSample(emb: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"kcenterSample needs k >= 1: $k")
+    val s = emb.sparkSession
+    import s.implicits._
+    def qc(c: Column): Column =
+      round(c.cast("double") * lit(1048576.0)).cast("long")
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => qc(x) - qc(y)),
+        lit(0L), (acc, v) => acc + v * v)
+    def centerLit(v: Seq[Float]): Column =
+      array(v.map(lit(_)): _*).cast("array<float>")
+    val first = emb.orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).head()
+    val firstVec = first.getSeq[Float](1)
+    var picks = Vector((1, first.getLong(0), None: Option[Long]))
+    var state = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") =!= first.getLong(0))
+      .withColumn("__mind", d2(col("embedding"), centerLit(firstVec)))
+      .localCheckpoint(eager = false)
+    for (t <- 2 to k) {
+      val next = state.orderBy(col("__mind").desc, col("vec_id")).head()
+      val (id, vec, r) =
+        (next.getLong(0), next.getSeq[Float](1), next.getLong(2))
+      picks :+= ((t, id, Some(r)))
+      state = state.filter(col("vec_id") =!= id)
+        .withColumn("__mind",
+          least(col("__mind"), d2(col("embedding"), centerLit(vec))))
+        .localCheckpoint(eager = false)
+    }
+    picks.toDF("rk", "vec_id", "radius_q")
+  }
+
   /** G29: sparse signed random projection — Achlioptas'
     * database-friendly Johnson–Lindenstrauss transform (density 1/3,
     * coefficients in {−1, 0, +1}): projects 64-dim embeddings to

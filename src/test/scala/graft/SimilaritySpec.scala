@@ -451,6 +451,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("k-center: exact plain-scala replay; radius non-increasing; planted clusters each get a center") {
+    val got = Similarity.kcenterSample(emb, k = 8).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1)
+    // plain-Scala farthest-first replay with the same int64 distance
+    val vecs = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    def q(x: Float): Long = java.math.BigDecimal.valueOf(x.toDouble * 1048576.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def d2(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) => val d = q(x) - q(y); d * d }.sum
+    val start = vecs.keys.min
+    var mind = vecs.collect { case (id, v) if id != start =>
+      id -> d2(v, vecs(start)) }
+    var expect = Vector((1, start, None: Option[Long]))
+    for (t <- 2 to 8) {
+      val (id, r) = mind.toSeq.maxBy { case (i, d) => (d, -i) }
+      expect :+= ((t, id, Some(r)))
+      mind = (mind - id).map { case (i, d) =>
+        i -> math.min(d, d2(vecs(i), vecs(id))) }
+    }
+    assert(got.toSeq == expect)
+    // coverage radius can only shrink as centers accumulate
+    val radii = got.flatMap(_._3)
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"radius grew: $a -> $b") }
+    // planted structure: 3 tight clusters far apart, k=3 ⇒ one center each
+    import spark.implicits._
+    val planted = (0 until 12).map { i =>
+      val base = (i % 3) * 50.0f
+      (i.toLong, (0 until 64).map(d => base + ((i * 64 + d) % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val centers = Similarity.kcenterSample(planted, k = 3).collect()
+      .map(_.getLong(1))
+    assert(centers.map(_ % 3).toSet == Set(0L, 1L, 2L),
+      s"centers $centers missed a planted cluster")
+    // layout invariance
+    val again = Similarity.kcenterSample(emb.repartition(7), k = 8).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("random projection: exact plain-scala replay, codegen'd, and distance-preserving on average") {
     val df = Similarity.randomProjection(emb, outDims = 16)
     val plan = df.queryExecution.executedPlan.toString
