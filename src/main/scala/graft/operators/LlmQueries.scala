@@ -211,6 +211,16 @@ object LlmQueries {
         .select(col("vec_id").as("src"), col("nbr").as("dst"))
       Pipeline100TB.pageRank(reps, edges)
     }),
+    // —— G22c: triangle count + clustering coefficient over the same
+    //    kNN graph — the neighborhood-redundancy diagnostic ——
+    "graph_triangles" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val reps = e.groupBy(col("label"), col("embedding"))
+        .agg(min(col("vec_id")).as("id")).select("id")
+      val edges = Similarity.knnGraph(s, e, k = 3)
+        .select(col("vec_id").as("src"), col("nbr").as("dst"))
+      Pipeline100TB.triangleStats(reps, edges)
+    }),
     // —— F18: precision/recall of the MinHash banding vs true Jaccard ——
     "dedup_eval" -> ((s, dir) =>
       Dedup.bandingEval(docs(s, dir), "doc_id", "text")),
@@ -2353,6 +2363,35 @@ object LlmQueries {
     // pairs, top-k per rep by (cos DESC, nbr)
     "sim_knn_graph" -> knnGraphSql,
     "graph_pagerank" -> pageRankSql,
+    // G22c: same derived edge set, wedge-close counting, int64 div
+    "graph_triangles" ->
+      s"""WITH ed AS (SELECT vec_id AS src, nbr AS dst FROM (
+         |$knnGraphSql
+         |) __k),
+         |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         |        FROM ed WHERE src <> dst),
+         |g AS (SELECT label, embedding, MIN(vec_id) AS vec_id
+         |      FROM embeddings GROUP BY label, embedding),
+         |deg AS (SELECT n, COUNT(*) AS deg FROM
+         |          (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+         |        GROUP BY 1),
+         |sym AS (SELECT u AS c, v AS n FROM und
+         |        UNION ALL SELECT v, u FROM und),
+         |wed AS (SELECT a.c, a.n AS p, b.n AS q
+         |        FROM sym a JOIN sym b ON a.c = b.c AND a.n < b.n),
+         |tri AS (SELECT c, COUNT(*) AS n_tri FROM wed
+         |        WHERE EXISTS (SELECT 1 FROM und
+         |                      WHERE und.u = wed.p AND und.v = wed.q)
+         |        GROUP BY c)
+         |SELECT g.vec_id,
+         |  CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg,
+         |  CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CASE WHEN COALESCE(deg.deg, 0) >= 2
+         |       THEN CAST((2 * COALESCE(tri.n_tri, 0) * 1000000)
+         |                 // (deg.deg * (deg.deg - 1)) AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS coeff_micro
+         |FROM g LEFT JOIN deg ON deg.n = g.vec_id
+         |       LEFT JOIN tri ON tri.c = g.vec_id""".stripMargin,
     "dedup_substr_spans" ->
       """WITH s0 AS (
         |  SELECT doc_id,

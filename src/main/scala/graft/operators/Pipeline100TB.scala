@@ -101,6 +101,51 @@ object Pipeline100TB {
     ranks.select(col("id"), col("rank").as("rank_ppt"))
   }
 
+  /** G22c: per-node triangle count + local clustering coefficient
+    * over a directed edge set (canonicalized undirected) — the graph
+    * DIAGNOSTIC next to G22b's centrality: on a kNN graph, high
+    * clustering = redundant near-duplicate neighborhoods (SemDeDup
+    * territory), low clustering = genuinely diverse regions; the
+    * standard readout for tuning k and τ before graph-based curation.
+    *
+    * Counting is the wedge-close form: a triangle {x,y,z} is counted
+    * at EACH apex as a closed wedge (nbr₁ < nbr₂ kills double
+    * counting per apex), so per-node counts come out directly and the
+    * global count is Σ/3. Coefficient in integer micro-units:
+    * ⌊2·tri·10⁶ / (deg·(deg−1))⌋ (0 when deg < 2) — bit-exact on any
+    * engine. Shape: one distinct-canonicalize shuffle, one
+    * wedge-build join keyed on the apex (volume Σ deg² — bounded on a
+    * kNN graph by k²·n), one LEFT SEMI close against the canonical
+    * edge set, one count — every stage a keyed join/agg, no windows,
+    * no driver state.
+    */
+  def triangleStats(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(eager = false)
+    val deg = und.select(col("u").as("n"))
+      .union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val sym = und.select(col("u").as("c"), col("v").as("n"))
+      .union(und.select(col("v").as("c"), col("u").as("n")))
+    val wedge = sym.as("a").join(sym.as("b"),
+        col("a.c") === col("b.c") && col("a.n") < col("b.n"))
+      .select(col("a.c").as("c"), col("a.n").as("p"), col("b.n").as("q"))
+    val tri = wedge.join(und,
+        col("p") === col("u") && col("q") === col("v"), "left_semi")
+      .groupBy(col("c")).agg(count(lit(1)).as("n_tri"))
+    nodes
+      .join(deg, nodes("id") === deg("n"), "left")
+      .join(tri, nodes("id") === tri("c"), "left")
+      .select(col("id").as("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          expr("(2L * coalesce(n_tri, 0L) * 1000000L) div (deg * (deg - 1L))"))
+          .otherwise(lit(0L)).as("coeff_micro"))
+  }
+
   /** F7b: connected components via alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
     * the drop-in for [[connectedComponents]] when cluster DIAMETER is

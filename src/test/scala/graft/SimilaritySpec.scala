@@ -451,6 +451,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("triangles: exact counts on a planted K4-plus-tail; coefficient bounds; layout invariance") {
+    import spark.implicits._
+    import graft.operators.Pipeline100TB
+    // K4 on {0,1,2,3} (every node: deg 3, 3 triangles, coeff 1.0),
+    // tail 3-4-5 (4: deg 3, no extra triangle... 4 connects 3 and 5)
+    val nodes = (0L to 5L).toDF("id")
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (3L, 1L),
+      (2L, 3L), (3L, 4L), (5L, 4L)).toDF("src", "dst")
+    val got = Pipeline100TB.triangleStats(nodes, edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(0L) == ((3L, 3L, 1000000L)) && got(1L) == ((3L, 3L, 1000000L))
+      && got(2L) == ((3L, 3L, 1000000L)))
+    // node 3: deg 4 (K4 + tail), still 3 triangles: ⌊2·3·10⁶/12⌋
+    assert(got(3L) == ((4L, 3L, 500000L)))
+    // tail: no triangles; 5 has deg 1 → coefficient 0 by contract
+    assert(got(4L) == ((2L, 0L, 0L)) && got(5L) == ((1L, 0L, 0L)))
+    // coefficient always in [0, 10⁶]; global Σtri divisible by 3
+    val full = Pipeline100TB.triangleStats(nodes.repartition(3),
+      edges.repartition(5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(full == got)
+    assert(got.values.map(_._2).sum % 3 == 0)
+    assert(got.values.forall(v => v._3 >= 0 && v._3 <= 1000000L))
+  }
+
   test("k-center: exact plain-scala replay; radius non-increasing; planted clusters each get a center") {
     val got = Similarity.kcenterSample(emb, k = 8).collect()
       .map(r => (r.getInt(0), r.getLong(1),
