@@ -182,6 +182,19 @@ object ExtendedQueries {
               "combination": {"weights": {"near": 2, "ids": 1}}}},
              {"$$project": {"vec_id": 1, "score": {"$$meta": "score"}}}]""")
     }),
+    // —— C37b: $rankFusion with a $vectorSearch leg — the true Atlas
+    //    hybrid (dense ANN rank ⊕ attribute rank, integer RRF) ——
+    "pipe_rankfusion_vs" -> ((s, dir) => {
+      val cat = TableCatalog(s, dir)
+      MongoPipeline(cat.table("embeddings"),
+        s"""[{"$$rankFusion": {"input": {"pipelines": {
+              "near": [{"$$vectorSearch": {"path": "embedding",
+                 "queryVector": $vsQueryJson, "limit": 15, "exact": true}}],
+              "label": [{"$$sort": {"label": -1, "vec_id": 1}},
+                        {"$$limit": 15}]}},
+            "combination": {"weights": {"near": 2}}}},
+           {"$$project": {"vec_id": 1, "score": {"$$meta": "score"}}}]""")
+    }),
     // —— C25: $graphLookup (bounded BFS over a key chain) ——
     "pipe_graphlookup" -> ((s, dir) => {
       val cat = TableCatalog(s, dir)
@@ -934,6 +947,27 @@ object ExtendedQueries {
         |        CAST(1000000000 // (60 + rk) AS BIGINT) AS c
         |      FROM lr WHERE rk <= 25)
         |SELECT o_orderkey, CAST(SUM(c) AS BIGINT) AS score
+        |FROM u GROUP BY 1""".stripMargin,
+    // C37b: the exact-mode vectorSearch leg re-ranked (same proven
+    // rounded-cosine score order), the attribute leg's key-complete
+    // sort, int64-ppb RRF fused per document
+    "pipe_rankfusion_vs" ->
+      s"""WITH l1 AS (
+        |  SELECT vec_id, (1 + round(list_cosine_similarity(
+        |      CAST(embedding AS DOUBLE[]), ${vsQuerySqlList(64)}), 4)) / 2.0 AS s
+        |  FROM embeddings
+        |  ORDER BY s DESC, vec_id LIMIT 15),
+        |r1 AS (SELECT vec_id,
+        |    row_number() OVER (ORDER BY s DESC, vec_id) AS rk FROM l1),
+        |r2 AS (SELECT vec_id,
+        |    row_number() OVER (ORDER BY label DESC, vec_id) AS rk
+        |  FROM embeddings),
+        |u AS (SELECT vec_id,
+        |        CAST((2 * 1000000000) // (60 + rk) AS BIGINT) AS c FROM r1
+        |      UNION ALL
+        |      SELECT vec_id, CAST(1000000000 // (60 + rk) AS BIGINT)
+        |      FROM r2 WHERE rk <= 15)
+        |SELECT vec_id, CAST(SUM(c) AS BIGINT) AS score
         |FROM u GROUP BY 1""".stripMargin,
     // C39: the factored H17 BM25 replay verbatim (stage and
     // standalone ranking share one oracle chain), id aliased to the

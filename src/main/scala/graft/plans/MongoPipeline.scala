@@ -367,10 +367,12 @@ object MongoPipeline {
     * Contract (Mongo's, enforced loudly): first-stage-only; input
     * pipelines are SELECTION-ONLY ($match/$sort/$limit/$skip — stages
     * that modify documents are refused, so every leg emits the input
-    * schema and fusion can group on the full document); each leg must
-    * carry an explicit $sort — ranks need a total order, completed
-    * with the engine's all-columns tiebreak (Mongo leaves equal-key
-    * order unspecified; a distributed replay must not). Weights are
+    * schema and fusion can group on the full document); each leg is
+    * ranked either by leading with `$vectorSearch` (rank = its score
+    * order — the true Atlas hybrid shape) or by carrying an explicit
+    * $sort — ranks need a total order, completed with the engine's
+    * all-columns tiebreak (Mongo leaves equal-key order unspecified;
+    * a distributed replay must not). Weights are
     * non-negative INTEGERS (fractional weights would reintroduce the
     * float-parity risk the integer convention exists to avoid).
     *
@@ -406,30 +408,44 @@ object MongoPipeline {
       val (name, stages) = (e.getKey, e.getValue)
       require(stages.isArray && stages.size() > 0,
         s"$$rankFusion pipeline '$name' must be a non-empty stage array")
-      var sortSpec: Seq[(String, Boolean)] = Nil
-      stages.elements().asScala.foreach { st =>
-        st.properties().asScala.head.getKey match {
-          case "$match" | "$limit" | "$skip" => ()
-          case "$sort" =>
-            sortSpec = st.get("$sort").properties().asScala.toSeq
-              .map(x => (x.getKey, x.getValue.asInt() >= 0))
-          case other => throw new IllegalArgumentException(
-            s"$$rankFusion input pipelines are selection-only " +
-              s"($$match/$$sort/$$limit/$$skip); '$other' modifies documents")
+      val ops = stages.elements().asScala.toSeq
+        .map(_.properties().asScala.head.getKey)
+      // a $vectorSearch-led leg IS ranked (by its score) — the true
+      // Atlas hybrid; otherwise the leg must carry an explicit $sort
+      val (sub, order) = if (ops.head == "$vectorSearch") {
+        ops.tail.foreach(op => require(
+          Seq("$match", "$limit", "$skip").contains(op),
+          s"$$rankFusion pipeline '$name': '$op' not allowed after " +
+            "$vectorSearch (ranking comes from the search score)"))
+        val c = compile(df, stages.toString, tables,
+          documentsAllowed = false, keepScores = true)
+        (c, col(VsScoreCol).desc +: docCols.map(col(_).asc))
+      } else {
+        var sortSpec: Seq[(String, Boolean)] = Nil
+        ops.zip(stages.elements().asScala.toSeq).foreach { case (op, st) =>
+          op match {
+            case "$match" | "$limit" | "$skip" => ()
+            case "$sort" =>
+              sortSpec = st.get("$sort").properties().asScala.toSeq
+                .map(x => (x.getKey, x.getValue.asInt() >= 0))
+            case other => throw new IllegalArgumentException(
+              s"$$rankFusion input pipelines are selection-only " +
+                s"($$match/$$sort/$$limit/$$skip); '$other' modifies documents")
+          }
         }
+        require(sortSpec.nonEmpty,
+          s"$$rankFusion pipeline '$name' must contain $$sort — " +
+            "ranks need an explicit order")
+        val c = compile(df, stages.toString, tables, documentsAllowed = false)
+        (c, sortSpec.map { case (f, asc) =>
+          if (asc) col(f).asc else col(f).desc
+        } ++ docCols.map(col(_).asc))
       }
-      require(sortSpec.nonEmpty,
-        s"$$rankFusion pipeline '$name' must contain $$sort — " +
-          "ranks need an explicit order")
-      val sub = compile(df, stages.toString, tables, documentsAllowed = false)
-      val order = sortSpec.map { case (f, asc) =>
-        if (asc) col(f).asc else col(f).desc
-      } ++ docCols.map(col(_).asc)
       sub
         .withColumn("__rf_rank", row_number().over(Window.orderBy(order: _*)))
         .withColumn(RfScoreCol,
           expr(s"(${weightOf(name)}L * 1000000000L) div (60L + __rf_rank)"))
-        .drop("__rf_rank")
+        .drop("__rf_rank", VsScoreCol)
     }
     legs.reduce(_ unionByName _)
       .groupBy(docCols.map(col): _*)

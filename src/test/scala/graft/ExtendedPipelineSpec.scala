@@ -1204,6 +1204,42 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(bare.count() == 5)
   }
 
+  test("$rankFusion with a $vectorSearch leg: score order is the rank; fused with an attribute leg") {
+    val q = (0 until 64).map(i => ((i * 37) % 19 - 9) / 8.0)
+    val qjson = q.mkString("[", ", ", "]")
+    val out = MongoPipeline(cat.embeddings,
+      s"""[{"$$rankFusion": {"input": {"pipelines": {
+            "near": [{"$$vectorSearch": {"path": "embedding",
+               "queryVector": $qjson, "limit": 10, "exact": true}}],
+            "label": [{"$$sort": {"label": -1, "vec_id": 1}},
+                      {"$$limit": 10}]}}}},
+           {"$$project": {"vec_id": 1, "score": {"$$meta": "score"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay: vectorSearch leg ranks = its own exact top-10 order
+    val vsLeg = MongoPipeline(cat.embeddings,
+      s"""[{"$$vectorSearch": {"path": "embedding", "queryVector": $qjson,
+            "limit": 10, "exact": true}},
+           {"$$project": {"vec_id": 1}}]""")
+      .collect().map(_.getLong(0))
+    val lblLeg = cat.embeddings.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy { case (id, l) => (-l, id) }.take(10).map(_._1)
+    val expect = (vsLeg.zipWithIndex.map { case (id, i) =>
+        id -> 1000000000L / (60L + i + 1) } ++
+      lblLeg.zipWithIndex.map { case (id, i) =>
+        id -> 1000000000L / (60L + i + 1) })
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(out == expect)
+    // a $sort after $vectorSearch is refused (rank = the score order)
+    intercept[IllegalArgumentException] {
+      MongoPipeline(cat.embeddings,
+        s"""[{"$$rankFusion": {"input": {"pipelines": {
+              "a": [{"$$vectorSearch": {"path": "embedding",
+                 "queryVector": $qjson, "limit": 5, "exact": true}},
+                    {"$$sort": {"vec_id": 1}}]}}}}]""")
+    }
+  }
+
   test("$rankFusion contract errors: stage position, selection-only legs, $sort required, integer weights") {
     intercept[IllegalArgumentException] { // not first
       MongoPipeline(cat.orders,
