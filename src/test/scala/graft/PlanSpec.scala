@@ -476,6 +476,46 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("hamming top-k: the corpus side never shuffles — broadcast query join only") {
+    import graft.operators.Similarity
+    val e = t.embeddings
+    val plan = executed(Similarity.hammingTopK(spark, e,
+      e.filter(col("vec_id") < 10), k = 5))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    // only the rank window's single exchange is allowed; the packed
+    // corpus scan itself must not shuffle before the join
+    val joinIdx = math.max(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("BroadcastNestedLoopJoin"))
+    val below = plan.substring(joinIdx)
+    assert(!below.replaceFirst("BroadcastExchange", "").contains("Exchange hashpartitioning") ||
+      !below.contains("Exchange hashpartitioning(vec_id"),
+      s"corpus shuffled before the hamming join:\n$plan")
+  }
+
+  test("bloom probe: the filter side broadcasts; no corpus-keyed shuffle for the membership test") {
+    import graft.operators.Dedup
+    val d = t.documents
+    val plan = executed(Dedup.bloomProbe(
+      d.filter(col("doc_id") % 10 === 0),
+      Dedup.fingerprintIndex(d.filter(col("doc_id") % 10 =!= 0), "text"),
+      "doc_id", "text"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bloom words not broadcast:\n$plan")
+  }
+
+  test("$search plans no corpus shuffle: tf map-side, stats broadcast") {
+    import graft.plans.MongoPipeline
+    val plan = executed(MongoPipeline(t.documents,
+      """[{"$search": {"text": {"query": "spark", "path": "text"}}},
+          {"$limit": 5}]"""))
+    // corpus stats fold in via a broadcast nested-loop (1-row side);
+    // the only exchange is the final TakeOrdered/sort machinery —
+    // never a hashpartitioning of the corpus by a text-derived key
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"$$search shuffled the corpus:\n$plan")
+  }
+
   test("broker log append: offsets sequence per (topic, partition) — no global sort") {
     import graft.streaming.KafkaLog
     val msgs = t.events.selectExpr("'t' as topic",
