@@ -106,13 +106,14 @@ object CurationJob {
           classifier: Option[ClassifierGate] = None,
           bpe: Option[BpeAccounting] = None,
           spanTrim: Boolean = false,
-          semantic: Option[SemanticGate] = None): StreamingQuery =
+          semantic: Option[SemanticGate] = None,
+          bloom: Boolean = false): StreamingQuery =
     incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, corpusDir, idCol, textCol, batchId, compactEvery,
-          fuzzy, markup, classifier, bpe, spanTrim, semantic)
+          fuzzy, markup, classifier, bpe, spanTrim, semantic, bloom)
       }
       .start()
 
@@ -131,7 +132,8 @@ object CurationJob {
                  classifier: Option[ClassifierGate] = None,
                  bpe: Option[BpeAccounting] = None,
                  spanTrim: Boolean = false,
-                 semantic: Option[SemanticGate] = None): Unit = {
+                 semantic: Option[SemanticGate] = None,
+                 bloom: Boolean = false): Unit = {
     val spark = batch.sparkSession
     // H21 first: everything downstream — gates, fingerprints, the
     // stored corpus — sees extracted prose, never raw markup
@@ -174,11 +176,41 @@ object CurationJob {
     // cache across streaming retries.
     var novel: DataFrame = null
     var accepted: DataFrame = null
+    var probed: DataFrame = null
     try {
-      val index = readIndexExcept(spark, s"$corpusDir/index", s"b$batchId",
-        fpSchema)
-      novel = Dedup.incrementalFingerprint(gated, index, idCol, textCol)
-        .persist()
+      novel = (if (!bloom)
+        Dedup.incrementalFingerprint(gated,
+          readIndexExcept(spark, s"$corpusDir/index", s"b$batchId", fpSchema),
+          idCol, textCol)
+      else {
+        // E22 (opt-in): the F20 Bloom filter as the FIFTH standing
+        // state — a KB-scale OR-merged word table read in front of
+        // the exact-fp anti join. A batch row whose probes are not
+        // all set is novel WITHOUT consulting the index (the filter's
+        // no-false-negative guarantee; the bloom shards advance from
+        // the SAME novel.fp rows as the index shards, in the same
+        // retried foreachBatch transaction, so the filter can never
+        // miss an indexed fp); only the maybe-fraction pays the anti
+        // join, and an all-novel batch skips the index read entirely.
+        val words = readIndexExcept(spark, s"$corpusDir/bloom",
+            s"b$batchId", bloomSchema)
+          .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
+        probed = Dedup.bloomMaybe(
+          gated.select(col(idCol),
+            Dedup.fingerprintOf(col(textCol)).as("fp")),
+          words, idCol).persist()
+        val maybes = probed.filter(col("bloom_maybe"))
+          .select(col(idCol), col("fp"))
+        val definite = probed.filter(!col("bloom_maybe"))
+          .select(col(idCol), col("fp"))
+        val survivors =
+          if (maybes.isEmpty) definite
+          else definite.unionByName(
+            maybes.join(readIndexExcept(spark, s"$corpusDir/index",
+              s"b$batchId", fpSchema), Seq("fp"), "left_anti"))
+        survivors.groupBy(col("fp"))
+          .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_copies"))
+      }).persist()
       val novelRows = gated
         .join(novel.select(col("survivor").as(idCol)), Seq(idCol))
       // the OPTIONAL second gate (F14): exact-fp novelty alone admits
@@ -244,6 +276,11 @@ object CurationJob {
       accepted.write.mode("overwrite").parquet(s"$corpusDir/data/b$batchId")
       novel.select("fp")
         .write.mode("overwrite").parquet(s"$corpusDir/index/b$batchId")
+      // the bloom words advance from the SAME rows as the fp index —
+      // the only consistency the definite-new fast path rests on
+      if (bloom)
+        Dedup.bloomWords(novel.select(col("fp")))
+          .write.mode("overwrite").parquet(s"$corpusDir/bloom/b$batchId")
       if (fuzzy)
         Dedup.bandIndex(accepted, idCol, textCol)
           .write.mode("overwrite").parquet(s"$corpusDir/bands/b$batchId")
@@ -264,11 +301,18 @@ object CurationJob {
     } finally {
       if (accepted != null) accepted.unpersist()
       if (novel != null) novel.unpersist()
+      if (probed != null) probed.unpersist()
       gated.unpersist()
     }
     if (compactEvery > 0) {
       compactIndex(spark, s"$corpusDir/index", s"b$batchId", batchId,
         compactEvery)
+      // bloom shards fold through the generic set-semantic path: a
+      // compacted generation may hold several (word, bits) rows per
+      // word — the reader's bit_or merge makes that equivalent
+      if (bloom)
+        compactIndex(spark, s"$corpusDir/bloom", s"b$batchId", batchId,
+          compactEvery)
       if (fuzzy)
         compactIndex(spark, s"$corpusDir/bands", s"b$batchId", batchId,
           compactEvery)
@@ -284,6 +328,9 @@ object CurationJob {
   }
 
   private val fpSchema = StructType(Seq(StructField("fp", StringType)))
+  private val bloomSchema = StructType(Seq(
+    StructField("word", org.apache.spark.sql.types.IntegerType),
+    StructField("bits", org.apache.spark.sql.types.LongType)))
   private def semSchema(idCol: String, embCol: String) = StructType(Seq(
     StructField(idCol, org.apache.spark.sql.types.LongType),
     StructField("cell", org.apache.spark.sql.types.IntegerType),

@@ -403,6 +403,61 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(corpusIds(dir2) == Set(1L, 2L, 12L, 13L), corpusIds(dir2).toString)
   }
 
+  test("curation daemon bloom gate (E22): acceptance identical to the plain loop; standing words equal the index's filter; re-delivery no-op") {
+    import spark.implicits._
+    import graft.streaming.CurationJob
+    import graft.operators.Dedup
+    val pool = Vector("quick", "brown", "foxes", "jumped", "fences",
+      "little", "garden", "stones", "rivers", "bright", "clouds",
+      "forest", "meadow", "silver", "golden", "branch")
+    def doc(seed: Int): String = (0 until 60).map { i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of"
+      else if (i % 17 == 2) s"word$seed"
+      else pool((seed * 13 + i * 5) % pool.size)
+    }.mkString(" ")
+    // each batch: one fresh doc + (from batch 2) one duplicate of a
+    // doc accepted two batches earlier — the duplicate exercises the
+    // maybe path (its fp IS in the filter), the fresh doc the
+    // definite-new path; batch 0/1 are all-fresh (index read skipped)
+    def rows(b: Int): Seq[(Long, String)] = {
+      val fresh = (100L + b, doc(b))
+      if (b >= 2) Seq(fresh, (900L + b, doc(b - 2))) else Seq(fresh)
+    }
+    val dirB = java.nio.file.Files.createTempDirectory("graft-curation-bloom").toString
+    val dirP = java.nio.file.Files.createTempDirectory("graft-curation-plain").toString
+    (0 until 8).foreach { b =>
+      CurationJob.applyBatch(rows(b).toDF("doc_id", "text"), dirB,
+        "doc_id", "text", batchId = b.toLong, compactEvery = 3, bloom = true)
+      CurationJob.applyBatch(rows(b).toDF("doc_id", "text"), dirP,
+        "doc_id", "text", batchId = b.toLong, compactEvery = 3)
+    }
+    def corpus(dir: String) = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$dir/data")
+      .select("doc_id", "text").collect().map(_.toString).toSet
+    // the filter is a pure fast path: byte-identical acceptance
+    assert(corpus(dirB) == corpus(dirP))
+    assert(corpus(dirB).size == 8, corpus(dirB).toString)
+    // invariant the definite-new verdict rests on: the OR-merged
+    // standing words ARE the filter of the standing fp index
+    def words(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val standing = words(spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$dirB/bloom"))
+    val fromIndex = words(Dedup.bloomWords(spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$dirB/index")
+      .distinct()))
+    assert(standing == fromIndex)
+    // re-delivery of the last batch is a no-op (own bloom + index
+    // shards excluded on read, both rewritten identically)
+    val before = corpus(dirB)
+    CurationJob.applyBatch(rows(7).toDF("doc_id", "text"), dirB,
+      "doc_id", "text", batchId = 7L, compactEvery = 3, bloom = true)
+    assert(corpus(dirB) == before)
+    assert(words(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dirB/bloom")) == standing)
+  }
+
   test("curation loop survives an all-rejected batch: empty shards don't poison later reads") {
     import spark.implicits._
     import graft.streaming.CurationJob
