@@ -34,6 +34,10 @@ import graft.streaming.CurationJob.{ClassifierGate, SemanticGate}
   *   3. exactly-once at the decade — re-delivering the LAST batchId
   *      (own-shard-excluding reads + overwrite) leaves every corpus
   *      and index artifact bit-identically sized and id-identical.
+  *   4. bloom fast path invisible (E22) — the equality config re-run
+  *      with bloom=true yields a byte-identical corpus, and the
+  *      OR-merged standing words equal the filter of the standing fp
+  *      index (the consistency the definite-new verdict rests on).
   *
   * Embeddings attach deterministically (vec_id = doc_id mod |emb|;
   * every 7th doc NULL to exercise the no-embedding flow-through
@@ -93,6 +97,7 @@ object DaemonSweep {
     // ——— 1. streamed ≡ batch under the equality config ———
     val eqDir = s"$workDir/eq"
     val eq1Dir = s"$workDir/eq1"
+    val eqbDir = s"$workDir/eqb"
     for (i <- 0 until nBatches)
       CurationJob.applyBatch(batchOf(i).select("doc_id", "text"), eqDir,
         "doc_id", "text", batchId = i.toLong, compactEvery = 4,
@@ -100,6 +105,12 @@ object DaemonSweep {
     CurationJob.applyBatch(docs.select("doc_id", "text"), eq1Dir,
       "doc_id", "text", batchId = 0L, compactEvery = 0,
       markup = true, classifier = clf)
+    // E22 at the decade: the bloom fast path must be acceptance-
+    // invisible — same config with bloom=true, byte-identical corpus
+    for (i <- 0 until nBatches)
+      CurationJob.applyBatch(batchOf(i).select("doc_id", "text"), eqbDir,
+        "doc_id", "text", batchId = i.toLong, compactEvery = 4,
+        markup = true, classifier = clf, bloom = true)
     // setEq is set-based (duplicate-blind), so the equality invariant also
     // checks multiset cardinality: streamed and batch corpora must have the
     // SAME row count AND distinct doc_ids — a daemon bug that leaves both a
@@ -112,8 +123,22 @@ object DaemonSweep {
     val eqStreamEqualsBatch = eqRows == eq1Rows && eqIdsDistinct && setEq(
       corpusDF(eqDir).select("doc_id", "text"),
       corpusDF(eq1Dir).select("doc_id", "text"))
+    val eqbRows = corpusDF(eqbDir).count()
+    val bloomEqualsPlain = eqbRows == eqRows && setEq(
+      corpusDF(eqbDir).select("doc_id", "text"),
+      corpusDF(eqDir).select("doc_id", "text"))
+    // the definite-new verdict's consistency invariant, at the decade:
+    // OR-merged standing words ≡ the filter of the standing fp index
+    def bloomMap(df: DataFrame): Map[Int, Long] = df
+      .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bloomWordsConsistent =
+      bloomMap(indexDF(eqbDir, "bloom")) ==
+        bloomMap(Dedup.bloomWords(indexDF(eqbDir, "index").distinct()))
     println(s"[daemon-sweep] eq: $eqRows corpus rows (batch: $eq1Rows, " +
-      s"ids-distinct: $eqIdsDistinct), streamed==batch: $eqStreamEqualsBatch")
+      s"ids-distinct: $eqIdsDistinct), streamed==batch: $eqStreamEqualsBatch, " +
+      s"bloom==plain: $bloomEqualsPlain, bloom-words-consistent: " +
+      s"$bloomWordsConsistent")
 
     // ——— 2. full stack + index ≡ corpus ———
     val fDir = s"$workDir/full"
@@ -176,6 +201,8 @@ object DaemonSweep {
          | "eq_corpus_rows": $eqRows, "eq_batch_rows": $eq1Rows,
          | "eq_ids_distinct": $eqIdsDistinct,
          | "eq_streamed_equals_batch": $eqStreamEqualsBatch,
+         | "eq_bloom_equals_plain": $bloomEqualsPlain,
+         | "bloom_words_consistent": $bloomWordsConsistent,
          | "full_corpus_rows": $fullRows, "ids_distinct": $idsDistinct,
          | "fp_index_covers_corpus": $fpCovers,
          | "band_index_equals_corpus": $bandsEqual,
@@ -186,7 +213,8 @@ object DaemonSweep {
          | "secs": ${math.round(secs)}}""".stripMargin.replace("\n", "")
     println(json)
     Files.writeString(Paths.get(s"$workDir/daemon_sweep.json"), json)
-    val allOk = eqStreamEqualsBatch && idsDistinct && fpCovers &&
+    val allOk = eqStreamEqualsBatch && bloomEqualsPlain &&
+      bloomWordsConsistent && idsDistinct && fpCovers &&
       bandsEqual && blocksEqual && semidxEqual && redeliveryNoop
     spark.stop()
     if (!allOk) sys.exit(1)
