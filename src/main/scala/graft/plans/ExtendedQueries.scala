@@ -195,6 +195,17 @@ object ExtendedQueries {
             "combination": {"weights": {"near": 2}}}},
            {"$$project": {"vec_id": 1, "score": {"$$meta": "score"}}}]""")
     }),
+    // —— C38b: $scoreFusion with a $search leg — BM25 relevance ⊕
+    //    attribute score, minMax-normalized weighted mean ——
+    "pipe_scorefusion_text" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$scoreFusion": {"input": {"normalization": "minMaxScaler",
+            "pipelines": {
+              "rel": [{"$search": {"text": {"query": "spark query stream",
+                        "path": "text"}}},
+                      {"$limit": 20}],
+              "ids": [{"$score": {"score": {"$toDouble": "$doc_id"}}}]}},
+            "combination": {"weights": {"rel": 2}}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "score"}}}]""")),
     // —— C25: $graphLookup (bounded BFS over a key chain) ——
     "pipe_graphlookup" -> ((s, dir) => {
       val cat = TableCatalog(s, dir)
@@ -969,6 +980,27 @@ object ExtendedQueries {
         |      FROM r2 WHERE rk <= 15)
         |SELECT vec_id, CAST(SUM(c) AS BIGINT) AS score
         |FROM u GROUP BY 1""".stripMargin,
+    // C38b: the factored BM25 leg replay (post-limit minMax, like the
+    // engine normalizes AFTER the leg's own limit) + field leg +
+    // literal weighted mean
+    "pipe_scorefusion_text" ->
+      s"""WITH b AS (
+         |${graft.operators.LlmQueries.bm25Sql(Seq("spark", "query", "stream"), 20)}
+         |),
+         |m1 AS (SELECT min(score) AS mn, max(score) AS mx FROM b),
+         |n1 AS (SELECT id AS doc_id,
+         |    CASE WHEN mx = mn THEN 0.0
+         |         ELSE (score - mn) / (mx - mn) END AS n
+         |  FROM b, m1),
+         |l2 AS (SELECT doc_id, CAST(doc_id AS DOUBLE) AS s FROM documents),
+         |m2 AS (SELECT min(s) AS mn, max(s) AS mx FROM l2),
+         |n2 AS (SELECT doc_id,
+         |    CASE WHEN mx = mn THEN 0.0 ELSE (s - mn) / (mx - mn) END AS n
+         |  FROM l2, m2)
+         |SELECT COALESCE(n1.doc_id, n2.doc_id) AS doc_id,
+         |  (2.0 * COALESCE(n1.n, 0.0) + 1.0 * COALESCE(n2.n, 0.0)) / 3.0
+         |    AS score
+         |FROM n1 FULL OUTER JOIN n2 ON n1.doc_id = n2.doc_id""".stripMargin,
     // C39: the factored H17 BM25 replay verbatim (stage and
     // standalone ranking share one oracle chain), id aliased to the
     // projected name

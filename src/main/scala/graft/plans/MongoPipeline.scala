@@ -495,9 +495,10 @@ object MongoPipeline {
   /** `$scoreFusion` (SURVEY.md §2 C38, MongoDB 8.2) — SCORE-based
     * hybrid fusion, the sibling of `$rankFusion` for legs whose
     * scores are already meaningful: each named input pipeline is a
-    * SCORED pipeline — either it starts with `$vectorSearch` (its
-    * hidden score is the leg score) or it is selection stages
-    * ($match/$sort/$limit/$skip) ending in a `{$score: {score:
+    * SCORED pipeline — either it starts with `$vectorSearch` or
+    * `$search` (its hidden score is the leg score — dense-ANN ⊕ BM25
+    * score fusion, the full Atlas hybrid matrix) or it is selection
+    * stages ($match/$sort/$limit/$skip) ending in a `{$score: {score:
     * <expression>}}` stage (Mongo 8.2's custom-score stage, supported
     * here as a scoreFusion leg terminal). Per-leg `normalization`
     * (`input.normalization`): `none`, `minMaxScaler` ((s−min)/(max−min)
@@ -555,18 +556,22 @@ object MongoPipeline {
         s"$$scoreFusion pipeline '$name' must be a non-empty stage array")
       val ops = stages.elements().asScala.toSeq
         .map(_.properties().asScala.head.getKey)
-      if (ops.head == "$vectorSearch") {
+      if (ops.head == "$vectorSearch" || ops.head == "$search") {
+        val (scoreCol, kind) =
+          if (ops.head == "$vectorSearch") (VsScoreCol, "$vectorSearch")
+          else (SearchScoreCol, "$search")
         ops.tail.foreach(op => require(
           Seq("$match", "$sort", "$limit", "$skip").contains(op),
           s"$$scoreFusion pipeline '$name': '$op' not allowed after " +
-            "$vectorSearch (selection stages only)"))
+            s"$kind (selection stages only)"))
         compile(df, stages.toString, tables, documentsAllowed = false,
             keepScores = true)
-          .withColumn("__sf_raw", col(VsScoreCol)).drop(VsScoreCol)
+          .withColumn("__sf_raw", col(scoreCol))
+          .drop(VsScoreCol, SearchScoreCol)
       } else {
         require(ops.last == "$score",
           s"$$scoreFusion pipeline '$name' must start with $$vectorSearch " +
-            "or end with a {$score: {score: <expr>}} stage")
+            "or $$search, or end with a {$score: {score: <expr>}} stage")
         ops.init.foreach(op => require(
           Seq("$match", "$sort", "$limit", "$skip").contains(op),
           s"$$scoreFusion pipeline '$name': '$op' modifies documents — " +

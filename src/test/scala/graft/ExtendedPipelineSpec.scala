@@ -1342,6 +1342,36 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(out(nonF) == 1.0 * n2(nonF) / 4.0)
   }
 
+  test("$scoreFusion with a $search leg: BM25 relevance fused with an attribute score") {
+    import graft.operators.TextAnalysis
+    val docs = cat.documents
+    val out = MongoPipeline(docs,
+      """[{"$scoreFusion": {"input": {"normalization": "minMaxScaler",
+            "pipelines": {
+              "rel": [{"$search": {"text": {"query": "spark", "path": "text"}}},
+                      {"$limit": 10}],
+              "ids": [{"$score": {"score": {"$toDouble": "$doc_id"}}}]}}}},
+         {"$project": {"doc_id": 1, "score": {"$meta": "score"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // replay from the standalone H17 leg + the id leg
+    val rel = TextAnalysis.bm25(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def mm(xs: Seq[(Long, Double)]): Map[Long, Double] = {
+      val (mn, mx) = (xs.map(_._2).min, xs.map(_._2).max)
+      xs.map { case (k, s) =>
+        k -> (if (mx == mn) 0.0 else (s - mn) / (mx - mn)) }.toMap
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val n1 = mm(rel.toSeq)
+    val n2 = mm(ids.map(i => (i, i.toDouble)).toSeq)
+    val expect = ids.map(i =>
+      i -> (1.0 * n1.getOrElse(i, 0.0) + 1.0 * n2(i)) / 2.0).toMap
+    assert(out == expect)
+    // the top BM25 doc outranks its id-only baseline
+    val top = rel.head._1
+    assert(out(top) > 1.0 * n2(top) / 2.0)
+  }
+
   test("$scoreFusion sigmoid normalization: bounded, order-preserving, partition-invariant") {
     def run(df: org.apache.spark.sql.DataFrame) = MongoPipeline(df,
       """[{"$scoreFusion": {"input": {"normalization": "sigmoid",
