@@ -110,6 +110,8 @@ object LlmQueries {
         iters = 2)),
     // —— G29: sparse signed random projection (Achlioptas JL) ——
     "embed_rp" -> ((s, dir) => Similarity.randomProjection(emb(s, dir))),
+    // —— H26: Zipf-slope vocabulary diagnostic ——
+    "text_zipf" -> ((s, dir) => TextAnalysis.zipfFit(docs(s, dir), "text")),
     // —— G30: k-center coreset by farthest-first traversal ——
     "sample_kcenter" -> ((s, dir) => Similarity.kcenterSample(emb(s, dir))),
     // —— G27: OPQ-lite — variance-balanced dimension permutation in
@@ -1372,6 +1374,41 @@ object LlmQueries {
     "sim_topk_pruned" -> bruteTopKSql,
     "sim_topk_hamming" -> hammingTopKSql,
     "sample_kcenter" -> kcenterSql(8),
+    // H26: token counts → top-64 ranks → TWO lnDet replays (x over
+    // 1/rank, y over freq/N) → exact micronat least squares; only the
+    // final divisions are float, mirrored op for op
+    "text_zipf" ->
+      s"""WITH t AS ($toksCte),
+         |tok AS (SELECT unnest(toks) AS tok FROM t),
+         |tfq AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens FROM tfq),
+         |top AS (SELECT tok, freq,
+         |    row_number() OVER (ORDER BY freq DESC, tok) AS rank
+         |  FROM tfq ORDER BY freq DESC, tok LIMIT 64),
+         |px AS (SELECT rank AS doc_id, freq AS tf,
+         |         1.0 / CAST(rank AS DOUBLE) AS p FROM top),
+         |${lnDetCtesN("px", "zx")},
+         |py AS (SELECT top.rank AS doc_id, top.freq AS tf,
+         |         CAST(top.freq AS DOUBLE) / CAST(nt.n_tokens AS DOUBLE) AS p
+         |       FROM top, nt),
+         |${lnDetCtesN("py", "zy")},
+         |pts AS (SELECT
+         |    CAST(-round(x.lnp * 1000000.0) AS BIGINT) AS x,
+         |    CAST(round(y.lnp * 1000000.0) AS BIGINT) AS y
+         |  FROM srzx x JOIN srzy y ON x.doc_id = y.doc_id),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x*x) AS BIGINT) AS sxx,
+         |    CAST(SUM(x*y) AS BIGINT) AS sxy FROM pts)
+         |SELECT CAST(n AS INTEGER) AS n_top, nt.n_tokens,
+         |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+         |        / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope_r,
+         |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+         |        - (CAST(n*sxy - sx*sy AS DOUBLE)
+         |           / CAST(n*sxx - sx*sx AS DOUBLE))
+         |          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |    AS intercept_r
+         |FROM s, nt""".stripMargin,
     // G29: coefficient formula and round(v·2²⁰) quantization replayed
     // term for term; list_sum over int64 terms is order-free
     "embed_rp" ->

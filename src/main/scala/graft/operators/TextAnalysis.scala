@@ -849,6 +849,52 @@ object TextAnalysis {
     * counts) so avgdl is order-independent; the score is rounded
     * before the tie-broken ranking so the cut is deterministic.
     */
+  /** H26: Zipf-slope diagnostic of the corpus vocabulary — the
+    * classic power-law readout (ln p_r ≈ c − s·ln r over frequency
+    * ranks; natural text sits near s ≈ 1, and a corpus that drifts
+    * far off it after curation usually lost its head or its tail):
+    * least squares over the top-N ranks with BOTH axes in exact
+    * micronat int64 (x = −⌊lnDet(1/r)·10⁶⌉, y = ⌊lnDet(f/N)·10⁶⌉ —
+    * the engine's deterministic ln, zero libm), so Σx, Σy, Σx², Σxy
+    * are order-free integers and only the final slope/intercept
+    * divisions are float (correctly-rounded ops over exact int64
+    * operands — engine-portable). One (n_top, n_tokens, slope_r,
+    * intercept_r) row.
+    *
+    * Shape: one token-count shuffle, a TakeOrdered top-N, a 64-row
+    * single-partition rank window, a broadcast 1-row total — corpus
+    * work is the ONE groupBy; everything after is constant-size.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val total = broadcast(tf.agg(sum(col("freq")).as("__nt")))
+    val top = tf.orderBy(col("freq").desc, col("tok")).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok"))))
+      .crossJoin(total)
+    val withX = withLnDet(top, lit(1.0) / col("rank").cast("double"), "__lnx")
+    val withY = withLnDet(withX,
+      col("freq").cast("double") / col("__nt").cast("double"), "__lny")
+    val pts = withY.select(col("__nt"),
+      (-round(col("__lnx") * lit(1000000.0))).cast("long").as("x"),
+      round(col("__lny") * lit(1000000.0)).cast("long").as("y"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    pts
+      .agg(count(lit(1)).as("n"), first(col("__nt")).as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").cast("int").as("n_top"), col("n_tokens"),
+        round(num.cast("double") / den.cast("double"), 6).as("slope_r"),
+        round(col("sy").cast("double") / col("n").cast("double") -
+          (num.cast("double") / den.cast("double")) *
+            (col("sx").cast("double") / col("n").cast("double")), 6)
+          .as("intercept_r"))
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k: Int = 20): DataFrame =
     bm25WithScore(docs, textCol, terms, "score")

@@ -19,6 +19,28 @@ class CurationSpec extends SparkTestBase {
 
   // ——— decontaminate ———
 
+  test("zipf fit: planted power law reads slope ≈ −1; real corpus negative; layout-invariant") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // exact Zipf corpus: token w_r appears ⌊2000/r⌉ times, r = 1..64
+    val planted = (1 to 64).flatMap(r =>
+      Seq.fill(2000 / r)(s"w$r")).grouped(100)
+      .map(_.mkString(" ")).zipWithIndex
+      .map { case (txt, i) => (i.toLong, txt) }.toSeq
+      .toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfFit(planted, "text").head
+    assert(fit.getInt(0) == 64)
+    val slope = fit.getDouble(2)
+    assert(slope < -0.9 && slope > -1.1, s"planted Zipf slope $slope")
+    // real corpus: frequency decays with rank ⇒ negative slope
+    val corpus = graft.sources.TableCatalog(spark, sfDir).documents
+    val real = TextAnalysis.zipfFit(corpus, "text").head
+    assert(real.getDouble(2) < 0, real.toString)
+    // exact determinism across layouts (int64 sums + mirrored floats)
+    val again = TextAnalysis.zipfFit(corpus.repartition(7), "text").head
+    assert(again.toString == real.toString)
+  }
+
   test("decontaminate flags exactly the docs sharing a trigram with the bench set") {
     // doc 0 is the benchmark; doc 1 shares the trigram "a b c"; doc 2
     // shares bigrams only; doc 3 is disjoint
