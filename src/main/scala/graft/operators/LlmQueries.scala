@@ -99,6 +99,12 @@ object LlmQueries {
       val e = emb(s, dir)
       Similarity.hammingTopK(s, e, e.filter(col("vec_id") < 10), k = 5)
     }),
+    // —— G28b: sign-scan shortlist + exact cosine re-rank ——
+    "sim_topk_hamming_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hammingRerankTopK(s, e, e.filter(col("vec_id") < 10),
+        k = 5, kShort = 15)
+    }),
     "sim_topk_pruned" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.exactPrunedTopK(s, e, e.filter(col("vec_id") < 10), k = 5)
@@ -787,10 +793,11 @@ object LlmQueries {
   /** G28 oracle: the same sign-bit words (32-bit halves as BIGINT —
     * never negative, so two's-complement never differs across
     * engines), XOR + popcount distance, (hamming ASC, vec_id) ranking.
-    * Shared with the G21b recall-matrix chain.
+    * k-parameterized so the G28b re-rank and the G21b matrix chain
+    * replay the same scan at their own depths.
     */
-  private[graft] val hammingTopKSql: String =
-    """WITH w AS (SELECT vec_id,
+  private[graft] def hammingSql(k: Int): String =
+    s"""WITH w AS (SELECT vec_id,
       |    CAST(list_sum([CASE WHEN embedding[i] > 0
       |           THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END
       |         for i in generate_series(1, 32)]) AS BIGINT) AS w0,
@@ -808,7 +815,27 @@ object LlmQueries {
       |        ORDER BY hamming, vec_id) AS rank FROM scored)
       |SELECT query_id, vec_id AS neighbor_id, hamming,
       |  CAST(rank AS INTEGER) AS rank
-      |FROM r WHERE rank <= 5""".stripMargin
+      |FROM r WHERE rank <= $k""".stripMargin
+
+  private[graft] val hammingTopKSql: String = hammingSql(5)
+
+  /** G28b oracle: the k=15 hamming shortlist re-scored with the exact
+    * rounded cosine, (cos DESC, vec_id) final ranking.
+    */
+  private[graft] lazy val hammingRerankSql: String =
+    s"""WITH hs AS (SELECT query_id, neighbor_id FROM (
+       |${hammingSql(15)}
+       |) __h),
+       |scored AS (SELECT hs.query_id, hs.neighbor_id AS vec_id,
+       |    round(${cosSql.format("eq.embedding", "en.embedding")}, 4) AS cos_r
+       |  FROM hs
+       |  JOIN embeddings eq ON eq.vec_id = hs.query_id
+       |  JOIN embeddings en ON en.vec_id = hs.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_r DESC, vec_id) AS rank FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, cos_r,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
 
   /** G22 oracle (factored: the G22b PageRank replay rides on the same
     * edge set): collapse to distinct (label, embedding) reps,
@@ -1373,6 +1400,7 @@ object LlmQueries {
     // ⇒ the oracle is the brute-force SQL verbatim.
     "sim_topk_pruned" -> bruteTopKSql,
     "sim_topk_hamming" -> hammingTopKSql,
+    "sim_topk_hamming_rerank" -> hammingRerankSql,
     "sample_kcenter" -> kcenterSql(8),
     // H26: token counts → top-64 ranks → TWO lnDet replays (x over
     // 1/rank, y over freq/N) → exact micronat least squares; only the

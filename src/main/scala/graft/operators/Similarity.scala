@@ -228,6 +228,35 @@ object Similarity {
       .select(col("vec_id"), col("pos").cast("int").as("rp_dim"),
         col("col").as("y_q"))
 
+  /** G28b: sign-scan + exact re-rank — the G19c "+R" funnel applied
+    * to the 1-bit leg: [[hammingTopK]] retrieves a kShort shortlist
+    * from the 16-byte/vector sign index (the memory-bandwidth scan),
+    * then ONLY the shortlist's true vectors are fetched and re-scored
+    * with the exact rounded cosine, top-k by (cos DESC, vec_id). The
+    * shortlist is queries×kShort rows — a broadcast — so the fetch is
+    * one hash-join pass over stored embeddings, no shuffle of the big
+    * side; the billion-vector ladder touches full vectors only
+    * kShort-per-query.
+    */
+  def hammingRerankTopK(s: SparkSession, emb: DataFrame,
+                        queries: DataFrame, k: Int,
+                        kShort: Int = 15): DataFrame = {
+    withCosine(s)
+    val shortlist = hammingTopK(s, emb, queries, kShort)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    emb.join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cos_r", expr("round(cosine_sim(q_emb, embedding), 4)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_r").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos_r"), col("rank"))
+  }
+
   /** G5: symmetric int8 quantization of an embedding column — the
     * memory-bandwidth lever for 100 TB ANN (4× smaller scans, SIMD
     * int dot products). Per-vector scale = max|x|/127; emits the
@@ -1240,14 +1269,15 @@ object Similarity {
     * frame (one brute-force pass) would persist — it is exactly the
     * ground-truth sample such evaluations maintain.
     *
-    * Strategy set = the repo's ten ANN paths at their registry
+    * Strategy set = the repo's eleven ANN paths at their registry
     * parameterizations, all evaluated at the same k: exact
     * error-bounded pruning (must recall 1.0 by construction), int8
     * quantized scan, Matryoshka truncated-prefix rerank, trained
     * IVF, fixed-quantizer IVF, hyperplane LSH, exhaustive PQ ADC,
     * the composed IVF∘PQ index ([[ivfPqTopK]]), its exact-re-rank
-    * refinement ([[pqRerankTopK]]), and the 1-bit sign/Hamming scan
-    * ([[hammingTopK]]).
+    * refinement ([[pqRerankTopK]]), the 1-bit sign/Hamming scan
+    * ([[hammingTopK]]), and its exact-re-rank funnel
+    * ([[hammingRerankTopK]]).
     */
   def recallMatrix(s: SparkSession, emb: DataFrame, queries: DataFrame,
                    k: Int = 3): DataFrame = {
@@ -1265,7 +1295,8 @@ object Similarity {
       "pq" -> pqTopK(s, emb, queries, k),
       "ivfpq" -> ivfPqTopK(s, emb, queries, k),
       "pq_rerank" -> pqRerankTopK(s, emb, queries, k, kShort = 15),
-      "hamming" -> hammingTopK(s, emb, queries, k))
+      "hamming" -> hammingTopK(s, emb, queries, k),
+      "hamming_rerank" -> hammingRerankTopK(s, emb, queries, k, kShort = 15))
     val picks = strategies.map { case (nm, df) =>
       df.select(lit(nm).as("strategy"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionAll(_))

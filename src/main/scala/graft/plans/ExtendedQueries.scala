@@ -471,7 +471,7 @@ object ExtendedQueries {
       graft.operators.Similarity.pqRerankTopK(
         s, e, e.filter(col("vec_id") < 10), k = 5, kShort = 15)
     }),
-    // —— G21b: recall@3 of all ten ANN strategies vs brute force ——
+    // —— G21b: recall@3 of all eleven ANN strategies vs brute force ——
     "sim_recall_matrix" -> ((s, dir) => {
       val e = TableCatalog(s, dir).embeddings
       graft.operators.Similarity.recallMatrix(
@@ -832,7 +832,7 @@ object ExtendedQueries {
 
   /** G21b oracle: each strategy's EXISTING oracle replay, scoped as a
     * subquery (DuckDB CTE names inside a derived table are local, so
-    * the ten WITH-chains compose without collisions), truncated to a
+    * the eleven WITH-chains compose without collisions), truncated to a
     * common k = 3 — per-query ranks are a total order, so top-3 of a
     * top-5 replay IS the k=3 result — then micro-averaged recall
     * against the brute-force truth.
@@ -853,7 +853,8 @@ object ExtendedQueries {
       "pq" -> "s_pq",
       "ivfpq" -> "s_ivfpq",
       "pq_rerank" -> "s_rerank",
-      "hamming" -> "s_ham")
+      "hamming" -> "s_ham",
+      "hamming_rerank" -> "s_hamr")
     val rows = strategies.map { case (nm, cte) =>
       s"""SELECT '$nm' AS strategy,
          |  (SELECT COUNT(*) FROM truth t JOIN $cte s
@@ -872,6 +873,8 @@ object ExtendedQueries {
        |s_rerank AS (${ids(pqRerankSql, "WHERE rank <= 3")}),
        |s_ham AS (${ids(graft.operators.LlmQueries.hammingTopKSql,
                        "WHERE rank <= 3")}),
+       |s_hamr AS (${ids(graft.operators.LlmQueries.hammingRerankSql,
+                        "WHERE rank <= 3")}),
        |m AS (
        |  $rows)
        |SELECT strategy,

@@ -280,7 +280,11 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(m.keySet == Set("exact_pruned", "int8", "truncated", "ivf",
-      "ivf_fixed", "lsh", "pq", "ivfpq", "pq_rerank", "hamming"))
+      "ivf_fixed", "lsh", "pq", "ivfpq", "pq_rerank", "hamming",
+      "hamming_rerank"))
+    // exact re-ranking a 15-deep sign shortlist can only help
+    assert(m("hamming_rerank")._3 >= m("hamming")._3 - 1e-9,
+      s"re-rank lost recall vs raw hamming: ${m("hamming_rerank")} vs ${m("hamming")}")
     // exact re-ranking a 15-deep ADC shortlist can only help: the
     // re-rank must dominate the raw ADC ordering it refines
     assert(m("pq_rerank")._3 >= m("pq")._3 - 1e-9,
@@ -615,6 +619,31 @@ class SimilaritySpec extends SparkTestBase {
     }.toMap
     assert(got == expect, s"only-got=${got.toSet -- expect.toSet}, " +
       s"only-expect=${expect.toSet -- got.toSet}")
+  }
+
+  test("hamming rerank: picks come from the sign shortlist; exact cosine order within it") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val short = Similarity.hammingTopK(spark, emb, queries, k = 15)
+      .collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rr = Similarity.hammingRerankTopK(spark, emb, queries, k = 5,
+      kShort = 15).collect()
+    rr.foreach { r =>
+      assert(short.contains((r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))),
+        s"re-rank pick escaped the shortlist: $r")
+    }
+    // within each query the emitted order is (cos_r DESC, id)
+    rr.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ca, cb) = (a.getAs[Double]("cos_r"), b.getAs[Double]("cos_r"))
+          assert(ca > cb || (ca == cb &&
+            a.getAs[Long]("neighbor_id") < b.getAs[Long]("neighbor_id")))
+        case _ => ()
+      }
+    }
   }
 
   test("hamming top-k is bit-identical across partitionings") {
