@@ -178,6 +178,57 @@ object Dedup {
       .select(col(keyCol), col("fp"),
         (col("__n_set") === hashes).as("bloom_maybe"))
 
+  /** F20b: closed-form Bloom sizing solver — the F18b move applied to
+    * F20: for every (m, j) candidate (m = 2¹²..2²⁰ bits, j = 1..6
+    * hashes) the standard FPR formula (1 − e^(−j·n/m))^j evaluates at
+    * the STANDING index's actual cardinality n, and the CHOSEN row is
+    * the smallest filter meeting the target (ties → fewest hashes) —
+    * the knobs derived from the corpus instead of asserted. The
+    * exponential is the engine's deterministic exp
+    * ([[TextAnalysis.withExpDet]] — zero libm) and the j-th power is
+    * a fixed-order literal product, so the whole table is
+    * engine-replayable; rows where no candidate qualifies read
+    * chosen=false everywhere (the caller must grow past 2²⁰).
+    *
+    * Scale: ONE count over the index; the table is 54 driver-sized
+    * rows. Re-run it per compaction epoch and the daemon's filter
+    * tracks index growth instead of saturating silently.
+    */
+  def bloomChoose(index: DataFrame, targetFpr: Double = 0.01): DataFrame = {
+    val s = index.sparkSession
+    import s.implicits._
+    val n = broadcast(index.agg(count(lit(1)).as("n_keys")))
+    val cand = (for (mExp <- 12 to 20; j <- 1 to 6)
+      yield (1L << mExp, j)).toDF("m_bits", "hashes")
+    val base = cand.crossJoin(n)
+      .withColumn("__x",
+        -(col("hashes").cast("double") * col("n_keys").cast("double")) /
+          col("m_bits").cast("double"))
+    val pb = lit(1.0) - col("__e")
+    val scored = TextAnalysis.withExpDet(base, col("__x"), "__e")
+      .withColumn("__pb", pb)
+      .withColumn("fpr",
+        when(col("hashes") === 1, col("__pb"))
+          .when(col("hashes") === 2, col("__pb") * col("__pb"))
+          .when(col("hashes") === 3, col("__pb") * col("__pb") * col("__pb"))
+          .when(col("hashes") === 4,
+            col("__pb") * col("__pb") * col("__pb") * col("__pb"))
+          .when(col("hashes") === 5,
+            col("__pb") * col("__pb") * col("__pb") * col("__pb") * col("__pb"))
+          .otherwise(col("__pb") * col("__pb") * col("__pb") *
+            col("__pb") * col("__pb") * col("__pb")))
+    val bestM = broadcast(scored.filter(col("fpr") <= targetFpr)
+      .agg(min(col("m_bits")).as("__bm")))
+    val bestJ = broadcast(scored.crossJoin(bestM)
+      .filter(col("fpr") <= targetFpr && col("m_bits") === col("__bm"))
+      .agg(min(col("hashes")).as("__bj")))
+    scored.crossJoin(bestM).crossJoin(bestJ)
+      .select(col("m_bits"), col("hashes"), col("n_keys"),
+        round(col("fpr"), 6).as("fpr_r"),
+        coalesce(col("m_bits") === col("__bm") &&
+          col("hashes") === col("__bj"), lit(false)).as("chosen"))
+  }
+
   /** The STANDING fuzzy index for the F14 incremental loop: distinct
     * (band, key) rows of a corpus's MinHash LSH banding — two narrow
     * columns, the fuzzy analogue of [[fingerprintIndex]]. Persist it

@@ -69,6 +69,13 @@ object LlmQueries {
         Dedup.fingerprintIndex(d.filter(col("doc_id") % 10 =!= 0), "text"),
         "doc_id", "text")
     }),
+    // —— F20b: closed-form Bloom sizing solver over the standing
+    //    index's actual cardinality ——
+    "dedup_bloom_choose" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomChoose(
+        Dedup.fingerprintIndex(d.filter(col("doc_id") % 10 =!= 0), "text"))
+    }),
     // —— F20: Bloom-filter definitely-new gate in front of the F12
     //    standing-index anti join ——
     "dedup_bloom_inc" -> ((s, dir) => {
@@ -1299,6 +1306,52 @@ object LlmQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM fpt i
          |                  WHERE i.doc_id % 10 <> 0 AND i.fp = b.fp)
          |GROUP BY fp""".stripMargin,
+    // F20b: 54-candidate (m, j) table, deterministic-exp FPR at the
+    // index's true cardinality, smallest-qualifying chosen
+    "dedup_bloom_choose" ->
+      s"""WITH t AS ($toksCte),
+         |fpt AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |  FROM t),
+         |idx AS (SELECT DISTINCT fp FROM fpt WHERE doc_id % 10 <> 0),
+         |nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM idx),
+         |cand AS (SELECT CAST((CAST(1 AS BIGINT) << me) AS BIGINT) AS m_bits,
+         |    CAST(j AS INTEGER) AS hashes
+         |  FROM generate_series(12, 20) s(me), generate_series(1, 6) u(j)),
+         |b0 AS (SELECT m_bits, hashes, n_keys,
+         |    -(CAST(hashes AS DOUBLE) * CAST(n_keys AS DOUBLE))
+         |      / CAST(m_bits AS DOUBLE) AS xv
+         |  FROM cand, nk),
+         |-- deterministic exp (the engine's withExpDet, op for op)
+         |e2 AS (SELECT *, CAST(floor(xv * 1.4426950408889634 + 0.5) AS INT)
+         |    AS xk FROM b0),
+         |e3 AS (SELECT *, xv - CAST(xk AS DOUBLE) * 0.6931471805599453 AS xr
+         |  FROM e2),
+         |e4 AS (SELECT *, xr AS p1, p1*xr AS p2, p2*xr AS p3, p3*xr AS p4,
+         |    p4*xr AS p5, p5*xr AS p6, p6*xr AS p7, p7*xr AS p8,
+         |    p8*xr AS p9, p9*xr AS p10, p10*xr AS p11, p11*xr AS p12
+         |  FROM e3),
+         |e5 AS (SELECT *, 1.0 + p1 + p2/2.0 + p3/6.0 + p4/24.0 + p5/120.0
+         |    + p6/720.0 + p7/5040.0 + p8/40320.0 + p9/362880.0
+         |    + p10/3628800.0 + p11/39916800.0 + p12/479001600.0 AS xs
+         |  FROM e4),
+         |e6 AS (SELECT *, list_reduce(list_concat([xs],
+         |      list_transform(range(1, abs(xk) + 1),
+         |        i -> CASE WHEN xk > 0 THEN 2.0 ELSE 0.5 END)),
+         |    (a, b) -> a * b) AS expv FROM e5),
+         |pf AS (SELECT *, 1.0 - expv AS pb FROM e6),
+         |f AS (SELECT m_bits, hashes, n_keys,
+         |    CASE hashes WHEN 1 THEN pb WHEN 2 THEN pb*pb
+         |      WHEN 3 THEN pb*pb*pb WHEN 4 THEN pb*pb*pb*pb
+         |      WHEN 5 THEN pb*pb*pb*pb*pb
+         |      ELSE pb*pb*pb*pb*pb*pb END AS fpr
+         |  FROM pf),
+         |mm AS (SELECT min(m_bits) AS bm FROM f WHERE fpr <= 0.01),
+         |jm AS (SELECT min(hashes) AS bj FROM f, mm
+         |       WHERE fpr <= 0.01 AND m_bits = mm.bm)
+         |SELECT f.m_bits, f.hashes, f.n_keys, round(f.fpr, 6) AS fpr_r,
+         |  COALESCE(f.m_bits = mm.bm AND f.hashes = jm.bj, FALSE) AS chosen
+         |FROM f, mm, jm""".stripMargin,
     // F20: m=32768-bit filter as 1024 OR'd 32-bit words, j=3 hash60
     // probes of "fp#p"; batch docs read (all-bits-set, ground truth)
     "dedup_bloom_inc" ->

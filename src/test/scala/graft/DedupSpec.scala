@@ -46,6 +46,43 @@ class DedupSpec extends SparkTestBase {
     assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("bloom solver: formula matches math.exp; chosen = smallest qualifying; shipped knobs bound the measured FPR") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val index = Dedup.fingerprintIndex(corpus, "text")
+    val table = Dedup.bloomChoose(index).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(table.size == 54)
+    val n = table.values.head._1
+    // deterministic exp tracks math.exp at solver scale
+    table.foreach { case ((m, j), (_, fpr, _)) =>
+      val expect = math.pow(1.0 - math.exp(-j.toDouble * n / m), j)
+      assert(math.abs(fpr - expect) < 1e-6, s"(m=$m j=$j): $fpr vs $expect")
+    }
+    // chosen row = smallest m meeting the 1% target, then fewest hashes
+    val qualifying = table.filter(_._2._2 <= 0.01).keys
+    val best = qualifying.minBy { case (m, j) => (m, j) }
+    table.foreach { case (k, (_, _, chosen)) =>
+      assert(chosen == (k == best), s"chosen flag wrong at $k")
+    }
+    // fpr strictly improves with memory at fixed j
+    (1 to 6).foreach { j =>
+      val byM = (12 to 20).map(e => table((1L << e, j))._2)
+      byM.sliding(2).foreach { case Seq(a, b) => assert(b <= a) }
+    }
+    // the SHIPPED F20 knobs (m=32768, j=3) qualify at this index size,
+    // and the closed form UPPER-BOUNDS the measured FPR from F20
+    val shipped = table((32768L, 3))._2
+    assert(shipped <= 0.01, s"shipped knobs off target: $shipped")
+    val probe = Dedup.bloomProbe(docs.filter(col("doc_id") % 10 === 0),
+      index, "doc_id", "text").collect()
+    val negatives = probe.filter(!_.getAs[Boolean]("in_index"))
+    val fps = negatives.count(_.getAs[Boolean]("bloom_maybe"))
+    val measured = fps.toDouble / negatives.length
+    assert(measured <= shipped + 0.02,
+      s"measured FPR $measured exceeds closed-form $shipped")
+  }
+
   test("ngram jaccard pairs are symmetric-free (a < b) and above threshold") {
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, tau = 0.8).collect()
     pairs.foreach { r =>
