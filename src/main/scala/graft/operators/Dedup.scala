@@ -190,17 +190,21 @@ object Dedup {
     * engine-replayable; rows where no candidate qualifies read
     * chosen=false everywhere (the caller must grow past 2²⁰).
     *
-    * Scale: ONE count over the index; the table is 54 driver-sized
-    * rows. Re-run it per compaction epoch and the daemon's filter
-    * tracks index growth instead of saturating silently.
+    * Scale: ONE count action over the index (the k-means-style driver
+    * model-state collect — n is a scalar knob input, not data); the
+    * table itself is 54 LOCAL rows, so the solver costs one scan no
+    * matter how often downstream consumers re-reference it. Re-run it
+    * per compaction epoch and the daemon's filter tracks index growth
+    * instead of saturating silently.
     */
   def bloomChoose(index: DataFrame, targetFpr: Double = 0.01): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
-    val n = broadcast(index.agg(count(lit(1)).as("n_keys")))
+    val nKeys = index.count()
     val cand = (for (mExp <- 12 to 20; j <- 1 to 6)
       yield (1L << mExp, j)).toDF("m_bits", "hashes")
-    val base = cand.crossJoin(n)
+    val base = cand
+      .withColumn("n_keys", lit(nKeys))
       .withColumn("__x",
         -(col("hashes").cast("double") * col("n_keys").cast("double")) /
           col("m_bits").cast("double"))
