@@ -651,7 +651,13 @@ object LlmQueries {
     * oracle and the G24 hybrid-fusion oracle so the sparse leg can
     * never drift between them.
     */
-  private[graft] def bm25Sql(terms: Seq[String], k: Int): String = {
+  /** The H17 per-doc score chain as prefix-parameterized CTEs ending
+    * in `<p>sc(id, score)` for EVERY doc (no match filter, no limit)
+    * — one definition shared by [[bm25Sql]] and the C39b compound
+    * oracle, so per-clause scoring can never drift. With p = "" the
+    * generated text is byte-identical to the historical bm25Sql body.
+    */
+  private[graft] def bm25ScoreCtes(terms: Seq[String], p: String): String = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
     }.mkString(",\n  ")
@@ -662,18 +668,22 @@ object LlmQueries {
       s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2 / " +
         s"(tf$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))")
       .mkString(" + ")
-    s"""WITH t AS ($toksCte),
-       |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+    s"""${p}t AS ($toksCte),
+       |${p}d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
        |  $tfs
-       |  FROM t),
-       |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  FROM ${p}t),
+       |${p}s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
        |  CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) AS sumdl,
        |  $dfs
-       |  FROM d),
-       |sc AS (SELECT d.doc_id AS id, round($score, 6) AS score FROM d, s)
+       |  FROM ${p}d),
+       |${p}sc AS (SELECT ${p}d.doc_id AS id, round($score, 6) AS score
+       |  FROM ${p}d, ${p}s)""".stripMargin
+  }
+
+  private[graft] def bm25Sql(terms: Seq[String], k: Int): String =
+    s"""WITH ${bm25ScoreCtes(terms, "")}
        |SELECT id, score FROM sc WHERE score > 0
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
-  }
 
   /** G19 oracle: PQ training unrolled (the sim_topk_ivf move), all
     * subspaces as one `sub`-keyed chain. Distance is pure int64

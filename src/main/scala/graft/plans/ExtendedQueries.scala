@@ -195,6 +195,16 @@ object ExtendedQueries {
             "combination": {"weights": {"near": 2}}}},
            {"$$project": {"vec_id": 1, "score": {"$$meta": "score"}}}]""")
     }),
+    // —— C39b: $search compound — Lucene boolean clauses over the
+    //    shared BM25 core (must scores+filters, should scores,
+    //    mustNot excludes) ——
+    "pipe_search_compound" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark query", "path": "text"}}],
+            "should": [{"text": {"query": "stream", "path": "text"}}],
+            "mustNot": [{"text": {"query": "the", "path": "text"}}]}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
     // —— C38b: $scoreFusion with a $search leg — BM25 relevance ⊕
     //    attribute score, minMax-normalized weighted mean ——
     "pipe_scorefusion_text" -> ((s, dir) => run(s, dir, "documents",
@@ -983,6 +993,18 @@ object ExtendedQueries {
         |      FROM r2 WHERE rk <= 15)
         |SELECT vec_id, CAST(SUM(c) AS BIGINT) AS score
         |FROM u GROUP BY 1""".stripMargin,
+    // C39b: three prefix-parameterized per-clause BM25 score chains,
+    // boolean-combined (must > 0, mustNot = 0, must+should summed in
+    // declaration order)
+    "pipe_search_compound" ->
+      s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(Seq("spark", "query"), "ca")},
+         |${graft.operators.LlmQueries.bm25ScoreCtes(Seq("stream"), "cb")},
+         |${graft.operators.LlmQueries.bm25ScoreCtes(Seq("the"), "cc")}
+         |SELECT casc.id AS doc_id, casc.score + cbsc.score AS score
+         |FROM casc JOIN cbsc ON casc.id = cbsc.id
+         |          JOIN ccsc ON casc.id = ccsc.id
+         |WHERE casc.score > 0 AND ccsc.score = 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // C38b: the factored BM25 leg replay (post-limit minMax, like the
     // engine normalizes AFTER the leg's own limit) + field leg +
     // literal weighted mean

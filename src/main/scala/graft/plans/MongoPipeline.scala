@@ -476,20 +476,68 @@ object MongoPipeline {
     * TakeOrdered); no shuffle of the corpus.
     */
   private def search(df: DataFrame, spec: JsonNode): DataFrame = {
-    val txt = spec.get("text")
-    require(txt != null && txt.get("query") != null && txt.get("path") != null,
-      "$search supports the text operator: {text: {query: ..., path: ...}}")
-    val unknown = spec.properties().asScala.map(_.getKey).filterNot(_ == "text")
+    val unknown = spec.properties().asScala.map(_.getKey)
+      .filterNot(k => k == "text" || k == "compound")
     require(unknown.isEmpty, s"unsupported $$search operators: $unknown")
-    val path = txt.get("path").asText()
-    val terms = txt.get("query").asText().toLowerCase.trim
-      .split("\\s+").toSeq.filter(_.nonEmpty)
-    require(terms.nonEmpty, "$search.text.query must contain at least one term")
+    def textClause(node: JsonNode): (String, Seq[String]) = {
+      val txt = node.get("text")
+      require(txt != null && txt.get("query") != null &&
+        txt.get("path") != null,
+        "$search clauses support the text operator: " +
+          "{text: {query: ..., path: ...}}")
+      val terms = txt.get("query").asText().toLowerCase.trim
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+      require(terms.nonEmpty,
+        "$search.text.query must contain at least one term")
+      (txt.get("path").asText(), terms)
+    }
     val tie = df.columns.map(col).toSeq
-    graft.operators.TextAnalysis
-      .bm25WithScore(df, path, terms, SearchScoreCol)
-      .filter(col(SearchScoreCol) > 0)
-      .orderBy(col(SearchScoreCol).desc +: tie: _*)
+    if (spec.get("compound") == null) {
+      val (path, terms) = textClause(spec)
+      graft.operators.TextAnalysis
+        .bm25WithScore(df, path, terms, SearchScoreCol)
+        .filter(col(SearchScoreCol) > 0)
+        .orderBy(col(SearchScoreCol).desc +: tie: _*)
+    } else {
+      // compound: must clauses all match AND contribute score; should
+      // clauses contribute score (should-only searches need at least
+      // one should match); mustNot clauses exclude on any match —
+      // Lucene's boolean-query contract over the shared BM25 core.
+      // BM25 scores are ≥ 0 with "matches" ⇔ score > 0, so exclusion
+      // is an exact score = 0 test.
+      val comp = spec.get("compound")
+      val badKinds = comp.properties().asScala.map(_.getKey)
+        .filterNot(k => Seq("must", "should", "mustNot").contains(k))
+      require(badKinds.isEmpty,
+        s"unsupported $$search.compound clauses: $badKinds")
+      def clauses(kind: String): Seq[(String, Seq[String])] =
+        Option(comp.get(kind)).toSeq.flatMap { arr =>
+          require(arr.isArray, s"$$search.compound.$kind must be an array")
+          arr.elements().asScala.toSeq.map(textClause)
+        }
+      val (must, should, mustNot) =
+        (clauses("must"), clauses("should"), clauses("mustNot"))
+      require(must.nonEmpty || should.nonEmpty,
+        "$search.compound needs at least one must or should clause")
+      val all = (must ++ should ++ mustNot).zipWithIndex
+      val scored = all.foldLeft(df) { case (d, ((path, terms), i)) =>
+        graft.operators.TextAnalysis.bm25WithScore(d, path, terms, s"__sc$i")
+      }
+      val nm = must.size
+      val ns = should.size
+      val scoring = (0 until nm + ns).map(i => col(s"__sc$i"))
+      val matched = (
+        (0 until nm).map(i => col(s"__sc$i") > 0) ++
+          (if (nm == 0) Seq(scoring.reduce(_ + _) > 0) else Nil) ++
+          (nm + ns until nm + ns + mustNot.size)
+            .map(i => col(s"__sc$i") === 0.0))
+        .reduce(_ && _)
+      scored
+        .withColumn(SearchScoreCol, scoring.reduce(_ + _))
+        .filter(matched)
+        .drop(all.indices.map(i => s"__sc$i"): _*)
+        .orderBy(col(SearchScoreCol).desc +: tie: _*)
+    }
   }
 
   /** `$scoreFusion` (SURVEY.md §2 C38, MongoDB 8.2) — SCORE-based

@@ -1312,6 +1312,41 @@ class ExtendedPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$search compound: must filters+scores, should scores, mustNot excludes; replay from standalone legs") {
+    import graft.operators.TextAnalysis
+    val docs = cat.documents
+    val out = MongoPipeline(docs,
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark", "path": "text"}}],
+            "should": [{"text": {"query": "stream", "path": "text"}}],
+            "mustNot": [{"text": {"query": "the", "path": "text"}}]}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def leg(terms: Seq[String]): Map[Long, Double] =
+      TextAnalysis.bm25WithScore(docs, "text", terms, "s")
+        .select("doc_id", "s").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (must, should, not) = (leg(Seq("spark")), leg(Seq("stream")), leg(Seq("the")))
+    val expect = must.keys
+      .filter(id => must(id) > 0 && not(id) == 0.0)
+      .map(id => id -> (must(id) + should(id))).toMap
+    assert(out == expect)
+    assert(out.nonEmpty)
+    // exclusion did real work: some must-matching docs carry the term
+    assert(must.exists { case (id, s) => s > 0 && not(id) > 0 })
+    // contract errors: unknown clause kind; no scoring clause at all
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"compound": {"filter":
+            [{"text": {"query": "x", "path": "text"}}]}}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"compound": {"mustNot":
+            [{"text": {"query": "x", "path": "text"}}]}}}]""")
+    }
+  }
+
   // ——— $scoreFusion (C38) ———
 
   test("$scoreFusion minMaxScaler fusion equals a plain-Scala replay; absent legs contribute zero") {
