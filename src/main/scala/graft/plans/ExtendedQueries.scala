@@ -216,6 +216,16 @@ object ExtendedQueries {
               "ids": [{"$score": {"score": {"$toDouble": "$doc_id"}}}]}},
             "combination": {"weights": {"rel": 2}}}},
           {"$project": {"doc_id": 1, "score": {"$meta": "score"}}}]""")),
+    // —— C37c: $rankFusion with a $search leg — BM25 rank ⊕ attribute
+    //    rank under the same integer RRF ——
+    "pipe_rankfusion_text" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$rankFusion": {"input": {"pipelines": {
+            "rel": [{"$search": {"text": {"query": "spark query stream",
+                      "path": "text"}}},
+                    {"$limit": 15}],
+            "ids": [{"$sort": {"doc_id": 1}}, {"$limit": 15}]}},
+          "combination": {"weights": {"rel": 2}}}},
+         {"$project": {"doc_id": 1, "score": {"$meta": "score"}}}]""")),
     // —— C25: $graphLookup (bounded BFS over a key chain) ——
     "pipe_graphlookup" -> ((s, dir) => {
       val cat = TableCatalog(s, dir)
@@ -993,6 +1003,23 @@ object ExtendedQueries {
         |      FROM r2 WHERE rk <= 15)
         |SELECT vec_id, CAST(SUM(c) AS BIGINT) AS score
         |FROM u GROUP BY 1""".stripMargin,
+    // C37c: the factored BM25 top-15 is the rel leg's rank order; the
+    // id leg is a key-complete sort; int64-ppb RRF fused per document
+    "pipe_rankfusion_text" ->
+      s"""WITH b AS (
+         |${graft.operators.LlmQueries.bm25Sql(Seq("spark", "query", "stream"), 15)}
+         |),
+         |r1 AS (SELECT id AS doc_id,
+         |    row_number() OVER (ORDER BY score DESC, id) AS rk FROM b),
+         |r2 AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY doc_id) AS rk FROM documents),
+         |u AS (SELECT doc_id,
+         |        CAST((2 * 1000000000) // (60 + rk) AS BIGINT) AS c FROM r1
+         |      UNION ALL
+         |      SELECT doc_id, CAST(1000000000 // (60 + rk) AS BIGINT)
+         |      FROM r2 WHERE rk <= 15)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score
+         |FROM u GROUP BY 1""".stripMargin,
     // C39b: three prefix-parameterized per-clause BM25 score chains,
     // boolean-combined (must > 0, mustNot = 0, must+should summed in
     // declaration order)

@@ -410,16 +410,20 @@ object MongoPipeline {
         s"$$rankFusion pipeline '$name' must be a non-empty stage array")
       val ops = stages.elements().asScala.toSeq
         .map(_.properties().asScala.head.getKey)
-      // a $vectorSearch-led leg IS ranked (by its score) — the true
-      // Atlas hybrid; otherwise the leg must carry an explicit $sort
-      val (sub, order) = if (ops.head == "$vectorSearch") {
+      // a $vectorSearch- or $search-led leg IS ranked (by its score) —
+      // the true Atlas hybrid; otherwise the leg must carry an
+      // explicit $sort
+      val (sub, order) = if (ops.head == "$vectorSearch" ||
+          ops.head == "$search") {
+        val scoreCol =
+          if (ops.head == "$vectorSearch") VsScoreCol else SearchScoreCol
         ops.tail.foreach(op => require(
           Seq("$match", "$limit", "$skip").contains(op),
           s"$$rankFusion pipeline '$name': '$op' not allowed after " +
-            "$vectorSearch (ranking comes from the search score)"))
+            s"${ops.head} (ranking comes from the search score)"))
         val c = compile(df, stages.toString, tables,
           documentsAllowed = false, keepScores = true)
-        (c, col(VsScoreCol).desc +: docCols.map(col(_).asc))
+        (c, col(scoreCol).desc +: docCols.map(col(_).asc))
       } else {
         var sortSpec: Seq[(String, Boolean)] = Nil
         ops.zip(stages.elements().asScala.toSeq).foreach { case (op, st) =>
@@ -445,7 +449,7 @@ object MongoPipeline {
         .withColumn("__rf_rank", row_number().over(Window.orderBy(order: _*)))
         .withColumn(RfScoreCol,
           expr(s"(${weightOf(name)}L * 1000000000L) div (60L + __rf_rank)"))
-        .drop("__rf_rank", VsScoreCol)
+        .drop("__rf_rank", VsScoreCol, SearchScoreCol)
     }
     legs.reduce(_ unionByName _)
       .groupBy(docCols.map(col): _*)

@@ -1240,6 +1240,27 @@ class ExtendedPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$rankFusion with a $search leg: BM25 rank order fused with an attribute rank") {
+    import graft.operators.TextAnalysis
+    val docs = cat.documents
+    val out = MongoPipeline(docs,
+      """[{"$rankFusion": {"input": {"pipelines": {
+            "rel": [{"$search": {"text": {"query": "spark", "path": "text"}}},
+                    {"$limit": 10}],
+            "ids": [{"$sort": {"doc_id": 1}}, {"$limit": 10}]}}}},
+         {"$project": {"doc_id": 1, "score": {"$meta": "score"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = TextAnalysis.bm25(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .collect().map(_.getLong(0))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted.take(10)
+    val expect = (rel.zipWithIndex.map { case (id, i) =>
+        id -> 1000000000L / (60L + i + 1) } ++
+      ids.zipWithIndex.map { case (id, i) =>
+        id -> 1000000000L / (60L + i + 1) })
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(out == expect)
+  }
+
   test("$rankFusion contract errors: stage position, selection-only legs, $sort required, integer weights") {
     intercept[IllegalArgumentException] { // not first
       MongoPipeline(cat.orders,
