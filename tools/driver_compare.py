@@ -149,8 +149,12 @@ def main():
     con = None if timeout else connect(sfdir)
     n_ok = 0
     report = {}
-    # resumable: a prior interrupted run's report seeds the decided set
-    if report_path and os.path.exists(report_path):
+    # resumable (OPT-IN via RESUME_REPORT=1): a prior interrupted run's
+    # report seeds the decided set. Opt-in because /tmp persists across
+    # rounds — an unconditional seed would let a NEXT round's sweep
+    # skip queries against STALE verdicts from a previous round's code.
+    if (report_path and os.path.exists(report_path)
+            and os.environ.get("RESUME_REPORT") == "1"):
         prior = json.load(open(report_path))
         report = {n: r for n, r in prior.items()
                   if r.get("hash_match") or "excluded" in r}

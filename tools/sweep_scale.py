@@ -23,6 +23,15 @@ Usage:
   python3 tools/sweep_scale.py --round r11            # the real sweep
   python3 tools/sweep_scale.py --dry-run              # prove step 5
   python3 tools/sweep_scale.py --round r11 --engine-only   # steps 1-3
+
+/tmp PERSISTS ACROSS ROUNDS on this box: engine outputs in --outdir are
+resumed by presence (has_parquet), so at the start of a new round wipe
+the outdir for any query whose SEMANTICS changed since the last sweep —
+a stale output would be compared against the new oracle and fail (or,
+worse, an unchanged-oracle query would silently pass on old code's
+output). Compare-split report.json resumption is opt-in via
+RESUME_REPORT=1 (driver_compare.py) and is NOT set here, so compares
+are always fresh.
 """
 import argparse
 import json
