@@ -132,6 +132,11 @@ object LlmQueries {
     "embed_opq_codes" -> ((s, dir) =>
       Similarity.opqCodes(s, emb(s, dir), m = 4, dsub = 16, ksub = 4,
         iters = 2)),
+    // —— G27b: LEARNED OPQ decomposition — greedy variance-balancing
+    //    allocation (sum-domain eigenvalue allocation) ∘ PQ ——
+    "embed_opq_rot" -> ((s, dir) =>
+      Similarity.opqRotCodes(s, emb(s, dir), m = 4, dsub = 16, ksub = 4,
+        iters = 2)),
     // —— G19b: PQ ADC search — codes-only scan, integer-exact ——
     "sim_topk_pq" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -382,6 +387,10 @@ object LlmQueries {
     //    continuation-count lower orders — the KenLM-grade smoothing) ——
     "text_kn_lp" -> ((s, dir) =>
       TextAnalysis.knTrigramLogProb(docs(s, dir), "doc_id", "text")),
+    // —— H18e: interpolated Kneser-Ney FIVE-gram — the production
+    //    CCNet/KenLM filter order (same recursion, two more levels) ——
+    "text_kn5_lp" -> ((s, dir) =>
+      TextAnalysis.knFivegramLogProb(docs(s, dir), "doc_id", "text")),
     // —— H18b: bigram LM conditional log-prob, add-0.5 smoothing ——
     "text_bigram_lp" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")),
@@ -788,6 +797,68 @@ object LlmQueries {
         |       FROM e, perm p GROUP BY 1, 2)""".stripMargin) +
       s"\n$pqCodesSelect"
 
+  /** G27b oracle: Ge et al.'s eigenvalue allocation replayed — int64
+    * variance snap, λ/Σλ normalization, per-dim log cost through the
+    * SHARED lnDet CTE chain (the same op sequence as the engine's
+    * driver-side lnDetScalar, so every cost lands on the same int64
+    * micronat), then the LPT greedy as ONE list_reduce over the
+    * cost-ranked dims — state is a flat BIGINT list
+    * [sums(4), counts(4), picks…] (DuckDB's list_reduce mis-carries
+    * lists nested in struct state, so the state is flat by
+    * construction), each step assigning to the min-(sum, index)
+    * subspace with free slots and appending d·10+sub. The decoded
+    * (d, sub, slot) map feeds the SAME factored PQ training replay
+    * as G19/G27.
+    */
+  private val opqRotSql: String = {
+    // min-(running cost sum, subspace) among subspaces with < 16 slots
+    val pick = """list_min(list_transform(
+      list_filter([1,2,3,4], x -> acc[4+x] < 16),
+      x -> [acc[x], CAST(x AS BIGINT)]))[2]"""
+    s"WITH " + pqTrainCtes(
+      s"""qv AS (SELECT vec_id,
+        |    list_transform(v, x -> CAST(round(x * 1024.0) AS BIGINT)) AS q
+        |  FROM e),
+        |vst AS (SELECT g.d, CAST(SUM(q[g.d]) AS BIGINT) AS s1,
+        |    CAST(SUM(q[g.d] * q[g.d]) AS BIGINT) AS s2, COUNT(*) AS n
+        |  FROM qv, generate_series(1, 64) AS g(d) GROUP BY 1),
+        |vr0 AS (SELECT d, GREATEST(CAST(round((CAST(s2 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)
+        |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0)
+        |      AS BIGINT), 1) AS vs
+        |  FROM vst),
+        |vp AS (SELECT d AS doc_id, CAST(1 AS BIGINT) AS tf,
+        |    1.0 / CAST(vs AS DOUBLE) AS p
+        |  FROM vr0),
+        |${lnDetCtesN("vp", "opq")},
+        |vr AS (SELECT doc_id AS d,
+        |    CAST(round(-lnp * 1000000.0) AS BIGINT) AS vs
+        |  FROM sropq),
+        |its AS (SELECT list([vs, CAST(d AS BIGINT)] ORDER BY vs DESC, d)
+        |          AS l FROM vr),
+        |alloc AS (SELECT list_reduce(
+        |    list_prepend([0,0,0,0,0,0,0,0]::BIGINT[], l),
+        |    (acc, it) -> list_concat(list_concat(
+        |      list_transform([1,2,3,4], s -> acc[s] +
+        |        CASE WHEN CAST(s AS BIGINT) = $pick THEN it[1] ELSE 0 END),
+        |      list_transform([1,2,3,4], s -> acc[4+s] +
+        |        CASE WHEN CAST(s AS BIGINT) = $pick THEN 1 ELSE 0 END)),
+        |      list_append(acc[9:], it[2] * 10 + $pick))) AS st
+        |  FROM its),
+        |am AS (SELECT CAST(u.a // 10 AS INT) AS d,
+        |         CAST(u.a % 10 AS INT) AS sub, u.i
+        |       FROM (SELECT unnest(st[9:]) AS a,
+        |               unnest(range(1, len(st[9:]) + 1)) AS i
+        |             FROM alloc) u),
+        |perm AS (SELECT d, sub, CAST(row_number() OVER (
+        |           PARTITION BY sub ORDER BY i) AS INT) AS slot
+        |         FROM am),
+        |sv AS (SELECT vec_id, p.sub, list(v[p.d] ORDER BY p.slot) AS svec
+        |       FROM e, perm p GROUP BY 1, 2)""".stripMargin) +
+      s"\n$pqCodesSelect"
+  }
+
   /** G19b: ADC search replay — the query-side (m × ksub) LUT of
     * quantized-L2 distances, summed along each corpus vector's codes.
     * Integer-exact end to end.
@@ -1078,6 +1149,93 @@ object LlmQueries {
        |        / (CAST(SUM(tf) AS DOUBLE) * 100.0)) / 10000.0 AS avg_logp_kn
        |  FROM ${p}mn GROUP BY 1)""".stripMargin
 
+  /** H18e's Kneser-Ney 5-gram replay as prefix-`p` CTEs ending in
+    * `<p>lp(doc_id, n_5g, avg_logp_kn5)` — the [[knLpCtes]] recursion
+    * two levels deeper: every continuation table derives from the
+    * distinct 5-gram TYPE table by drop-left + re-dedup (c4 → c3 →
+    * c2 → c1), one nested fixed-order IEEE formula, shared lnDet
+    * replay, micronat fixed-point pre-sum.
+    */
+  private def kn5LpCtes(p: String): String =
+    s"""${p}t AS (SELECT doc_id,
+       |  string_split_regex(trim(lower(text)), ' +') AS toks
+       |  FROM documents),
+       |${p}t5 AS (SELECT doc_id,
+       |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] ||
+       |                 ' ' || toks[i+3] || ' ' || toks[i+4]
+       |                 for i in generate_series(1, len(toks)-4)]) AS tg
+       |       FROM ${p}t WHERE len(toks) >= 5),
+       |${p}dtf AS (SELECT doc_id, tg, COUNT(*) AS tf FROM ${p}t5 GROUP BY 1, 2),
+       |${p}cf5 AS (SELECT tg, CAST(SUM(tf) AS BIGINT) AS cf5,
+       |         split_part(tg,' ',1) || ' ' || split_part(tg,' ',2) || ' ' ||
+       |           split_part(tg,' ',3) || ' ' || split_part(tg,' ',4) AS h4,
+       |         split_part(tg,' ',2) || ' ' || split_part(tg,' ',3) || ' ' ||
+       |           split_part(tg,' ',4) || ' ' || split_part(tg,' ',5) AS s4
+       |       FROM ${p}dtf GROUP BY 1),
+       |${p}x5 AS (SELECT h4, CAST(SUM(cf5) AS BIGINT) AS ch4,
+       |         CAST(COUNT(*) AS BIGINT) AS n1p_h4
+       |       FROM ${p}cf5 GROUP BY 1),
+       |${p}c4 AS (SELECT s4, CAST(COUNT(*) AS BIGINT) AS n1p_s4,
+       |         split_part(s4,' ',1) || ' ' || split_part(s4,' ',2) || ' ' ||
+       |           split_part(s4,' ',3) AS h3,
+       |         split_part(s4,' ',2) || ' ' || split_part(s4,' ',3) || ' ' ||
+       |           split_part(s4,' ',4) AS s3
+       |       FROM ${p}cf5 GROUP BY s4),
+       |${p}m4 AS (SELECT h3, CAST(SUM(n1p_s4) AS BIGINT) AS n1p_mid_h3,
+       |         CAST(COUNT(*) AS BIGINT) AS n1p_h3_dot
+       |       FROM ${p}c4 GROUP BY 1),
+       |${p}c3 AS (SELECT s3, CAST(COUNT(*) AS BIGINT) AS n1p_s3,
+       |         split_part(s3,' ',1) || ' ' || split_part(s3,' ',2) AS h2,
+       |         split_part(s3,' ',2) || ' ' || split_part(s3,' ',3) AS s2
+       |       FROM ${p}c4 GROUP BY s3),
+       |${p}m3 AS (SELECT h2, CAST(SUM(n1p_s3) AS BIGINT) AS n1p_mid_h2,
+       |         CAST(COUNT(*) AS BIGINT) AS n1p_h2_dot
+       |       FROM ${p}c3 GROUP BY 1),
+       |${p}c2 AS (SELECT s2, CAST(COUNT(*) AS BIGINT) AS n1p_s2,
+       |         split_part(s2,' ',1) AS b, split_part(s2,' ',2) AS c
+       |       FROM ${p}c3 GROUP BY s2),
+       |${p}m2 AS (SELECT b, CAST(SUM(n1p_s2) AS BIGINT) AS n1p_mid_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n1p_b_dot
+       |       FROM ${p}c2 GROUP BY 1),
+       |${p}c1 AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n1p_c,
+       |         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS ns2
+       |       FROM ${p}c2 GROUP BY c),
+       |${p}c0 AS (SELECT dtf.doc_id, dtf.tf,
+       |          (CAST(cf5.cf5 AS DOUBLE) - 0.75) / CAST(x5.ch4 AS DOUBLE)
+       |        + 0.75 * CAST(x5.n1p_h4 AS DOUBLE) / CAST(x5.ch4 AS DOUBLE)
+       |          * ((CAST(c4.n1p_s4 AS DOUBLE) - 0.75)
+       |               / CAST(m4.n1p_mid_h3 AS DOUBLE)
+       |             + 0.75 * CAST(m4.n1p_h3_dot AS DOUBLE)
+       |               / CAST(m4.n1p_mid_h3 AS DOUBLE)
+       |               * ((CAST(c3.n1p_s3 AS DOUBLE) - 0.75)
+       |                    / CAST(m3.n1p_mid_h2 AS DOUBLE)
+       |                  + 0.75 * CAST(m3.n1p_h2_dot AS DOUBLE)
+       |                    / CAST(m3.n1p_mid_h2 AS DOUBLE)
+       |                  * ((CAST(c2.n1p_s2 AS DOUBLE) - 0.75)
+       |                       / CAST(m2.n1p_mid_b AS DOUBLE)
+       |                     + 0.75 * CAST(m2.n1p_b_dot AS DOUBLE)
+       |                       / CAST(m2.n1p_mid_b AS DOUBLE)
+       |                     * (CAST(c1.n1p_c AS DOUBLE)
+       |                        / CAST(c1.ns2 AS DOUBLE))))) AS p
+       |      FROM ${p}dtf dtf JOIN ${p}cf5 cf5 USING (tg)
+       |      JOIN ${p}x5 x5 ON x5.h4 = cf5.h4
+       |      JOIN ${p}c4 c4 ON c4.s4 = cf5.s4
+       |      JOIN ${p}m4 m4 ON m4.h3 = c4.h3
+       |      JOIN ${p}c3 c3 ON c3.s3 = c4.s3
+       |      JOIN ${p}m3 m3 ON m3.h2 = c3.h2
+       |      JOIN ${p}c2 c2 ON c2.s2 = c3.s2
+       |      JOIN ${p}m2 m2 ON m2.b = c2.b
+       |      JOIN ${p}c1 c1 ON c1.c = c2.c),
+       |${lnDetCtesN(s"${p}c0", p)},
+       |${p}mn AS (SELECT doc_id, tf,
+       |        CAST(round(CAST(tf AS DOUBLE) * lnp * 1000000.0) AS BIGINT)
+       |          AS micronats
+       |      FROM sr$p),
+       |${p}lp AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_5g,
+       |  round(CAST(SUM(micronats) AS DOUBLE)
+       |        / (CAST(SUM(tf) AS DOUBLE) * 100.0)) / 10000.0 AS avg_logp_kn5
+       |  FROM ${p}mn GROUP BY 1)""".stripMargin
+
   /** H7e/H22b oracle scaffolding: the unigram-LM Viterbi hard-EM
     * replayed in DuckDB op for op. Per EM round k: `lat`/`dp`/`seg`
     * CTEs mirror [[TextAnalysis.unigramSegment]]'s two `aggregate`
@@ -1140,13 +1298,13 @@ object LlmQueries {
        |    SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS w
        |    FROM documents)
        |  WHERE length(w) > 0 GROUP BY w),
-       |wp AS (SELECT w, freq, CAST(t.st AS INT) AS st,
-       |    CAST(t.st + u.ln - 1 AS INT) AS en,
-       |    substring(w, CAST(t.st AS INT), CAST(u.ln AS INT)) AS piece
-       |  FROM uw CROSS JOIN range(1, 65) t(st)
+       |wp AS (SELECT w, freq, CAST(st AS INT) AS st,
+       |    CAST(st + u.ln - 1 AS INT) AS en,
+       |    substring(w, CAST(st AS INT), CAST(u.ln AS INT)) AS piece
+       |  FROM (SELECT w, freq, unnest(range(1, length(w) + 1)) AS st
+       |        FROM uw) sw
        |    CROSS JOIN range(1, ${maxPieceLen + 1}) u(ln)
-       |  WHERE t.st <= length(w)
-       |    AND u.ln <= least($maxPieceLen, length(w) - t.st + 1)),
+       |  WHERE u.ln <= least($maxPieceLen, length(w) - st + 1)),
        |c0 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
        |  FROM wp GROUP BY piece),
        |cand AS (SELECT DISTINCT piece, cnt FROM (
@@ -1420,6 +1578,7 @@ object LlmQueries {
     "sim_topk_bruteforce" -> bruteTopKSql,
     "embed_pq_codes" -> pqSql,
     "embed_opq_codes" -> opqSql,
+    "embed_opq_rot" -> opqRotSql,
     "sim_topk_pq" -> pqTopKSql,
     // G20: exact scaled-int64 mean (float-snapped), then map-side
     // cosine-to-mean + integer-exact centered norm
@@ -2312,6 +2471,11 @@ object LlmQueries {
     "text_kn_lp" ->
       s"""WITH ${knLpCtes("n")}
          |SELECT doc_id, n_tri, avg_logp_kn FROM nlp""".stripMargin,
+    // H18e: the same interpolated-KN replay at order 5 — all four
+    // continuation tables from the distinct 5-gram-type suffix chain
+    "text_kn5_lp" ->
+      s"""WITH ${kn5LpCtes("f")}
+         |SELECT doc_id, n_5g, avg_logp_kn5 FROM flp""".stripMargin,
     "text_unigram_lp" ->
       s"""WITH ${uniLpCtes("u")}
          |SELECT doc_id, n_tok, avg_logp FROM ulp""".stripMargin,

@@ -778,6 +778,21 @@ object Similarity {
     */
   private[graft] def opqPermutation(s: SparkSession, emb: DataFrame,
                                     m: Int = 4): Seq[Int] = {
+    val varScaled = dimVariances(emb)
+    val dims = varScaled.length
+    val dsub = dims / m
+    val ranked = varScaled.zipWithIndex.sortBy { case (v, d) => (-v, d) }
+      .map(_._2)
+    for (s0 <- 0 until m; slot <- 0 until dsub) yield ranked(slot * m + s0)
+  }
+
+  /** Int64-snapped per-dimension corpus variances (·10⁶) — ONE corpus
+    * aggregate in the exact idiom, shared by [[opqPermutation]] and
+    * [[opqAllocation]]: per dim, Σ round(v·2¹⁰) and Σ round(v·2¹⁰)²
+    * as [[VecSumAgg]] int64 buffers (2¹⁰ keeps q² sums inside int64
+    * to ~10¹² rows), then var·10⁶ snaps to int64 on the driver.
+    */
+  private def dimVariances(emb: DataFrame): IndexedSeq[Long] = {
     val qArr =
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))"
     val row = emb.select(
@@ -787,15 +802,106 @@ object Similarity {
     val s1 = row.getSeq[Long](0)
     val s2 = row.getSeq[Long](1)
     val n = row.getLong(2).toDouble
-    val varScaled = s1.indices.map { d =>
+    s1.indices.map { d =>
       math.round((s2(d).toDouble / n -
         (s1(d).toDouble / n) * (s1(d).toDouble / n)) * 1e6)
     }
-    val dims = s1.length
+  }
+
+  /** The deterministic ln of the engine's `withLnDet`, as a DRIVER
+    * scalar: exact power-of-two range reduction to m ∈ [0.5, 1),
+    * atanh series through t²⁵, ln = 2s − e·ln2 — the identical IEEE
+    * op sequence the oracle's lnDet CTEs replay, so a driver-side
+    * model decision branching on its output is bit-reproducible in
+    * DuckDB. Domain: p ∈ (0, 1].
+    */
+  private[graft] def lnDetScalar(p: Double): Double = {
+    var m = p; var e = 0
+    if (m * 4294967296.0 < 1.0) { m *= 4294967296.0; e += 32 }
+    if (m * 65536.0 < 1.0) { m *= 65536.0; e += 16 }
+    if (m * 256.0 < 1.0) { m *= 256.0; e += 8 }
+    if (m * 16.0 < 1.0) { m *= 16.0; e += 4 }
+    if (m * 4.0 < 1.0) { m *= 4.0; e += 2 }
+    if (m * 2.0 < 1.0) { m *= 2.0; e += 1 }
+    val t = (m - 1.0) / (m + 1.0); val t2 = t * t
+    val q1 = t; val q3 = q1 * t2; val q5 = q3 * t2; val q7 = q5 * t2
+    val q9 = q7 * t2; val q11 = q9 * t2; val q13 = q11 * t2
+    val q15 = q13 * t2; val q17 = q15 * t2; val q19 = q17 * t2
+    val q21 = q19 * t2; val q23 = q21 * t2; val q25 = q23 * t2
+    2.0 * (q1 + q3 / 3.0 + q5 / 5.0 + q7 / 7.0 + q9 / 9.0 + q11 / 11.0 +
+      q13 / 13.0 + q15 / 15.0 + q17 / 17.0 + q19 / 19.0 + q21 / 21.0 +
+      q23 / 23.0 + q25 / 25.0) - e.toDouble * 0.6931471805599453
+  }
+
+  /** G27b: LEARNED space decomposition — Ge et al.'s EIGENVALUE
+    * ALLOCATION (OPQ §3.2.2, the non-parametric solution's balanced
+    * init): under the independence assumption PQ distortion is
+    * Σ_s dsub·(∏_{d∈s} λ_d)^(1/dsub), minimized by balancing the
+    * PRODUCT of variances per subspace ⇔ balancing Σ log λ. The
+    * engine runs the paper's greedy verbatim, in the log domain:
+    * per-dim log-variance c_d = round(ln λ_d · 10⁶) in int64
+    * micronats, computed as −lnDet(1/λ_d) ([[lnDetScalar]] is the
+    * withLnDet op sequence, so the oracle replays every cost
+    * bit-for-bit; 1/λ keeps ln in its (0,1] domain; zero-variance
+    * dims guard to λ = 1 scaled unit → cost 0). Dims are visited
+    * HOTTEST FIRST (descending λ — the paper's eigenvalue order) and
+    * each goes to the subspace with the smallest running log-product
+    * among those with free slots (ties → lower subspace index, then
+    * lower dim — a total order). Every pick is a permutation-matrix
+    * column choice, so the learned map stays orthogonal — the OPQ
+    * contract.
+    *
+    * Versus [[opqPermutation]]'s rank-dealing: on decaying spectra
+    * the hottest-first greedy reproduces the even hot-dim spread
+    * dealing gets by construction, and on PAIRING-adversarial
+    * spectra (where dealing's rank-mod-m stride stacks hot dims
+    * together) it balances the products dealing cannot — the G27b
+    * spec plants exactly that case. The decisive property is
+    * DETERMINISM: allocation is a pure function of the int64 cost
+    * table (driver model state, one collected variance row — never a
+    * data pass), replayed step for step by the oracle's list_reduce.
+    *
+    * Returns the 0-based source-dimension order, subspace-major with
+    * slots in assignment order: permuted[s·dsub + slot] = the slot-th
+    * dimension assigned to subspace s.
+    */
+  private[graft] def opqAllocation(s: SparkSession, emb: DataFrame,
+                                   m: Int = 4): Seq[Int] = {
+    val varScaled = dimVariances(emb)
+    val dims = varScaled.length
+    require(dims % m == 0, s"dims $dims must be divisible by m = $m")
     val dsub = dims / m
-    val ranked = varScaled.zipWithIndex.sortBy { case (v, d) => (-v, d) }
-      .map(_._2)
-    for (s0 <- 0 until m; slot <- 0 until dsub) yield ranked(slot * m + s0)
+    val costs = varScaled.map { v =>
+      val g = math.max(v, 1L)
+      math.round(-lnDetScalar(1.0 / g.toDouble) * 1e6)
+    }
+    // hottest first — log cost is monotone in λ, so cost order IS λ order
+    val ranked = costs.zipWithIndex.sortBy { case (c, d) => (-c, d) }
+    val sums = Array.fill(m)(0L)
+    val buckets = Array.fill(m)(Vector.empty[Int])
+    ranked.foreach { case (c, d) =>
+      val pick = (0 until m).filter(buckets(_).size < dsub)
+        .minBy(x => (sums(x), x))
+      sums(pick) += c
+      buckets(pick) = buckets(pick) :+ d
+    }
+    buckets.toIndexedSeq.flatten
+  }
+
+  /** G27b codes: [[opqAllocation]] composed in front of the unchanged
+    * [[pqCodes]] train/encode machinery (the G27 move with the
+    * learned allocation in place of the rank-dealt permutation).
+    * Same output schema as `embed_pq_codes`/`embed_opq_codes`; err2
+    * is the readout that shows what the learned balance bought.
+    */
+  def opqRotCodes(s: SparkSession, emb: DataFrame, m: Int = 4,
+                  dsub: Int = 16, ksub: Int = 4, iters: Int = 2): DataFrame = {
+    val alloc = opqAllocation(s, emb, m)
+    require(alloc.length == m * dsub,
+      s"dims ${alloc.length} must equal m*dsub = ${m * dsub}")
+    val permuted = emb.select(col("vec_id"),
+      array(alloc.map(d => col("embedding").getItem(d)): _*).as("embedding"))
+    pqCodes(s, permuted, m, dsub, ksub, iters)
   }
 
   /** G27: OPQ-lite codes — [[opqPermutation]] composed in front of

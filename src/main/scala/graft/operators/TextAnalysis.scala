@@ -625,6 +625,118 @@ object TextAnalysis {
           .as("avg_logp_kn"))
   }
 
+  /** H18e: interpolated Kneser-Ney FIVE-gram score — the production
+    * CCNet/KenLM filter order ([[knTrigramLogProb]] is the order-3
+    * form; same Chen & Goodman recursion, two more levels). Per
+    * 5-gram position with history h4 = w₁..w₄:
+    *   P₅(c|h4) = (c(h4c)−D)/c(h4·) + D·N₁₊(h4·)/c(h4·) · P₄(c|h3)
+    *   P₄(c|h3) = (N₁₊(·h3c)−D)/N₁₊(·h3·) + D·N₁₊(h3·)/N₁₊(·h3·) · P₃(c|h2)
+    *   P₃(c|h2) = (N₁₊(·h2c)−D)/N₁₊(·h2·) + D·N₁₊(h2·)/N₁₊(·h2·) · P₂(c|b)
+    *   P₂(c|b)  = (N₁₊(·bc)−D)/N₁₊(·b·)  + D·N₁₊(b·)/N₁₊(·b·)  · P₁(c)
+    *   P₁(c)    = N₁₊(·c)/N₁₊(··)
+    * Every continuation table derives from the distinct 5-gram TYPE
+    * table by repeatedly dropping the leftmost word and re-deduping
+    * (c4 → c3 → c2 → c1) — the standard KN suffix chain; no table
+    * ever re-scans the corpus. All lookup keys occur (counts ≥ 1 >
+    * D = 0.75), so every join is inner and lossless and P > 0.
+    *
+    * Shape = H18d exactly: ONE doc-keyed 5-gram explode; six
+    * vocab-sized partial-agg groupBys; N₁₊(··) broadcast; one
+    * fixed-order IEEE formula; deterministic [[withLnDet]]; int64
+    * micronat fixed-point pre-sum. Docs with < 5 tokens have no
+    * 5-gram position and are excluded.
+    */
+  def knFivegramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                        discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    def grams(n: Int) = GraftBridge.column(graft.functions.WordShinglesAll(
+      GraftBridge.expression(tokens(col(textCol))), n))
+    val d = lit(discount)
+    val docTf = docs.select(col(idCol).as("doc_id"), explode(grams(5)).as("tg"))
+      .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("tf"))
+    def joinWords(c: Column, from: Int, to: Int): Column =
+      concat_ws(" ", (from to to).map(c.getItem(_)): _*)
+    val cf5 = docTf.groupBy(col("tg")).agg(sum(col("tf")).as("cf5"))
+      .withColumn("__p", split(col("tg"), " "))
+      .select(col("tg"), col("cf5"),
+        joinWords(col("__p"), 0, 3).as("h4"),
+        joinWords(col("__p"), 1, 4).as("s4"))
+    // 5-gram context totals + distinct continuations after h4: cf5
+    // rows are unique 5-gram TYPES, so count(*) per h4 IS N₁₊(h4·)
+    val ctx5 = cf5.groupBy(col("h4"))
+      .agg(sum(col("cf5")).as("ch4"), count(lit(1)).as("n1p_h4"))
+    // the suffix chain: count(*) per s4 over unique 5-gram rows =
+    // distinct left contexts N₁₊(·s4); then drop-left and re-dedup
+    val cont4 = cf5.groupBy(col("s4")).agg(count(lit(1)).as("n1p_s4"))
+      .withColumn("__q", split(col("s4"), " "))
+      .select(col("s4"), col("n1p_s4"),
+        joinWords(col("__q"), 0, 2).as("h3"),
+        joinWords(col("__q"), 1, 3).as("s3"))
+    val mid4 = cont4.groupBy(col("h3"))
+      .agg(sum(col("n1p_s4")).as("n1p_mid_h3"),
+        count(lit(1)).as("n1p_h3_dot"))
+    val cont3 = cont4.groupBy(col("s3")).agg(count(lit(1)).as("n1p_s3"))
+      .withColumn("__q", split(col("s3"), " "))
+      .select(col("s3"), col("n1p_s3"),
+        joinWords(col("__q"), 0, 1).as("h2"),
+        joinWords(col("__q"), 1, 2).as("s2"))
+    val mid3 = cont3.groupBy(col("h2"))
+      .agg(sum(col("n1p_s3")).as("n1p_mid_h2"),
+        count(lit(1)).as("n1p_h2_dot"))
+    val cont2 = cont3.groupBy(col("s2")).agg(count(lit(1)).as("n1p_s2"))
+      .withColumn("__q", split(col("s2"), " "))
+      .select(col("s2"), col("n1p_s2"),
+        col("__q").getItem(0).as("b"), col("__q").getItem(1).as("c"))
+    val mid2 = cont2.groupBy(col("b"))
+      .agg(sum(col("n1p_s2")).as("n1p_mid_b"),
+        count(lit(1)).as("n1p_b_dot"))
+    val cont1 = cont2.groupBy(col("c")).agg(count(lit(1)).as("n1p_c"))
+    val nS2 = broadcast(cont2.agg(count(lit(1)).as("ns2")))
+    val scored = docTf
+      .join(cf5, "tg")
+      .join(ctx5, "h4")
+      .join(cont4.select(col("s4"), col("n1p_s4"), col("h3"), col("s3")), "s4")
+      .join(mid4, "h3")
+      .join(cont3.select(col("s3"), col("n1p_s3"), col("h2"), col("s2")), "s3")
+      .join(mid3, "h2")
+      .join(cont2.select(col("s2"), col("n1p_s2"), col("b"), col("c")), "s2")
+      .join(mid2, "b")
+      .join(cont1, "c")
+      .crossJoin(nS2)
+      // fixed-order IEEE formula — the oracle mirrors every op
+      .withColumn("__p1",
+        col("n1p_c").cast("double") / col("ns2").cast("double"))
+      .withColumn("__p2",
+        (col("n1p_s2").cast("double") - d) /
+          col("n1p_mid_b").cast("double") +
+        d * col("n1p_b_dot").cast("double") /
+          col("n1p_mid_b").cast("double") * col("__p1"))
+      .withColumn("__p3",
+        (col("n1p_s3").cast("double") - d) /
+          col("n1p_mid_h2").cast("double") +
+        d * col("n1p_h2_dot").cast("double") /
+          col("n1p_mid_h2").cast("double") * col("__p2"))
+      .withColumn("__p4",
+        (col("n1p_s4").cast("double") - d) /
+          col("n1p_mid_h3").cast("double") +
+        d * col("n1p_h3_dot").cast("double") /
+          col("n1p_mid_h3").cast("double") * col("__p3"))
+      .withColumn("__pkn",
+        (col("cf5").cast("double") - d) / col("ch4").cast("double") +
+        d * col("n1p_h4").cast("double") / col("ch4").cast("double") *
+          col("__p4"))
+    withLnDet(scored, col("__pkn"), "__ln")
+      .withColumn("__c", round(col("tf").cast("double") * col("__ln") *
+        lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_5g"), sum(col("__c")).as("__lp"))
+      // the H18c display rounding: scale-0 round at integer scale
+      .select(col("doc_id"), col("n_5g"),
+        (round(col("__lp").cast("double") /
+          (col("n_5g").cast("double") * lit(100.0))) / lit(10000.0))
+          .as("avg_logp_kn5"))
+  }
+
   // ——— H7e/H22b: unigram-LM (SentencePiece-style) tokenizer ———
 
   /** Candidate-piece lattice over the distinct-word table: one row per

@@ -167,6 +167,15 @@ object ExtendedQueries {
             "path": "text"}}},
           {"$limit": 20},
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C40: $searchMeta (Atlas search metadata — count + facets
+    //    over the SAME match set as $search, one shared compiler) ——
+    "pipe_searchmeta" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$searchMeta": {"facet": {
+            "operator": {"text": {"query": "spark query", "path": "text"}},
+            "facets": {
+              "langs": {"type": "string", "path": "lang", "numBuckets": 10},
+              "sizes": {"type": "number", "path": "n_chars",
+                        "boundaries": [0, 150, 300, 450, 1000000]}}}}}]""")),
     // —— C38: $scoreFusion (Mongo 8.2 score-based hybrid fusion —
     //    a $vectorSearch leg + a $score leg, minMaxScaler normalized,
     //    weighted-mean combined, score via {$meta: "score"}) ——
@@ -1060,6 +1069,30 @@ object ExtendedQueries {
       s"""SELECT id AS doc_id, score FROM (
          |${graft.operators.LlmQueries.bm25Sql(Seq("spark", "query", "stream"), 20)}
          |) __s""".stripMargin,
+    // C40: the match set is the factored BM25 replay (score > 0 —
+    // the $search contract), faceted relationally: string buckets by
+    // count DESC then value, number buckets labeled by their [lo, hi)
+    // lower boundary rendered as the engine's double→string cast
+    "pipe_searchmeta" ->
+      s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(
+             Seq("spark", "query"), "sm")},
+         |mdoc AS (SELECT d.* FROM documents d
+         |       JOIN smsc ON smsc.id = d.doc_id WHERE smsc.score > 0),
+         |fl AS (SELECT 'langs' AS facet, CAST(lang AS VARCHAR) AS bucket,
+         |         CAST(COUNT(*) AS BIGINT) AS count
+         |       FROM mdoc GROUP BY 2 ORDER BY count DESC, bucket LIMIT 10),
+         |fn AS (SELECT 'sizes' AS facet, CAST(b AS VARCHAR) AS bucket,
+         |         CAST(COUNT(*) AS BIGINT) AS count
+         |       FROM (SELECT CASE
+         |           WHEN n_chars >= 0 AND n_chars < 150 THEN 0.0
+         |           WHEN n_chars >= 150 AND n_chars < 300 THEN 150.0
+         |           WHEN n_chars >= 300 AND n_chars < 450 THEN 300.0
+         |           WHEN n_chars >= 450 AND n_chars < 1000000 THEN 450.0
+         |           END AS b FROM mdoc)
+         |       WHERE b IS NOT NULL GROUP BY 2)
+         |SELECT facet, bucket, count FROM fl
+         |UNION ALL
+         |SELECT facet, bucket, count FROM fn""".stripMargin,
     // C38: exact-mode vectorSearch leg (the proven-portable rounded
     // cosine) + field-score leg, each minMax-normalized AFTER its own
     // limit, fused by the stage's literal weighted mean

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * $group, $sort, $skip, $limit, $count, $unwind, $lookup, $bucket,
   * $bucketAuto, $sortByCount, $replaceRoot/$replaceWith, $facet,
   * $unionWith, $sample, $setWindowFields, $densify, $fill,
-  * $graphLookup, $geoNear, $vectorSearch, $rankFusion, $out, $merge (the last two
+  * $graphLookup, $geoNear, $vectorSearch, $rankFusion, $searchMeta, $out, $merge (the last two
   * via [[PipelineSinks]]).
   *
   * Distributed-determinism deviation: `$sample` draws the n smallest
@@ -176,6 +176,10 @@ object MongoPipeline {
             s"$$search must be the first pipeline stage (found at stage $stageIdx)")
           cur = search(cur, spec)
           lastSort = Seq((SearchScoreCol, false))
+        case "$searchMeta" =>
+          require(stageIdx == 0,
+            s"$$searchMeta must be the first pipeline stage (found at stage $stageIdx)")
+          cur = searchMeta(cur, spec)
         case "$facet" =>
           // each facet = a sub-pipeline over the same input; output is
           // one row with an array-of-struct column per facet
@@ -309,6 +313,9 @@ object MongoPipeline {
     val key = spec.get("key").asText()
     val spherical = Option(spec.get("spherical")).exists(_.asBoolean())
     val mult = Option(spec.get("distanceMultiplier")).map(_.asDouble()).getOrElse(1.0)
+    require(mult >= 0,
+      s"$$geoNear.distanceMultiplier must be non-negative (got $mult) — " +
+        "a negative multiplier would silently invert the proximity order")
     val nx = near.get(0).asDouble()
     val ny = near.get(1).asDouble()
     val x = element_at(col(key), 1).cast("double")
@@ -332,11 +339,15 @@ object MongoPipeline {
       out = out.filter(col("__geo_raw") >= lit(v.asDouble())))
     Option(spec.get("maxDistance")).foreach(v =>
       out = out.filter(col("__geo_raw") <= lit(v.asDouble())))
+    // proximity order is the RAW distance (Mongo's contract) — ordering
+    // by the multiplied distField instead can collapse distinct raws
+    // into a tied product under double rounding and let the tiebreak
+    // disagree with true proximity at the `num` boundary
     out = out
+      .orderBy(col("__geo_raw") +: tie: _*)
       .withColumn(distField,
         if (mult == 1.0) col("__geo_raw") else col("__geo_raw") * lit(mult))
       .drop("__geo_raw")
-      .orderBy(col(distField) +: tie: _*)
     Option(spec.get("num")).orElse(Option(spec.get("limit")))
       .foreach(n => out = out.limit(n.asInt()))
     out
@@ -377,9 +388,12 @@ object MongoPipeline {
     * float-parity risk the integer convention exists to avoid).
     *
     * Scale shape: each leg is a bounded ranked pipeline ($sort+$limit
-    * compiles to TakeOrdered — never a full sort); the rank window
-    * runs over the ≤limit surviving rows of a leg, the fusion
-    * group-by touches ≤ Σ limits rows. The legs are the distributed
+    * compiles to TakeOrdered — never a full sort); every $sort-/
+    * $search-led leg MUST carry a $limit (enforced loudly —
+    * $vectorSearch legs are bounded by that stage's own required
+    * `limit`), so the rank window provably runs over the ≤limit
+    * surviving rows of a leg and the fusion group-by touches
+    * ≤ Σ limits rows. The legs are the distributed
     * work; fusion cost is bounded by construction — the same shape as
     * the standalone `sim_hybrid_rrf`.
     */
@@ -413,6 +427,13 @@ object MongoPipeline {
       // a $vectorSearch- or $search-led leg IS ranked (by its score) —
       // the true Atlas hybrid; otherwise the leg must carry an
       // explicit $sort
+      // every leg must be BOUNDED: the per-leg rank window is
+      // unpartitioned (a total order needs one), which is safe only
+      // because the window covers ≤ limit rows. A limitless $sort- or
+      // $search-led leg would funnel the whole selection into one
+      // task, so the bound is a loud contract, not a convention
+      // ($vectorSearch legs are bounded by that stage's own required
+      // `limit`, checked in vectorSearch()).
       val (sub, order) = if (ops.head == "$vectorSearch" ||
           ops.head == "$search") {
         val scoreCol =
@@ -421,6 +442,10 @@ object MongoPipeline {
           Seq("$match", "$limit", "$skip").contains(op),
           s"$$rankFusion pipeline '$name': '$op' not allowed after " +
             s"${ops.head} (ranking comes from the search score)"))
+        require(ops.head == "$vectorSearch" || ops.contains("$limit"),
+          s"$$rankFusion pipeline '$name' must carry a $$limit — a " +
+            "$search-led leg emits every matching document and an " +
+            "unbounded leg cannot be ranked distributively")
         val c = compile(df, stages.toString, tables,
           documentsAllowed = false, keepScores = true)
         (c, col(scoreCol).desc +: docCols.map(col(_).asc))
@@ -440,6 +465,10 @@ object MongoPipeline {
         require(sortSpec.nonEmpty,
           s"$$rankFusion pipeline '$name' must contain $$sort — " +
             "ranks need an explicit order")
+        require(ops.contains("$limit"),
+          s"$$rankFusion pipeline '$name' must carry a $$limit — an " +
+            "unbounded leg cannot be ranked distributively (the rank " +
+            "window covers only the ≤ limit surviving rows)")
         val c = compile(df, stages.toString, tables, documentsAllowed = false)
         (c, sortSpec.map { case (f, asc) =>
           if (asc) col(f).asc else col(f).desc
@@ -541,6 +570,95 @@ object MongoPipeline {
         .filter(matched)
         .drop(all.indices.map(i => s"__sc$i"): _*)
         .orderBy(col(SearchScoreCol).desc +: tie: _*)
+    }
+  }
+
+  /** `$searchMeta` (SURVEY.md §2 C40) — Atlas search METADATA as a
+    * pipeline stage: the same match set as [[search]] (one shared
+    * compiler, so `$search` and `$searchMeta` can never disagree on
+    * what matches), aggregated instead of emitted.
+    *
+    * Two forms, mirroring Atlas:
+    *  - `{count: {type: "total"}, text|compound: …}` → ONE row
+    *    `{total}` (counts are exact — no Lucene lower-bound estimate
+    *    to honor, so `type: "lowerBound"` also reports the exact
+    *    count, which is a valid lower bound);
+    *  - `{facet: {operator: {…}, facets: {name: {type: "string",
+    *    path, numBuckets} | {type: "number", path, boundaries}}}}` →
+    *    one row per non-empty bucket, flattened to the engine's
+    *    tabular twin `(facet, bucket, count)` best-first (Atlas nests
+    *    buckets in one meta document; a DataFrame row set is the
+    *    relational rendering). String buckets rank by count DESC then
+    *    value ASC (Atlas' order, made total); number buckets label by
+    *    their lower boundary ([lo, hi) half-open, out-of-range rows
+    *    ignored — Atlas' rule) and sort by it.
+    *
+    * Scale: the matching scan is [[search]]'s (one corpus pass,
+    * broadcast stats row); each facet is a partial-agg groupBy to
+    * ≤ numBuckets/|boundaries| rows; count is a 1-row aggregate. The
+    * match-set sort is eliminated under the aggregates (Catalyst's
+    * EliminateSorts), so no ordering work survives planning.
+    */
+  private def searchMeta(df: DataFrame, spec: JsonNode): DataFrame = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val keys = spec.properties().asScala.map(_.getKey).toSet
+    if (keys.contains("facet")) {
+      require(keys == Set("facet"),
+        s"$$searchMeta.facet does not combine with ${keys - "facet"}")
+      val f = spec.get("facet")
+      require(f.get("operator") != null,
+        "$searchMeta.facet.operator is required")
+      val facets = f.get("facets")
+      require(facets != null && facets.isObject &&
+        facets.properties().asScala.nonEmpty,
+        "$searchMeta.facet.facets needs at least one facet definition")
+      val matched = search(df, f.get("operator")).drop(SearchScoreCol)
+      val parts = facets.properties().asScala.toSeq.map { e =>
+        val (name, fd) = (e.getKey, e.getValue)
+        require(fd.get("path") != null,
+          s"$$searchMeta facet '$name' needs a path")
+        val path = fd.get("path").asText()
+        Option(fd.get("type")).map(_.asText()).getOrElse("string") match {
+          case "string" =>
+            val nb = Option(fd.get("numBuckets")).map(_.asInt()).getOrElse(10)
+            require(nb > 0, s"$$searchMeta facet '$name': numBuckets > 0")
+            matched.groupBy(col(path).cast("string").as("bucket"))
+              .agg(count(lit(1)).as("count"))
+              .orderBy(col("count").desc, col("bucket").asc)
+              .limit(nb)
+              .select(lit(name).as("facet"), col("bucket"), col("count"))
+          case "number" =>
+            val bn = fd.get("boundaries")
+            require(bn != null && bn.isArray && bn.size >= 2,
+              s"$$searchMeta facet '$name': boundaries needs >= 2 values")
+            val bs = bn.elements().asScala.toSeq.map(_.asDouble())
+            require(bs == bs.sorted && bs.distinct == bs,
+              s"$$searchMeta facet '$name': boundaries must strictly increase")
+            val v = col(path).cast("double")
+            val bucket = bs.init.zip(bs.tail)
+              .foldLeft(lit(null).cast("double")) { case (acc, (lo, hi)) =>
+                when(v >= lit(lo) && v < lit(hi), lit(lo)).otherwise(acc)
+              }
+            matched.select(bucket.as("__b")).filter(col("__b").isNotNull)
+              .groupBy(col("__b")).agg(count(lit(1)).as("count"))
+              .select(lit(name).as("facet"),
+                col("__b").cast("string").as("bucket"), col("count"))
+          case other => throw new IllegalArgumentException(
+            s"$$searchMeta facet '$name': unsupported type '$other'")
+        }
+      }
+      parts.reduce(_ unionByName _)
+        .orderBy(col("facet").asc, col("count").desc, col("bucket").asc)
+    } else {
+      require(keys.contains("count"),
+        "$searchMeta needs either a count or a facet collector")
+      val cntType = Option(spec.get("count").get("type")).map(_.asText())
+        .getOrElse("lowerBound")
+      require(Seq("total", "lowerBound").contains(cntType),
+        s"$$searchMeta.count.type must be total|lowerBound (got $cntType)")
+      val op = spec.deepCopy[ObjectNode]()
+      op.remove("count")
+      search(df, op).agg(count(lit(1)).as("total"))
     }
   }
 

@@ -192,8 +192,33 @@ object CurationJob {
         // retried foreachBatch transaction, so the filter can never
         // miss an indexed fp); only the maybe-fraction pays the anti
         // join, and an all-novel batch skips the index read entirely.
-        val words = readIndexExcept(spark, s"$corpusDir/bloom",
-            s"b$batchId", bloomSchema)
+        // Toggle guard: enabling bloom on a corpus whose standing fp
+        // index PREDATES the bloom shards would otherwise read an
+        // empty word table, mark every batch fp definitely-new, skip
+        // the anti join, and silently admit duplicates of indexed
+        // content. Backfill the filter from the standing index once
+        // (crash-safe tmp+rename, like compactIndex) so the
+        // no-false-negative invariant holds regardless of when the
+        // flag was turned on.
+        val bloomDir = s"$corpusDir/bloom"
+        val standingWords = readIndexExcept(spark, bloomDir,
+          s"b$batchId", bloomSchema)
+        val standingFps = readIndexExcept(spark, s"$corpusDir/index",
+          s"b$batchId", fpSchema)
+        val wordShards =
+          if (standingWords.isEmpty && !standingFps.isEmpty) {
+            val p = new org.apache.hadoop.fs.Path(bloomDir)
+            val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+            val tmp = new org.apache.hadoop.fs.Path(p, "_backfill.tmp")
+            val dst = new org.apache.hadoop.fs.Path(p, "backfill")
+            if (fs.exists(tmp)) fs.delete(tmp, true)
+            Dedup.bloomWords(standingFps.select(col("fp")))
+              .write.mode("overwrite").parquet(tmp.toString)
+            if (!fs.rename(tmp, dst))
+              sys.error(s"bloom backfill rename failed: $tmp -> $dst")
+            readIndexExcept(spark, bloomDir, s"b$batchId", bloomSchema)
+          } else standingWords
+        val words = wordShards
           .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
         probed = Dedup.bloomMaybe(
           gated.select(col(idCol),

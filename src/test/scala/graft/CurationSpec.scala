@@ -655,6 +655,52 @@ class CurationSpec extends SparkTestBase {
     assert(out == run(7))
   }
 
+  test("KN 5-gram: fluent > rotated > rare; sub-5-gram docs drop; layout-invariant") {
+    val docs = docsDf(
+      10L -> "the cat sat on the mat by the door",
+      11L -> "the cat sat on the mat by the door",
+      12L -> "the cat sat on the mat by the door",
+      1L -> "the cat sat on the mat by the door",
+      2L -> "by the door the cat sat on the mat", // rotated: fewer seen 5-grams
+      3L -> "qzx wvut jjk plom drat krel vmbo xxq pafl",
+      4L -> "only four words here")
+    def run(parts: Int) = TextAnalysis.knFivegramLogProb(
+        docs.repartition(parts), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val out = run(3)
+    assert(!out.contains(4L), "4-token doc must have no 5-gram positions")
+    assert(out(1L)._1 == 5 && out(2L)._1 == 5 && out(3L)._1 == 5)
+    assert(out(1L)._2 > out(2L)._2,
+      s"fluent ${out(1L)._2} must beat rotated ${out(2L)._2}")
+    assert(out(2L)._2 > out(3L)._2,
+      s"rotated ${out(2L)._2} must beat rare ${out(3L)._2}")
+    // int64 micronat pre-sum: bit-identical on any partition layout
+    assert(out == run(7))
+  }
+
+  test("KN 5-gram score: hand-checked continuation-count formula") {
+    // corpus = "x y z w v x y z w v": 5-gram TYPES xyzwv(2), yzwvx(1),
+    // zwvxy(1), wvxyz(1), vxyzw(1); each history h4 has ONE distinct
+    // continuation; every suffix type at every level has ONE left
+    // context and ONE continuation type; N₁₊(··) = 5 bigram-suffix
+    // types {wv, vx, xy, yz, zw}, D = 0.75
+    val docs = docsDf(1L -> "x y z w v x y z w v")
+    val out = TextAnalysis.knFivegramLogProb(docs, "doc_id", "text").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 6)
+    val p1 = 1.0 / 5.0
+    val p2 = (1.0 - 0.75) / 1.0 + 0.75 * 1.0 / 1.0 * p1
+    val p3 = (1.0 - 0.75) / 1.0 + 0.75 * 1.0 / 1.0 * p2
+    val p4 = (1.0 - 0.75) / 1.0 + 0.75 * 1.0 / 1.0 * p3
+    def p5(cf5: Double, ch4: Double) =
+      (cf5 - 0.75) / ch4 + 0.75 * 1.0 / ch4 * p4
+    val sumMicro = math.round(2.0 * math.log(p5(2, 2)) * 1e6) +
+      4 * math.round(1.0 * math.log(p5(1, 1)) * 1e6)
+    val expR = BigDecimal(sumMicro / (6.0 * 100.0))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 10000.0
+    assert(out.head.getDouble(2) == expR,
+      s"got ${out.head.getDouble(2)}, want $expR")
+  }
+
   test("KN trigram score: hand-checked continuation-count formula") {
     // corpus = "x y z x y z": trigram TYPES xyz(cf3=2), yzx(1), zxy(1);
     // contexts c(xy·)=2, c(yz·)=1, c(zx·)=1, each with ONE distinct

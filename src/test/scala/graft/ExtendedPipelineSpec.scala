@@ -1067,6 +1067,17 @@ class ExtendedPipelineSpec extends SparkTestBase {
     }
     val expectCks = (0L to 140L).filter(ck => raw(ck) >= 30.0 && raw(ck) <= 90.0)
     assert(out.map(_.getLong(0)).sorted.toSeq == expectCks)
+    // proximity order is the RAW distance (ties would otherwise be
+    // manufactured by double-rounding the product), and a negative
+    // multiplier — which would silently invert the order — is refused
+    val ordered = out.map(r => (r.getDouble(1) / 2.0, r.getLong(0)))
+    assert(ordered.toSeq == ordered.sortBy(identity).toSeq)
+    val e = intercept[IllegalArgumentException] {
+      MongoPipeline(geoPlaces,
+        """[{"$geoNear": {"near": [0.0, 0.0], "distanceField": "d",
+             "key": "loc", "distanceMultiplier": -1.0}}]""")
+    }
+    assert(e.getMessage.contains("non-negative"))
   }
 
   // ——— $vectorSearch (C36) ———
@@ -1291,6 +1302,76 @@ class ExtendedPipelineSpec extends SparkTestBase {
               "a": [{"$sort": {"o_orderkey": 1}}, {"$limit": 5}]}},
             "combination": {"weights": {"nope": 1}}}}]""")
     }
+  }
+
+  test("$searchMeta: count form is the exact $search match-set size; facets bucket the same set") {
+    val docs = cat.documents
+    val matchCount = MongoPipeline(docs,
+      """[{"$search": {"text": {"query": "spark", "path": "text"}}},
+          {"$count": "n"}]""").collect().head.getLong(0)
+    val total = MongoPipeline(docs,
+      """[{"$searchMeta": {"count": {"type": "total"},
+           "text": {"query": "spark", "path": "text"}}}]""")
+      .collect().head.getLong(0)
+    assert(total == matchCount && total > 0)
+    // facet rows partition the match set: per-facet counts sum to it
+    val fac = MongoPipeline(docs,
+      """[{"$searchMeta": {"facet": {
+           "operator": {"text": {"query": "spark", "path": "text"}},
+           "facets": {
+             "langs": {"type": "string", "path": "lang"},
+             "sizes": {"type": "number", "path": "n_chars",
+                       "boundaries": [0, 300, 1000000]}}}}}]""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(fac.filter(_._1 == "langs").map(_._3).sum == total)
+    assert(fac.filter(_._1 == "sizes").map(_._3).sum == total)
+    // number buckets are labeled by their lower boundary
+    assert(fac.filter(_._1 == "sizes").map(_._2).toSet.subsetOf(
+      Set("0.0", "300.0")))
+    // string facet order: count DESC then value ASC within the facet
+    val langs = fac.filter(_._1 == "langs")
+    assert(langs.toSeq == langs.sortBy(x => (-x._3, x._2)).toSeq)
+    // contract errors: facet+count don't combine; boundaries ascend
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$match": {"lang": "en"}},
+            {"$searchMeta": {"count": {"type": "total"},
+             "text": {"query": "spark", "path": "text"}}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$searchMeta": {"facet": {
+             "operator": {"text": {"query": "spark", "path": "text"}},
+             "facets": {"bad": {"type": "number", "path": "n_chars",
+                                "boundaries": [300, 0]}}}}}]""")
+    }
+  }
+
+  test("$rankFusion refuses unbounded legs: every $sort-/$search-led leg must carry $limit") {
+    // a limitless $sort leg would rank the whole selection in ONE
+    // unpartitioned window task — refused loudly, not planned
+    val e1 = intercept[IllegalArgumentException] {
+      MongoPipeline(cat.orders,
+        """[{"$rankFusion": {"input": {"pipelines": {
+            "a": [{"$sort": {"o_orderkey": 1}}]}}}}]""")
+    }
+    assert(e1.getMessage.contains("$limit"))
+    val e2 = intercept[IllegalArgumentException] { // $search-led, no bound
+      MongoPipeline(cat.documents,
+        """[{"$rankFusion": {"input": {"pipelines": {
+            "rel": [{"$search": {"text": {"query": "spark", "path": "text"}}}],
+            "ids": [{"$sort": {"doc_id": 1}}, {"$limit": 5}]}}}}]""")
+    }
+    assert(e2.getMessage.contains("$limit"))
+    // bounded legs (and $vectorSearch's own required limit) still plan
+    val q = (0 until 64).map(i => ((i * 37) % 19 - 9) / 8.0)
+      .mkString("[", ", ", "]")
+    assert(MongoPipeline(cat.embeddings,
+      s"""[{"$$rankFusion": {"input": {"pipelines": {
+            "near": [{"$$vectorSearch": {"path": "embedding",
+               "queryVector": $q, "limit": 5, "exact": true}}],
+            "ids": [{"$$sort": {"vec_id": 1}}, {"$$limit": 5}]}}}}]""")
+      .count() >= 5)
   }
 
   // ——— $search (C39) ———

@@ -134,6 +134,36 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("no registered query plans an unpartitioned DATA-SIZED window") {
+    // An unpartitioned Window ranks its whole input in ONE task, so it
+    // is admissible only over a provably bounded frame: a Limit below
+    // it (rank-of-top-k, the $rankFusion leg shape) or an Aggregate
+    // below it (group-count-sized, e.g. $bucketAuto boundaries). A
+    // global window directly over data-sized rows is the scale killer
+    // this repo banishes — assert none of the 200+ registered queries
+    // plans one.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bounded(p: LogicalPlan): Boolean = p.collectFirst {
+      case _: GlobalLimit => true
+      case _: LocalLimit => true
+      case _: Aggregate => true
+    }.nonEmpty ||
+      // a frame whose every leaf is a driver-built literal relation is
+      // constant-size by construction (e.g. bandChoose's divisor grid)
+      p.collectLeaves().forall(l =>
+        l.isInstanceOf[LocalRelation] || l.isInstanceOf[OneRowRelation])
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, mk) =>
+        val plan = mk(spark, sfDir).queryExecution.optimizedPlan
+        plan.collect {
+          case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            s"$name: ${w.simpleString(80)}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"unbounded global windows:\n${offenders.mkString("\n")}")
+  }
+
   test("hash sampling is a pure map-side filter: zero shuffles") {
     val plan = executed(
       graft.plans.ExtendedQueries.queries("sample_hash")(spark, sfDir))

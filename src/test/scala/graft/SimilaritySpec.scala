@@ -994,6 +994,96 @@ class SimilaritySpec extends SparkTestBase {
       s"balanced decomposition should quantize better: opq=$opqErr pq=$pqErr")
   }
 
+  // ——— G27b: learned OPQ allocation ———
+
+  test("opqAllocation: hand-checked log-domain LPT greedy; valid permutation; layout-invariant") {
+    import spark.implicits._
+    // planted spectrum on 8 dims (m=2 → dsub=4): amps 10,8,7,5,4,3,2,1
+    // → variances 100,64,49,25,16,9,4,1; log costs ln(λ·2²⁰·10⁶)·10⁶
+    // ≈ [32.29, 31.84, 31.57, 30.90, 30.46, 29.88, 29.48, 27.68]e6.
+    // Hottest-first greedy into the min-log-product bucket:
+    // d0→s0, d1→s1, d2→s1, d3→s0, d4→s0, d5→s1, d6→s1(full), d7→s0 —
+    // comparison margins ≥ 0.2e6 micronats, far above ln-replay noise
+    def mk(i: Int): Array[Float] = {
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      Array(10.0f, 8.0f, 7.0f, 5.0f, 4.0f, 3.0f, 2.0f, 1.0f).map(_ * sign)
+    }
+    val planted = (0 until 32).map(i => (i.toLong, mk(i)))
+      .toDF("vec_id", "embedding")
+    val alloc = Similarity.opqAllocation(spark, planted, m = 2)
+    assert(alloc.sorted == (0 until 8))
+    assert(alloc == Seq(0, 3, 4, 7, 1, 2, 5, 6),
+      s"eigenvalue allocation drifted: $alloc")
+    assert(Similarity.opqAllocation(spark, planted.repartition(5), m = 2)
+      == alloc)
+    // the driver-side deterministic ln tracks math.log to 1e-12 over
+    // the allocation's whole input domain
+    Seq(1e-9, 3.731e-3, 0.0597, 0.3731, 0.5, 0.9999, 1.0).foreach { p =>
+      assert(math.abs(Similarity.lnDetScalar(p) - math.log(p)) < 1e-12,
+        s"lnDetScalar($p)")
+    }
+  }
+
+  test("opqRotCodes beats rank-dealing on a pairing-adversarial spectrum; objective never worse") {
+    import spark.implicits._
+    // variances (55, 20, 20, 1) with m=2, dsub=2: rank-dealing's
+    // stride pairs {55, 20} | {20, 1} — products 1100 | 20; the
+    // eigenvalue allocation pairs {55, 1} | {20, 20} — products
+    // 55 | 400, the balance the paper's objective asks for. Values
+    // take 4 deterministic levels per dim so ksub=4 codewords
+    // under-cover and the decomposition is what decides err2.
+    def lev(i: Int, d: Int): Float =
+      (((i * 2654435761L + d * 40503L) >> 7) & 3L) - 1.5f
+    def mkA(i: Int): Array[Float] = {
+      val amps = Array(7.4f, 4.5f, 4.5f, 1.0f)
+      Array.tabulate(4)(d => amps(d) * lev(i, d))
+    }
+    val corp = (0 until 48).map(i => (i.toLong, mkA(i)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.opqAllocation(spark, corp, m = 2)
+      .grouped(2).map(_.toSet).toSet == Set(Set(0, 3), Set(1, 2)))
+    def totalErr(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum(col("err2"))).head().getDouble(0)
+    val permErr = totalErr(
+      Similarity.opqCodes(spark, corp, m = 2, dsub = 2, ksub = 4, iters = 2))
+    val rotErr = totalErr(
+      Similarity.opqRotCodes(spark, corp, m = 2, dsub = 2, ksub = 4, iters = 2))
+    assert(rotErr < permErr,
+      s"balanced products should quantize better: rot=$rotErr perm=$permErr")
+    // objective-level guarantee on a geometric-decay spectrum (where
+    // end-to-end err2 is k-means-init noise): the allocation's
+    // log-product imbalance is never worse than rank-dealing's
+    def mkC(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      val h = i * 2654435761L
+      (0 until 16).foreach { d =>
+        val amp = math.pow(0.7, d).toFloat * 8.0f
+        a(d) = if (((h >> d) & 1L) == 1L) amp else -amp
+      }
+      (16 until 64).foreach(d => a(d) = 0.01f * ((i + d) % 3))
+      a
+    }
+    val decay = (0 until 24).map(i => (i.toLong, mkC(i)))
+      .toDF("vec_id", "embedding")
+    val rows = decay.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    val n = rows.length.toDouble
+    val logVar = (0 until 64).map { d =>
+      val xs = rows.map(_(d)); val mu = xs.sum / n
+      math.log(math.max(xs.map(x => (x - mu) * (x - mu)).sum / n, 1e-12))
+    }
+    def imbalance(groups: Seq[Seq[Int]]): Double = {
+      val sums = groups.map(_.map(logVar).sum)
+      sums.max - sums.min
+    }
+    val dealt = Similarity.opqPermutation(spark, decay)
+      .grouped(16).toSeq.map(_.toSeq)
+    val alloc = Similarity.opqAllocation(spark, decay)
+      .grouped(16).toSeq.map(_.toSeq)
+    assert(imbalance(alloc) <= imbalance(dealt) + 1e-9,
+      s"alloc ${imbalance(alloc)} vs dealt ${imbalance(dealt)}")
+  }
+
   // ——— G25: Davies-Bouldin cluster evaluation ———
 
   test("clusterEval: tight well-separated planted clusters score far better than one split cluster") {

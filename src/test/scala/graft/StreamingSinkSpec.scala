@@ -458,6 +458,52 @@ class StreamingSinkSpec extends SparkTestBase {
       .parquet(s"$dirB/bloom")) == standing)
   }
 
+  test("bloom toggled ON mid-corpus: backfill from the standing index keeps duplicates out") {
+    import spark.implicits._
+    import graft.streaming.CurationJob
+    import graft.operators.Dedup
+    val pool = Vector("quick", "brown", "foxes", "jumped", "fences",
+      "little", "garden", "stones", "rivers", "bright", "clouds",
+      "forest", "meadow", "silver", "golden", "branch")
+    def doc(seed: Int): String = (0 until 60).map { i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of"
+      else if (i % 17 == 2) s"word$seed"
+      else pool((seed * 13 + i * 5) % pool.size)
+    }.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-bftog").toString
+    // batches 0-2 run WITHOUT bloom → standing fp index, no bloom dir
+    (0 until 3).foreach { b =>
+      CurationJob.applyBatch(Seq((100L + b, doc(b))).toDF("doc_id", "text"),
+        dir, "doc_id", "text", batchId = b.toLong, compactEvery = 10)
+    }
+    def corpusIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/data").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds == Set(100L, 101L, 102L))
+    // batch 3 runs WITH bloom and carries a duplicate of accepted doc
+    // 0 plus a fresh doc: without the backfill the empty filter would
+    // read the duplicate as definitely-new and admit it
+    CurationJob.applyBatch(
+      Seq((900L, doc(0)), (103L, doc(3))).toDF("doc_id", "text"),
+      dir, "doc_id", "text", batchId = 3L, compactEvery = 10, bloom = true)
+    assert(corpusIds == Set(100L, 101L, 102L, 103L),
+      s"pre-bloom duplicate admitted: $corpusIds")
+    // the backfilled filter covers the WHOLE standing index (pre- and
+    // post-toggle fps): OR-merged words ≡ the index's own filter
+    def words(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(words(spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/bloom")) ==
+      words(Dedup.bloomWords(spark.read
+        .option("recursiveFileLookup", "true").parquet(s"$dir/index")
+        .distinct())))
+    // later bloom batches keep excluding pre-toggle content
+    CurationJob.applyBatch(
+      Seq((901L, doc(1)), (104L, doc(4))).toDF("doc_id", "text"),
+      dir, "doc_id", "text", batchId = 4L, compactEvery = 10, bloom = true)
+    assert(corpusIds == Set(100L, 101L, 102L, 103L, 104L))
+  }
+
   test("curation loop survives an all-rejected batch: empty shards don't poison later reads") {
     import spark.implicits._
     import graft.streaming.CurationJob

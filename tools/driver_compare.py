@@ -156,8 +156,13 @@ def main():
     if (report_path and os.path.exists(report_path)
             and os.environ.get("RESUME_REPORT") == "1"):
         prior = json.load(open(report_path))
+        # reconcile prior verdicts with the CURRENT excluded set: a
+        # previously-green query that is now excluded must not inflate
+        # n_ok past n_run, and a previously-excluded now-active query
+        # must actually run rather than skip on its stale record
         report = {n: r for n, r in prior.items()
-                  if r.get("hash_match") or "excluded" in r}
+                  if (r.get("hash_match") and n not in excluded)
+                  or ("excluded" in r and n in excluded)}
         if report:
             print(f"= resuming: {len(report)} queries already decided",
                   flush=True)
