@@ -999,6 +999,82 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** F21: TRUE ExactSubstr — any-offset duplicated-run detection at a
+    * ≥ `minLen`-char threshold (Lee et al. 2022's gold standard,
+    * which F15/F16/F19 approximate with strided windows / aligned
+    * grids / content-defined anchors). The suffix-array RESULT
+    * computed Spark-first, without a suffix array: a position lies
+    * inside a duplicated substring of length ≥ L **iff** it lies
+    * inside a length-L window (at ANY offset) whose text occurs ≥ 2
+    * times in the corpus — take the covering window inside the
+    * duplicated substring for (⇒), and note a duplicated window IS a
+    * duplicated length-L substring for (⇐). So the all-offset
+    * window-hash duplication set characterizes the covered byte set
+    * EXACTLY: no stride to miss an offset (F15's trade-off), no grid
+    * to align to (F16's), no anchor for a run to lack (F19's).
+    *
+    * Output: per doc, the maximal covered runs rolled up as
+    * (dup_chars, n_runs, longest_run) — char-exact; docs with no
+    * duplicated run report zeros. Runs merge when covering windows
+    * overlap or touch (next start ≤ prev start + L).
+    *
+    * Scale: one corpus scan explodes each doc into its n−L+1 window
+    * hashes (60-bit — the per-row transient is the position sequence,
+    * O(n) ints, the same order as the text the row already carries;
+    * rows ship as (doc_id, pos, h) ≈ 20 bytes ≈ L/2× SMALLER than the
+    * L-char windows they stand for). Duplication is a partial-agg
+    * groupBy(h) count ≥ 2 — never all-pairs, never a global sort (the
+    * suffix-array alternative) — and the run merge is a lag/sum
+    * window PARTITIONED BY doc over only the duplicated positions.
+    * Collisions follow the engine-wide hash60 birthday bound (~10⁹
+    * windows → ~10⁻³ expected false-dup positions); the profile is a
+    * diagnostic, and a colliding window marks ≤ L bytes.
+    *
+    * sf10/100 TB disposition: unlike F3's pair graph this is LINEAR
+    * in corpus bytes (windows ≈ chars), so it runs at every decade —
+    * the window-hash shuffle is ~20 bytes/char; at the 100 TB decade
+    * budget partitions by `spark.sql.files.maxPartitionBytes` exactly
+    * like the corpus scan itself.
+    */
+  def substrSuffixProfile(docs: DataFrame, idCol: String, textCol: String,
+                          minLen: Int = 50): DataFrame = {
+    require(minLen > 1, s"substrSuffixProfile minLen must be > 1: $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .filter(col(idCol).isNotNull && length(col(textCol)) >= minLen)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1), length(col(textCol)) - (minLen - 1)))
+          .as("__p"),
+        col(textCol).as("__t"))
+      .select(col("doc_id"), col("__p"),
+        hash60(col("__t").substr(col("__p"), lit(minLen))).as("h"))
+    // global duplication: ≥ 2 occurrences anywhere — cross-doc,
+    // within-doc, and overlapping self-repeats all count (Lee et al.)
+    val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("__p"))
+    val isl = wins.join(dupH, Seq("h"))
+      .select(col("doc_id"), col("__p"))
+      .withColumn("__prev", lag(col("__p"), 1).over(byDoc))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__p") - col("__prev") > minLen, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(byDoc))
+    val runs = isl.groupBy(col("doc_id"), col("__isl"))
+      .agg((max(col("__p")) - min(col("__p")) + lit(minLen.toLong))
+        .as("__len"))
+    val per = runs.groupBy(col("doc_id"))
+      .agg(sum(col("__len")).as("dup_chars"),
+        count(lit(1)).as("n_runs"),
+        max(col("__len")).as("longest_run"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+  }
+
   def substrSpans(docs: DataFrame, idCol: String, textCol: String,
                   spanLen: Int = 30, stride: Int = 7): DataFrame = {
     require(spanLen > 0, s"substrSpans spanLen must be positive: $spanLen")

@@ -461,6 +461,12 @@ object LlmQueries {
     "dedup_substr_offgrid" -> ((s, dir) =>
       Dedup.substrTrimCdc(docs(s, dir), "doc_id", "text",
         window = 8, divisor = 32)),
+    // —— F21: TRUE ExactSubstr — any-offset duplicated-run profile at
+    //    the Lee et al. ≥ 50-char threshold (all-offset window
+    //    hashes ≡ the suffix-array byte set, no stride/grid/anchor) ——
+    "dedup_substr_suffix" -> ((s, dir) =>
+      Dedup.substrSuffixProfile(docs(s, dir), "doc_id", "text",
+        minLen = 50)),
     // —— F16b: incremental span trim of a batch vs the standing index ——
     "dedup_substr_trim_inc" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -2702,6 +2708,39 @@ object LlmQueries {
         |  CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup,
         |  CASE WHEN per.n_spans > 0
         |       THEN round(CAST(per.n_dup AS DOUBLE) / per.n_spans, 4) END AS dup_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+    // F21: the all-offset window-hash replay — identical md5-60bit
+    // window hashes, global count ≥ 2, then the identical lag/sum
+    // island merge (runs touch when next start ≤ prev + 50)
+    "dedup_substr_suffix" ->
+      """WITH w0 AS (
+        |  SELECT doc_id,
+        |    [CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 50)), 1, 15)
+        |          AS BIGINT)
+        |     for i in generate_series(1, len(text) - 49, 1)] AS hs
+        |  FROM documents WHERE len(text) >= 50),
+        |w AS (SELECT doc_id, unnest(hs) AS h,
+        |        unnest(range(1, len(hs) + 1)) AS p FROM w0),
+        |dh AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+        |d2 AS (SELECT w.doc_id, w.p FROM w JOIN dh USING (h)),
+        |i1 AS (SELECT doc_id, p,
+        |        CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+        |             OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 50
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM d2),
+        |i2 AS (SELECT doc_id, p,
+        |        SUM(nw) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        |      FROM i1),
+        |r AS (SELECT doc_id, isl, MAX(p) - MIN(p) + 50 AS len
+        |      FROM i2 GROUP BY 1, 2),
+        |per AS (SELECT doc_id, CAST(SUM(len) AS BIGINT) AS dup_chars,
+        |        CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |        CAST(MAX(len) AS BIGINT) AS longest_run
+        |      FROM r GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(per.dup_chars, 0) AS BIGINT) AS dup_chars,
+        |  CAST(COALESCE(per.n_runs, 0) AS BIGINT) AS n_runs,
+        |  CAST(COALESCE(per.longest_run, 0) AS BIGINT) AS longest_run
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
     // H23: text_unigram_lp's CTE verbatim, then the rank-closed-form
     // tercile cut ⌊3·(rn−1)/n⌋ over (avg_logp DESC, doc_id)

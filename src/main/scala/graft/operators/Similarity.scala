@@ -1287,6 +1287,68 @@ object Similarity {
         col("n_id"), col("col.n_nbr").as("n_nbr"))
   }
 
+  /** E23: cell-blocked kNN candidate edges from `a`'s vertices to
+    * same-cell candidates in `b`, pruned per SOURCE vertex to its
+    * top-k — the incremental-graph building block: a batch shard
+    * stores `cellKnnEdges(new, standing ∪ new) ∪ cellKnnEdges(
+    * standing, new)` and the union of shards provably contains every
+    * edge of the true graph (a vertex's final top-k can only draw
+    * from its birth candidates and later arrivals, and an edge
+    * outranked at write time — below its source's per-shard top-k —
+    * is outranked forever: scores never change, candidates only
+    * accumulate). Inputs carry (idCol, cell, embCol); per-source
+    * state is the BoundedTopK aggregate, ≤ k entries at every stage.
+    */
+  def cellKnnEdges(s: SparkSession, a: DataFrame, b: DataFrame,
+                   idCol: String, embCol: String, k: Int): DataFrame = {
+    require(k > 0, s"cellKnnEdges k must be positive: $k")
+    withCosine(s)
+    val av = a.select(col("cell"), col(idCol).as("id"),
+      col(embCol).as("__ea"))
+    val bv = b.select(col("cell"), col(idCol).as("nbr"),
+      col(embCol).as("__eb"))
+    val scored = av.join(bv, Seq("cell"))
+      .filter(col("id") =!= col("nbr"))
+      .withColumn("cos_r", expr("round(cosine_sim(__ea, __eb), 4)"))
+    val best = GraftBridge.column(graft.functions.BoundedTopK(
+      GraftBridge.expression(struct(col("cos_r"), col("nbr"))),
+      GraftBridge.expression(struct(col("nbr"), col("cos_r"))),
+      k, Seq(-1, 1), keepLargest = false, emitDesc = false,
+      skipNullValue = false).toAggregateExpression())
+    scored.groupBy(col("id")).agg(best.as("top"))
+      .select(col("id"), explode(col("top")).as("__e"))
+      .select(col("id"), col("__e.nbr").as("nbr"), col("__e.cos_r").as("cos_r"))
+  }
+
+  /** E23: rank candidate edges into the top-k graph — the READ side
+    * of the incremental edge store (and the final step of the batch
+    * reference [[cellKnnGraph]]): per source vertex, the k best
+    * (cos_r DESC, nbr ASC) candidates, emitted best-first with
+    * ranks. Assumes each (id → nbr) candidate appears once (the
+    * shard-writing discipline: a pair is written by the batch of its
+    * younger endpoint, exactly once).
+    */
+  def knnFromEdges(edges: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"knnFromEdges k must be positive: $k")
+    val best = GraftBridge.column(graft.functions.BoundedTopK(
+      GraftBridge.expression(struct(col("cos_r"), col("nbr"))),
+      GraftBridge.expression(struct(col("nbr"), col("cos_r"))),
+      k, Seq(-1, 1), keepLargest = false, emitDesc = false,
+      skipNullValue = false).toAggregateExpression())
+    edges.groupBy(col("id")).agg(best.as("top"))
+      .select(col("id"), posexplode(col("top")))
+      .select(col("id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.nbr").as("nbr"), col("col.cos_r").as("cos_r"))
+  }
+
+  /** E23 batch reference: the cell-blocked kNN graph computed in one
+    * pass over a standing (id, cell, embedding) index — what the
+    * incremental shard union must reproduce exactly.
+    */
+  def cellKnnGraph(s: SparkSession, idx: DataFrame, idCol: String,
+                   embCol: String, k: Int): DataFrame =
+    knnFromEdges(cellKnnEdges(s, idx, idx, idCol, embCol, k), k)
+
   /** G13: deterministic negative sampling for contrastive training:
     * k pseudo-random partners per anchor via the shared 60-bit hash
     * (`hash60(anchor + "-" + draw) mod N`), self-pairs and same-label

@@ -107,13 +107,14 @@ object CurationJob {
           bpe: Option[BpeAccounting] = None,
           spanTrim: Boolean = false,
           semantic: Option[SemanticGate] = None,
-          bloom: Boolean = false): StreamingQuery =
+          bloom: Boolean = false,
+          knnK: Int = 0): StreamingQuery =
     incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, corpusDir, idCol, textCol, batchId, compactEvery,
-          fuzzy, markup, classifier, bpe, spanTrim, semantic, bloom)
+          fuzzy, markup, classifier, bpe, spanTrim, semantic, bloom, knnK)
       }
       .start()
 
@@ -133,7 +134,10 @@ object CurationJob {
                  bpe: Option[BpeAccounting] = None,
                  spanTrim: Boolean = false,
                  semantic: Option[SemanticGate] = None,
-                 bloom: Boolean = false): Unit = {
+                 bloom: Boolean = false,
+                 knnK: Int = 0): Unit = {
+    require(knnK == 0 || semantic.isDefined,
+      "knnK needs the semantic gate: the kNN graph blocks on its cells")
     val spark = batch.sparkSession
     // H21 first: everything downstream — gates, fingerprints, the
     // stored corpus — sees extracted prose, never raw markup
@@ -318,10 +322,31 @@ object CurationJob {
       // embedding) under the SAME fixed centroids
       semantic.foreach { g =>
         import spark.implicits._
+        import graft.operators.Similarity
         val cents = g.centroids.toDF("c_label", "c_emb")
-        graft.operators.Similarity.assignCells(spark,
-            accepted.filter(col(g.embCol).isNotNull), cents, idCol, g.embCol)
-          .write.mode("overwrite").parquet(s"$corpusDir/semidx/b$batchId")
+        val newCells = Similarity.assignCells(spark,
+          accepted.filter(col(g.embCol).isNotNull), cents, idCol, g.embCol)
+        if (knnK > 0) {
+          // E23: the standing kNN graph advances by this batch's
+          // candidate edges — new → (standing ∪ new) plus the reverse
+          // standing → new (an old vertex's top-k can only change by
+          // gaining a NEW neighbor), each pruned to the source's
+          // per-shard top-k (an edge outranked at write time is
+          // outranked forever — scores never change). The union of
+          // shards therefore reproduces the batch graph exactly; the
+          // reader ranks it per vertex (knnGraph below).
+          newCells.persist()
+          val standing = readIndexExcept(spark, s"$corpusDir/semidx",
+            s"b$batchId", semSchema(idCol, g.embCol))
+          Similarity.cellKnnEdges(spark, newCells,
+              standing.unionByName(newCells), idCol, g.embCol, knnK)
+            .unionByName(Similarity.cellKnnEdges(spark, standing, newCells,
+              idCol, g.embCol, knnK))
+            .write.mode("overwrite").parquet(s"$corpusDir/knn/b$batchId")
+        }
+        newCells.write.mode("overwrite")
+          .parquet(s"$corpusDir/semidx/b$batchId")
+        if (knnK > 0) newCells.unpersist()
       }
     } finally {
       if (accepted != null) accepted.unpersist()
@@ -347,10 +372,30 @@ object CurationJob {
       if (semantic.isDefined)
         compactIndex(spark, s"$corpusDir/semidx", s"b$batchId", batchId,
           compactEvery)
+      if (knnK > 0)
+        compactIndex(spark, s"$corpusDir/knn", s"b$batchId", batchId,
+          compactEvery)
       compactData(spark, s"$corpusDir/data", s"b$batchId", batchId,
         compactEvery)
     }
   }
+
+  /** E23 reader: the LIVE kNN graph — rank the standing candidate-edge
+    * shards per vertex. By the shard-writing discipline (every pair
+    * written exactly once by its younger endpoint's batch, each side
+    * pruned only below its source's per-shard top-k) this equals the
+    * batch-mode [[graft.operators.Similarity.cellKnnGraph]] over the
+    * standing semidx — spec-asserted across batches, compaction and
+    * re-delivery.
+    */
+  def knnGraph(spark: SparkSession, corpusDir: String, k: Int): DataFrame =
+    graft.operators.Similarity.knnFromEdges(
+      readIndexExcept(spark, s"$corpusDir/knn", "", knnSchema), k)
+
+  private val knnSchema = StructType(Seq(
+    StructField("id", org.apache.spark.sql.types.LongType),
+    StructField("nbr", org.apache.spark.sql.types.LongType),
+    StructField("cos_r", org.apache.spark.sql.types.DoubleType)))
 
   private val fpSchema = StructType(Seq(StructField("fp", StringType)))
   private val bloomSchema = StructType(Seq(

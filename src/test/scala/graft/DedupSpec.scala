@@ -533,6 +533,78 @@ class DedupSpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("substrSuffixProfile: exact coverage on planted runs, incl. a within-doc self-repeat") {
+    import spark.implicits._
+    // a 60-char shared run at DIFFERENT offsets (40 vs 73). Fillers
+    // must be APERIODIC (any mod-k character cycle with k < 50
+    // self-duplicates at the window scale!) — concatenated decimal
+    // expansions of consecutive integers from disjoint ranges are
+    // aperiodic and unique within and across docs
+    val run = (0 until 60).map(i => ('a' + (i * 17 + 5) % 26).toChar).mkString
+    def fill(start: Int, n: Int): String =
+      Iterator.from(start).map(_.toString).flatten.take(n).mkString
+    val doc1 = fill(10000, 40) + run + fill(20000, 40)
+    val doc2 = fill(30000, 73) + run + fill(40000, 55)
+    // self-repeat: the run twice inside ONE doc, gap 60 > 50
+    val doc3 = fill(50000, 20) + run + fill(60000, 60) + run + fill(70000, 25)
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3),
+      (4L, fill(80000, 120))).toDF("doc_id", "text")
+    val got = Dedup.substrSuffixProfile(df, "doc_id", "text", minLen = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // duplicated 50-windows inside the run cover EXACTLY its 60 chars
+    assert(got(1L) == ((60L, 1L, 60L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((60L, 1L, 60L)), s"doc2: ${got(2L)}")
+    // both copies of the self-repeat are covered, as two runs
+    assert(got(3L) == ((120L, 2L, 60L)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0L)), s"doc4: ${got(4L)}")
+    // layout invariance
+    val again = Dedup.substrSuffixProfile(df.repartition(7), "doc_id",
+      "text", minLen = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == got)
+  }
+
+  test("substrSuffixProfile catches an anchor-free run that is PROVABLY F19-invisible") {
+    import spark.implicits._
+    import graft.functions.Hash60.hash60
+    // F19's divisor rule: a position anchors iff hash60 of the 8-char
+    // window there ≡ 0 (mod 32); a duplicated run with NO interior
+    // anchor never forms an interior block, so substrTrimCdc removes
+    // nothing. Search candidate 60-char runs deterministically and
+    // take the first with zero anchors under the ENGINE's own hash —
+    // that certificate is computed, not assumed.
+    def candidate(seed: Int): String =
+      (0 until 60).map(i => ('a' + (i * 17 + seed * 13 + 7) % 26).toChar).mkString
+    def anchorCount(s: String): Long = Seq(s).toDF("t")
+      .select(explode(sequence(lit(1), lit(s.length - 7))).as("p"), col("t"))
+      .filter(hash60(col("t").substr(col("p"), lit(8))) % 32 === 0)
+      .count()
+    val run = (0 until 64).map(candidate).find(anchorCount(_) == 0L)
+      .getOrElse(fail("no anchor-free 60-char candidate in 64 seeds — " +
+        "statistically (31/32)^53 ≈ 19% per seed, so this means the " +
+        "hash or rule changed"))
+    def fill(start: Int, n: Int): String =
+      Iterator.from(start).map(_.toString).flatten.take(n).mkString
+    val df = Seq(
+      (1L, fill(10000, 40) + run + fill(20000, 40)),
+      (2L, fill(30000, 73) + run + fill(40000, 55))).toDF("doc_id", "text")
+    // F19 is blind: no interior anchor → every block holding run bytes
+    // extends into differing context → nothing collapses
+    val cdc = Dedup.substrTrimCdc(df, "doc_id", "text",
+      window = 8, divisor = 32)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_removed")).toMap
+    assert(cdc.values.forall(_ == 0L), s"F19 unexpectedly saw it: $cdc")
+    // F21 reports the run exactly in both docs
+    val got = Dedup.substrSuffixProfile(df, "doc_id", "text", minLen = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((60L, 1L, 60L)) && got(2L) == ((60L, 1L, 60L)),
+      s"F21 missed the anchor-free run: $got")
+  }
+
   test("ccnet selection: full head, deterministic half middle, no tail") {
     val buckets = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap

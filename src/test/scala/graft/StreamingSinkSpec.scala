@@ -458,6 +458,61 @@ class StreamingSinkSpec extends SparkTestBase {
       .parquet(s"$dirB/bloom")) == standing)
   }
 
+  test("incremental kNN graph (E23): streamed edge shards ≡ batch graph across batches, compaction, re-delivery") {
+    import spark.implicits._
+    import graft.streaming.CurationJob
+    import graft.operators.Similarity
+    val pool = Vector("quick", "brown", "foxes", "jumped", "fences",
+      "little", "garden", "stones", "rivers", "bright", "clouds",
+      "forest", "meadow", "silver", "golden", "branch")
+    def doc(seed: Int): String = (0 until 60).map { i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of"
+      else if (i % 17 == 2) s"word$seed"
+      else pool((seed * 13 + i * 5) % pool.size)
+    }.mkString(" ")
+    val cents = Seq(0 -> Seq(1f, 0f, 0f, 0f), 1 -> Seq(0f, 1f, 0f, 0f))
+    // tau high enough that none of the spread vectors veto (max
+    // pairwise cos ≈ 0.9903) — the gate is on, the graph is the point
+    val gate = Some(CurationJob.SemanticGate("embedding", 0.999, cents))
+    val vecs = Map(
+      1L -> Seq(1f, 0.2f, 0f, 0f), 3L -> Seq(1f, 0f, 0.5f, 0f),
+      5L -> Seq(1f, 0f, 0f, 0.7f), 7L -> Seq(0.9f, 0.1f, 0.3f, 0.3f),
+      9L -> Seq(1f, 0.1f, 0.1f, 0f),
+      2L -> Seq(0.2f, 1f, 0f, 0f), 4L -> Seq(0f, 1f, 0.5f, 0f),
+      6L -> Seq(0f, 1f, 0f, 0.6f), 8L -> Seq(0.1f, 0.9f, 0.2f, 0.2f))
+    val batches = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), Seq(7L, 8L, 9L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-knn").toString
+    def apply1(ids: Seq[Long], b: Long): Unit = CurationJob.applyBatch(
+      ids.map(i => (i, doc(i.toInt), vecs(i))).toDF("doc_id", "text", "embedding"),
+      dir, "doc_id", "text", batchId = b, compactEvery = 2,
+      semantic = gate, knnK = 2)
+    def graphSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    def streamed = graphSet(CurationJob.knnGraph(spark, dir, k = 2))
+    def reference = graphSet(Similarity.cellKnnGraph(spark,
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/semidx"),
+      "doc_id", "embedding", k = 2))
+    batches.zipWithIndex.foreach { case (ids, b) =>
+      apply1(ids, b.toLong)
+      assert(streamed == reference, s"batch $b: streamed ≠ batch graph")
+    }
+    val after = streamed
+    // an OLD vertex's list was updated by a later batch: 9 (batch 2)
+    // is vertex 1's best neighbor (cos ≈ 0.9903 beats every batch-0/1
+    // cell-mate) — the standing→new reverse edges did their job
+    val v1 = after.filter(_._1 == 1L).toSeq.sortBy(_._2)
+    assert(v1.head._3 == 9L, s"vertex 1 top-1 should be 9: $v1")
+    // every vertex has ≤ k = 2 neighbors; all 9 vertices present
+    assert(after.groupBy(_._1).forall(_._2.size <= 2))
+    assert(after.map(_._1).size == 9 * 2 ||
+      after.groupBy(_._1).size == 9)
+    // re-delivery of the last batch: own knn + semidx shards excluded
+    // on read → identical rewrite
+    apply1(batches.last, 2L)
+    assert(streamed == after)
+    assert(streamed == reference)
+  }
+
   test("bloom toggled ON mid-corpus: backfill from the standing index keeps duplicates out") {
     import spark.implicits._
     import graft.streaming.CurationJob
