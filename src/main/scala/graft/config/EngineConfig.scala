@@ -66,8 +66,17 @@ object EngineConfig {
     * README: change-stream-namespaces, direct-read-namespaces,
     * topic-name-prefix, producer-map, pipeline, consumer).
     */
-  def fromJson(json: String): EngineConfig = {
-    val root = mapper.readTree(json)
+  def fromJson(json: String): EngineConfig =
+    fromTree(mapper.readTree(json))
+
+  /** Parse a route81 TOML config file AS-IS ([[Toml]] covers the
+    * reference's config subset) — same keys, same tree walk, so the
+    * JSON and TOML forms can never drift.
+    */
+  def fromToml(toml: String): EngineConfig =
+    fromTree(Toml.parse(toml))
+
+  private def fromTree(root: JsonNode): EngineConfig = {
     val cfg = EngineConfig(
       changeStreamNamespaces =
         opt(root, "change-stream-namespaces").map(strings).getOrElse(Seq("")),

@@ -103,6 +103,40 @@ object Cdc {
       count(lit(1)).as("total")
     )
 
+  /** A12: the HTTP `/stats` endpoint's JSON document, byte for byte —
+    * route81's one ops-surface with a data contract (route81.go:
+    * 945-961 `json.MarshalIndent(stats, "", "    ")` over the
+    * `clientStats` struct :488-509): producer counters
+    * {success, failed, inserted, updated, removed, dropped, queued}
+    * and consumer counters {success, failed, queued}, nested and
+    * 4-space-indented exactly as Go emits them, field order pinned
+    * by the struct. In the batch-replay model every produced message
+    * is delivered (success = total, the :1280-1298 delivery
+    * callback), per-op counters follow addEventType (:1301-1311; the
+    * op log has no collection-drop events, so dropped = 0), and
+    * failed/queued are 0 — a finished replay has no in-flight or
+    * errored state. Consumer success counts applied messages
+    * (:621-625). One row, one string column — a user scraping
+    * route81's /stats parses this verbatim.
+    */
+  def clientStatsJson(oplog: DataFrame, consumed: DataFrame): DataFrame = {
+    val p = oplog.agg(
+      count(lit(1)).as("success"),
+      count(when(col("op") === "i", 1)).as("inserted"),
+      count(when(col("op") === "u", 1)).as("updated"),
+      count(when(col("op") === "d", 1)).as("removed"))
+    val c = consumed.agg(count(lit(1)).as("c_success"))
+    p.crossJoin(c).select(concat(
+      lit("{\n    \"producer\": {\n        \"success\": "), col("success"),
+      lit(",\n        \"failed\": 0,\n        \"inserted\": "), col("inserted"),
+      lit(",\n        \"updated\": "), col("updated"),
+      lit(",\n        \"removed\": "), col("removed"),
+      lit(",\n        \"dropped\": 0,\n        \"queued\": 0\n    },\n" +
+        "    \"consumer\": {\n        \"success\": "), col("c_success"),
+      lit(",\n        \"failed\": 0,\n        \"queued\": 0\n    }\n}"))
+      .as("stats_json"))
+  }
+
   /** A3: update descriptions — `updates.changed`/`updates.removed`
     * (route81.go:1318-1328). Synthesized by diffing each update
     * against the key's previous version: a window over (id, time),

@@ -29,6 +29,8 @@ object CdcQueries {
         col("data.value").as("value"))),
     "cdc_update_desc" -> ((s, dir) => Cdc.updateDescriptions(oplog(s, dir))),
     "cdc_stats" -> ((s, dir) => Cdc.stats(oplog(s, dir))),
+    "stats_http_json" -> ((s, dir) =>
+      Cdc.clientStatsJson(oplog(s, dir), Cdc.classify(oplog(s, dir)))),
     "cdc_latest_state" -> ((s, dir) => Cdc.latestState(oplog(s, dir))),
     "consumer_classify" -> ((s, dir) => Cdc.classify(oplog(s, dir))),
     "consumer_apply" -> ((s, dir) => {
@@ -101,6 +103,30 @@ object CdcQueries {
         |  COUNT(CASE WHEN event_type IN ('click','view','purchase') THEN 1 END) AS updated,
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS removed,
         |  COUNT(*) AS total
+        |FROM events""".stripMargin,
+    // A12: route81's /stats JSON byte for byte (MarshalIndent with
+    // 4-space indent, Go struct field order) over the same counters
+    "stats_http_json" ->
+      """SELECT '{' || chr(10)
+        |  || '    "producer": {' || chr(10)
+        |  || '        "success": ' || COUNT(*) || ',' || chr(10)
+        |  || '        "failed": 0,' || chr(10)
+        |  || '        "inserted": '
+        |  || COUNT(CASE WHEN event_type = 'signup' THEN 1 END) || ',' || chr(10)
+        |  || '        "updated": '
+        |  || COUNT(CASE WHEN event_type IN ('click','view','purchase') THEN 1 END)
+        |  || ',' || chr(10)
+        |  || '        "removed": '
+        |  || COUNT(CASE WHEN event_type = 'error' THEN 1 END) || ',' || chr(10)
+        |  || '        "dropped": 0,' || chr(10)
+        |  || '        "queued": 0' || chr(10)
+        |  || '    },' || chr(10)
+        |  || '    "consumer": {' || chr(10)
+        |  || '        "success": ' || COUNT(*) || ',' || chr(10)
+        |  || '        "failed": 0,' || chr(10)
+        |  || '        "queued": 0' || chr(10)
+        |  || '    }' || chr(10)
+        |  || '}' AS stats_json
         |FROM events""".stripMargin,
     "cdc_latest_state" ->
       """SELECT user_id, value, props FROM (

@@ -18,6 +18,33 @@ class CdcSpec extends SparkTestBase {
     assert(Cdc.latestState(log).count() == users - deleted)
   }
 
+  test("/stats JSON contract: valid JSON, Go field order + 4-space indent, counters agree with A4") {
+    val json = Cdc.clientStatsJson(log, Cdc.classify(log))
+      .head().getString(0)
+    // parses as JSON with route81's exact nesting and field names
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val prod = root.get("producer"); val cons = root.get("consumer")
+    assert(prod != null && cons != null)
+    import scala.jdk.CollectionConverters._
+    assert(prod.properties().asScala.toSeq.map(_.getKey) ==
+      Seq("success", "failed", "inserted", "updated", "removed",
+        "dropped", "queued"), "producer field order must match the Go struct")
+    assert(cons.properties().asScala.toSeq.map(_.getKey) ==
+      Seq("success", "failed", "queued"))
+    // counters agree with the A4 stats frame
+    val a4 = Cdc.stats(log).head()
+    assert(prod.get("inserted").asLong() == a4.getAs[Long]("inserted"))
+    assert(prod.get("updated").asLong() == a4.getAs[Long]("updated"))
+    assert(prod.get("removed").asLong() == a4.getAs[Long]("removed"))
+    assert(prod.get("success").asLong() == a4.getAs[Long]("total"))
+    assert(prod.get("failed").asLong() == 0 && prod.get("queued").asLong() == 0)
+    assert(cons.get("success").asLong() == Cdc.classify(log).count())
+    // byte format IS MarshalIndent("", "    "): 4-space indent, no
+    // trailing newline
+    assert(json.startsWith("{\n    \"producer\": {\n        \"success\": "))
+    assert(json.endsWith("\n    }\n}"))
+  }
+
   test("applyTo(latest(first half), second half) == latest(whole log)") {
     // halves split on time order, so folding then applying must equal
     // folding the full log — the consumer path is exactly resumable.
