@@ -492,6 +492,10 @@ object TextAnalysis {
         concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)).as("ab"),
         concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)).as("bc"),
         col("__p").getItem(1).as("b"), col("__p").getItem(2).as("c"))
+      // reuse seam: ctx3 + contBc + the scored join all read the type
+      // table; without it each branch re-scans the corpus (the kn5
+      // lesson, same shape two levels up)
+      .localCheckpoint(eager = false)
     val ctx3 = cf3.groupBy(col("ab")).agg(sum(col("cf3")).as("ctx3"))
     val bi = docs.select(explode(grams(2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cf2"))
@@ -579,6 +583,10 @@ object TextAnalysis {
         concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)).as("ab"),
         concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)).as("bc"),
         col("__p").getItem(1).as("b"), col("__p").getItem(2).as("c"))
+      // reuse seam: ctx3 + contBc + the scored join all read the type
+      // table; without it each branch re-scans the corpus (the kn5
+      // lesson, same shape two levels up)
+      .localCheckpoint(eager = false)
     // trigram-context totals + distinct-continuation counts: cf3 rows
     // are unique trigram TYPES, so count(*) per ab IS N₁₊(ab·)
     val ctx3 = cf3.groupBy(col("ab"))
@@ -589,6 +597,7 @@ object TextAnalysis {
       .withColumn("__q", split(col("bc"), " "))
       .select(col("bc"), col("n1p_bc"),
         col("__q").getItem(0).as("b"), col("__q").getItem(1).as("c"))
+      .localCheckpoint(eager = false) // feeds midB + contC + nBc + join
     val midB = contBc.groupBy(col("b"))
       .agg(sum(col("n1p_bc")).as("n1p_mid_b"),
         count(lit(1)).as("n1p_b_dot"))
@@ -661,6 +670,12 @@ object TextAnalysis {
       .select(col("tg"), col("cf5"),
         joinWords(col("__p"), 0, 3).as("h4"),
         joinWords(col("__p"), 1, 4).as("s4"))
+      // reuse seam: the type table feeds ctx5 AND the whole suffix
+      // chain — without it column pruning de-canonicalizes each
+      // branch (no ReusedExchange fires) and every continuation table
+      // re-scans the corpus and re-builds this aggregate (measured:
+      // 11 scans / 37 exchanges → 1 scan with the chain seams)
+      .localCheckpoint(eager = false)
     // 5-gram context totals + distinct continuations after h4: cf5
     // rows are unique 5-gram TYPES, so count(*) per h4 IS N₁₊(h4·)
     val ctx5 = cf5.groupBy(col("h4"))
@@ -672,6 +687,7 @@ object TextAnalysis {
       .select(col("s4"), col("n1p_s4"),
         joinWords(col("__q"), 0, 2).as("h3"),
         joinWords(col("__q"), 1, 3).as("s3"))
+      .localCheckpoint(eager = false) // feeds mid4 + cont3 + the join
     val mid4 = cont4.groupBy(col("h3"))
       .agg(sum(col("n1p_s4")).as("n1p_mid_h3"),
         count(lit(1)).as("n1p_h3_dot"))
@@ -680,6 +696,7 @@ object TextAnalysis {
       .select(col("s3"), col("n1p_s3"),
         joinWords(col("__q"), 0, 1).as("h2"),
         joinWords(col("__q"), 1, 2).as("s2"))
+      .localCheckpoint(eager = false) // feeds mid3 + cont2 + the join
     val mid3 = cont3.groupBy(col("h2"))
       .agg(sum(col("n1p_s3")).as("n1p_mid_h2"),
         count(lit(1)).as("n1p_h2_dot"))
@@ -687,6 +704,7 @@ object TextAnalysis {
       .withColumn("__q", split(col("s2"), " "))
       .select(col("s2"), col("n1p_s2"),
         col("__q").getItem(0).as("b"), col("__q").getItem(1).as("c"))
+      .localCheckpoint(eager = false) // feeds mid2 + cont1 + nS2 + join
     val mid2 = cont2.groupBy(col("b"))
       .agg(sum(col("n1p_s2")).as("n1p_mid_b"),
         count(lit(1)).as("n1p_b_dot"))
