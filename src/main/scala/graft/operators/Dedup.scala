@@ -1038,7 +1038,30 @@ object Dedup {
     */
   def substrSuffixProfile(docs: DataFrame, idCol: String, textCol: String,
                           minLen: Int = 50): DataFrame = {
-    require(minLen > 1, s"substrSuffixProfile minLen must be > 1: $minLen")
+    val runs = dupRuns(docs, idCol, textCol, minLen)
+    val per = runs
+      .withColumn("__len", col("__e") - col("__s") + 1)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__len")).as("dup_chars"),
+        count(lit(1)).as("n_runs"),
+        max(col("__len")).as("longest_run"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+  }
+
+  /** F21's maximal duplicated runs per doc as 1-based char intervals
+    * (doc_id, __s, __e) — the shared core of the profile and the trim
+    * ACTION: all-offset length-`minLen` window hashes, global
+    * count ≥ 2, per-doc lag/sum island merge (see
+    * [[substrSuffixProfile]] for the exactness argument).
+    */
+  private def dupRuns(docs: DataFrame, idCol: String, textCol: String,
+                      minLen: Int): DataFrame = {
+    require(minLen > 1, s"substrSuffix minLen must be > 1: $minLen")
     import org.apache.spark.sql.expressions.Window
     val wins = docs
       .filter(col(idCol).isNotNull && length(col(textCol)) >= minLen)
@@ -1053,26 +1076,80 @@ object Dedup {
     val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select(col("h"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("__p"))
-    val isl = wins.join(dupH, Seq("h"))
+    wins.join(dupH, Seq("h"))
       .select(col("doc_id"), col("__p"))
       .withColumn("__prev", lag(col("__p"), 1).over(byDoc))
       .withColumn("__new",
         when(col("__prev").isNull ||
           col("__p") - col("__prev") > minLen, 1L).otherwise(0L))
       .withColumn("__isl", sum(col("__new")).over(byDoc))
-    val runs = isl.groupBy(col("doc_id"), col("__isl"))
-      .agg((max(col("__p")) - min(col("__p")) + lit(minLen.toLong))
-        .as("__len"))
-    val per = runs.groupBy(col("doc_id"))
-      .agg(sum(col("__len")).as("dup_chars"),
-        count(lit(1)).as("n_runs"),
-        max(col("__len")).as("longest_run"))
-    docs.select(col(idCol).as("doc_id"))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("__p")).as("__s"),
+        (max(col("__p")) + lit(minLen.toLong - 1)).as("__e"))
+      .select(col("doc_id"), col("__s"), col("__e"))
+  }
+
+  /** F21b: the TRIM action the F21 profile diagnoses — Lee et al.'s
+    * ExactSubstr DEDUPLICATE step: every byte covered by a duplicated
+    * ≥ `minLen` substring (at ANY offset) is removed and the
+    * surviving segments re-join in document order. Note this removes
+    * ALL copies of a duplicated run (both occurrences lie inside
+    * covered intervals — Lee et al.'s cited choice: "remove all but
+    * one" needs an occurrence ORDER, which a distributed replay
+    * would have to invent; removing every covered byte is
+    * deterministic and is what their released tool's default does
+    * for self-contained runs).
+    *
+    * Output: (doc_id, clean_text, dup_chars, n_runs) for EVERY input
+    * doc (uncovered docs pass through verbatim).
+    *
+    * Scale = F21's detection plan + one per-doc reassembly: the keep
+    * segments are the runs' complement, derived relationally (lag
+    * window over runs within the doc + one closing segment), and the
+    * only text-carrying aggregate is the per-doc segment fold — the
+    * F16/F19 reassembly discipline (state ≈ the document itself).
+    */
+  def substrSuffixTrim(docs: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val runs = dupRuns(docs, idCol, textCol, minLen)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("__s"))
+    // keep-segments: before each run (from the previous run's end),
+    // plus the tail after the last run
+    val before = runs
+      .withColumn("__st", coalesce(lag(col("__e"), 1).over(byDoc),
+        lit(0L)) + 1)
+      .select(col("doc_id"), col("__st"), (col("__s") - 1).as("__en"))
+    val tail = runs.groupBy(col("doc_id"))
+      .agg((max(col("__e")) + 1).as("__st"),
+        sum(col("__e") - col("__s") + 1).as("dup_chars"),
+        count(lit(1)).as("n_runs"))
+    val segs = before.unionByName(
+        tail.select(col("doc_id"), col("__st"), lit(null).cast("long").as("__en")))
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+        Seq("doc_id"))
+      .withColumn("__en2",
+        coalesce(col("__en"), length(col("__t")).cast("long")))
+      .filter(col("__en2") >= col("__st"))
+      .select(col("doc_id"), col("__st"),
+        col("__t").substr(col("__st").cast("int"),
+          (col("__en2") - col("__st") + 1).cast("int")).as("__seg"))
+    val rebuilt = segs.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__st"), col("__seg")))),
+        x => x.getField("__seg")), "").as("clean_text"))
+    // tail LEFT rebuilt: a fully-covered doc has runs but zero keep
+    // segments — its clean text is EMPTY, never the original
+    val per = tail.select(col("doc_id"), col("dup_chars"), col("n_runs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
+        when(col("n_runs").isNull, col("__t"))
+          .otherwise(coalesce(col("clean_text"), lit("")))
+          .as("clean_text"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
-        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"))
   }
 
   def substrSpans(docs: DataFrame, idCol: String, textCol: String,

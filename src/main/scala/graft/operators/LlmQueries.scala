@@ -467,6 +467,11 @@ object LlmQueries {
     "dedup_substr_suffix" -> ((s, dir) =>
       Dedup.substrSuffixProfile(docs(s, dir), "doc_id", "text",
         minLen = 50)),
+    // —— F21b: the TRIM action — every byte covered by a duplicated
+    //    >= 50-char any-offset substring removed, segments re-joined ——
+    "dedup_substr_suffix_trim" -> ((s, dir) =>
+      Dedup.substrSuffixTrim(docs(s, dir), "doc_id", "text",
+        minLen = 50)),
     // —— F16b: incremental span trim of a batch vs the standing index ——
     "dedup_substr_trim_inc" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -2742,6 +2747,56 @@ object LlmQueries {
         |  CAST(COALESCE(per.n_runs, 0) AS BIGINT) AS n_runs,
         |  CAST(COALESCE(per.longest_run, 0) AS BIGINT) AS longest_run
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+    // F21b: same island CTEs, then the keep segments (run complement
+    // via lag + a closing tail segment) string_agg'd in position order
+    "dedup_substr_suffix_trim" ->
+      """WITH w0 AS (
+        |  SELECT doc_id,
+        |    [CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 50)), 1, 15)
+        |          AS BIGINT)
+        |     for i in generate_series(1, len(text) - 49, 1)] AS hs
+        |  FROM documents WHERE len(text) >= 50),
+        |w AS (SELECT doc_id, unnest(hs) AS h,
+        |        unnest(range(1, len(hs) + 1)) AS p FROM w0),
+        |dh AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+        |d2 AS (SELECT w.doc_id, w.p FROM w JOIN dh USING (h)),
+        |i1 AS (SELECT doc_id, p,
+        |        CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+        |             OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 50
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM d2),
+        |i2 AS (SELECT doc_id, p,
+        |        SUM(nw) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        |      FROM i1),
+        |r AS (SELECT doc_id, isl, MIN(p) AS s, MAX(p) + 49 AS e
+        |      FROM i2 GROUP BY 1, 2),
+        |tl AS (SELECT doc_id, MAX(e) + 1 AS st,
+        |        CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+        |        CAST(COUNT(*) AS BIGINT) AS n_runs
+        |      FROM r GROUP BY 1),
+        |segs AS (
+        |  SELECT doc_id,
+        |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS st,
+        |    s - 1 AS en
+        |  FROM r
+        |  UNION ALL
+        |  SELECT tl.doc_id, tl.st, len(d.text) AS en
+        |  FROM tl JOIN documents d USING (doc_id)),
+        |built AS (
+        |  SELECT s2.doc_id,
+        |    string_agg(substr(d.text, CAST(s2.st AS INTEGER),
+        |      CAST(s2.en - s2.st + 1 AS INTEGER)), '' ORDER BY s2.st)
+        |      AS clean_text
+        |  FROM segs s2 JOIN documents d USING (doc_id)
+        |  WHERE s2.en >= s2.st GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN tl.n_runs IS NULL THEN d.text
+        |       ELSE COALESCE(built.clean_text, '') END AS clean_text,
+        |  CAST(COALESCE(tl.dup_chars, 0) AS BIGINT) AS dup_chars,
+        |  CAST(COALESCE(tl.n_runs, 0) AS BIGINT) AS n_runs
+        |FROM documents d
+        |LEFT JOIN tl USING (doc_id)
+        |LEFT JOIN built USING (doc_id)""".stripMargin,
     // H23: text_unigram_lp's CTE verbatim, then the rank-closed-form
     // tercile cut ⌊3·(rn−1)/n⌋ over (avg_logp DESC, doc_id)
     "text_ppl_buckets" ->

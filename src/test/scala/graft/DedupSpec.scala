@@ -566,6 +566,41 @@ class DedupSpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("substrSuffixTrim removes exactly the covered bytes; full-cover -> empty; idempotent here") {
+    import spark.implicits._
+    val run = (0 until 60).map(i => ('a' + (i * 17 + 5) % 26).toChar).mkString
+    def fill(start: Int, n: Int): String =
+      Iterator.from(start).map(_.toString).flatten.take(n).mkString
+    val p1 = fill(10000, 40); val s1 = fill(20000, 40)
+    val p3 = fill(50000, 20); val m3 = fill(60000, 60); val s3 = fill(70000, 25)
+    val df = Seq(
+      (1L, p1 + run + s1),
+      (2L, fill(30000, 73) + run + fill(40000, 55)),
+      (3L, p3 + run + m3 + run + s3),
+      (4L, fill(80000, 120)),
+      (5L, run), (6L, run) // fully covered: one run IS the whole doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.substrSuffixTrim(df, "doc_id", "text", minLen = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((p1 + s1, 60L, 1L)), s"doc1: ${got(1L)}")
+    assert(got(3L) == ((p3 + m3 + s3, 120L, 2L)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((fill(80000, 120), 0L, 0L)))
+    assert(got(5L) == (("", 60L, 1L)) && got(6L) == (("", 60L, 1L)))
+    // trimming removed every duplicated window: re-profiling the
+    // clean corpus finds nothing (idempotence on this corpus)
+    val clean = got.toSeq.map { case (id, (t, _, _)) => (id, t) }
+      .toDF("doc_id", "text")
+    val re = Dedup.substrSuffixProfile(clean, "doc_id", "text", minLen = 50)
+      .agg(sum(col("dup_chars"))).head().getLong(0)
+    assert(re == 0L, s"clean corpus still carries $re duplicated chars")
+    // layout invariance
+    val again = Dedup.substrSuffixTrim(df.repartition(7), "doc_id", "text",
+      minLen = 50).collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == got)
+  }
+
   test("substrSuffixProfile catches an anchor-free run that is PROVABLY F19-invisible") {
     import spark.implicits._
     import graft.functions.Hash60.hash60
