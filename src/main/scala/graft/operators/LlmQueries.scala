@@ -219,6 +219,13 @@ object LlmQueries {
       Dedup.decontaminateSpans(docs(s, dir), "doc_id", "text",
         benchPred = col("doc_id") % 20 === 0)),
     // —— G22: label-blocked kNN graph over collapsed distinct vectors ——
+    // —— G31: graph-walk ANN — greedy beam search over the G22 kNN
+    //    graph (the HNSW/DiskANN search pattern), multi-entry ——
+    "sim_topk_graph" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.graphTopK(s, e, e.filter(col("vec_id") < 10), k = 5,
+        beamWidth = 16, rounds = 4, graphK = 8)
+    }),
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(s, emb(s, dir), k = 3)),
     // —— G22b: PageRank centrality over the G22 kNN graph — the
@@ -940,7 +947,7 @@ object LlmQueries {
     * edge set): collapse to distinct (label, embedding) reps,
     * label-blocked pairs, top-k per rep by (cos DESC, nbr).
     */
-  private[graft] val knnGraphSql: String = {
+  private[graft] def knnGraphSqlK(k: Int): String = {
     val kcos = cosSql.format("a.embedding", "b.embedding")
     s"""WITH g AS (SELECT label, embedding, MIN(vec_id) AS vec_id,
        |    COUNT(*) AS n_members
@@ -954,7 +961,51 @@ object LlmQueries {
        |        ORDER BY cos_r DESC, nbr) AS rk FROM p)
        |SELECT vec_id, CAST(rk AS INTEGER) AS rk, nbr, cos_r,
        |  CAST(n_id AS BIGINT) AS n_id, CAST(n_nbr AS BIGINT) AS n_nbr
-       |FROM r WHERE rk <= 3""".stripMargin
+       |FROM r WHERE rk <= $k""".stripMargin
+  }
+
+  private[graft] val knnGraphSql: String = knnGraphSqlK(3)
+
+  /** G31 oracle: the beam search unrolled — the G22 edge set as a
+    * derived table, one (expand → score → visited-merge → beam) CTE
+    * block per round, row_number beams with the engine's
+    * (cos_r DESC, node ASC) tie rule, final top-k minus the query
+    * itself.
+    */
+  private def graphTopKSql(k: Int = 5, beamW: Int = 16, rounds: Int = 4,
+                           graphK: Int = 8): String = {
+    val qcos = cosSql.format("q.qe", "rv.ne")
+    def round(r: Int): String =
+      s"""b${r - 1} AS (SELECT query_id, node FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_r DESC, node) AS rn FROM v${r - 1}) __b
+         |  WHERE rn <= $beamW),
+         |x$r AS (SELECT DISTINCT b.query_id, ed0.dst AS node
+         |        FROM b${r - 1} b JOIN ed0 ON ed0.node = b.node),
+         |s$r AS (SELECT x.query_id, x.node, round($qcos, 4) AS cos_r
+         |        FROM x$r x JOIN rv ON rv.node = x.node
+         |        JOIN q ON q.query_id = x.query_id),
+         |v$r AS (SELECT query_id, node, MAX(cos_r) AS cos_r FROM (
+         |          SELECT * FROM v${r - 1} UNION ALL SELECT * FROM s$r) __u
+         |        GROUP BY 1, 2)""".stripMargin
+    s"""WITH ed0 AS (SELECT vec_id AS node, nbr AS dst FROM (
+       |${knnGraphSqlK(graphK)}
+       |) __k),
+       |g AS (SELECT label, embedding, MIN(vec_id) AS vec_id
+       |      FROM embeddings GROUP BY label, embedding),
+       |ent AS (SELECT MIN(vec_id) AS node FROM g GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe
+       |      FROM embeddings WHERE vec_id < 10),
+       |rv AS (SELECT vec_id AS node, embedding AS ne FROM g),
+       |v0 AS (SELECT q.query_id, ent.node, round($qcos, 4) AS cos_r
+       |       FROM q CROSS JOIN ent JOIN rv ON rv.node = ent.node),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT query_id, node AS neighbor_id, cos_r,
+       |  CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_r DESC, node) AS rn
+       |      FROM v$rounds WHERE node <> query_id) __f
+       |WHERE rn <= $k""".stripMargin
   }
 
   /** G22b oracle: the engine's integer PageRank unrolled — 4
@@ -2665,6 +2716,7 @@ object LlmQueries {
     // G22: collapse to distinct (label, embedding) reps, label-blocked
     // pairs, top-k per rep by (cos DESC, nbr)
     "sim_knn_graph" -> knnGraphSql,
+    "sim_topk_graph" -> graphTopKSql(),
     "graph_pagerank" -> pageRankSql,
     // G22c: same derived edge set, wedge-close counting, int64 div
     "graph_triangles" ->

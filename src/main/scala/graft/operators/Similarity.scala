@@ -1349,6 +1349,87 @@ object Similarity {
                    embCol: String, k: Int): DataFrame =
     knnFromEdges(cellKnnEdges(s, idx, idx, idCol, embCol, k), k)
 
+  /** G31: graph-walk ANN — greedy BEAM SEARCH over the G22 kNN graph,
+    * the HNSW/DiskANN search pattern expressed declaratively: the
+    * index is the label-blocked collapsed kNN graph (one edge list
+    * per distinct-vector representative), entries are each label
+    * component's min-id representative (multi-entry — the blocked
+    * graph is disconnected across labels by design, so one entry per
+    * component reaches everything reachable), and each of `rounds`
+    * fixed expansion rounds scores the beam's out-neighbors and keeps
+    * the best `beamWidth` visited nodes per query. The answer is the
+    * top-k of everything VISITED (minus the query itself) — greedy
+    * search never rescans the corpus: per query per round the work is
+    * ≤ beamWidth·graphK candidate scorings.
+    *
+    * Scale: the graph build is G22's (collapse-first, banded by
+    * label, BoundedTopK state); the search is `rounds` equi-join
+    * hops — beam ⋈ edges (graph side checkpointed once) then a
+    * vec_id-keyed join to fetch candidate vectors — with Q·beamWidth
+    * rows of per-query state, never a corpus scan. Ties break
+    * (cos_r DESC, node ASC) everywhere, so the walk is deterministic
+    * on any partitioning. Visited-set dedup is an exact groupBy
+    * (scores are round-4 cosines — identical for identical pairs).
+    *
+    * Output: (query_id, neighbor_id, cos_r, rank) best-first —
+    * recall vs the exact scan is measured in SimilaritySpec and is a
+    * function of graph degree, beam width, and rounds (the
+    * HNSW/DiskANN trade dial).
+    */
+  def graphTopK(s: SparkSession, emb: DataFrame, queries: DataFrame,
+                k: Int = 5, beamWidth: Int = 16, rounds: Int = 4,
+                graphK: Int = 8): DataFrame = {
+    require(k > 0 && beamWidth > 0 && rounds >= 0,
+      s"graphTopK needs k > 0, beamWidth > 0, rounds >= 0")
+    withCosine(s)
+    val edges = knnGraph(s, emb, graphK)
+      .select(col("vec_id").as("node"), col("nbr").as("dst"))
+      .localCheckpoint(eager = false)
+    val reps = emb.groupBy(col("label"), col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .localCheckpoint(eager = false)
+    val entries = reps.groupBy(col("label"))
+      .agg(min(col("vec_id")).as("node")).select(col("node"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("__q"))
+    val repVecs = reps.select(col("vec_id").as("node"),
+      col("embedding").as("__e"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(repVecs, Seq("node"))
+      .join(q, Seq("query_id"))
+      .withColumn("cos_r", expr("round(cosine_sim(__q, __e), 4)"))
+      .select(col("query_id"), col("node"), col("cos_r"))
+    def beamOf(visited: DataFrame): DataFrame = {
+      val best = GraftBridge.column(graft.functions.BoundedTopK(
+        GraftBridge.expression(struct(col("cos_r"), col("node"))),
+        GraftBridge.expression(col("node")),
+        beamWidth, Seq(-1, 1), keepLargest = false, emitDesc = false,
+        skipNullValue = false).toAggregateExpression())
+      visited.groupBy(col("query_id")).agg(best.as("top"))
+        .select(col("query_id"), explode(col("top")).as("node"))
+    }
+    var visited = score(q.select(col("query_id")).crossJoin(entries))
+      .localCheckpoint(eager = false)
+    (1 to rounds).foreach { _ =>
+      val expand = beamOf(visited).join(edges, Seq("node"))
+        .select(col("query_id"), col("dst").as("node")).distinct()
+      visited = visited.unionByName(score(expand))
+        .groupBy(col("query_id"), col("node"))
+        .agg(max(col("cos_r")).as("cos_r"))
+        .localCheckpoint(eager = false)
+    }
+    val best = GraftBridge.column(graft.functions.BoundedTopK(
+      GraftBridge.expression(struct(col("cos_r"), col("node"))),
+      GraftBridge.expression(struct(col("node"), col("cos_r"))),
+      k, Seq(-1, 1), keepLargest = false, emitDesc = false,
+      skipNullValue = false).toAggregateExpression())
+    visited.filter(col("node") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(best.as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.node").as("neighbor_id"),
+        col("col.cos_r").as("cos_r"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** G13: deterministic negative sampling for contrastive training:
     * k pseudo-random partners per anchor via the shared 60-bit hash
     * (`hash60(anchor + "-" + draw) mod N`), self-pairs and same-label
