@@ -145,7 +145,7 @@ object DaemonSweep {
     for (i <- 0 until nBatches)
       CurationJob.applyBatch(batchOf(i), fDir, "doc_id", "text",
         batchId = i.toLong, compactEvery = 4, fuzzy = true, markup = true,
-        classifier = clf, spanTrim = true, semantic = sem)
+        classifier = clf, spanTrim = true, semantic = sem, knnK = 3)
     val corpus = corpusDF(fDir).persist()
     val fullRows = corpus.count()
     val idsDistinct =
@@ -166,10 +166,18 @@ object DaemonSweep {
           corpus.filter(col("embedding").isNotNull), centsDf,
           "doc_id", "embedding")
         .select(col("doc_id"), col("cell")))
+    // E23 at the decade: the standing edge shards rank to EXACTLY the
+    // batch-mode cell-blocked kNN graph over the standing semidx
+    val knnEqual = setEq(
+      CurationJob.knnGraph(spark, fDir, 3),
+      Similarity.cellKnnGraph(spark,
+        indexDF(fDir, "semidx").select(
+          col("doc_id"), col("cell"), col("embedding")).distinct(),
+        "doc_id", "embedding", 3))
     corpus.unpersist()
     println(s"[daemon-sweep] full: $fullRows corpus rows, ids-distinct: " +
       s"$idsDistinct, fp⊆idx: $fpCovers, bands≡: $bandsEqual, " +
-      s"blocks≡: $blocksEqual, semidx≡: $semidxEqual")
+      s"blocks≡: $blocksEqual, semidx≡: $semidxEqual, knn≡: $knnEqual")
 
     // ——— 3. exactly-once: re-deliver the last batch ———
     def stateSig(): Seq[Long] = Seq(
@@ -179,7 +187,10 @@ object DaemonSweep {
       indexDF(fDir, "index").distinct().count(),
       indexDF(fDir, "bands").distinct().count(),
       indexDF(fDir, "blocks").distinct().count(),
-      indexDF(fDir, "semidx").distinct().count())
+      indexDF(fDir, "semidx").distinct().count(),
+      indexDF(fDir, "knn").distinct().count(),
+      indexDF(fDir, "knn").agg(coalesce(sum(col("nbr")), lit(0L)))
+        .head.getLong(0))
     val before = stateSig()
     CurationJob.applyBatch(batchOf(nBatches - 1), fDir, "doc_id", "text",
       batchId = (nBatches - 1).toLong, compactEvery = 4, fuzzy = true,
@@ -208,6 +219,7 @@ object DaemonSweep {
          | "band_index_equals_corpus": $bandsEqual,
          | "block_index_equals_corpus": $blocksEqual,
          | "sem_index_equals_corpus": $semidxEqual,
+         | "knn_graph_equals_batch": $knnEqual,
          | "redelivery_noop": $redeliveryNoop,
          | "index_dir_entries": $idxEntries, "index_generations": $gens,
          | "secs": ${math.round(secs)}}""".stripMargin.replace("\n", "")
@@ -215,7 +227,8 @@ object DaemonSweep {
     Files.writeString(Paths.get(s"$workDir/daemon_sweep.json"), json)
     val allOk = eqStreamEqualsBatch && bloomEqualsPlain &&
       bloomWordsConsistent && idsDistinct && fpCovers &&
-      bandsEqual && blocksEqual && semidxEqual && redeliveryNoop
+      bandsEqual && blocksEqual && semidxEqual && knnEqual &&
+      redeliveryNoop
     spark.stop()
     if (!allOk) sys.exit(1)
   }
