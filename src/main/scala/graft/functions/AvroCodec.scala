@@ -82,4 +82,52 @@ object AvroCodec {
       }
     }(rowEnc)
   }
+
+  /** B5b: the schema-registry WIRE FORMAT — Confluent's framing
+    * convention for Avro on Kafka (magic byte 0x00 + big-endian
+    * int32 schema id + the binary Avro payload), the seam the
+    * reference leaves open (route81 takes an inline
+    * `avro-schema-spec`, route81.go:107, and never frames for a
+    * registry). A consumer pointed at registry-framed topics decodes
+    * these messages as a config change: same codec, one 5-byte
+    * header.
+    */
+  def encodeWire(df: DataFrame, schemaJson: String,
+                 schemaId: Int): Dataset[Array[Byte]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    encode(df, schemaJson, binary = true).map { payload =>
+      val framed = new Array[Byte](payload.length + 5)
+      framed(0) = 0x00
+      framed(1) = ((schemaId >> 24) & 0xff).toByte
+      framed(2) = ((schemaId >> 16) & 0xff).toByte
+      framed(3) = ((schemaId >> 8) & 0xff).toByte
+      framed(4) = (schemaId & 0xff).toByte
+      System.arraycopy(payload, 0, framed, 5, payload.length)
+      framed
+    }
+  }
+
+  /** Decode registry-framed messages: the magic byte and (when
+    * `expectId` is set) the schema id are VALIDATED loudly — a wrong
+    * id means the payload was written under a different schema and
+    * silent misdecoding is the classic registry failure mode.
+    */
+  def decodeWire(payloads: Dataset[Array[Byte]], schemaJson: String,
+                 expectId: Option[Int] = None): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val expected = expectId
+    val stripped = payloads.map { bytes =>
+      require(bytes.length >= 5 && bytes(0) == 0x00,
+        s"not a registry-framed message (len=${bytes.length}, " +
+          s"magic=${if (bytes.isEmpty) "∅" else bytes(0).toString})")
+      val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+        ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+      expected.foreach(e => require(id == e,
+        s"schema id mismatch: message carries $id, consumer expects $e"))
+      java.util.Arrays.copyOfRange(bytes, 5, bytes.length)
+    }
+    decode(stripped, schemaJson, binary = true)
+  }
 }

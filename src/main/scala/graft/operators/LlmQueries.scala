@@ -421,6 +421,13 @@ object LlmQueries {
     "decon_fuzzy" -> ((s, dir) =>
       Dedup.decontaminateFuzzy(docs(s, dir), "doc_id", "text",
         benchPred = col("doc_id") % 20 === 0)),
+    // —— F8d: EMBEDDING-space decontamination — corpus vectors
+    //    cosine-near a broadcast benchmark set in the same cell ——
+    "decon_embed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.deconEmbed(s, e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0), tau = 0.35)
+    }),
     // —— G14: reproducible global shuffle order for training export ——
     "corpus_shuffle" -> ((s, dir) =>
       Pipeline100TB.shuffleOrder(
@@ -2604,6 +2611,19 @@ object LlmQueries {
         |            AS BIGINT) % 1000 < 990 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // F8d: label-blocked corpus×benchmark cosine, threshold at the
+    // proven round-4 boundary, per-corpus-vector rollup
+    "decon_embed" ->
+      s"""WITH b AS (SELECT label, vec_id, embedding FROM embeddings
+         |           WHERE vec_id % 5 = 0),
+         |c AS (SELECT label, vec_id, embedding FROM embeddings
+         |      WHERE vec_id % 5 <> 0),
+         |p AS (SELECT c.vec_id,
+         |    round(${cosSql.format("c.embedding", "b.embedding")}, 4) AS cos_r
+         |  FROM c JOIN b USING (label) WHERE c.vec_id <> b.vec_id)
+         |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  MAX(cos_r) AS max_cos
+         |FROM p WHERE cos_r >= 0.35 GROUP BY 1""".stripMargin,
     "decon_fuzzy" ->
       s"""WITH $shingleCtes,
          |$minhashSigSql,

@@ -1203,6 +1203,37 @@ object Similarity {
     * quantizer an IVF index would give): pairs only form inside a
     * label partition — one shuffle on label, never all-pairs.
     */
+  /** F8d: EMBEDDING-space benchmark decontamination — the semantic
+    * sibling of the n-gram (F8), band (F8b) and span (F8c)
+    * decontaminators: a corpus vector is contaminated when its cosine
+    * to ANY benchmark vector in the same label cell reaches `tau`
+    * (paraphrased benchmark items that shed every n-gram overlap
+    * still land next to the original in embedding space — the gap the
+    * text-side decontaminators can't close). Emits one row per
+    * contaminated corpus vector: (vec_id, n_hits, max_cos).
+    *
+    * Scale shape: the BENCHMARK side is small by nature (eval sets,
+    * not corpora), so it BROADCASTS — the corpus never shuffles, and
+    * the pair volume is |corpus ∩ cell| · |bench ∩ cell|, linear in
+    * the corpus. This is deliberately the reverse of F6's symmetric
+    * pair join: decontamination has an asymmetric small side and the
+    * plan should say so.
+    */
+  def deconEmbed(s: SparkSession, corpus: DataFrame, bench: DataFrame,
+                 tau: Double): DataFrame = {
+    withCosine(s)
+    val c = corpus.select(col("label"), col("vec_id"),
+      col("embedding").as("__ec"))
+    val b = bench.select(col("label"), col("vec_id").as("__bid"),
+      col("embedding").as("__eb"))
+    c.join(broadcast(b), Seq("label"))
+      .filter(col("vec_id") =!= col("__bid"))
+      .withColumn("cos_r", expr("round(cosine_sim(__ec, __eb), 4)"))
+      .filter(col("cos_r") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos_r")).as("max_cos"))
+  }
+
   def nearDupPairs(s: SparkSession, emb: DataFrame, tau: Double): DataFrame = {
     withCosine(s)
     val a = emb.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))

@@ -163,4 +163,29 @@ class EngineConfigSpec extends SparkTestBase {
         s"binary=$binary round trip mismatch")
     }
   }
+
+  test("registry wire format: 0x00 + BE schema id framing round-trips; wrong id fails loudly") {
+    val schema =
+      """{"type": "record", "name": "Ev", "fields": [
+        |  {"name": "user_id", "type": "long"},
+        |  {"name": "value", "type": "double"}]}""".stripMargin
+    val src = TableCatalog(spark, sfDir).events
+      .selectExpr("user_id", "value").limit(20)
+    val framed = AvroCodec.encodeWire(src, schema, schemaId = 0x01020304)
+    // header bytes pinned: Confluent's magic 0x00 + big-endian int32
+    val head = framed.head().take(5).toSeq
+    assert(head == Seq[Byte](0x00, 0x01, 0x02, 0x03, 0x04), head.toString)
+    val back = AvroCodec.decodeWire(framed, schema, Some(0x01020304))
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // id validation is loud, as is a missing magic byte
+    intercept[org.apache.spark.SparkException] {
+      AvroCodec.decodeWire(framed, schema, Some(7)).collect()
+    }
+    intercept[org.apache.spark.SparkException] {
+      import spark.implicits._
+      AvroCodec.decodeWire(
+        spark.createDataset(Seq(Array[Byte](1, 2, 3, 4, 5, 6))),
+        schema, None).collect()
+    }
+  }
 }

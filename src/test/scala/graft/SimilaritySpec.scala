@@ -994,6 +994,31 @@ class SimilaritySpec extends SparkTestBase {
       s"balanced decomposition should quantize better: opq=$opqErr pq=$pqErr")
   }
 
+  // ——— F8d: embedding-space decontamination ———
+
+  test("deconEmbed flags planted paraphrase-contamination; benchmark broadcasts, corpus never shuffles") {
+    import spark.implicits._
+    def v(parts: Double*): Array[Float] = parts.map(_.toFloat).toArray
+    val bench = Seq((900L, 1, v(1, 0, 0, 0)), (901L, 2, v(0, 1, 0, 0)))
+      .toDF("vec_id", "label", "embedding")
+    val corpus = Seq(
+      (1L, 1, v(0.99, 0.14, 0, 0)),   // ≈ bench 900 → contaminated
+      (2L, 1, v(0, 0, 1, 0)),         // same cell, far → clean
+      (3L, 2, v(0.1, 0.99, 0.1, 0)),  // ≈ bench 901 → contaminated
+      (4L, 3, v(1, 0, 0, 0)))         // identical direction, WRONG cell
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.deconEmbed(spark, corpus, bench, tau = 0.95)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 3L), s"flagged: ${got.keySet}")
+    assert(got(1L)._1 == 1L && got(1L)._2 >= 0.95)
+    // scale shape: the benchmark side broadcasts — no corpus exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept in:\n$plan")
+  }
+
   // ——— G31: graph-walk ANN ———
 
   test("graphTopK: the walk beats its entry points, holds a recall floor, and is layout-invariant") {
