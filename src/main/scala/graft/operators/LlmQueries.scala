@@ -438,6 +438,8 @@ object LlmQueries {
       Dedup.substrSpans(docs(s, dir), "doc_id", "text",
         spanLen = 30, stride = 7)),
     // —— H23: CCNet perplexity head/middle/tail buckets ——
+    "text_ppl_buckets_kn5" -> ((s, dir) =>
+      TextAnalysis.perplexityBucketsKn5(docs(s, dir), "doc_id", "text")),
     "text_ppl_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(docs(s, dir), "doc_id", "text")),
     // —— G17: nearest-centroid assignment (cluster-assignment step) ——
@@ -2871,6 +2873,17 @@ object LlmQueries {
         |LEFT JOIN built USING (doc_id)""".stripMargin,
     // H23: text_unigram_lp's CTE verbatim, then the rank-closed-form
     // tercile cut ⌊3·(rn−1)/n⌋ over (avg_logp DESC, doc_id)
+    // H23b: the kn5 chain + the identical rank-closed-form tercile cut
+    "text_ppl_buckets_kn5" ->
+      s"""WITH ${kn5LpCtes("f")},
+         |r AS (SELECT doc_id, avg_logp_kn5 AS avg_logp,
+         |        row_number() OVER (ORDER BY avg_logp_kn5 DESC, doc_id) AS rn,
+         |        COUNT(*) OVER () AS n
+         |      FROM flp)
+         |SELECT doc_id, avg_logp,
+         |  CASE (3 * (rn - 1)) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM r""".stripMargin,
     "text_ppl_buckets" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

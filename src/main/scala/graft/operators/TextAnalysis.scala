@@ -1404,13 +1404,27 @@ object TextAnalysis {
     * (doc_id, n_tok, avg_logp) row per document.
     */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+      : DataFrame =
+    bucketByScore(unigramLogProb(docs, idCol, textCol), "avg_logp")
+
+  /** H23b: the same CCNet tercile cut re-based on the PRODUCTION
+    * filter's model order — the Kneser-Ney 5-gram score (H18e) in
+    * place of the weak unigram LM. Docs with < 5 tokens carry no
+    * 5-gram position and are absent (the H18e contract); buckets
+    * cover the scoreable corpus.
+    */
+  def perplexityBucketsKn5(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    bucketByScore(
+      knFivegramLogProb(docs, idCol, textCol)
+        .withColumnRenamed("avg_logp_kn5", "avg_logp"), "avg_logp")
+
+  private def bucketByScore(lp: DataFrame, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
-    val lp = unigramLogProb(docs, idCol, textCol)
     val sorted = lp
-      .repartitionByRange(col("avg_logp").desc, col("doc_id").asc)
-      .sortWithinPartitions(col("avg_logp").desc, col("doc_id").asc)
+      .repartitionByRange(col(scoreCol).desc, col("doc_id").asc)
+      .sortWithinPartitions(col(scoreCol).desc, col("doc_id").asc)
     val rdd = sorted.rdd
     // job 1: per-partition counts → exact offsets + the total, one pass
     val counts = rdd
@@ -1429,7 +1443,7 @@ object TextAnalysis {
     val b =
       if (total == 0L) lit(0L)
       else expr(s"(3 * __rank) div ${total}L")
-    ranked.select(col("doc_id"), col("avg_logp"),
+    ranked.select(col("doc_id"), col(scoreCol).as("avg_logp"),
       when(b === 0, "head").when(b === 1, "middle").otherwise("tail")
         .as("bucket"))
   }

@@ -640,6 +640,33 @@ class DedupSpec extends SparkTestBase {
       s"F21 missed the anchor-free run: $got")
   }
 
+  test("ccnet buckets on the KN5 score: exact terciles, fluent docs head, sub-5-gram docs absent") {
+    import spark.implicits._
+    val out = TextAnalysis.perplexityBucketsKn5(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val n = out.length
+    // every scored doc has >= 5 tokens; terciles split by the closed form
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes("head") == (n + 2) / 3 ||
+      math.abs(sizes("head") - n / 3) <= 1, sizes.toString)
+    assert(sizes.values.sum == n)
+    // bucket order follows the score order exactly
+    val sortedScores = out.sortBy(x => (-x._2, x._1))
+    val boundaryOk = sortedScores.map(_._3).foldLeft(("head", true)) {
+      case ((prev, ok), b) =>
+        (b, ok && (Seq("head", "middle", "tail").indexOf(b) >=
+          Seq("head", "middle", "tail").indexOf(prev)))
+    }._2
+    assert(boundaryOk, "bucket labels must be monotone in score order")
+    // a sub-5-gram doc is invisible to the KN5 bucket cut
+    val tiny = docs.limit(0).unionByName(
+      Seq((99999L, "only four words here", "en", "syn", 20L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    assert(!TextAnalysis.perplexityBucketsKn5(docs.unionByName(tiny),
+        "doc_id", "text")
+      .filter(col("doc_id") === 99999L).collect().nonEmpty)
+  }
+
   test("ccnet selection: full head, deterministic half middle, no tail") {
     val buckets = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
