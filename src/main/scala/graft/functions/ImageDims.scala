@@ -13,8 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * dependency: PNG (IHDR fields after the 8-byte signature), JPEG (a
   * genuine marker-segment walk to the first SOF frame header, skipping
   * APPn/COM/DQT/DHT segments by their declared big-endian lengths and
-  * stepping over standalone RST/TEM markers), and GIF (little-endian
-  * logical-screen descriptor, color resolution from the packed byte).
+  * stepping over standalone RST/TEM markers), GIF (little-endian
+  * logical-screen descriptor, color resolution from the packed byte),
+  * and WebP (RIFF/WEBP container — lossy VP8 with its 9D 01 2A sync
+  * and 14-bit LE dims, lossless VP8L with the bit-packed dims after
+  * the 0x2F signature, and extended VP8X with LE24 canvas-minus-one
+  * pairs; round 14 — web crawls are full of WebP).
   * Unrecognized, truncated, or structurally broken payloads yield a
   * row of null fields, never an exception — a crawl corpus is full of
   * all three.
@@ -126,6 +130,32 @@ object ImageDims {
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
       val packed = u8(b, 10)
       return row("gif", le16(b, 6), le16(b, 8), ((packed >> 4) & 7) + 1)
+    }
+    // —— WebP: RIFF/WEBP container, first chunk VP8 | VP8L | VP8X ——
+    if (b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P' && b(12) == 'V' && b(13) == 'P' && b(14) == '8') {
+      u8(b, 15) match {
+        case ' ' => // lossy: 3-byte frame tag, 9D 01 2A sync, 14-bit dims
+          if (b.length < 30 || u8(b, 23) != 0x9d || u8(b, 24) != 0x01 ||
+            u8(b, 25) != 0x2a) return nulls()
+          val w = le16(b, 26) & 0x3fff
+          val h = le16(b, 28) & 0x3fff
+          if (w == 0 || h == 0) return nulls()
+          return row("webp", w, h, 8)
+        case 'L' => // lossless: 0x2F sig, then (w-1 | (h-1)<<14) LE bits
+          if (b.length < 25 || u8(b, 20) != 0x2f) return nulls()
+          val bits = u8(b, 21).toLong | (u8(b, 22).toLong << 8) |
+            (u8(b, 23).toLong << 16) | (u8(b, 24).toLong << 24)
+          return row("webp", (bits & 0x3fff).toInt + 1,
+            ((bits >> 14) & 0x3fff).toInt + 1, 8)
+        case 'X' => // extended: canvas (w-1, h-1) as LE24 pairs
+          if (b.length < 30) return nulls()
+          val w = (u8(b, 24) | (u8(b, 25) << 8) | (u8(b, 26) << 16)) + 1
+          val h = (u8(b, 27) | (u8(b, 28) << 8) | (u8(b, 29) << 16)) + 1
+          return row("webp", w, h, 8)
+        case _ => return nulls()
+      }
     }
     nulls()
   }

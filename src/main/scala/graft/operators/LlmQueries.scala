@@ -1893,18 +1893,19 @@ object LlmQueries {
     "mm_image_dims" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL
-        |       WHEN doc_id % 3 = 0 THEN 'png'
-        |       WHEN doc_id % 3 = 1 THEN 'jpeg'
-        |       ELSE 'gif' END AS format,
+        |       WHEN doc_id % 4 = 0 THEN 'png'
+        |       WHEN doc_id % 4 = 1 THEN 'jpeg'
+        |       WHEN doc_id % 4 = 2 THEN 'gif'
+        |       ELSE 'webp' END AS format,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL
         |       ELSE CAST(16 + doc_id % 2048 AS INTEGER) END AS width,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL
         |       ELSE CAST(16 + (doc_id * 3) % 2048 AS INTEGER) END AS height,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL
-        |       WHEN doc_id % 3 = 0 THEN
+        |       WHEN doc_id % 4 = 0 THEN
         |         CAST([1,2,4,8,16][CAST(doc_id % 5 AS INTEGER) + 1] AS INTEGER)
-        |       WHEN doc_id % 3 = 1 THEN 8
-        |       ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS bit_depth
+        |       WHEN doc_id % 4 = 2 THEN CAST(doc_id % 8 + 1 AS INTEGER)
+        |       ELSE 8 END AS bit_depth
         |FROM documents""".stripMargin,
     // H6: the analytic ground truth of the WAV generator — the oracle
     // predicts what the chunk walk must recover from the bytes

@@ -38,8 +38,11 @@ object Multimodal {
 
   /** H5b payload generator: REAL image container bytes — PNG signature
     * + IHDR, JPEG SOI + APP0(JFIF) + a variable-length COM segment +
-    * SOF0, or GIF89a + logical screen descriptor — with format and
-    * dimensions derived deterministically from the document id. The
+    * SOF0, GIF89a + logical screen descriptor, or a RIFF/WEBP
+    * container (VP8X extended with LE24 canvas dims on even ids,
+    * VP8L lossless with the 14-bit packed dims on odd — two genuinely
+    * different bit layouts) — with format and dimensions derived
+    * deterministically from the document id. The
     * JPEG COM payload length varies per row, so the SOF frame header
     * sits at a DIFFERENT offset in every JPEG payload: the marker walk
     * in [[graft.functions.ImageDims]] is load-bearing, not a fixed
@@ -81,9 +84,30 @@ object Multimodal {
       hex1(h % 256), hex1(shiftright(h, 8)),       // LE16 height
       hex1((gifBits - 1) * 17 + 128),              // packed: GCT + color res
       lit("0000"))                                 // bg index, aspect
-    val sel = when(id % 3 === 0, png)
-      .when(id % 3 === 1, jpeg)
-      .otherwise(gif)
+    // integer byte extraction via floor-division: the operands are
+    // ≤ 34M, exactly representable, so the double division is exact
+    def le24(c: Column) = concat(hex1(c % 256),
+      hex1(floor(c / 256).cast("long") % 256),
+      hex1(floor(c / 65536).cast("long") % 256))
+    val vp8x = concat(
+      lit("52494646"), lit("16000000"), lit("57454250"), // RIFF 22 WEBP
+      lit("56503858"), lit("0A000000"),                  // VP8X len 10
+      lit("00"), lit("000000"),                          // flags + reserved
+      le24(w - 1), le24(h - 1))
+    val bits = (w - 1) + (h - 1) * lit(16384L)
+    val vp8l = concat(
+      lit("52494646"), lit("12000000"), lit("57454250"), // RIFF 18 WEBP
+      lit("5650384C"), lit("05000000"),                  // VP8L len 5
+      lit("2F"),                                         // lossless sig
+      hex1(bits % 256), hex1(floor(bits / 256).cast("long") % 256),
+      hex1(floor(bits / 65536).cast("long") % 256),
+      hex1(floor(bits / 16777216).cast("long") % 256),
+      lit("00"))                                         // RIFF odd-size pad
+    val webp = when(id % 2 === 0, vp8x).otherwise(vp8l)
+    val sel = when(id % 4 === 0, png)
+      .when(id % 4 === 1, jpeg)
+      .when(id % 4 === 2, gif)
+      .otherwise(webp)
     unhex(when(id % 13 === 0, concat(lit("00"), sel)).otherwise(sel))
   }
 

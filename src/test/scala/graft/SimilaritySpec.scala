@@ -724,6 +724,20 @@ class SimilaritySpec extends SparkTestBase {
       " 08 06 00 00 00 1F15C489")) == None)
     assert(parse("hello".getBytes) == None)
     assert(parse(Array.emptyByteArray) == None)
+    // WebP, all three chunk kinds: VP8X (LE24 canvas-1), VP8L (14-bit
+    // packed dims after the 0x2F sig), lossy VP8 (9D 01 2A sync +
+    // 14-bit LE dims); a wrong fourth byte and a bad sync both null
+    assert(parse(hx("52494646 16000000 57454250 56503858 0A000000" +
+      " 00 000000 130000 250000")) == Some(("webp", 20, 38, 8)))
+    // VP8L bits = (10-1) | (20-1)<<14 = 0x0004C009
+    assert(parse(hx("52494646 12000000 57454250 5650384C 05000000" +
+      " 2F 09C00400 00")) == Some(("webp", 10, 20, 8)))
+    assert(parse(hx("52494646 1A000000 57454250 56503820 0E000000" +
+      " 000000 9D012A 4001 8002")) == Some(("webp", 320, 640, 8)))
+    assert(parse(hx("52494646 16000000 57454250 56503851 0A000000" +
+      " 00 000000 130000 250000")) == None) // unknown VP8Q chunk
+    assert(parse(hx("52494646 1A000000 57454250 56503820 0E000000" +
+      " 000000 9D012B 4001 8002")) == None) // broken lossy sync
   }
 
   test("mm_image_dims round trip: built containers parse back to the generator parameters") {
@@ -737,14 +751,14 @@ class SimilaritySpec extends SparkTestBase {
         assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4),
           s"corrupted payload $id must yield null fields")
       } else {
-        val wantFmt = Seq("png", "jpeg", "gif")((id % 3).toInt)
+        val wantFmt = Seq("png", "jpeg", "gif", "webp")((id % 4).toInt)
         assert(r.getAs[String]("format") == wantFmt)
         assert(r.getAs[Int]("width") == 16 + (id % 2048).toInt)
         assert(r.getAs[Int]("height") == 16 + (id * 3 % 2048).toInt)
-        val wantBd = (id % 3) match {
+        val wantBd = (id % 4) match {
           case 0 => Seq(1, 2, 4, 8, 16)((id % 5).toInt)
-          case 1 => 8
-          case _ => (id % 8).toInt + 1
+          case 2 => (id % 8).toInt + 1
+          case _ => 8
         }
         assert(r.getAs[Int]("bit_depth") == wantBd, s"bit depth of $id")
       }
