@@ -716,6 +716,32 @@ object LlmQueries {
        |  FROM ${p}d, ${p}s)""".stripMargin
   }
 
+  /** C39c oracle: the phrase-as-one-virtual-term BM25 replay — tf is
+    * the non-overlapping substring count of the space-delimited
+    * phrase in the space-joined token stream (the engine's replace
+    * trick, op for op), pushed through the same k1/b formula.
+    */
+  private[graft] def phraseSql(terms: Seq[String], k: Int): String = {
+    val needle = " " + terms.mkString(" ") + " "
+    s"""WITH pt AS ($toksCte),
+       |pd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |    (len(stream) - len(replace(stream, '$needle', '')))
+       |      / ${needle.length} AS tf0
+       |  FROM (SELECT doc_id, toks,
+       |          ' ' || array_to_string(toks, ' ') || ' ' AS stream
+       |        FROM pt) __s),
+       |ps AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) AS sumdl,
+       |  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0
+       |  FROM pd),
+       |psc AS (SELECT pd.doc_id AS id,
+       |    round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+       |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n))), 6) AS score
+       |  FROM pd, ps)
+       |SELECT id, score FROM psc WHERE score > 0
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
   private[graft] def bm25Sql(terms: Seq[String], k: Int): String =
     s"""WITH ${bm25ScoreCtes(terms, "")}
        |SELECT id, score FROM sc WHERE score > 0

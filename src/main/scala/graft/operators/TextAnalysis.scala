@@ -1070,6 +1070,47 @@ object TextAnalysis {
         terms.indices.toList.flatMap(i => List(s"__tf$i", s"__df$i")): _*)
   }
 
+  /** C39c: PHRASE scoring — the `$search` `phrase` operator's core:
+    * the whole phrase acts as ONE virtual term whose tf is the count
+    * of exact ADJACENT occurrences of the term sequence in the
+    * document's token stream (Lucene's phrase-as-a-term scoring
+    * model), pushed through the same k1=1.2/b=0.75 BM25 formula and
+    * broadcast corpus-stats row as [[bm25WithScore]]. Occurrences
+    * count NON-OVERLAPPING (the substring-replace count over the
+    * space-joined normalized stream — " a a a " holds ONE " a a ",
+    * a documented deviation from Lucene's position counting that
+    * keeps the count a single codegen'd expression both engines
+    * replay identically). One corpus scan, no shuffle.
+    */
+  private[graft] def phraseWithScore(docs: DataFrame, textCol: String,
+                                     terms: Seq[String],
+                                     out: String): DataFrame = {
+    require(terms.size >= 2, "a phrase needs at least two terms")
+    val needle = " " + terms.mkString(" ") + " "
+    val withTf = docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+      .withColumn("__stream",
+        concat(lit(" "), concat_ws(" ", col("__toks")), lit(" ")))
+      .withColumn("__tf0",
+        ((length(col("__stream")) -
+          length(replace(col("__stream"), lit(needle), lit("")))) /
+          lit(needle.length)).cast("double"))
+    val stats = broadcast(withTf.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__dl")).cast("long").cast("double").as("__sumdl"),
+      sum(when(col("__tf0") > 0, 1).otherwise(0)).cast("double").as("__df0")))
+    val score = {
+      val (tf, df) = (col("__tf0"), col("__df0"))
+      log(lit(1.0) + (col("__n") - df + 0.5) / (df + 0.5)) *
+        tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("__dl") /
+          (col("__sumdl") / col("__n"))))
+    }
+    withTf.crossJoin(stats)
+      .withColumn(out, round(score, 6))
+      .drop("__toks", "__dl", "__stream", "__tf0", "__n", "__sumdl", "__df0")
+  }
+
   /** H20: model-based quality filter — fasttext/CCNet-style linear
     * classifier inference over hashed token features: each token
     * hashes into one of `microWeights.length` buckets (the

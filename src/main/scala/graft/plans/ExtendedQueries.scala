@@ -176,6 +176,12 @@ object ExtendedQueries {
               "langs": {"type": "string", "path": "lang", "numBuckets": 10},
               "sizes": {"type": "number", "path": "n_chars",
                         "boundaries": [0, 150, 300, 450, 1000000]}}}}}]""")),
+    // —— C39c: $search phrase operator — exact-adjacency matching,
+    //    the phrase as ONE virtual BM25 term ——
+    "pipe_search_phrase" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"phrase": {"query": "table hash", "path": "text"}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
     // —— C38: $scoreFusion (Mongo 8.2 score-based hybrid fusion —
     //    a $vectorSearch leg + a $score leg, minMaxScaler normalized,
     //    weighted-mean combined, score via {$meta: "score"}) ——
@@ -1069,6 +1075,11 @@ object ExtendedQueries {
       s"""SELECT id AS doc_id, score FROM (
          |${graft.operators.LlmQueries.bm25Sql(Seq("spark", "query", "stream"), 20)}
          |) __s""".stripMargin,
+    // C39c: the factored phrase replay, id aliased to the projection
+    "pipe_search_phrase" ->
+      s"""SELECT id AS doc_id, score FROM (
+         |${graft.operators.LlmQueries.phraseSql(Seq("table", "hash"), 20)}
+         |) __p""".stripMargin,
     // C40: the match set is the factored BM25 replay (score > 0 —
     // the $search contract), faceted relationally: string buckets by
     // count DESC then value, number buckets labeled by their [lo, hi)

@@ -510,25 +510,37 @@ object MongoPipeline {
     */
   private def search(df: DataFrame, spec: JsonNode): DataFrame = {
     val unknown = spec.properties().asScala.map(_.getKey)
-      .filterNot(k => k == "text" || k == "compound")
+      .filterNot(k => k == "text" || k == "compound" || k == "phrase")
     require(unknown.isEmpty, s"unsupported $$search operators: $unknown")
-    def textClause(node: JsonNode): (String, Seq[String]) = {
-      val txt = node.get("text")
+    // a clause is {text: {query, path}} (per-term BM25) or
+    // {phrase: {query, path}} (C39c — the phrase as ONE virtual term
+    // whose tf counts exact adjacent occurrences)
+    def textClause(node: JsonNode): (String, Seq[String], Boolean) = {
+      val isPhrase = node.get("phrase") != null
+      val txt = if (isPhrase) node.get("phrase") else node.get("text")
       require(txt != null && txt.get("query") != null &&
         txt.get("path") != null,
-        "$search clauses support the text operator: " +
-          "{text: {query: ..., path: ...}}")
+        "$search clauses support the text/phrase operators: " +
+          "{text|phrase: {query: ..., path: ...}}")
       val terms = txt.get("query").asText().toLowerCase.trim
         .split("\\s+").toSeq.filter(_.nonEmpty)
       require(terms.nonEmpty,
         "$search.text.query must contain at least one term")
-      (txt.get("path").asText(), terms)
+      require(!isPhrase || terms.size >= 2,
+        "$search.phrase.query needs at least two terms — " +
+          "a one-term phrase IS the text operator")
+      (txt.get("path").asText(), terms, isPhrase)
+    }
+    def scoreClause(d: DataFrame, c: (String, Seq[String], Boolean),
+                    out: String): DataFrame = c match {
+      case (path, terms, false) =>
+        graft.operators.TextAnalysis.bm25WithScore(d, path, terms, out)
+      case (path, terms, true) =>
+        graft.operators.TextAnalysis.phraseWithScore(d, path, terms, out)
     }
     val tie = df.columns.map(col).toSeq
     if (spec.get("compound") == null) {
-      val (path, terms) = textClause(spec)
-      graft.operators.TextAnalysis
-        .bm25WithScore(df, path, terms, SearchScoreCol)
+      scoreClause(df, textClause(spec), SearchScoreCol)
         .filter(col(SearchScoreCol) > 0)
         .orderBy(col(SearchScoreCol).desc +: tie: _*)
     } else {
@@ -543,7 +555,7 @@ object MongoPipeline {
         .filterNot(k => Seq("must", "should", "mustNot").contains(k))
       require(badKinds.isEmpty,
         s"unsupported $$search.compound clauses: $badKinds")
-      def clauses(kind: String): Seq[(String, Seq[String])] =
+      def clauses(kind: String): Seq[(String, Seq[String], Boolean)] =
         Option(comp.get(kind)).toSeq.flatMap { arr =>
           require(arr.isArray, s"$$search.compound.$kind must be an array")
           arr.elements().asScala.toSeq.map(textClause)
@@ -553,8 +565,8 @@ object MongoPipeline {
       require(must.nonEmpty || should.nonEmpty,
         "$search.compound needs at least one must or should clause")
       val all = (must ++ should ++ mustNot).zipWithIndex
-      val scored = all.foldLeft(df) { case (d, ((path, terms), i)) =>
-        graft.operators.TextAnalysis.bm25WithScore(d, path, terms, s"__sc$i")
+      val scored = all.foldLeft(df) { case (d, (c, i)) =>
+        scoreClause(d, c, s"__sc$i")
       }
       val nm = must.size
       val ns = should.size

@@ -1414,6 +1414,40 @@ class ExtendedPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$search phrase: adjacency decides, tf counts non-overlapping occurrences, one-term refused") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // adjacent once
+      (2L, "alpha gamma beta delta"),        // both terms, NOT adjacent
+      (3L, "alpha beta x alpha beta y"),     // adjacent twice → higher tf
+      (4L, "nothing relevant here at all"),
+      (5L, "ALPHA  BETA uppercase and doubled spaces still match"))
+      .toDF("doc_id", "text")
+    val out = MongoPipeline(docs,
+      """[{"$search": {"phrase": {"query": "alpha beta", "path": "text"}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val got = out.toMap
+    assert(got.keySet == Set(1L, 3L, 5L), s"matched: ${got.keySet}")
+    // doc 3's doubled occurrence outranks doc 1 despite a longer doc
+    assert(got(3L) > got(1L), s"tf must matter: $got")
+    // best-first output order
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-(_: Double)).toSeq)
+    // phrase composes into compound clauses
+    val comp = MongoPipeline(docs,
+      """[{"$search": {"compound": {
+           "must": [{"phrase": {"query": "alpha beta", "path": "text"}}],
+           "mustNot": [{"text": {"query": "uppercase", "path": "text"}}]}}},
+          {"$project": {"doc_id": 1}}]""")
+      .collect().map(_.getLong(0)).toSet
+    assert(comp == Set(1L, 3L), comp.toString)
+    // a one-term phrase IS the text operator — refused loudly
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"phrase": {"query": "alpha", "path": "text"}}}]""")
+    }
+  }
+
   test("$search compound: must filters+scores, should scores, mustNot excludes; replay from standalone legs") {
     import graft.operators.TextAnalysis
     val docs = cat.documents
