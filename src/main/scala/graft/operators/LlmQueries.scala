@@ -742,6 +742,27 @@ object LlmQueries {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** C39d oracle: the autocomplete (token-prefix) virtual-term BM25
+    * replay — tf = count of tokens starting with the prefix, then the
+    * shared k1/b formula.
+    */
+  private[graft] def autocompleteSql(prefix: String, k: Int): String =
+    s"""WITH at AS ($toksCte),
+       |ad AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |    CAST(len(list_filter(toks, x -> starts_with(x, '$prefix')))
+       |      AS DOUBLE) AS tf0
+       |  FROM at),
+       |as0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) AS sumdl,
+       |  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0
+       |  FROM ad),
+       |asc0 AS (SELECT ad.doc_id AS id,
+       |    round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+       |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n))), 6) AS score
+       |  FROM ad, as0)
+       |SELECT id, score FROM asc0 WHERE score > 0
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+
   private[graft] def bm25Sql(terms: Seq[String], k: Int): String =
     s"""WITH ${bm25ScoreCtes(terms, "")}
        |SELECT id, score FROM sc WHERE score > 0

@@ -1087,7 +1087,7 @@ object TextAnalysis {
                                      out: String): DataFrame = {
     require(terms.size >= 2, "a phrase needs at least two terms")
     val needle = " " + terms.mkString(" ") + " "
-    val withTf = docs
+    virtualTermBm25(docs
       .withColumn("__toks", tokens(col(textCol)))
       .withColumn("__dl", size(col("__toks")).cast("double"))
       .withColumn("__stream",
@@ -1096,6 +1096,32 @@ object TextAnalysis {
         ((length(col("__stream")) -
           length(replace(col("__stream"), lit(needle), lit("")))) /
           lit(needle.length)).cast("double"))
+      .drop("__stream"), out)
+  }
+
+  /** C39d: AUTOCOMPLETE scoring — the `$search` `autocomplete`
+    * operator's core: tf counts the tokens whose PREFIX is the query
+    * (Lucene serves this from an edge-n-gram index; declaratively the
+    * prefix test runs on the token stream directly), pushed through
+    * the same virtual-term BM25 as [[phraseWithScore]]. One corpus
+    * scan, no shuffle.
+    */
+  private[graft] def autocompleteWithScore(docs: DataFrame, textCol: String,
+                                           prefix: String,
+                                           out: String): DataFrame =
+    virtualTermBm25(docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+      .withColumn("__tf0",
+        size(filter(col("__toks"), t => t.startsWith(lit(prefix))))
+          .cast("double")), out)
+
+  /** The shared single-virtual-term BM25 tail: expects (__toks, __dl,
+    * __tf0), folds the broadcast corpus-stats row in, and emits the
+    * k1=1.2/b=0.75 score — the [[bm25WithScore]] formula at one term,
+    * so every scored `$search` clause kind shares one arithmetic.
+    */
+  private def virtualTermBm25(withTf: DataFrame, out: String): DataFrame = {
     val stats = broadcast(withTf.agg(
       count(lit(1)).cast("double").as("__n"),
       sum(col("__dl")).cast("long").cast("double").as("__sumdl"),
@@ -1108,7 +1134,7 @@ object TextAnalysis {
     }
     withTf.crossJoin(stats)
       .withColumn(out, round(score, 6))
-      .drop("__toks", "__dl", "__stream", "__tf0", "__n", "__sumdl", "__df0")
+      .drop("__toks", "__dl", "__tf0", "__n", "__sumdl", "__df0")
   }
 
   /** H20: model-based quality filter — fasttext/CCNet-style linear

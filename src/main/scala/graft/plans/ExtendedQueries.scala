@@ -182,6 +182,18 @@ object ExtendedQueries {
       """[{"$search": {"phrase": {"query": "table hash", "path": "text"}}},
           {"$limit": 20},
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C39d: $search autocomplete (token-prefix virtual term) +
+    //    constant-scored attribute clauses (range) in compound ——
+    "pipe_search_autocomplete" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"autocomplete": {"query": "quer", "path": "text"}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    "pipe_search_range" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark", "path": "text"}},
+                     {"range": {"path": "n_chars", "gte": 200, "lte": 400}}]}}},
+          {"$limit": 25},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
     // —— C38: $scoreFusion (Mongo 8.2 score-based hybrid fusion —
     //    a $vectorSearch leg + a $score leg, minMaxScaler normalized,
     //    weighted-mean combined, score via {$meta: "score"}) ——
@@ -1080,6 +1092,20 @@ object ExtendedQueries {
       s"""SELECT id AS doc_id, score FROM (
          |${graft.operators.LlmQueries.phraseSql(Seq("table", "hash"), 20)}
          |) __p""".stripMargin,
+    // C39d: the factored autocomplete replay; the range compound =
+    // text BM25 + constant 1.0 attribute score, both must-matched
+    "pipe_search_autocomplete" ->
+      s"""SELECT id AS doc_id, score FROM (
+         |${graft.operators.LlmQueries.autocompleteSql("quer", 20)}
+         |) __a""".stripMargin,
+    "pipe_search_range" ->
+      s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(Seq("spark"), "rg")},
+         |m AS (SELECT d.doc_id,
+         |    rgsc.score + 1.0 AS score
+         |  FROM documents d JOIN rgsc ON rgsc.id = d.doc_id
+         |  WHERE rgsc.score > 0 AND d.n_chars >= 200 AND d.n_chars <= 400)
+         |SELECT doc_id, score FROM m
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     // C40: the match set is the factored BM25 replay (score > 0 —
     // the $search contract), faceted relationally: string buckets by
     // count DESC then value, number buckets labeled by their [lo, hi)

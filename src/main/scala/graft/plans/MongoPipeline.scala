@@ -508,36 +508,86 @@ object MongoPipeline {
     * the stats row (broadcast), ranking via orderBy (+$limit ⇒
     * TakeOrdered); no shuffle of the corpus.
     */
+  /** `$search` clause kinds (C39/C39c/C39d): scored text/phrase/
+    * autocomplete clauses and the constant-scored attribute clauses
+    * range/equals/in (Lucene's constant-score filter queries — score
+    * 1 on match, 0 otherwise, which is exactly what the compound
+    * algebra's score > 0 ⇔ matches contract needs).
+    */
+  private sealed trait SearchClause
+  private case class TextC(path: String, terms: Seq[String]) extends SearchClause
+  private case class PhraseC(path: String, terms: Seq[String]) extends SearchClause
+  private case class AutoC(path: String, prefix: String) extends SearchClause
+  private case class AttrC(pred: Column) extends SearchClause
+
   private def search(df: DataFrame, spec: JsonNode): DataFrame = {
+    val clauseKinds =
+      Seq("text", "phrase", "autocomplete", "range", "equals", "in")
     val unknown = spec.properties().asScala.map(_.getKey)
-      .filterNot(k => k == "text" || k == "compound" || k == "phrase")
+      .filterNot(k => k == "compound" || clauseKinds.contains(k))
     require(unknown.isEmpty, s"unsupported $$search operators: $unknown")
-    // a clause is {text: {query, path}} (per-term BM25) or
-    // {phrase: {query, path}} (C39c — the phrase as ONE virtual term
-    // whose tf counts exact adjacent occurrences)
-    def textClause(node: JsonNode): (String, Seq[String], Boolean) = {
-      val isPhrase = node.get("phrase") != null
-      val txt = if (isPhrase) node.get("phrase") else node.get("text")
-      require(txt != null && txt.get("query") != null &&
-        txt.get("path") != null,
-        "$search clauses support the text/phrase operators: " +
-          "{text|phrase: {query: ..., path: ...}}")
-      val terms = txt.get("query").asText().toLowerCase.trim
-        .split("\\s+").toSeq.filter(_.nonEmpty)
-      require(terms.nonEmpty,
-        "$search.text.query must contain at least one term")
-      require(!isPhrase || terms.size >= 2,
-        "$search.phrase.query needs at least two terms — " +
-          "a one-term phrase IS the text operator")
-      (txt.get("path").asText(), terms, isPhrase)
+    def textClause(node: JsonNode): SearchClause = {
+      val kinds = clauseKinds.filter(node.get(_) != null)
+      require(kinds.size == 1,
+        s"$$search clauses take exactly one operator of $clauseKinds")
+      val body = node.get(kinds.head)
+      def path = {
+        require(body.get("path") != null,
+          s"$$search.${kinds.head}.path is required")
+        body.get("path").asText()
+      }
+      def terms(min: Int) = {
+        require(body.get("query") != null,
+          s"$$search.${kinds.head}.query is required")
+        val ts = body.get("query").asText().toLowerCase.trim
+          .split("\\s+").toSeq.filter(_.nonEmpty)
+        require(ts.size >= min,
+          s"$$search.${kinds.head}.query needs >= $min term(s)")
+        ts
+      }
+      kinds.head match {
+        case "text" => TextC(path, terms(1))
+        case "phrase" =>
+          val ts = terms(2) // a one-term phrase IS the text operator
+          PhraseC(path, ts)
+        case "autocomplete" =>
+          val ts = terms(1)
+          require(ts.size == 1,
+            "$search.autocomplete.query is a single prefix")
+          AutoC(path, ts.head)
+        case "range" =>
+          val bounds = Seq("gte" -> ((c: Column, v: JsonNode) => c >= literal(v)),
+            "gt" -> ((c: Column, v: JsonNode) => c > literal(v)),
+            "lte" -> ((c: Column, v: JsonNode) => c <= literal(v)),
+            "lt" -> ((c: Column, v: JsonNode) => c < literal(v)))
+            .flatMap { case (k, f) =>
+              Option(body.get(k)).map(v => f(col(path), v)) }
+          require(bounds.nonEmpty,
+            "$search.range needs at least one of gte/gt/lte/lt")
+          AttrC(bounds.reduce(_ && _))
+        case "equals" =>
+          require(body.get("value") != null, "$search.equals.value is required")
+          AttrC(col(path) === literal(body.get("value")))
+        case "in" =>
+          val vs = Option(body.get("value")).filter(_.isArray)
+            .getOrElse(throw new IllegalArgumentException(
+              "$search.in.value must be an array"))
+          AttrC(col(path).isin(
+            vs.elements().asScala.toSeq.map(literalValue): _*))
+      }
     }
-    def scoreClause(d: DataFrame, c: (String, Seq[String], Boolean),
-                    out: String): DataFrame = c match {
-      case (path, terms, false) =>
-        graft.operators.TextAnalysis.bm25WithScore(d, path, terms, out)
-      case (path, terms, true) =>
-        graft.operators.TextAnalysis.phraseWithScore(d, path, terms, out)
-    }
+    def scoreClause(d: DataFrame, c: SearchClause, out: String): DataFrame =
+      c match {
+        case TextC(path, terms) =>
+          graft.operators.TextAnalysis.bm25WithScore(d, path, terms, out)
+        case PhraseC(path, terms) =>
+          graft.operators.TextAnalysis.phraseWithScore(d, path, terms, out)
+        case AutoC(path, prefix) =>
+          graft.operators.TextAnalysis.autocompleteWithScore(
+            d, path, prefix, out)
+        case AttrC(pred) =>
+          d.withColumn(out, when(pred, 1.0).otherwise(0.0))
+      }
     val tie = df.columns.map(col).toSeq
     if (spec.get("compound") == null) {
       scoreClause(df, textClause(spec), SearchScoreCol)
@@ -555,7 +605,7 @@ object MongoPipeline {
         .filterNot(k => Seq("must", "should", "mustNot").contains(k))
       require(badKinds.isEmpty,
         s"unsupported $$search.compound clauses: $badKinds")
-      def clauses(kind: String): Seq[(String, Seq[String], Boolean)] =
+      def clauses(kind: String): Seq[SearchClause] =
         Option(comp.get(kind)).toSeq.flatMap { arr =>
           require(arr.isArray, s"$$search.compound.$kind must be an array")
           arr.elements().asScala.toSeq.map(textClause)

@@ -1448,6 +1448,54 @@ class ExtendedPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$search autocomplete + attribute clauses: prefix tf, constant-score range/equals/in, contract errors") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "querying the queue quickly", 10),
+      (2L, "a query about query planners", 20),
+      (3L, "nothing relevant", 30),
+      (4L, "quer exact-prefix token", 20))
+      .toDF("doc_id", "text", "n")
+    // autocomplete: tf counts prefix-matching tokens — doc1 has one
+    // ("querying"; "queue" misses the prefix), doc2 has two
+    val auto = MongoPipeline(docs,
+      """[{"$search": {"autocomplete": {"query": "quer", "path": "text"}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(auto.keySet == Set(1L, 2L, 4L), auto.toString)
+    assert(auto(2L) > auto(1L), s"two prefix tokens must outrank one: $auto")
+    // range + equals + in are constant-score filters inside compound
+    val rng = MongoPipeline(docs,
+      """[{"$search": {"compound": {
+           "must": [{"autocomplete": {"query": "quer", "path": "text"}},
+                    {"range": {"path": "n", "gte": 15, "lt": 30}}]}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rng.keySet == Set(2L, 4L), rng.toString)
+    // the attribute clause contributed exactly 1.0 on top
+    assert(math.abs(rng(2L) - (auto(2L) + 1.0)) < 1e-12)
+    val eq = MongoPipeline(docs,
+      """[{"$search": {"compound": {
+           "must": [{"equals": {"path": "n", "value": 20}}],
+           "mustNot": [{"in": {"path": "doc_id", "value": [4]}}]}}},
+          {"$project": {"doc_id": 1}}]""")
+      .collect().map(_.getLong(0)).toSet
+    assert(eq == Set(2L), eq.toString)
+    // contract errors: empty range, non-array in, multi-term prefix
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"range": {"path": "n"}}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"in": {"path": "n", "value": 5}}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"autocomplete": {"query": "two words", "path": "text"}}}]""")
+    }
+  }
+
   test("$search compound: must filters+scores, should scores, mustNot excludes; replay from standalone legs") {
     import graft.operators.TextAnalysis
     val docs = cat.documents
