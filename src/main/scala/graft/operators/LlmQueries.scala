@@ -421,6 +421,12 @@ object LlmQueries {
     "decon_fuzzy" -> ((s, dir) =>
       Dedup.decontaminateFuzzy(docs(s, dir), "doc_id", "text",
         benchPred = col("doc_id") % 20 === 0)),
+    // —— G13b: HARD-negative mining — nearest wrong-label neighbors
+    //    per anchor, the contrastive complement of G13's random draws ——
+    "embed_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(s, e, e.filter(col("vec_id") < 10), k = 4)
+    }),
     // —— F8d: EMBEDDING-space decontamination — corpus vectors
     //    cosine-near a broadcast benchmark set in the same cell ——
     "decon_embed" -> ((s, dir) => {
@@ -2661,6 +2667,20 @@ object LlmQueries {
         |            AS BIGINT) % 1000 < 990 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // G13b: anchors × wrong-label corpus, round-4 cosine, per-anchor
+    // (cos_r DESC, vec_id) rank window truncated at k
+    "embed_hard_negatives" ->
+      s"""WITH a AS (SELECT vec_id AS anchor, label AS a_label,
+         |           embedding AS a_emb FROM embeddings WHERE vec_id < 10),
+         |p AS (SELECT a.anchor, e.vec_id, e.label,
+         |    round(${cosSql.format("a.a_emb", "e.embedding")}, 4) AS cos_r
+         |  FROM a JOIN embeddings e
+         |    ON e.vec_id <> a.anchor AND e.label <> a.a_label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY anchor
+         |        ORDER BY cos_r DESC, vec_id) AS rank FROM p)
+         |SELECT anchor, vec_id AS negative, label AS neg_label, cos_r,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 4""".stripMargin,
     // F8d: label-blocked corpus×benchmark cosine, threshold at the
     // proven round-4 boundary, per-corpus-vector rollup
     "decon_embed" ->

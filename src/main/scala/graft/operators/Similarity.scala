@@ -43,6 +43,34 @@ object Similarity {
         col("cos_r"), col("rank"))
   }
 
+  /** G13b: HARD-negative mining — the contrastive-training complement
+    * of [[negativeSamples]]' random draws: for each anchor, the k
+    * NEAREST corpus vectors with a DIFFERENT label (the items the
+    * model most confuses — the standard hard-negative miner of
+    * retrieval/embedding training). Same plan shape as
+    * [[bruteForceTopK]]: the anchor set (a training batch — small by
+    * nature) broadcasts, the corpus scans once, and
+    * InferWindowGroupLimit prunes per map partition before the one
+    * per-anchor shuffle. Ties (cos_r DESC, vec_id ASC).
+    */
+  def hardNegatives(s: SparkSession, emb: DataFrame, anchors: DataFrame,
+                    k: Int): DataFrame = {
+    require(k > 0, s"hardNegatives k must be positive: $k")
+    withCosine(s)
+    val a = broadcast(anchors.select(col("vec_id").as("anchor"),
+      col("label").as("a_label"), col("embedding").as("a_emb")))
+    emb.join(a, col("vec_id") =!= col("anchor") &&
+        col("label") =!= col("a_label"))
+      .withColumn("cos_r", expr("round(cosine_sim(a_emb, embedding), 4)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("anchor"))
+          .orderBy(col("cos_r").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("anchor"), col("vec_id").as("negative"),
+        col("label").as("neg_label"), col("cos_r"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Deterministic random-hyperplane signature: plane p's coefficient
     * for dimension d is `((1+p*64+d)*2654435761 mod 1000003)/1000003
     * - 0.5` — integer arithmetic both engines reproduce exactly.

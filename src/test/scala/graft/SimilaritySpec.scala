@@ -1008,6 +1008,41 @@ class SimilaritySpec extends SparkTestBase {
       s"balanced decomposition should quantize better: opq=$opqErr pq=$pqErr")
   }
 
+  // ——— G13b: hard-negative mining ———
+
+  test("hardNegatives: nearest WRONG-label items, never self/same-label, plan broadcasts the anchors") {
+    val anchors = emb.filter(col("vec_id") < 10)
+    val out = Similarity.hardNegatives(spark, emb, anchors, k = 4)
+    val rows = out.collect()
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    rows.foreach { r =>
+      val (a, n, nl) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(n != a && labels(a) != nl, s"bad negative: $r")
+    }
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 4))
+    // the picks ARE the cosine-nearest wrong-label items: compare to a
+    // plain-Scala replay for one anchor
+    val a0 = anchors.collect().minBy(_.getLong(0))
+    val a0id = a0.getLong(0); val a0l = a0.getInt(2)
+    val a0e = a0.getSeq[Float](1).map(_.toDouble)
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      math.rint(d / (math.sqrt(x.map(v => v * v).sum) *
+        math.sqrt(y.map(v => v * v).sum)) * 1e4) / 1e4
+    }
+    val want = emb.collect()
+      .filter(r => r.getLong(0) != a0id && r.getInt(2) != a0l)
+      .map(r => (cos(a0e, r.getSeq[Float](1).map(_.toDouble)), r.getLong(0)))
+      .sortBy { case (c, id) => (-c, id) }.take(4).map(_._2).toSeq
+    val got = rows.filter(_.getLong(0) == a0id).sortBy(_.getInt(4))
+      .map(_.getLong(1)).toSeq
+    assert(got == want, s"anchor $a0id: got $got want $want")
+    // scale shape: anchors broadcast, corpus never shuffles pre-window,
+    // and the partial top-k prunes before the exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   // ——— F8d: embedding-space decontamination ———
 
   test("deconEmbed flags planted paraphrase-contamination; benchmark broadcasts, corpus never shuffles") {
