@@ -769,6 +769,24 @@ object LlmQueries {
        |SELECT id, score FROM asc0 WHERE score > 0
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
 
+  /** C39d oracle: the wildcard (LIKE-glob) virtual-term replay. */
+  private[graft] def wildcardSql(likePat: String, k: Int): String =
+    s"""WITH wt AS ($toksCte),
+       |wd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |    CAST(len(list_filter(toks, x -> x LIKE '$likePat'))
+       |      AS DOUBLE) AS tf0
+       |  FROM wt),
+       |ws0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) AS sumdl,
+       |  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0
+       |  FROM wd),
+       |wsc AS (SELECT wd.doc_id AS id,
+       |    round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+       |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n))), 6) AS score
+       |  FROM wd, ws0)
+       |SELECT id, score FROM wsc WHERE score > 0
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+
   private[graft] def bm25Sql(terms: Seq[String], k: Int): String =
     s"""WITH ${bm25ScoreCtes(terms, "")}
        |SELECT id, score FROM sc WHERE score > 0

@@ -1116,6 +1116,21 @@ object TextAnalysis {
         size(filter(col("__toks"), t => t.startsWith(lit(prefix))))
           .cast("double")), out)
 
+  /** C39d: WILDCARD scoring — tf counts tokens matching the
+    * LIKE-translated glob (Lucene's wildcard term query; the LIKE
+    * translation keeps *, ? semantics identical on any engine —
+    * deliberately not a regex dialect), through the shared
+    * virtual-term BM25. One corpus scan, no shuffle.
+    */
+  private[graft] def wildcardWithScore(docs: DataFrame, textCol: String,
+                                       likePat: String,
+                                       out: String): DataFrame =
+    virtualTermBm25(docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+      .withColumn("__tf0",
+        size(filter(col("__toks"), t => t.like(likePat))).cast("double")), out)
+
   /** The shared single-virtual-term BM25 tail: expects (__toks, __dl,
     * __tf0), folds the broadcast corpus-stats row in, and emits the
     * k1=1.2/b=0.75 score — the [[bm25WithScore]] formula at one term,

@@ -188,6 +188,10 @@ object ExtendedQueries {
       """[{"$search": {"autocomplete": {"query": "quer", "path": "text"}}},
           {"$limit": 20},
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    "pipe_search_wildcard" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"wildcard": {"query": "qu*y", "path": "text"}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
     "pipe_search_range" -> ((s, dir) => run(s, dir, "documents",
       """[{"$search": {"compound": {
             "must": [{"text": {"query": "spark", "path": "text"}},
@@ -1098,6 +1102,10 @@ object ExtendedQueries {
       s"""SELECT id AS doc_id, score FROM (
          |${graft.operators.LlmQueries.autocompleteSql("quer", 20)}
          |) __a""".stripMargin,
+    "pipe_search_wildcard" ->
+      s"""SELECT id AS doc_id, score FROM (
+         |${graft.operators.LlmQueries.wildcardSql("qu%y", 20)}
+         |) __w""".stripMargin,
     "pipe_search_range" ->
       s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(Seq("spark"), "rg")},
          |m AS (SELECT d.doc_id,

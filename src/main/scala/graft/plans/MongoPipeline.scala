@@ -518,11 +518,12 @@ object MongoPipeline {
   private case class TextC(path: String, terms: Seq[String]) extends SearchClause
   private case class PhraseC(path: String, terms: Seq[String]) extends SearchClause
   private case class AutoC(path: String, prefix: String) extends SearchClause
+  private case class WildC(path: String, likePat: String) extends SearchClause
   private case class AttrC(pred: Column) extends SearchClause
 
   private def search(df: DataFrame, spec: JsonNode): DataFrame = {
-    val clauseKinds =
-      Seq("text", "phrase", "autocomplete", "range", "equals", "in")
+    val clauseKinds = Seq("text", "phrase", "autocomplete", "wildcard",
+      "range", "equals", "in", "exists")
     val unknown = spec.properties().asScala.map(_.getKey)
       .filterNot(k => k == "compound" || clauseKinds.contains(k))
     require(unknown.isEmpty, s"unsupported $$search operators: $unknown")
@@ -555,6 +556,20 @@ object MongoPipeline {
           require(ts.size == 1,
             "$search.autocomplete.query is a single prefix")
           AutoC(path, ts.head)
+        case "wildcard" =>
+          // glob → SQL LIKE (identical *, ? semantics on any engine —
+          // deliberately NOT a regex dialect); % and _ in the glob are
+          // escaped so they match literally, as Lucene's wildcard does
+          val ts = terms(1)
+          require(ts.size == 1, "$search.wildcard.query is a single pattern")
+          require(ts.head.exists(c => c == '*' || c == '?'),
+            "$search.wildcard.query needs a * or ? — a literal pattern " +
+              "IS the text operator")
+          val pat = ts.head.replace("\\", "\\\\").replace("%", "\\%")
+            .replace("_", "\\_").replace('*', '%').replace('?', '_')
+          WildC(path, pat)
+        case "exists" =>
+          AttrC(col(path).isNotNull)
         case "range" =>
           val bounds = Seq("gte" -> ((c: Column, v: JsonNode) => c >= literal(v)),
             "gt" -> ((c: Column, v: JsonNode) => c > literal(v)),
@@ -585,6 +600,8 @@ object MongoPipeline {
         case AutoC(path, prefix) =>
           graft.operators.TextAnalysis.autocompleteWithScore(
             d, path, prefix, out)
+        case WildC(path, pat) =>
+          graft.operators.TextAnalysis.wildcardWithScore(d, path, pat, out)
         case AttrC(pred) =>
           d.withColumn(out, when(pred, 1.0).otherwise(0.0))
       }

@@ -1481,6 +1481,30 @@ class ExtendedPipelineSpec extends SparkTestBase {
           {"$project": {"doc_id": 1}}]""")
       .collect().map(_.getLong(0)).toSet
     assert(eq == Set(2L), eq.toString)
+    // wildcard: LIKE-translated glob, ? = one char, * = any run;
+    // exists is a constant-score not-null filter
+    val wild = MongoPipeline(docs,
+      """[{"$search": {"wildcard": {"query": "qu?ue", "path": "text"}}},
+          {"$project": {"doc_id": 1}}]""")
+      .collect().map(_.getLong(0)).toSet
+    assert(wild == Set(1L), s"qu?ue should match only 'queue': $wild")
+    val star = MongoPipeline(docs,
+      """[{"$search": {"wildcard": {"query": "quer*", "path": "text"}}},
+          {"$project": {"doc_id": 1}}]""")
+      .collect().map(_.getLong(0)).toSet
+    assert(star == Set(1L, 2L, 4L), star.toString)
+    val ex = MongoPipeline(
+      docs.withColumn("opt", when(col("doc_id") <= 2, col("n"))),
+      """[{"$search": {"compound": {
+           "must": [{"exists": {"path": "opt"}}]}}},
+          {"$project": {"doc_id": 1}}]""")
+      .collect().map(_.getLong(0)).toSet
+    assert(ex == Set(1L, 2L), ex.toString)
+    // a glob with no metacharacter IS the text operator — refused
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"wildcard": {"query": "plain", "path": "text"}}}]""")
+    }
     // contract errors: empty range, non-array in, multi-term prefix
     intercept[IllegalArgumentException] {
       MongoPipeline(docs,
