@@ -188,6 +188,13 @@ object ExtendedQueries {
       """[{"$search": {"autocomplete": {"query": "quer", "path": "text"}}},
           {"$limit": 20},
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    "pipe_search_near" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark", "path": "text"}}],
+            "should": [{"near": {"path": "n_chars", "origin": 300,
+                                 "pivot": 50}}]}}},
+          {"$limit": 15},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
     "pipe_search_wildcard" -> ((s, dir) => run(s, dir, "documents",
       """[{"$search": {"wildcard": {"query": "qu*y", "path": "text"}}},
           {"$limit": 20},
@@ -1102,6 +1109,17 @@ object ExtendedQueries {
       s"""SELECT id AS doc_id, score FROM (
          |${graft.operators.LlmQueries.autocompleteSql("quer", 20)}
          |) __a""".stripMargin,
+    // near inside compound: text BM25 + the pivot decay, summed in
+    // declaration order (both components exact IEEE)
+    "pipe_search_near" ->
+      s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(Seq("spark"), "nr")},
+         |m AS (SELECT d.doc_id,
+         |    nrsc.score + 50.0 / (50.0 + abs(CAST(d.n_chars AS DOUBLE) - 300.0))
+         |      AS score
+         |  FROM documents d JOIN nrsc ON nrsc.id = d.doc_id
+         |  WHERE nrsc.score > 0)
+         |SELECT doc_id, score FROM m
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "pipe_search_wildcard" ->
       s"""SELECT id AS doc_id, score FROM (
          |${graft.operators.LlmQueries.wildcardSql("qu%y", 20)}

@@ -519,11 +519,13 @@ object MongoPipeline {
   private case class PhraseC(path: String, terms: Seq[String]) extends SearchClause
   private case class AutoC(path: String, prefix: String) extends SearchClause
   private case class WildC(path: String, likePat: String) extends SearchClause
+  private case class NearC(path: String, origin: Double, pivot: Double)
+    extends SearchClause
   private case class AttrC(pred: Column) extends SearchClause
 
   private def search(df: DataFrame, spec: JsonNode): DataFrame = {
     val clauseKinds = Seq("text", "phrase", "autocomplete", "wildcard",
-      "range", "equals", "in", "exists")
+      "near", "range", "equals", "in", "exists")
     val unknown = spec.properties().asScala.map(_.getKey)
       .filterNot(k => k == "compound" || clauseKinds.contains(k))
     require(unknown.isEmpty, s"unsupported $$search operators: $unknown")
@@ -570,6 +572,15 @@ object MongoPipeline {
           WildC(path, pat)
         case "exists" =>
           AttrC(col(path).isNotNull)
+        case "near" =>
+          // numeric proximity: score = pivot/(pivot + |x − origin|) —
+          // Atlas' decay curve, every step a correctly-rounded IEEE op
+          require(body.get("origin") != null && body.get("pivot") != null,
+            "$search.near needs origin and pivot")
+          val origin = body.get("origin").asDouble()
+          val pivot = body.get("pivot").asDouble()
+          require(pivot > 0, s"$$search.near.pivot must be positive: $pivot")
+          NearC(path, origin, pivot)
         case "range" =>
           val bounds = Seq("gte" -> ((c: Column, v: JsonNode) => c >= literal(v)),
             "gt" -> ((c: Column, v: JsonNode) => c > literal(v)),
@@ -602,6 +613,12 @@ object MongoPipeline {
             d, path, prefix, out)
         case WildC(path, pat) =>
           graft.operators.TextAnalysis.wildcardWithScore(d, path, pat, out)
+        case NearC(path, origin, pivot) =>
+          // matches everything (score > 0 always) — Lucene's near is a
+          // pure scorer; nulls score 0 (no value = no proximity)
+          d.withColumn(out, coalesce(
+            lit(pivot) / (lit(pivot) +
+              abs(col(path).cast("double") - lit(origin))), lit(0.0)))
         case AttrC(pred) =>
           d.withColumn(out, when(pred, 1.0).otherwise(0.0))
       }

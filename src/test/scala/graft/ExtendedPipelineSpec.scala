@@ -1500,6 +1500,19 @@ class ExtendedPipelineSpec extends SparkTestBase {
           {"$project": {"doc_id": 1}}]""")
       .collect().map(_.getLong(0)).toSet
     assert(ex == Set(1L, 2L), ex.toString)
+    // near: pure proximity scorer — pivot/(pivot+|x−origin|), exact
+    // 1.0 at the origin, halved one pivot away, nulls score 0
+    val near = MongoPipeline(
+      docs.withColumn("opt", when(col("doc_id") <= 3, col("n"))),
+      """[{"$search": {"near": {"path": "opt", "origin": 20, "pivot": 10}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(near(2L) == 1.0 && near(1L) == 0.5 && near(3L) == 0.5, near.toString)
+    assert(!near.contains(4L), "null path must score 0 and drop")
+    intercept[IllegalArgumentException] { // pivot must be positive
+      MongoPipeline(docs,
+        """[{"$search": {"near": {"path": "n", "origin": 20, "pivot": 0}}}]""")
+    }
     // a glob with no metacharacter IS the text operator — refused
     intercept[IllegalArgumentException] {
       MongoPipeline(docs,
