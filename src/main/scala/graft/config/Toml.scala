@@ -21,6 +21,8 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   */
 object Toml {
   private val mapper = new ObjectMapper()
+  private val longRe = "[+-]?[0-9]+".r
+  private val doubleRe = "[+-]?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?".r
 
   /** Parse TOML into a Jackson object tree. */
   def parse(input: String): ObjectNode = {
@@ -33,6 +35,11 @@ object Toml {
       val line = input.substring(0, math.min(i, n)).count(_ == '\n') + 1
       throw new IllegalArgumentException(s"TOML parse error (line $line): $msg")
     }
+    // RFC 6901 JSON Pointer segment escaping: a quoted TOML key may
+    // contain '/' (or '~'); without escaping, withObject("/a/b") would
+    // silently create nested objects a.b instead of the single key "a/b".
+    def ptr(seg: String): String =
+      "/" + seg.replace("~", "~0").replace("/", "~1")
     def skipWsComments(stopAtNewline: Boolean): Unit = {
       var go = true
       while (go && i < n) input.charAt(i) match {
@@ -60,7 +67,7 @@ object Toml {
       skipWsComments(stopAtNewline = true)
       while (i < n && input.charAt(i) == '.') {
         i += 1; skipWsComments(stopAtNewline = true)
-        cur = cur.withObject(s"/$k")
+        cur = cur.withObject(ptr(k))
         k = quotedOrBareKey()
         skipWsComments(stopAtNewline = true)
       }
@@ -155,6 +162,10 @@ object Toml {
         }
       }
     }
+    // Shape-validated before toLong/toDouble so malformed numerics the
+    // subset declares out of scope (dates like 2023-01-01, or 1.2.3)
+    // refuse loudly through err() with the line number rather than a raw
+    // NumberFormatException.
     def number(putLong: Long => Any, putDouble: Double => Any): Unit = {
       val st = i
       if (i < n && (input.charAt(i) == '+' || input.charAt(i) == '-')) i += 1
@@ -162,9 +173,13 @@ object Toml {
         "._eE+-".contains(input.charAt(i)))) i += 1
       val raw = input.substring(st, i).replace("_", "")
       if (raw.isEmpty || raw == "+" || raw == "-") err("expected a number")
-      if (raw.exists(c => c == '.' || c == 'e' || c == 'E'))
+      if (raw.exists(c => c == '.' || c == 'e' || c == 'E')) {
+        if (!doubleRe.matches(raw)) err(s"malformed number '$raw'")
         putDouble(raw.toDouble)
-      else putLong(raw.toLong)
+      } else {
+        if (!longRe.matches(raw)) err(s"malformed number '$raw'")
+        putLong(raw.toLong)
+      }
     }
 
     skipWsComments(stopAtNewline = false)
@@ -176,20 +191,25 @@ object Toml {
           if (i + 1 >= n || input.charAt(i) != ']' || input.charAt(i + 1) != ']')
             err("expected ]] to close an array-of-tables header")
           i += 2
-          target = parent.withArray(s"/$last").addObject()
+          target = parent.withArray(ptr(last)).addObject()
         case '[' =>
           i += 1; skipWsComments(stopAtNewline = true)
           val (parent, last) = keyPath(root)
           if (i >= n || input.charAt(i) != ']')
             err("expected ] to close a table header")
           i += 1
-          target = parent.withObject(s"/$last")
+          target = parent.withObject(ptr(last))
         case _ =>
           val (parent, last) = keyPath(if (target == null) root else target)
           skipWsComments(stopAtNewline = true)
           if (i >= n || input.charAt(i) != '=') err(s"expected = after key '$last'")
           i += 1
           value(parent, last)
+          // TOML forbids multiple key=value pairs on one line: only
+          // inline whitespace / a comment may follow the value.
+          skipWsComments(stopAtNewline = true)
+          if (i < n && input.charAt(i) != '\n')
+            err(s"expected end of line after the value of '$last'")
       }
       skipWsComments(stopAtNewline = false)
     }

@@ -773,7 +773,7 @@ object LlmQueries {
   private[graft] def wildcardSql(likePat: String, k: Int): String =
     s"""WITH wt AS ($toksCte),
        |wd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-       |    CAST(len(list_filter(toks, x -> x LIKE '$likePat'))
+       |    CAST(len(list_filter(toks, x -> x LIKE '$likePat' ESCAPE '\\'))
        |      AS DOUBLE) AS tf0
        |  FROM wt),
        |ws0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,

@@ -492,10 +492,10 @@ object TextAnalysis {
         concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)).as("ab"),
         concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)).as("bc"),
         col("__p").getItem(1).as("b"), col("__p").getItem(2).as("c"))
-      // reuse seam: ctx3 + contBc + the scored join all read the type
-      // table; without it each branch re-scans the corpus (the kn5
-      // lesson, same shape two levels up)
-      .localCheckpoint(eager = false)
+    // NO reuse seam here: materializing the type table (the kn5 move)
+    // taxes this shallow chain more than the re-derived branches cost —
+    // measured r14: the seam regressed text_trigram_lp 1.34×. The seam
+    // is depth-gated: 5-gram chains keep it, order-3 chains don't.
     val ctx3 = cf3.groupBy(col("ab")).agg(sum(col("cf3")).as("ctx3"))
     val bi = docs.select(explode(grams(2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cf2"))
@@ -583,10 +583,11 @@ object TextAnalysis {
         concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)).as("ab"),
         concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)).as("bc"),
         col("__p").getItem(1).as("b"), col("__p").getItem(2).as("c"))
-      // reuse seam: ctx3 + contBc + the scored join all read the type
-      // table; without it each branch re-scans the corpus (the kn5
-      // lesson, same shape two levels up)
-      .localCheckpoint(eager = false)
+    // NO reuse seam on the order-3 chain (depth-gated — see
+    // [[trigramLogProb]]): materializing the type table regressed
+    // text_kn_lp 1.59× in r14; the re-derived branches are cheaper
+    // than the materialization at this chain depth. kn5 keeps its
+    // seams — there the 11-scan/37-exchange blowup dominates.
     // trigram-context totals + distinct-continuation counts: cf3 rows
     // are unique trigram TYPES, so count(*) per ab IS N₁₊(ab·)
     val ctx3 = cf3.groupBy(col("ab"))
@@ -597,7 +598,7 @@ object TextAnalysis {
       .withColumn("__q", split(col("bc"), " "))
       .select(col("bc"), col("n1p_bc"),
         col("__q").getItem(0).as("b"), col("__q").getItem(1).as("c"))
-      .localCheckpoint(eager = false) // feeds midB + contC + nBc + join
+    // (no seam — depth-gated, see cf3 above)
     val midB = contBc.groupBy(col("b"))
       .agg(sum(col("n1p_bc")).as("n1p_mid_b"),
         count(lit(1)).as("n1p_b_dot"))
@@ -1041,33 +1042,113 @@ object TextAnalysis {
     * Math.log and DuckDB's libm agree on this data, but a 1-ulp libm
     * difference near a round(,6) boundary could flip a rounded score
     * on another platform — the round is a mitigation, not a proof.
+    *
+    * Since round 15 this is the 1-clause case of
+    * [[searchScoresFused]] — the compound fusion and the standalone
+    * ranking share one arithmetic by construction.
     */
   private[graft] def bm25WithScore(docs: DataFrame, textCol: String,
                                    terms: Seq[String],
                                    out: String): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one term")
-    val withTf = terms.indices.foldLeft(
-      docs.withColumn("__toks", tokens(col(textCol)))
-        .withColumn("__dl", size(col("__toks")).cast("double"))) {
-      (d, i) => d.withColumn(s"__tf$i",
-        stopCount(col("__toks"), Seq(terms(i))).cast("double"))
+    searchScoresFused(docs, Seq((textCol, terms.map(tfTerm))), Seq(out))
+  }
+
+  /** `$search` virtual-term tf recipes (round 15): each scored clause
+    * kind compiles to (path, per-virtual-term tf over that path's
+    * token array). A plain text term counts exact occurrences; a
+    * phrase counts non-overlapping exact-adjacent occurrences of the
+    * term sequence (the documented " a a a " deviation from Lucene's
+    * position counting — see [[phraseWithScore]]); autocomplete
+    * counts tokens with the query prefix; wildcard counts tokens
+    * matching the LIKE-translated glob. All recipes are pure Column
+    * algebra over the SHARED token array, so an N-clause fused pass
+    * computes every tf on one corpus scan.
+    */
+  private[graft] def tfTerm(term: String): Column => Column =
+    toks => stopCount(toks, Seq(term)).cast("double")
+
+  private[graft] def tfPhrase(terms: Seq[String]): Column => Column = { toks =>
+    val needle = " " + terms.mkString(" ") + " "
+    val stream = concat(lit(" "), concat_ws(" ", toks), lit(" "))
+    ((length(stream) - length(replace(stream, lit(needle), lit("")))) /
+      lit(needle.length)).cast("double")
+  }
+
+  private[graft] def tfPrefix(prefix: String): Column => Column =
+    toks => size(filter(toks, t => t.startsWith(lit(prefix)))).cast("double")
+
+  private[graft] def tfLike(likePat: String): Column => Column =
+    toks => size(filter(toks, t => t.like(likePat))).cast("double")
+
+  /** FUSED multi-clause `$search` scoring (round 15) — every scored
+    * clause of a compound computes off ONE corpus pass and ONE
+    * broadcast stats row, instead of one stats-aggregate corpus scan
+    * per clause (the r14 shape: a K-clause compound read the corpus
+    * K+1 times; at 100 TB that is the difference between 2 scans and
+    * 6). Per distinct path p the frame carries one token array and
+    * one document length; the single stats aggregate computes N
+    * (path-independent), Σdl per path, and df per virtual term; each
+    * clause's score is its terms' k1=1.2/b=0.75 BM25 components
+    * summed and rounded to 6 — the IDENTICAL expression tree the
+    * per-clause scorers built, so fusing is hash-invariant (verified:
+    * pipe_search_compound and all compound consumers stayed
+    * hash-green across the switch).
+    *
+    * Scale: one corpus scan for tfs (codegen'd recipes), one for the
+    * broadcast stats row — constant in the clause count; no shuffle
+    * of the corpus.
+    */
+  private[graft] def searchScoresFused(
+      docs: DataFrame,
+      clauses: Seq[(String, Seq[Column => Column])],
+      outs: Seq[String]): DataFrame = {
+    require(clauses.nonEmpty && clauses.size == outs.size,
+      "searchScoresFused: one output column per clause")
+    require(clauses.forall(_._2.nonEmpty), "every clause needs >= 1 term")
+    val paths = clauses.map(_._1).distinct
+    val pIdx = paths.zipWithIndex.toMap
+    val withToks = paths.zipWithIndex.foldLeft(docs) { case (d, (p, pi)) =>
+      d.withColumn(s"__toks$pi", tokens(col(p)))
+        .withColumn(s"__dl$pi", size(col(s"__toks$pi")).cast("double"))
+    }
+    val flat = for {
+      (c, ci) <- clauses.zipWithIndex; ti <- c._2.indices
+    } yield (ci, ti)
+    val withTf = clauses.zipWithIndex.foldLeft(withToks) {
+      case (d, ((p, ts), ci)) =>
+        ts.zipWithIndex.foldLeft(d) { case (d2, (t, ti)) =>
+          d2.withColumn(s"__tf_${ci}_$ti", t(col(s"__toks${pIdx(p)}")))
+        }
     }
     val aggs = count(lit(1)).cast("double").as("__n") +:
-      sum(col("__dl")).cast("long").cast("double").as("__sumdl") +:
-      terms.indices.map(i =>
-        sum(when(col(s"__tf$i") > 0, 1).otherwise(0)).cast("double").as(s"__df$i"))
+      (paths.indices.map(pi =>
+        sum(col(s"__dl$pi")).cast("long").cast("double").as(s"__sumdl$pi")) ++
+        flat.map { case (ci, ti) =>
+          sum(when(col(s"__tf_${ci}_$ti") > 0, 1).otherwise(0))
+            .cast("double").as(s"__df_${ci}_$ti")
+        })
     val stats = broadcast(withTf.agg(aggs.head, aggs.tail: _*))
-    // BM25 with k1=1.2, b=0.75
-    val score = terms.indices.map { i =>
-      val (tf, df) = (col(s"__tf$i"), col(s"__df$i"))
+    // BM25 with k1=1.2, b=0.75 — the formula is character-identical
+    // to the pre-fusion per-clause scorers
+    def comp(tf: Column, df: Column, dl: Column, sumdl: Column): Column =
       log(lit(1.0) + (col("__n") - df + 0.5) / (df + 0.5)) *
-        tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("__dl") /
-          (col("__sumdl") / col("__n"))))
-    }.reduce(_ + _)
-    withTf.crossJoin(stats)
-      .withColumn(out, round(score, 6))
-      .drop("__toks" :: "__dl" :: "__n" :: "__sumdl" ::
-        terms.indices.toList.flatMap(i => List(s"__tf$i", s"__df$i")): _*)
+        tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl /
+          (sumdl / col("__n"))))
+    val joined = withTf.crossJoin(stats)
+    val scored = clauses.zipWithIndex.foldLeft(joined) {
+      case (d, ((p, ts), ci)) =>
+        val pi = pIdx(p)
+        d.withColumn(outs(ci), round(
+          ts.indices.map(ti => comp(col(s"__tf_${ci}_$ti"),
+            col(s"__df_${ci}_$ti"), col(s"__dl$pi"), col(s"__sumdl$pi")))
+            .reduce(_ + _), 6))
+    }
+    scored.drop(
+      paths.indices.flatMap(pi => Seq(s"__toks$pi", s"__dl$pi")) ++
+        Seq("__n") ++ paths.indices.map(pi => s"__sumdl$pi") ++
+        flat.flatMap { case (ci, ti) =>
+          Seq(s"__tf_${ci}_$ti", s"__df_${ci}_$ti") }: _*)
   }
 
   /** C39c: PHRASE scoring — the `$search` `phrase` operator's core:
@@ -1086,17 +1167,7 @@ object TextAnalysis {
                                      terms: Seq[String],
                                      out: String): DataFrame = {
     require(terms.size >= 2, "a phrase needs at least two terms")
-    val needle = " " + terms.mkString(" ") + " "
-    virtualTermBm25(docs
-      .withColumn("__toks", tokens(col(textCol)))
-      .withColumn("__dl", size(col("__toks")).cast("double"))
-      .withColumn("__stream",
-        concat(lit(" "), concat_ws(" ", col("__toks")), lit(" ")))
-      .withColumn("__tf0",
-        ((length(col("__stream")) -
-          length(replace(col("__stream"), lit(needle), lit("")))) /
-          lit(needle.length)).cast("double"))
-      .drop("__stream"), out)
+    searchScoresFused(docs, Seq((textCol, Seq(tfPhrase(terms)))), Seq(out))
   }
 
   /** C39d: AUTOCOMPLETE scoring — the `$search` `autocomplete`
@@ -1109,12 +1180,7 @@ object TextAnalysis {
   private[graft] def autocompleteWithScore(docs: DataFrame, textCol: String,
                                            prefix: String,
                                            out: String): DataFrame =
-    virtualTermBm25(docs
-      .withColumn("__toks", tokens(col(textCol)))
-      .withColumn("__dl", size(col("__toks")).cast("double"))
-      .withColumn("__tf0",
-        size(filter(col("__toks"), t => t.startsWith(lit(prefix))))
-          .cast("double")), out)
+    searchScoresFused(docs, Seq((textCol, Seq(tfPrefix(prefix)))), Seq(out))
 
   /** C39d: WILDCARD scoring — tf counts tokens matching the
     * LIKE-translated glob (Lucene's wildcard term query; the LIKE
@@ -1125,32 +1191,7 @@ object TextAnalysis {
   private[graft] def wildcardWithScore(docs: DataFrame, textCol: String,
                                        likePat: String,
                                        out: String): DataFrame =
-    virtualTermBm25(docs
-      .withColumn("__toks", tokens(col(textCol)))
-      .withColumn("__dl", size(col("__toks")).cast("double"))
-      .withColumn("__tf0",
-        size(filter(col("__toks"), t => t.like(likePat))).cast("double")), out)
-
-  /** The shared single-virtual-term BM25 tail: expects (__toks, __dl,
-    * __tf0), folds the broadcast corpus-stats row in, and emits the
-    * k1=1.2/b=0.75 score — the [[bm25WithScore]] formula at one term,
-    * so every scored `$search` clause kind shares one arithmetic.
-    */
-  private def virtualTermBm25(withTf: DataFrame, out: String): DataFrame = {
-    val stats = broadcast(withTf.agg(
-      count(lit(1)).cast("double").as("__n"),
-      sum(col("__dl")).cast("long").cast("double").as("__sumdl"),
-      sum(when(col("__tf0") > 0, 1).otherwise(0)).cast("double").as("__df0")))
-    val score = {
-      val (tf, df) = (col("__tf0"), col("__df0"))
-      log(lit(1.0) + (col("__n") - df + 0.5) / (df + 0.5)) *
-        tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("__dl") /
-          (col("__sumdl") / col("__n"))))
-    }
-    withTf.crossJoin(stats)
-      .withColumn(out, round(score, 6))
-      .drop("__toks", "__dl", "__tf0", "__n", "__sumdl", "__df0")
-  }
+    searchScoresFused(docs, Seq((textCol, Seq(tfLike(likePat)))), Seq(out))
 
   /** H20: model-based quality filter — fasttext/CCNet-style linear
     * classifier inference over hashed token features: each token

@@ -1110,11 +1110,15 @@ object ExtendedQueries {
          |${graft.operators.LlmQueries.autocompleteSql("quer", 20)}
          |) __a""".stripMargin,
     // near inside compound: text BM25 + the pivot decay, summed in
-    // declaration order (both components exact IEEE)
+    // declaration order (both components exact IEEE). The decay term is
+    // COALESCE'd to 0.0 to mirror the engine's NearC null handling (a
+    // NULL origin field contributes no near score; the row survives on
+    // its BM25 score alone).
     "pipe_search_near" ->
       s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(Seq("spark"), "nr")},
          |m AS (SELECT d.doc_id,
-         |    nrsc.score + 50.0 / (50.0 + abs(CAST(d.n_chars AS DOUBLE) - 300.0))
+         |    nrsc.score
+         |      + COALESCE(50.0 / (50.0 + abs(CAST(d.n_chars AS DOUBLE) - 300.0)), 0.0)
          |      AS score
          |  FROM documents d JOIN nrsc ON nrsc.id = d.doc_id
          |  WHERE nrsc.score > 0)

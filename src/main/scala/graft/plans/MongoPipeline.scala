@@ -523,13 +523,43 @@ object MongoPipeline {
     extends SearchClause
   private case class AttrC(pred: Column) extends SearchClause
 
+  /** `$search` score modifiers (round 15) — Atlas' per-clause `score`
+    * option, the first thing a real compound-search user reaches for
+    * to weight clauses: `{boost: {value: v}}` multiplies the clause's
+    * score by v; `{constant: {value: v}}` replaces the score of every
+    * matching document with v. Both require v > 0 — BM25 scores are
+    * ≥ 0 with "matches" ⇔ score > 0, and the compound algebra's
+    * must/mustNot tests ride on that sign, so a non-positive modifier
+    * would silently corrupt matching and is refused loudly.
+    */
+  private sealed trait ScoreMod
+  private case class BoostM(v: Double) extends ScoreMod
+  private case class ConstM(v: Double) extends ScoreMod
+
   private def search(df: DataFrame, spec: JsonNode): DataFrame = {
     val clauseKinds = Seq("text", "phrase", "autocomplete", "wildcard",
       "near", "range", "equals", "in", "exists")
     val unknown = spec.properties().asScala.map(_.getKey)
       .filterNot(k => k == "compound" || clauseKinds.contains(k))
     require(unknown.isEmpty, s"unsupported $$search operators: $unknown")
-    def textClause(node: JsonNode): SearchClause = {
+    def scoreMod(body: JsonNode, kind: String): Option[ScoreMod] =
+      Option(body.get("score")).map { sn =>
+        val ks = sn.properties().asScala.map(_.getKey).toSet
+        require(ks == Set("boost") || ks == Set("constant"),
+          s"$$search.$kind.score takes exactly one of boost|constant (got $ks)")
+        val which = ks.head
+        val vn = Option(sn.get(which)).map(_.get("value")).orNull
+        require(vn != null && vn.isNumber,
+          s"$$search.$kind.score.$which.value is a required number " +
+            "(the value form — path/function score sources are not supported)")
+        val v = vn.asDouble()
+        require(v > 0,
+          s"$$search.$kind.score.$which.value must be positive: $v — " +
+            "matching rides on score > 0, a non-positive modifier would " +
+            "silently corrupt compound must/mustNot semantics")
+        if (which == "boost") BoostM(v) else ConstM(v)
+      }
+    def textClause(node: JsonNode): (SearchClause, Option[ScoreMod]) = {
       val kinds = clauseKinds.filter(node.get(_) != null)
       require(kinds.size == 1,
         s"$$search clauses take exactly one operator of $clauseKinds")
@@ -548,7 +578,7 @@ object MongoPipeline {
           s"$$search.${kinds.head}.query needs >= $min term(s)")
         ts
       }
-      kinds.head match {
+      val clause = kinds.head match {
         case "text" => TextC(path, terms(1))
         case "phrase" =>
           val ts = terms(2) // a one-term phrase IS the text operator
@@ -601,7 +631,29 @@ object MongoPipeline {
           AttrC(col(path).isin(
             vs.elements().asScala.toSeq.map(literalValue): _*))
       }
+      (clause, scoreMod(body, kinds.head))
     }
+    // the fused-pass recipe of a BM25-scored clause kind; None for the
+    // clause kinds that don't consume corpus stats (near's pure decay
+    // scorer and the constant-score attribute clauses)
+    def recipe(c: SearchClause): Option[(String, Seq[Column => Column])] = {
+      import graft.operators.{TextAnalysis => TA}
+      c match {
+        case TextC(p, ts) => Some((p, ts.map(TA.tfTerm)))
+        case PhraseC(p, ts) => Some((p, Seq(TA.tfPhrase(ts))))
+        case AutoC(p, pre) => Some((p, Seq(TA.tfPrefix(pre))))
+        case WildC(p, pat) => Some((p, Seq(TA.tfLike(pat))))
+        case _ => None
+      }
+    }
+    def applyMod(d: DataFrame, out: String, mod: Option[ScoreMod]): DataFrame =
+      mod match {
+        case None => d
+        case Some(BoostM(v)) =>
+          d.withColumn(out, round(col(out) * lit(v), 6))
+        case Some(ConstM(v)) =>
+          d.withColumn(out, when(col(out) > 0, lit(v)).otherwise(lit(0.0)))
+      }
     def scoreClause(d: DataFrame, c: SearchClause, out: String): DataFrame =
       c match {
         case TextC(path, terms) =>
@@ -624,7 +676,8 @@ object MongoPipeline {
       }
     val tie = df.columns.map(col).toSeq
     if (spec.get("compound") == null) {
-      scoreClause(df, textClause(spec), SearchScoreCol)
+      val (c, mod) = textClause(spec)
+      applyMod(scoreClause(df, c, SearchScoreCol), SearchScoreCol, mod)
         .filter(col(SearchScoreCol) > 0)
         .orderBy(col(SearchScoreCol).desc +: tie: _*)
     } else {
@@ -639,7 +692,7 @@ object MongoPipeline {
         .filterNot(k => Seq("must", "should", "mustNot").contains(k))
       require(badKinds.isEmpty,
         s"unsupported $$search.compound clauses: $badKinds")
-      def clauses(kind: String): Seq[SearchClause] =
+      def clauses(kind: String): Seq[(SearchClause, Option[ScoreMod])] =
         Option(comp.get(kind)).toSeq.flatMap { arr =>
           require(arr.isArray, s"$$search.compound.$kind must be an array")
           arr.elements().asScala.toSeq.map(textClause)
@@ -649,8 +702,22 @@ object MongoPipeline {
       require(must.nonEmpty || should.nonEmpty,
         "$search.compound needs at least one must or should clause")
       val all = (must ++ should ++ mustNot).zipWithIndex
-      val scored = all.foldLeft(df) { case (d, (c, i)) =>
-        scoreClause(d, c, s"__sc$i")
+      // FUSED stats pass (round 15): every BM25-scored clause computes
+      // off ONE corpus scan + ONE broadcast stats row via
+      // searchScoresFused — a K-clause compound reads the corpus 2×,
+      // not K+1× (the r14 shape). Non-stats clauses (near/attribute)
+      // attach per-row columns on the same frame, costing no extra scan.
+      val fusedPart = all.flatMap { case ((c, _), i) =>
+        recipe(c).map(r => (r, i)) }
+      val base =
+        if (fusedPart.isEmpty) df
+        else graft.operators.TextAnalysis.searchScoresFused(
+          df, fusedPart.map(_._1), fusedPart.map(p => s"__sc${p._2}"))
+      val scoredRaw = all.foldLeft(base) { case (d, ((c, _), i)) =>
+        if (recipe(c).isDefined) d else scoreClause(d, c, s"__sc$i")
+      }
+      val scored = all.foldLeft(scoredRaw) { case (d, ((_, m), i)) =>
+        applyMod(d, s"__sc$i", m)
       }
       val nm = must.size
       val ns = should.size

@@ -387,10 +387,19 @@ object CurationJob {
     * batch-mode [[graft.operators.Similarity.cellKnnGraph]] over the
     * standing semidx — spec-asserted across batches, compaction and
     * re-delivery.
+    *
+    * Edge shards are deduplicated before ranking: during [[compactIndex]]'s
+    * documented visible window (generation rename done, source shards not
+    * yet deleted — or after a crash until the next batch retries the
+    * deletes) every folded edge row appears TWICE. The fp/band/bloom
+    * readers are set-semantic so that window is harmless there, but
+    * BoundedTopK would count a duplicate edge toward top-k and displace a
+    * genuine neighbor. Duplicates are exact row copies, so `distinct()`
+    * restores the appears-once contract at negligible cost.
     */
   def knnGraph(spark: SparkSession, corpusDir: String, k: Int): DataFrame =
     graft.operators.Similarity.knnFromEdges(
-      readIndexExcept(spark, s"$corpusDir/knn", "", knnSchema), k)
+      readIndexExcept(spark, s"$corpusDir/knn", "", knnSchema).distinct(), k)
 
   private val knnSchema = StructType(Seq(
     StructField("id", org.apache.spark.sql.types.LongType),

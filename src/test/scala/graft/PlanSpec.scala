@@ -546,6 +546,33 @@ class PlanSpec extends SparkTestBase {
       s"$$search shuffled the corpus:\n$plan")
   }
 
+  test("$search compound: corpus scans are clause-count-INVARIANT (fused stats pass)") {
+    // r14 shape: one broadcast-stats corpus-scan subtree PER scored
+    // clause (K+1 scans for a K-clause compound). Round 15 fuses all
+    // clauses' stats (N, Σdl, per-term df) into ONE aggregate, so a
+    // 3-clause compound plans exactly as many parquet scans as a
+    // 1-clause search: the tf pass + the stats pass.
+    def scans(json: String): Int = {
+      val plan = executed(graft.plans.MongoPipeline(t.documents, json))
+      "FileScan parquet".r.findAllIn(plan).length
+    }
+    val one = scans(
+      """[{"$search": {"text": {"query": "spark", "path": "text"}}},
+          {"$limit": 5},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    val three = scans(
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark query", "path": "text"}},
+                     {"phrase": {"query": "table hash", "path": "text"}}],
+            "should": [{"wildcard": {"query": "qu*y", "path": "text"}}]}}},
+          {"$limit": 5},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    assert(one == 2, s"1-clause $$search planned $one corpus scans, want 2")
+    assert(three == one,
+      s"3-clause compound planned $three corpus scans vs $one for 1 clause " +
+        "— the per-clause stats fusion regressed")
+  }
+
   test("broker log append: offsets sequence per (topic, partition) — no global sort") {
     import graft.streaming.KafkaLog
     val msgs = t.events.selectExpr("'t' as topic",
