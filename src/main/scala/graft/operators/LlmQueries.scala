@@ -727,26 +727,35 @@ object LlmQueries {
     * phrase in the space-joined token stream (the engine's replace
     * trick, op for op), pushed through the same k1/b formula.
     */
-  private[graft] def phraseSql(terms: Seq[String], k: Int): String = {
+  /** The phrase-as-one-virtual-term score chain as prefix-parameterized
+    * CTEs ending in `<p>sc(id, score)` for EVERY doc (no match filter,
+    * no limit) — the [[bm25ScoreCtes]] move for the phrase operator, so
+    * the standalone ranking and the compound/boost oracles share one
+    * chain. With p = "p" the text matches the historical phraseSql body.
+    */
+  private[graft] def phraseScoreCtes(terms: Seq[String], p: String): String = {
     val needle = " " + terms.mkString(" ") + " "
-    s"""WITH pt AS ($toksCte),
-       |pd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+    s"""${p}t AS ($toksCte),
+       |${p}d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
        |    (len(stream) - len(replace(stream, '$needle', '')))
        |      / ${needle.length} AS tf0
        |  FROM (SELECT doc_id, toks,
        |          ' ' || array_to_string(toks, ' ') || ' ' AS stream
-       |        FROM pt) __s),
-       |ps AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |        FROM ${p}t) __s),
+       |${p}s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
        |  CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) AS sumdl,
        |  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0
-       |  FROM pd),
-       |psc AS (SELECT pd.doc_id AS id,
+       |  FROM ${p}d),
+       |${p}sc AS (SELECT ${p}d.doc_id AS id,
        |    round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n))), 6) AS score
-       |  FROM pd, ps)
+       |  FROM ${p}d, ${p}s)""".stripMargin
+  }
+
+  private[graft] def phraseSql(terms: Seq[String], k: Int): String =
+    s"""WITH ${phraseScoreCtes(terms, "p")}
        |SELECT id, score FROM psc WHERE score > 0
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
-  }
 
   /** C39d oracle: the autocomplete (token-prefix) virtual-term BM25
     * replay — tf = count of tokens starting with the prefix, then the
@@ -785,6 +794,27 @@ object LlmQueries {
        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n))), 6) AS score
        |  FROM wd, ws0)
        |SELECT id, score FROM wsc WHERE score > 0
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+
+  /** C39f oracle: the regex (whole-term) virtual-term replay — DuckDB
+    * `regexp_full_match` mirrors the engine's `^(?:pat)$` anchoring
+    * over the RE2-shared syntax subset the stage enforces.
+    */
+  private[graft] def regexSql(pattern: String, k: Int): String =
+    s"""WITH rt AS ($toksCte),
+       |rd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |    CAST(len(list_filter(toks, x -> regexp_full_match(x, '$pattern')))
+       |      AS DOUBLE) AS tf0
+       |  FROM rt),
+       |rs0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) AS sumdl,
+       |  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0
+       |  FROM rd),
+       |rsc AS (SELECT rd.doc_id AS id,
+       |    round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+       |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n))), 6) AS score
+       |  FROM rd, rs0)
+       |SELECT id, score FROM rsc WHERE score > 0
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
 
   private[graft] def bm25Sql(terms: Seq[String], k: Int): String =

@@ -1081,6 +1081,58 @@ object TextAnalysis {
   private[graft] def tfLike(likePat: String): Column => Column =
     toks => size(filter(toks, t => t.like(likePat))).cast("double")
 
+  /** Regex virtual term (round 15): tf counts tokens FULLY matching
+    * the pattern — Lucene's RegexpQuery anchors to the whole term, so
+    * the engine wraps `^(?:pat)$` around Java-regex find semantics and
+    * the oracle uses DuckDB `regexp_full_match`; the caller has
+    * already refused non-RE2-portable features.
+    */
+  private[graft] def tfRegex(pattern: String): Column => Column =
+    toks => size(filter(toks, t => t.rlike("^(?:" + pattern + ")$")))
+      .cast("double")
+
+  private[graft] def regexWithScore(docs: DataFrame, textCol: String,
+                                    pattern: String,
+                                    out: String): DataFrame =
+    searchScoresFused(docs, Seq((textCol, Seq(tfRegex(pattern)))), Seq(out))
+
+  /** `$search.moreLikeThis` term selection (round 15) — Lucene MLT's
+    * move re-expressed deterministically: tokenize the like document,
+    * fetch each candidate term's corpus df in ONE small aggregate
+    * (|like-doc vocab| counters, one collected row — driver-model
+    * state, the k-means-centroid pattern), drop df = 0 terms (they
+    * can never contribute tf), rank by (like-tf DESC, df ASC, term
+    * ASC) and keep maxTerms. The rank is LEXICOGRAPHIC rather than
+    * Lucene's tf·ln-idf product — same monotone inputs (more frequent
+    * in the like doc ≻ rarer in the corpus), but exactly orderable
+    * with zero libm parity risk, which is what lets the DuckDB oracle
+    * replay the selection bit-for-bit. The returned terms are sorted
+    * ALPHABETICALLY so the downstream BM25 float-sum order is
+    * data-independent given the selected set (the oracle pivots on
+    * the same order).
+    */
+  private[graft] def mltTerms(docs: DataFrame, textCol: String,
+                              like: String, maxTerms: Int): Seq[String] = {
+    val likeToks = like.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    require(likeToks.nonEmpty, "moreLikeThis: empty like document")
+    val tfq = likeToks.groupBy(identity).view.mapValues(_.size).toMap
+    val cand = tfq.keys.toSeq.sorted
+    val toks = tokens(col(textCol))
+    val aggs = cand.zipWithIndex.map { case (t, i) =>
+      sum(when(stopCount(toks, Seq(t)) > 0, 1).otherwise(0))
+        .cast("long").as(s"__df$i")
+    }
+    val row = docs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val withDf = cand.zipWithIndex
+      .map { case (t, i) => (t, tfq(t), row.getLong(i)) }
+      .filter(_._3 >= 1)
+    require(withDf.nonEmpty,
+      "moreLikeThis: the like document shares no vocabulary with the corpus")
+    withDf.sortBy { case (t, f, df) => (-f, df, t) }
+      .take(maxTerms).map(_._1).sorted
+  }
+
   /** FUSED multi-clause `$search` scoring (round 15) — every scored
     * clause of a compound computes off ONE corpus pass and ONE
     * broadcast stats row, instead of one stats-aggregate corpus scan

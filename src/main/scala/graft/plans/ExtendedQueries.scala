@@ -176,6 +176,22 @@ object ExtendedQueries {
               "langs": {"type": "string", "path": "lang", "numBuckets": 10},
               "sizes": {"type": "number", "path": "n_chars",
                         "boundaries": [0, 150, 300, 450, 1000000]}}}}}]""")),
+    // —— C40b: $searchMeta DATE facets (round 15) — boundaries are ISO
+    //    instants, [lo, hi) buckets labeled by the lower bound as
+    //    given, out-of-range rows ignored (events span Jan 1–30;
+    //    the boundaries cover Jan 5–26, so both tails drop) ——
+    "pipe_searchmeta_date" -> ((s, dir) => run(s, dir, "events",
+      """[{"$searchMeta": {"facet": {
+            "operator": {"text": {"query": "purchase view",
+                                  "path": "event_type"}},
+            "facets": {
+              "kinds": {"type": "string", "path": "event_type",
+                        "numBuckets": 5},
+              "when": {"type": "date", "path": "ts",
+                       "boundaries": ["2024-01-05T00:00:00Z",
+                                      "2024-01-12T00:00:00Z",
+                                      "2024-01-19T00:00:00Z",
+                                      "2024-01-26T00:00:00Z"]}}}}}]""")),
     // —— C39c: $search phrase operator — exact-adjacency matching,
     //    the phrase as ONE virtual BM25 term ——
     "pipe_search_phrase" -> ((s, dir) => run(s, dir, "documents",
@@ -197,6 +213,30 @@ object ExtendedQueries {
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
     "pipe_search_wildcard" -> ((s, dir) => run(s, dir, "documents",
       """[{"$search": {"wildcard": {"query": "qu*y", "path": "text"}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C39f: $search regex operator (round 15) — whole-term match
+    //    over the RE2-shared syntax subset, as one virtual BM25 term ——
+    "pipe_search_regex" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"regex": {"query": "qu[ae]ry|s(?:can|ort)",
+                                 "path": "text"}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C39h: $search moreLikeThis (round 15) — deterministic salient
+    //    -term selection (like-tf DESC, corpus-df ASC, term ASC; df=0
+    //    dropped) fed into the shared multi-term BM25 text clause ——
+    "pipe_search_mlt" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"moreLikeThis": {
+            "like": {"text": "spark query stream join hash table"},
+            "maxQueryTerms": 4}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C39g: $search queryString (round 15) — simple-query-string
+    //    sugar compiling to the compound algebra: +must, -mustNot,
+    //    bare should, quoted phrase ——
+    "pipe_search_qs" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"queryString": {"defaultPath": "text",
+            "query": "+spark query stream -\"table hash\""}}},
           {"$limit": 20},
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
     "pipe_search_range" -> ((s, dir) => run(s, dir, "documents",
@@ -241,6 +281,16 @@ object ExtendedQueries {
             "must": [{"text": {"query": "spark query", "path": "text"}}],
             "should": [{"text": {"query": "stream", "path": "text"}}],
             "mustNot": [{"text": {"query": "the", "path": "text"}}]}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C39e: $search score modifiers — per-clause boost (multiply)
+    //    and constant (replace-on-match), Atlas' compound weighting ——
+    "pipe_search_boost" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark query", "path": "text",
+                      "score": {"boost": {"value": 2.5}}}}],
+            "should": [{"phrase": {"query": "table hash", "path": "text",
+                        "score": {"constant": {"value": 1.5}}}}]}}},
           {"$limit": 20},
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
     // —— C38b: $scoreFusion with a $search leg — BM25 relevance ⊕
@@ -1070,6 +1120,21 @@ object ExtendedQueries {
          |          JOIN ccsc ON casc.id = ccsc.id
          |WHERE casc.score > 0 AND ccsc.score = 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // C39e: per-clause modified scores — boost multiplies the round-6
+    // BM25 then re-rounds (the engine's applyMod op for op); constant
+    // replaces a matching phrase score with the literal; must-match on
+    // the MODIFIED score (boost preserves positivity, so equivalent to
+    // the raw test — mirrored anyway for exactness)
+    "pipe_search_boost" ->
+      s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(Seq("spark", "query"), "bo")},
+         |${graft.operators.LlmQueries.phraseScoreCtes(Seq("table", "hash"), "bp")},
+         |m AS (SELECT bosc.id AS doc_id,
+         |    round(bosc.score * 2.5, 6)
+         |      + (CASE WHEN bpsc.score > 0 THEN 1.5 ELSE 0.0 END) AS score,
+         |    round(bosc.score * 2.5, 6) AS msc
+         |  FROM bosc JOIN bpsc ON bosc.id = bpsc.id)
+         |SELECT doc_id, score FROM m WHERE msc > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // C38b: the factored BM25 leg replay (post-limit minMax, like the
     // engine normalizes AFTER the leg's own limit) + field leg +
     // literal weighted mean
@@ -1128,6 +1193,69 @@ object ExtendedQueries {
       s"""SELECT id AS doc_id, score FROM (
          |${graft.operators.LlmQueries.wildcardSql("qu%y", 20)}
          |) __w""".stripMargin,
+    // C39f: the whole-term regex replay (regexp_full_match over the
+    // same pattern the engine anchors with ^(?:…)$)
+    "pipe_search_regex" ->
+      s"""SELECT id AS doc_id, score FROM (
+         |${graft.operators.LlmQueries.regexSql("qu[ae]ry|s(?:can|ort)", 20)}
+         |) __r""".stripMargin,
+    // C39h: the moreLikeThis replay — the SELECTION derives from data
+    // (per-term corpus df), so the oracle re-runs it in SQL: like-doc
+    // term tfs, df per candidate, rank (tfq DESC, df ASC, term ASC)
+    // LIMIT 4, then the BM25 chain over the selected terms pivoted in
+    // ALPHABETICAL rank order so the float-sum order matches the
+    // engine's term-sorted reduce exactly
+    "pipe_search_mlt" ->
+      """WITH mlc AS (SELECT unnest(string_split_regex(trim(lower(
+        |         'spark query stream join hash table')), ' +')) AS term),
+        |mlq AS (SELECT term, COUNT(*) AS tfq FROM mlc GROUP BY 1),
+        |mt AS (SELECT doc_id,
+        |         string_split_regex(trim(lower(text)), ' +') AS toks
+        |       FROM documents),
+        |mdl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM mt),
+        |mdf0 AS (SELECT q.term, q.tfq,
+        |         CAST(SUM(CASE WHEN list_contains(d.toks, q.term)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS df
+        |         FROM mlq q CROSS JOIN mdl d GROUP BY q.term, q.tfq),
+        |msel AS (SELECT term FROM mdf0 WHERE df >= 1
+        |         ORDER BY tfq DESC, df ASC, term ASC LIMIT 4),
+        |mrk AS (SELECT term, row_number() OVER (ORDER BY term ASC) AS rk
+        |        FROM msel),
+        |mtf AS (SELECT d.doc_id, d.dl, r.rk,
+        |        CAST(len(list_filter(d.toks, x -> x = r.term)) AS DOUBLE) AS tf
+        |        FROM mdl d CROSS JOIN mrk r),
+        |mst AS (SELECT rk,
+        |        CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df
+        |        FROM mtf GROUP BY rk),
+        |mn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |       CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) AS sumdl FROM mdl),
+        |mcmp AS (SELECT t.doc_id, t.rk,
+        |         ln(1.0 + (n - s.df + 0.5) / (s.df + 0.5)) * t.tf * 2.2
+        |           / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (sumdl / n))) AS c
+        |         FROM mtf t JOIN mst s USING (rk), mn),
+        |mpv AS (SELECT doc_id,
+        |        round(COALESCE(MAX(CASE WHEN rk = 1 THEN c END), 0)
+        |            + COALESCE(MAX(CASE WHEN rk = 2 THEN c END), 0)
+        |            + COALESCE(MAX(CASE WHEN rk = 3 THEN c END), 0)
+        |            + COALESCE(MAX(CASE WHEN rk = 4 THEN c END), 0), 6) AS score
+        |        FROM mcmp GROUP BY doc_id)
+        |SELECT doc_id, score FROM mpv WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // C39g: the compiled compound replay — must(spark) scored +
+    // should(query) + should(stream), phrase "table hash" excluded;
+    // per-clause chains summed in declaration order (must first)
+    "pipe_search_qs" ->
+      s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(Seq("spark"), "qa")},
+         |${graft.operators.LlmQueries.bm25ScoreCtes(Seq("query"), "qb")},
+         |${graft.operators.LlmQueries.bm25ScoreCtes(Seq("stream"), "qc")},
+         |${graft.operators.LlmQueries.phraseScoreCtes(Seq("table", "hash"), "qd")}
+         |SELECT qasc.id AS doc_id,
+         |  qasc.score + qbsc.score + qcsc.score AS score
+         |FROM qasc JOIN qbsc ON qbsc.id = qasc.id
+         |          JOIN qcsc ON qcsc.id = qasc.id
+         |          JOIN qdsc ON qdsc.id = qasc.id
+         |WHERE qasc.score > 0 AND qdsc.score = 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "pipe_search_range" ->
       s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(Seq("spark"), "rg")},
          |m AS (SELECT d.doc_id,
@@ -1160,6 +1288,33 @@ object ExtendedQueries {
          |SELECT facet, bucket, count FROM fl
          |UNION ALL
          |SELECT facet, bucket, count FROM fn""".stripMargin,
+    // C40b: the date-facet replay. The match set reduces exactly to an
+    // IN filter: event_type tokenizes to ONE token, so BM25 score > 0
+    // ⟺ the type is one of the query terms — the oracle states the
+    // match set directly instead of replaying the score arithmetic.
+    "pipe_searchmeta_date" ->
+      """WITH mdoc AS (SELECT * FROM events
+        |        WHERE event_type IN ('purchase', 'view')),
+        |fk AS (SELECT 'kinds' AS facet, CAST(event_type AS VARCHAR) AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS count
+        |       FROM mdoc GROUP BY 2 ORDER BY count DESC, bucket LIMIT 5),
+        |fd AS (SELECT 'when' AS facet, b AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS count
+        |       FROM (SELECT CASE
+        |           WHEN ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |            AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |             THEN '2024-01-05T00:00:00Z'
+        |           WHEN ts >= TIMESTAMP '2024-01-12 00:00:00'
+        |            AND ts < TIMESTAMP '2024-01-19 00:00:00'
+        |             THEN '2024-01-12T00:00:00Z'
+        |           WHEN ts >= TIMESTAMP '2024-01-19 00:00:00'
+        |            AND ts < TIMESTAMP '2024-01-26 00:00:00'
+        |             THEN '2024-01-19T00:00:00Z'
+        |           END AS b FROM mdoc)
+        |       WHERE b IS NOT NULL GROUP BY 2)
+        |SELECT facet, bucket, count FROM fk
+        |UNION ALL
+        |SELECT facet, bucket, count FROM fd""".stripMargin,
     // C38: exact-mode vectorSearch leg (the proven-portable rounded
     // cosine) + field-score leg, each minMax-normalized AFTER its own
     // limit, fused by the stage's literal weighted mean

@@ -519,6 +519,9 @@ object MongoPipeline {
   private case class PhraseC(path: String, terms: Seq[String]) extends SearchClause
   private case class AutoC(path: String, prefix: String) extends SearchClause
   private case class WildC(path: String, likePat: String) extends SearchClause
+  private case class RegexC(path: String, pattern: String) extends SearchClause
+  private case class MltC(path: String, like: String, maxTerms: Int)
+    extends SearchClause
   private case class NearC(path: String, origin: Double, pivot: Double)
     extends SearchClause
   private case class AttrC(pred: Column) extends SearchClause
@@ -536,12 +539,84 @@ object MongoPipeline {
   private case class BoostM(v: Double) extends ScoreMod
   private case class ConstM(v: Double) extends ScoreMod
 
+  /** `$search.queryString` (round 15) — Lucene simple-query-string
+    * sugar compiled onto the compound algebra (one scorer, one
+    * matcher, no second semantics). Flat grammar, no precedence to
+    * get wrong:
+    *   query := unit+
+    *   unit  := [+|-] [field:] (term | "phrase")
+    * `+` marks a must clause, `-` a mustNot, bare units are should;
+    * `field:` overrides defaultPath; a quoted multi-word phrase
+    * compiles to the `phrase` operator, a quoted single word to
+    * `text`. The boolean connectives AND/OR/NOT are refused loudly —
+    * they imply precedence this flat form deliberately doesn't have —
+    * and any text the unit grammar can't consume (stray quotes,
+    * dangling `:`) is an error, never silently dropped.
+    */
+  private def compileQueryString(qs: JsonNode): JsonNode = {
+    require(qs.get("defaultPath") != null,
+      "$search.queryString.defaultPath is required")
+    require(qs.get("query") != null, "$search.queryString.query is required")
+    val defPath = qs.get("defaultPath").asText()
+    val q = qs.get("query").asText()
+    val unitRe = """([+-])?(?:([A-Za-z_][\w.]*):)?(?:"([^"]*)"|([^\s"]+))""".r
+    val ms = unitRe.findAllMatchIn(q).toList
+    require(ms.nonEmpty, "$search.queryString.query holds no units")
+    var pos = 0
+    ms.foreach { m =>
+      require(q.substring(pos, m.start).forall(_.isWhitespace),
+        s"$$search.queryString: cannot parse near " +
+          s"'${q.substring(pos, m.start)}'")
+      pos = m.end
+    }
+    require(q.substring(pos).forall(_.isWhitespace),
+      s"$$search.queryString: cannot parse near '${q.substring(pos)}'")
+    val out = mapper.createObjectNode()
+    val comp = out.putObject("compound")
+    ms.foreach { m =>
+      val kind = m.group(1) match {
+        case "+" => "must"
+        case "-" => "mustNot"
+        case _   => "should"
+      }
+      val field = Option(m.group(2)).getOrElse(defPath)
+      val (phrase, bare) = (Option(m.group(3)), Option(m.group(4)))
+      bare.filter(b => Seq("AND", "OR", "NOT").contains(b)).foreach { b =>
+        throw new IllegalArgumentException(
+          s"$$search.queryString: '$b' connectives are not supported — " +
+            "this is the flat simple-query-string form; use +term " +
+            "(must) and -term (mustNot)")
+      }
+      val clause = mapper.createObjectNode()
+      phrase match {
+        case Some(p) =>
+          val terms = p.trim.split("\\s+").filter(_.nonEmpty)
+          require(terms.nonEmpty,
+            "$search.queryString: empty quoted phrase")
+          val op = if (terms.length >= 2) "phrase" else "text"
+          clause.putObject(op).put("query", p).put("path", field)
+        case None =>
+          clause.putObject("text").put("query", bare.get).put("path", field)
+      }
+      comp.withArray(s"/$kind").add(clause)
+    }
+    out
+  }
+
   private def search(df: DataFrame, spec: JsonNode): DataFrame = {
     val clauseKinds = Seq("text", "phrase", "autocomplete", "wildcard",
-      "near", "range", "equals", "in", "exists")
+      "regex", "moreLikeThis", "near", "range", "equals", "in", "exists")
     val unknown = spec.properties().asScala.map(_.getKey)
-      .filterNot(k => k == "compound" || clauseKinds.contains(k))
+      .filterNot(k => k == "compound" || k == "queryString" ||
+        clauseKinds.contains(k))
     require(unknown.isEmpty, s"unsupported $$search operators: $unknown")
+    // queryString is pure sugar: compile to the compound algebra and
+    // recurse — one scorer, one matcher, no second semantics
+    if (spec.get("queryString") != null) {
+      require(spec.properties().asScala.map(_.getKey).toSet == Set("queryString"),
+        "$search.queryString does not combine with other operators")
+      return search(df, compileQueryString(spec.get("queryString")))
+    }
     def scoreMod(body: JsonNode, kind: String): Option[ScoreMod] =
       Option(body.get("score")).map { sn =>
         val ks = sn.properties().asScala.map(_.getKey).toSet
@@ -600,6 +675,47 @@ object MongoPipeline {
           val pat = ts.head.replace("\\", "\\\\").replace("%", "\\%")
             .replace("_", "\\_").replace('*', '%').replace('?', '_')
           WildC(path, pat)
+        case "regex" =>
+          // Lucene's whole-term regex query over the RE2-shared syntax
+          // subset (the H9/H21 portability discipline): features Java
+          // accepts but RE2 (the oracle engine) rejects — lookaround,
+          // backreferences, possessive quantifiers — are refused
+          // loudly rather than silently diverging
+          require(body.get("query") != null, "$search.regex.query is required")
+          val pat = body.get("query").asText()
+          require(pat.nonEmpty, "$search.regex.query must be non-empty")
+          val nonPortable = Seq("(?=", "(?!", "(?<", "*+", "++", "?+")
+            .filter(pat.contains) ++
+            "\\\\[1-9]".r.findFirstIn(pat).map(b => s"backreference $b")
+          require(nonPortable.isEmpty,
+            s"$$search.regex.query uses non-portable regex features " +
+              s"$nonPortable — the supported subset is the RE2-shared " +
+              "syntax (literals, classes, ., *, +, ?, |, (?:), {m,n})")
+          // fail fast on syntax errors at compile time, not per row
+          try java.util.regex.Pattern.compile(pat)
+          catch { case e: java.util.regex.PatternSyntaxException =>
+            throw new IllegalArgumentException(
+              s"$$search.regex.query does not parse: ${e.getMessage}") }
+          RegexC(path, pat)
+        case "moreLikeThis" =>
+          // Atlas' remaining scored operator. Supported subset: `like`
+          // is ONE document with ONE text field (the field name IS the
+          // path); salient terms are selected deterministically (see
+          // TextAnalysis.mltTerms) and fed into the shared text-clause
+          // BM25, so mlt composes into compound like any text clause.
+          val like = body.get("like")
+          require(like != null && like.isObject &&
+            like.properties().asScala.size == 1,
+            "$search.moreLikeThis.like must be ONE document with ONE " +
+              "text field (the supported subset; the field name is the path)")
+          val e = like.properties().asScala.head
+          require(e.getValue.isTextual && e.getValue.asText().trim.nonEmpty,
+            s"$$search.moreLikeThis.like.${e.getKey} must be non-empty text")
+          val maxT = Option(body.get("maxQueryTerms")).map(_.asInt())
+            .getOrElse(25)
+          require(maxT > 0,
+            s"$$search.moreLikeThis.maxQueryTerms must be positive: $maxT")
+          MltC(e.getKey, e.getValue.asText(), maxT)
         case "exists" =>
           AttrC(col(path).isNotNull)
         case "near" =>
@@ -643,6 +759,11 @@ object MongoPipeline {
         case PhraseC(p, ts) => Some((p, Seq(TA.tfPhrase(ts))))
         case AutoC(p, pre) => Some((p, Seq(TA.tfPrefix(pre))))
         case WildC(p, pat) => Some((p, Seq(TA.tfLike(pat))))
+        case RegexC(p, pat) => Some((p, Seq(TA.tfRegex(pat))))
+        case MltC(p, like, maxT) =>
+          // one small driver-side df aggregate selects the terms; the
+          // scoring itself joins the fused pass like any text clause
+          Some((p, TA.mltTerms(df, p, like, maxT).map(TA.tfTerm)))
         case _ => None
       }
     }
@@ -665,6 +786,11 @@ object MongoPipeline {
             d, path, prefix, out)
         case WildC(path, pat) =>
           graft.operators.TextAnalysis.wildcardWithScore(d, path, pat, out)
+        case RegexC(path, pat) =>
+          graft.operators.TextAnalysis.regexWithScore(d, path, pat, out)
+        case MltC(path, like, maxT) =>
+          graft.operators.TextAnalysis.bm25WithScore(d, path,
+            graft.operators.TextAnalysis.mltTerms(df, path, like, maxT), out)
         case NearC(path, origin, pivot) =>
           // matches everything (score > 0 always) — Lucene's near is a
           // pure scorer; nulls score 0 (no value = no proximity)
@@ -707,14 +833,17 @@ object MongoPipeline {
       // searchScoresFused — a K-clause compound reads the corpus 2×,
       // not K+1× (the r14 shape). Non-stats clauses (near/attribute)
       // attach per-row columns on the same frame, costing no extra scan.
-      val fusedPart = all.flatMap { case ((c, _), i) =>
-        recipe(c).map(r => (r, i)) }
+      // recipes computed ONCE per clause (an mlt recipe runs a small
+      // driver-side term-selection aggregate — never re-run it)
+      val recipes = all.map { case ((c, _), i) => i -> recipe(c) }.toMap
+      val fusedPart = all.flatMap { case ((_, _), i) =>
+        recipes(i).map(r => (r, i)) }
       val base =
         if (fusedPart.isEmpty) df
         else graft.operators.TextAnalysis.searchScoresFused(
           df, fusedPart.map(_._1), fusedPart.map(p => s"__sc${p._2}"))
       val scoredRaw = all.foldLeft(base) { case (d, ((c, _), i)) =>
-        if (recipe(c).isDefined) d else scoreClause(d, c, s"__sc$i")
+        if (recipes(i).isDefined) d else scoreClause(d, c, s"__sc$i")
       }
       val scored = all.foldLeft(scoredRaw) { case (d, ((_, m), i)) =>
         applyMod(d, s"__sc$i", m)
@@ -806,6 +935,41 @@ object MongoPipeline {
               .groupBy(col("__b")).agg(count(lit(1)).as("count"))
               .select(lit(name).as("facet"),
                 col("__b").cast("string").as("bucket"), col("count"))
+          case "date" =>
+            // round 15: Atlas' third facet type — boundaries are ISO
+            // instants (or dates, midnight UTC), buckets [lo, hi)
+            // labeled by the lower bound AS GIVEN, out-of-range rows
+            // ignored, non-ascending boundaries refused loudly (the
+            // number-facet rules on the time axis)
+            val bn = fd.get("boundaries")
+            require(bn != null && bn.isArray && bn.size >= 2,
+              s"$$searchMeta facet '$name': boundaries needs >= 2 values")
+            val raw = bn.elements().asScala.toSeq.map(_.asText())
+            def inst(sv: String): java.time.Instant =
+              try {
+                if (sv.contains("T")) java.time.Instant.parse(sv)
+                else java.time.LocalDate.parse(sv)
+                  .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+              } catch {
+                case _: java.time.format.DateTimeParseException =>
+                  throw new IllegalArgumentException(
+                    s"$$searchMeta facet '$name': unparseable date " +
+                      s"boundary '$sv' (ISO-8601 instant or yyyy-MM-dd)")
+              }
+            val is = raw.map(inst)
+            require(is.zip(is.tail).forall { case (a, b) => a.isBefore(b) },
+              s"$$searchMeta facet '$name': date boundaries must strictly increase")
+            val v = col(path).cast("timestamp")
+            val bucket = (0 until is.size - 1)
+              .foldLeft(lit(null).cast("string")) { (acc, j) =>
+                when(v >= lit(java.sql.Timestamp.from(is(j))) &&
+                  v < lit(java.sql.Timestamp.from(is(j + 1))),
+                  lit(raw(j))).otherwise(acc)
+              }
+            matched.select(bucket.as("__b")).filter(col("__b").isNotNull)
+              .groupBy(col("__b")).agg(count(lit(1)).as("count"))
+              .select(lit(name).as("facet"),
+                col("__b").as("bucket"), col("count"))
           case other => throw new IllegalArgumentException(
             s"$$searchMeta facet '$name': unsupported type '$other'")
         }

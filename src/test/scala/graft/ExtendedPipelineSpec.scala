@@ -1533,6 +1533,241 @@ class ExtendedPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$search score modifiers: boost multiplies the round-6 score, constant replaces on match, non-positive refused") {
+    val docs = cat.documents
+    def scores(json: String): Map[Long, Double] =
+      MongoPipeline(docs, json)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = scores(
+      """[{"$search": {"text": {"query": "spark", "path": "text"}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    val boosted = scores(
+      """[{"$search": {"text": {"query": "spark", "path": "text",
+            "score": {"boost": {"value": 2.5}}}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    assert(boosted.keySet == plain.keySet, "boost must not change matching")
+    boosted.foreach { case (id, s) =>
+      val want = BigDecimal(plain(id) * 2.5)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(s == want, s"doc $id: got $s want $want")
+    }
+    val const = scores(
+      """[{"$search": {"text": {"query": "spark", "path": "text",
+            "score": {"constant": {"value": 1.5}}}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    assert(const.keySet == plain.keySet, "constant must not change matching")
+    assert(const.values.forall(_ == 1.5), const.values.take(3).toString)
+    // compound composition: boosted must + constant should sum
+    val should = scores(
+      """[{"$search": {"text": {"query": "query", "path": "text"}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    val comp = scores(
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark", "path": "text",
+                      "score": {"boost": {"value": 2.0}}}}],
+            "should": [{"text": {"query": "query", "path": "text",
+                        "score": {"constant": {"value": 1.0}}}}]}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    assert(comp.keySet == plain.keySet)
+    comp.foreach { case (id, s) =>
+      val m = BigDecimal(plain(id) * 2.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = m + (if (should.contains(id)) 1.0 else 0.0)
+      assert(s == want, s"doc $id: got $s want $want")
+    }
+    // contract errors: non-positive values, both modifiers, no value
+    for (bad <- Seq(
+      """{"boost": {"value": -1}}""",
+      """{"constant": {"value": 0}}""",
+      """{"boost": {"value": 2}, "constant": {"value": 1}}""",
+      """{"boost": {}}""")) {
+      intercept[IllegalArgumentException] {
+        MongoPipeline(docs,
+          s"""[{"$$search": {"text": {"query": "spark", "path": "text",
+                "score": $bad}}}]""")
+      }
+    }
+  }
+
+  test("$search regex: whole-term anchoring, virtual-term BM25, non-portable features refused") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "query the queue"),     // query matches qu[ae]ry; queue does not
+      (2L, "xquery is not query"), // xquery must NOT match (whole term)
+      (3L, "quary quarry"),        // quary matches; quarry does not
+      (4L, "nothing here"))
+      .toDF("doc_id", "text")
+    val out = MongoPipeline(docs,
+      """[{"$search": {"regex": {"query": "qu[ae]ry", "path": "text"}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), out.toString)
+    // doc 2 matched via its standalone "query" token, not "xquery":
+    // tf is 1 for all three → rank purely by dl (shorter wins)
+    val comp = MongoPipeline(docs,
+      """[{"$search": {"compound": {
+            "must": [{"regex": {"query": "qu[ae]ry", "path": "text"}}],
+            "mustNot": [{"regex": {"query": "x.*", "path": "text"}}]}}},
+          {"$project": {"doc_id": 1}}]""")
+      .collect().map(_.getLong(0)).toSet
+    assert(comp == Set(1L, 3L), comp.toString)
+    // alternation + bounded repeat are in the portable subset
+    val alt = MongoPipeline(docs,
+      """[{"$search": {"regex": {"query": "qu(?:ar|eu)e?r?y?", "path": "text"}}},
+          {"$project": {"doc_id": 1}}]""")
+    assert(alt.count() > 0)
+    // non-portable: lookaround, backreference, possessive; bad syntax
+    for (bad <- Seq("(?=x)y", "(a)\\\\1", "a*+b", "(unclosed")) {
+      intercept[IllegalArgumentException] {
+        MongoPipeline(docs,
+          s"""[{"$$search": {"regex": {"query": "$bad", "path": "text"}}}]""")
+      }
+    }
+  }
+
+  test("$search queryString: compiles to the compound algebra; connectives and stray syntax refused") {
+    val docs = cat.documents
+    def ids(json: String): Seq[(Long, Double)] =
+      MongoPipeline(docs, json)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qs = ids(
+      """[{"$search": {"queryString": {"defaultPath": "text",
+            "query": "+spark query stream -\"table hash\""}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    val explicit = ids(
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark", "path": "text"}}],
+            "should": [{"text": {"query": "query", "path": "text"}},
+                       {"text": {"query": "stream", "path": "text"}}],
+            "mustNot": [{"phrase": {"query": "table hash", "path": "text"}}]}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    assert(qs == explicit, "queryString must be pure compound sugar")
+    assert(qs.nonEmpty)
+    // field: override routes the clause to that path
+    val byField = MongoPipeline(docs,
+      """[{"$search": {"queryString": {"defaultPath": "text",
+            "query": "+lang:en spark"}}},
+          {"$limit": 500},
+          {"$project": {"doc_id": 1, "lang": 1}}]""")
+      .collect().map(_.getString(1)).toSet
+    assert(byField == Set("en"), byField.toString)
+    // a quoted single word compiles to text, not a refused 1-term phrase
+    assert(MongoPipeline(docs,
+      """[{"$search": {"queryString": {"defaultPath": "text",
+            "query": "\"spark\""}}}, {"$limit": 3}]""").count() == 3)
+    // contract errors: connectives, stray quote, only-mustNot, empty
+    for (bad <- Seq("spark AND query", "spark \"unclosed", "-spark", "   ")) {
+      intercept[IllegalArgumentException] {
+        MongoPipeline(docs,
+          s"""[{"$$search": {"queryString": {"defaultPath": "text",
+                "query": "${bad.replace("\"", "\\\"")}"}}}]""")
+      }
+    }
+  }
+
+  test("$search moreLikeThis: the like doc ranks first, mustNot excludes it, df=0 terms dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // the like doc
+      (2L, "alpha beta gamma zeta eta"),       // 3 shared terms
+      (3L, "alpha beta theta iota kappa"),     // 2 shared terms
+      (4L, "alpha mu nu xi omicron"),          // 1 shared term
+      (5L, "pi rho sigma tau upsilon"))        // none
+      .toDF("doc_id", "text")
+    // like = doc 1's own text + a term absent from the corpus (must be
+    // dropped by the df >= 1 rule, not crash or burn a term slot)
+    val out = MongoPipeline(docs,
+      """[{"$search": {"moreLikeThis": {
+            "like": {"text": "alpha beta gamma delta epsilon NOSUCHTERM"}}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L), out.mkString(","))
+    // the like doc itself scores highest (it contains every term)
+    assert(out.head._1 == 1L, s"like doc must rank first: ${out.toSeq}")
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-(_: Double)).toSeq)
+    // excludable via compound mustNot — the MLT-recommendation shape
+    val rec = MongoPipeline(docs,
+      """[{"$search": {"compound": {
+            "must": [{"moreLikeThis": {
+              "like": {"text": "alpha beta gamma delta epsilon"}}}],
+            "mustNot": [{"equals": {"path": "doc_id", "value": 1}}]}}},
+          {"$project": {"doc_id": 1}}]""")
+      .collect().map(_.getLong(0))
+    assert(rec.toSet == Set(2L, 3L, 4L) && rec.head == 2L, rec.mkString(","))
+    // maxQueryTerms bounds the selection: with 1 term, ties rank by
+    // (tfq desc, df asc, term asc) — all tfq=1; dfs: alpha 4, beta 3,
+    // gamma 2, delta 1, epsilon 1 → 'delta' wins on the term tiebreak
+    val one = MongoPipeline(docs,
+      """[{"$search": {"moreLikeThis": {
+            "like": {"text": "alpha beta gamma delta epsilon"},
+            "maxQueryTerms": 1}}},
+          {"$project": {"doc_id": 1}}]""")
+      .collect().map(_.getLong(0)).toSet
+    assert(one == Set(1L), s"only the delta-holding doc matches: $one")
+    // contract errors: no shared vocabulary, malformed like, bad maxQueryTerms
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"moreLikeThis": {"like": {"text": "ZZZ YYY"}}}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"moreLikeThis": {"like": {"text": "alpha", "doc_id": "x"}}}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"moreLikeThis": {
+              "like": {"text": "alpha"}, "maxQueryTerms": 0}}}]""")
+    }
+  }
+
+  test("$searchMeta date facets: [lo,hi) lower-bound labels, out-of-range ignored, non-ascending refused") {
+    import spark.implicits._
+    def ts(s: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val rows = Seq(
+      (1L, "alpha", ts("2024-01-02T10:00:00Z")), // before first boundary → ignored
+      (2L, "alpha", ts("2024-01-05T00:00:00Z")), // exactly lo → first bucket
+      (3L, "alpha", ts("2024-01-11T23:59:59Z")), // still first bucket
+      (4L, "alpha", ts("2024-01-12T00:00:00Z")), // exactly boundary → second
+      (5L, "alpha", ts("2024-01-19T00:00:00Z")), // exactly hi → ignored
+      (6L, "beta",  ts("2024-01-13T00:00:00Z"))) // operator non-match → not counted
+      .toDF("doc_id", "kind", "at")
+    val out = MongoPipeline(rows,
+      """[{"$searchMeta": {"facet": {
+            "operator": {"text": {"query": "alpha", "path": "kind"}},
+            "facets": {"when": {"type": "date", "path": "at",
+              "boundaries": ["2024-01-05T00:00:00Z",
+                             "2024-01-12T00:00:00Z",
+                             "2024-01-19T00:00:00Z"]}}}}}]""")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map("2024-01-05T00:00:00Z" -> 2L,
+      "2024-01-12T00:00:00Z" -> 1L), out.toString)
+    // date-only boundaries parse as midnight UTC
+    val dOnly = MongoPipeline(rows,
+      """[{"$searchMeta": {"facet": {
+            "operator": {"text": {"query": "alpha", "path": "kind"}},
+            "facets": {"when": {"type": "date", "path": "at",
+              "boundaries": ["2024-01-05", "2024-01-19"]}}}}}]""")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(dOnly == Map("2024-01-05" -> 3L), dOnly.toString)
+    // contract errors: non-ascending, unparseable, too few boundaries
+    for (bs <- Seq(
+      """["2024-01-12T00:00:00Z", "2024-01-05T00:00:00Z"]""",
+      """["2024-01-05T00:00:00Z", "2024-01-05T00:00:00Z"]""",
+      """["not a date", "2024-01-05T00:00:00Z"]""",
+      """["2024-01-05T00:00:00Z"]""")) {
+      intercept[IllegalArgumentException] {
+        MongoPipeline(rows,
+          s"""[{"$$searchMeta": {"facet": {
+                "operator": {"text": {"query": "alpha", "path": "kind"}},
+                "facets": {"when": {"type": "date", "path": "at",
+                  "boundaries": $bs}}}}}]""")
+      }
+    }
+  }
+
   test("$search compound: must filters+scores, should scores, mustNot excludes; replay from standalone legs") {
     import graft.operators.TextAnalysis
     val docs = cat.documents
