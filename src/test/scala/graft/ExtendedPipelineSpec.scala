@@ -1667,6 +1667,42 @@ class ExtendedPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$search compound across DIFFERENT paths: per-path dl/Σdl in the fused stats pass") {
+    import spark.implicits._
+    // two text fields with deliberately different length profiles, so
+    // a fused pass that mixed up per-path Σdl or dl would mis-score
+    val docs = Seq(
+      (1L, "alpha beta gamma", "x y z w v u t s r q"),
+      (2L, "alpha delta", "x k"),
+      (3L, "epsilon zeta eta theta iota", "x"),
+      (4L, "alpha", "m n o p"))
+      .toDF("doc_id", "title", "body")
+    def single(json: String): Map[Long, Double] =
+      MongoPipeline(docs, json)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val titleOnly = single(
+      """[{"$search": {"text": {"query": "alpha", "path": "title"}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    val bodyOnly = single(
+      """[{"$search": {"text": {"query": "x", "path": "body"}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    val fused = single(
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "alpha", "path": "title"}}],
+            "should": [{"text": {"query": "x", "path": "body"}}]}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    assert(fused.keySet == titleOnly.keySet)
+    fused.foreach { case (id, s) =>
+      val want = titleOnly(id) + bodyOnly.getOrElse(id, 0.0)
+      assert(s == want, s"doc $id: fused $s != ${titleOnly(id)} + " +
+        s"${bodyOnly.getOrElse(id, 0.0)} — per-path stats leaked")
+    }
+    // and the two single-clause paths themselves disagree on Σdl
+    // (title avg 2.75 tokens vs body avg 4.25), so a shared-stats bug
+    // could not cancel out
+    assert(titleOnly(2L) != bodyOnly(2L))
+  }
+
   test("$search moreLikeThis: the like doc ranks first, mustNot excludes it, df=0 terms dropped") {
     import spark.implicits._
     val docs = Seq(

@@ -511,6 +511,18 @@ class StreamingSinkSpec extends SparkTestBase {
     apply1(batches.last, 2L)
     assert(streamed == after)
     assert(streamed == reference)
+    // compaction's visible window (the r15 advice fix): the folded
+    // generation is renamed in but the source shards aren't deleted
+    // yet — every edge row appears TWICE. Set-semantic readers shrug;
+    // the RANKED reader must too, or a duplicated best-neighbor row
+    // displaces the genuine second neighbor from a k=2 list. Simulate
+    // by writing a full copy of the standing edges as one more shard.
+    val allEdges = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/knn")
+    allEdges.write.parquet(s"$dir/knn/gwindow")
+    assert(streamed == after,
+      "duplicated edge shards displaced genuine neighbors — the " +
+        "knnGraph reader must dedup before BoundedTopK ranking")
   }
 
   test("bloom toggled ON mid-corpus: backfill from the standing index keeps duplicates out") {
