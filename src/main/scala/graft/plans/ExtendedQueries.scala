@@ -293,6 +293,16 @@ object ExtendedQueries {
                         "score": {"constant": {"value": 1.5}}}}]}}},
           {"$limit": 20},
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C39e (function form): score: {function: {path}} — a matching
+    //    clause re-scores to a FIELD value (rank-by-popularity);
+    //    matching stays decided by the raw BM25 ——
+    "pipe_search_fnscore" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark", "path": "text",
+                      "score": {"function": {"path": {"value": "n_chars"}}}}}],
+            "should": [{"text": {"query": "query", "path": "text"}}]}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
     // —— C38b: $scoreFusion with a $search leg — BM25 relevance ⊕
     //    attribute score, minMax-normalized weighted mean ——
     "pipe_scorefusion_text" -> ((s, dir) => run(s, dir, "documents",
@@ -1134,6 +1144,21 @@ object ExtendedQueries {
          |    round(bosc.score * 2.5, 6) AS msc
          |  FROM bosc JOIN bpsc ON bosc.id = bpsc.id)
          |SELECT doc_id, score FROM m WHERE msc > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // C39e (function form): match on the raw must score, re-score the
+    // must clause to COALESCE(n_chars, 0.0), sum with the unmodified
+    // should component in declaration order
+    "pipe_search_fnscore" ->
+      s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(Seq("spark"), "fa")},
+         |${graft.operators.LlmQueries.bm25ScoreCtes(Seq("query"), "fb")},
+         |m AS (SELECT fasc.id AS doc_id,
+         |    (CASE WHEN fasc.score > 0
+         |          THEN COALESCE(CAST(d.n_chars AS DOUBLE), 0.0)
+         |          ELSE 0.0 END) + fbsc.score AS score,
+         |    fasc.score AS raw
+         |  FROM fasc JOIN fbsc ON fbsc.id = fasc.id
+         |            JOIN documents d ON d.doc_id = fasc.id)
+         |SELECT doc_id, score FROM m WHERE raw > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // C38b: the factored BM25 leg replay (post-limit minMax, like the
     // engine normalizes AFTER the leg's own limit) + field leg +

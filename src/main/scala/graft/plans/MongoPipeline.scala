@@ -539,6 +539,17 @@ object MongoPipeline {
   private case class BoostM(v: Double) extends ScoreMod
   private case class ConstM(v: Double) extends ScoreMod
 
+  /** `score: {function: {path: {value, undefined}}}` — Atlas' field-
+    * valued score source ("rank by popularity"): a matching document's
+    * clause score becomes the field's value (or `undefined`'s default
+    * when null). Unlike boost/constant the replacement value is NOT
+    * sign-constrained — matching is therefore decided on the RAW
+    * clause scores before modifiers apply (see the compound path).
+    * Other function forms (multiply/gauss/log/unary) are refused
+    * loudly as out of the supported subset.
+    */
+  private case class FnPathM(field: String, undefined: Double) extends ScoreMod
+
   /** `$search.queryString` (round 15) — Lucene simple-query-string
     * sugar compiled onto the compound algebra (one scorer, one
     * matcher, no second semantics). Flat grammar, no precedence to
@@ -620,19 +631,35 @@ object MongoPipeline {
     def scoreMod(body: JsonNode, kind: String): Option[ScoreMod] =
       Option(body.get("score")).map { sn =>
         val ks = sn.properties().asScala.map(_.getKey).toSet
-        require(ks == Set("boost") || ks == Set("constant"),
-          s"$$search.$kind.score takes exactly one of boost|constant (got $ks)")
-        val which = ks.head
-        val vn = Option(sn.get(which)).map(_.get("value")).orNull
-        require(vn != null && vn.isNumber,
-          s"$$search.$kind.score.$which.value is a required number " +
-            "(the value form — path/function score sources are not supported)")
-        val v = vn.asDouble()
-        require(v > 0,
-          s"$$search.$kind.score.$which.value must be positive: $v — " +
-            "matching rides on score > 0, a non-positive modifier would " +
-            "silently corrupt compound must/mustNot semantics")
-        if (which == "boost") BoostM(v) else ConstM(v)
+        require(ks == Set("boost") || ks == Set("constant") ||
+          ks == Set("function"),
+          s"$$search.$kind.score takes exactly one of " +
+            s"boost|constant|function (got $ks)")
+        if (ks == Set("function")) {
+          val fn = sn.get("function")
+          val fks = fn.properties().asScala.map(_.getKey).toSet
+          require(fks == Set("path"),
+            s"$$search.$kind.score.function supports only the path form " +
+              s"(got $fks — multiply/gauss/log are out of the subset)")
+          val pn = fn.get("path")
+          require(pn.isObject && pn.get("value") != null &&
+            pn.get("value").isTextual,
+            s"$$search.$kind.score.function.path needs {value: <field>}")
+          val undef = Option(pn.get("undefined")).map(_.asDouble())
+            .getOrElse(0.0)
+          FnPathM(pn.get("value").asText(), undef)
+        } else {
+          val which = ks.head
+          val vn = Option(sn.get(which)).map(_.get("value")).orNull
+          require(vn != null && vn.isNumber,
+            s"$$search.$kind.score.$which.value is a required number")
+          val v = vn.asDouble()
+          require(v > 0,
+            s"$$search.$kind.score.$which.value must be positive: $v — " +
+              "matching rides on score > 0, a non-positive modifier would " +
+              "silently corrupt compound must/mustNot semantics")
+          if (which == "boost") BoostM(v) else ConstM(v)
+        }
       }
     def textClause(node: JsonNode): (SearchClause, Option[ScoreMod]) = {
       val kinds = clauseKinds.filter(node.get(_) != null)
@@ -774,6 +801,9 @@ object MongoPipeline {
           d.withColumn(out, round(col(out) * lit(v), 6))
         case Some(ConstM(v)) =>
           d.withColumn(out, when(col(out) > 0, lit(v)).otherwise(lit(0.0)))
+        case Some(FnPathM(f, undef)) =>
+          d.withColumn(out, when(col(out) > 0,
+            coalesce(col(f).cast("double"), lit(undef))).otherwise(lit(0.0)))
       }
     def scoreClause(d: DataFrame, c: SearchClause, out: String): DataFrame =
       c match {
@@ -803,8 +833,10 @@ object MongoPipeline {
     val tie = df.columns.map(col).toSeq
     if (spec.get("compound") == null) {
       val (c, mod) = textClause(spec)
-      applyMod(scoreClause(df, c, SearchScoreCol), SearchScoreCol, mod)
-        .filter(col(SearchScoreCol) > 0)
+      // match on the RAW score, then re-score (a function-path score
+      // may map a matching doc to any value incl. 0)
+      applyMod(scoreClause(df, c, SearchScoreCol)
+        .filter(col(SearchScoreCol) > 0), SearchScoreCol, mod)
         .orderBy(col(SearchScoreCol).desc +: tie: _*)
     } else {
       // compound: must clauses all match AND contribute score; should
@@ -845,11 +877,17 @@ object MongoPipeline {
       val scoredRaw = all.foldLeft(base) { case (d, ((c, _), i)) =>
         if (recipes(i).isDefined) d else scoreClause(d, c, s"__sc$i")
       }
-      val scored = all.foldLeft(scoredRaw) { case (d, ((_, m), i)) =>
-        applyMod(d, s"__sc$i", m)
-      }
       val nm = must.size
       val ns = should.size
+      // `scoring` is late-bound: inside `matched` (materialized on the
+      // PRE-modifier frame) it reads RAW clause scores; in the final
+      // sum (on the post-modifier frame) it reads MODIFIED ones.
+      // Matching is decided on the raw scores, BEFORE score modifiers
+      // apply (Atlas: the query decides what matches, the score option
+      // only re-scores it). For boost/constant (both require > 0)
+      // raw-vs-modified matching is provably identical; for a
+      // path-valued function score it is not, which is why the
+      // __matched column is computed first.
       val scoring = (0 until nm + ns).map(i => col(s"__sc$i"))
       val matched = (
         (0 until nm).map(i => col(s"__sc$i") > 0) ++
@@ -857,10 +895,14 @@ object MongoPipeline {
           (nm + ns until nm + ns + mustNot.size)
             .map(i => col(s"__sc$i") === 0.0))
         .reduce(_ && _)
+      val withMatch = scoredRaw.withColumn("__matched", matched)
+      val scored = all.foldLeft(withMatch) { case (d, ((_, m), i)) =>
+        applyMod(d, s"__sc$i", m)
+      }
       scored
         .withColumn(SearchScoreCol, scoring.reduce(_ + _))
-        .filter(matched)
-        .drop(all.indices.map(i => s"__sc$i"): _*)
+        .filter(col("__matched"))
+        .drop("__matched" +: all.indices.map(i => s"__sc$i"): _*)
         .orderBy(col(SearchScoreCol).desc +: tie: _*)
     }
   }

@@ -1575,12 +1575,26 @@ class ExtendedPipelineSpec extends SparkTestBase {
       val want = m + (if (should.contains(id)) 1.0 else 0.0)
       assert(s == want, s"doc $id: got $s want $want")
     }
-    // contract errors: non-positive values, both modifiers, no value
+    // function-path score: a matching doc re-scores to the FIELD value;
+    // matching is still decided by the raw BM25 (order of operations)
+    val fn = scores(
+      """[{"$search": {"text": {"query": "spark", "path": "text",
+            "score": {"function": {"path": {"value": "n_chars"}}}}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    assert(fn.keySet == plain.keySet,
+      "function score must not change matching")
+    val chars = cat.documents.select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    fn.foreach { case (id, s) => assert(s == chars(id), s"doc $id") }
+    // contract errors: non-positive values, both modifiers, no value,
+    // out-of-subset function forms
     for (bad <- Seq(
       """{"boost": {"value": -1}}""",
       """{"constant": {"value": 0}}""",
       """{"boost": {"value": 2}, "constant": {"value": 1}}""",
-      """{"boost": {}}""")) {
+      """{"boost": {}}""",
+      """{"function": {"multiply": []}}""",
+      """{"function": {"path": "n_chars"}}""")) {
       intercept[IllegalArgumentException] {
         MongoPipeline(docs,
           s"""[{"$$search": {"text": {"query": "spark", "path": "text",
