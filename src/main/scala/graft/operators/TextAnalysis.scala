@@ -1096,6 +1096,29 @@ object TextAnalysis {
                                     out: String): DataFrame =
     searchScoresFused(docs, Seq((textCol, Seq(tfRegex(pattern)))), Seq(out))
 
+  /** E24: BM25 scoring with the corpus-stats row PROVIDED from a
+    * standing ledger instead of aggregated from the frame — the same
+    * expression tree as [[bm25WithScore]] (via [[searchScoresFused]]),
+    * so ledger-backed and scan-backed scores are bit-identical when
+    * the ledger states the true stats. `stats` is one row with LONG
+    * columns `(n, sumdl, df0..dfK)`; the adapter applies exactly the
+    * casts the in-frame aggregate would (count→double, long→double),
+    * so no value can differ by representation.
+    */
+  private[graft] def bm25WithProvidedStats(docs: DataFrame, textCol: String,
+                                           terms: Seq[String],
+                                           stats: DataFrame,
+                                           out: String): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val adapted = stats.select(
+      col("n").cast("double").as("__n") +:
+        col("sumdl").cast("double").as("__sumdl0") +:
+        terms.indices.map(i =>
+          col(s"df$i").cast("double").as(s"__df_0_$i")): _*)
+    searchScoresFused(docs, Seq((textCol, terms.map(tfTerm))), Seq(out),
+      Some(adapted))
+  }
+
   /** `$search.moreLikeThis` term selection (round 15) — Lucene MLT's
     * move re-expressed deterministically: tokenize the like document,
     * fetch each candidate term's corpus df in ONE small aggregate
@@ -1154,7 +1177,8 @@ object TextAnalysis {
   private[graft] def searchScoresFused(
       docs: DataFrame,
       clauses: Seq[(String, Seq[Column => Column])],
-      outs: Seq[String]): DataFrame = {
+      outs: Seq[String],
+      providedStats: Option[DataFrame] = None): DataFrame = {
     require(clauses.nonEmpty && clauses.size == outs.size,
       "searchScoresFused: one output column per clause")
     require(clauses.forall(_._2.nonEmpty), "every clause needs >= 1 term")
@@ -1180,7 +1204,13 @@ object TextAnalysis {
           sum(when(col(s"__tf_${ci}_$ti") > 0, 1).otherwise(0))
             .cast("double").as(s"__df_${ci}_$ti")
         })
-    val stats = broadcast(withTf.agg(aggs.head, aggs.tail: _*))
+    // providedStats (E24): a caller holding the true corpus stats in
+    // an incrementally-maintained ledger (the curation daemon) skips
+    // the stats-aggregate corpus scan entirely — the row must carry
+    // the same (__n, __sumdl<pi>, __df_<ci>_<ti>) columns this
+    // aggregate would produce, already cast double
+    val stats = broadcast(
+      providedStats.getOrElse(withTf.agg(aggs.head, aggs.tail: _*)))
     // BM25 with k1=1.2, b=0.75 — the formula is character-identical
     // to the pre-fusion per-clause scorers
     def comp(tf: Column, df: Column, dl: Column, sumdl: Column): Column =

@@ -108,13 +108,15 @@ object CurationJob {
           spanTrim: Boolean = false,
           semantic: Option[SemanticGate] = None,
           bloom: Boolean = false,
-          knnK: Int = 0): StreamingQuery =
+          knnK: Int = 0,
+          searchStats: Boolean = false): StreamingQuery =
     incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, corpusDir, idCol, textCol, batchId, compactEvery,
-          fuzzy, markup, classifier, bpe, spanTrim, semantic, bloom, knnK)
+          fuzzy, markup, classifier, bpe, spanTrim, semantic, bloom, knnK,
+          searchStats)
       }
       .start()
 
@@ -135,7 +137,8 @@ object CurationJob {
                  spanTrim: Boolean = false,
                  semantic: Option[SemanticGate] = None,
                  bloom: Boolean = false,
-                 knnK: Int = 0): Unit = {
+                 knnK: Int = 0,
+                 searchStats: Boolean = false): Unit = {
     require(knnK == 0 || semantic.isDefined,
       "knnK needs the semantic gate: the kNN graph blocks on its cells")
     val spark = batch.sparkSession
@@ -318,6 +321,29 @@ object CurationJob {
       if (spanTrim)
         Dedup.blockIndex(accepted, textCol)
           .write.mode("overwrite").parquet(s"$corpusDir/blocks/b$batchId")
+      // E24: the search-stats ledger advances by ACCEPTED (stored)
+      // content — per distinct term its batch df, plus one sentinel
+      // row carrying the batch's (docs, Σdl). Rows are SUM-semantic,
+      // so each carries its source batch id: that makes every row a
+      // unique key, which is what lets the SET-semantic compactIndex
+      // fold (full-row distinct) and the reader's window-dedup
+      // distinct() both preserve the sums exactly.
+      if (searchStats) {
+        val toks = graft.functions.Hash60.tokens(col(textCol))
+        val termRows = accepted
+          .select(explode(array_distinct(toks)).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .select(col("term"), col("df"), lit(0L).as("docs"),
+            lit(0L).as("sumdl"), lit(batchId).as("src"))
+        val totals = accepted
+          .agg(count(lit(1)).as("docs"),
+            sum(size(toks).cast("long")).as("sumdl"))
+          .select(lit("").as("term"), lit(0L).as("df"), col("docs"),
+            coalesce(col("sumdl"), lit(0L)).as("sumdl"),
+            lit(batchId).as("src"))
+        termRows.unionByName(totals)
+          .write.mode("overwrite").parquet(s"$corpusDir/sstats/b$batchId")
+      }
       // the semantic index advances by accepted rows' (id, cell,
       // embedding) under the SAME fixed centroids
       semantic.foreach { g =>
@@ -375,6 +401,11 @@ object CurationJob {
       if (knnK > 0)
         compactIndex(spark, s"$corpusDir/knn", s"b$batchId", batchId,
           compactEvery)
+      // sstats rows are unique keys (src column), so the set-semantic
+      // fold preserves the ledger's sums exactly
+      if (searchStats)
+        compactIndex(spark, s"$corpusDir/sstats", s"b$batchId", batchId,
+          compactEvery)
       compactData(spark, s"$corpusDir/data", s"b$batchId", batchId,
         compactEvery)
     }
@@ -400,6 +431,56 @@ object CurationJob {
   def knnGraph(spark: SparkSession, corpusDir: String, k: Int): DataFrame =
     graft.operators.Similarity.knnFromEdges(
       readIndexExcept(spark, s"$corpusDir/knn", "", knnSchema).distinct(), k)
+
+  /** E24: index-backed `$search` over the STANDING curated corpus —
+    * BM25 top-k where the corpus stats (N, Σdl, per-term df) come
+    * from the incrementally-maintained `sstats` ledger instead of a
+    * second corpus scan. At 100 TB this is the difference between 2
+    * corpus passes and 1: the tf pass still reads the documents (it
+    * must — scores need per-doc tf), but the stats fold into one
+    * vocab-sized aggregate over the ledger (the ledger is term-keyed,
+    * ~|vocab| rows, not corpus-sized) broadcast as the usual 1-row
+    * stats frame. Scores are BIT-IDENTICAL to the batch
+    * [[graft.operators.TextAnalysis.bm25]] over the same corpus: the
+    * ledger sums state exactly the values the in-frame aggregate
+    * would compute (exact integer arithmetic end to end), and the
+    * scoring tail is the SHARED searchScoresFused expression tree.
+    * The reader `distinct()`s the ledger first — rows are unique keys
+    * by construction (src batch column), so the only duplicates are
+    * compactIndex's visible-window full-row copies, and dropping them
+    * restores the appears-once contract the sums rest on (the kNN
+    * reader's discipline).
+    */
+  def searchCorpus(spark: SparkSession, corpusDir: String,
+                   idCol: String, textCol: String,
+                   terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "searchCorpus needs at least one term")
+    val led = readIndexExcept(spark, s"$corpusDir/sstats", "", sstatsSchema)
+      .distinct()
+    require(!led.isEmpty,
+      s"no search-stats ledger under $corpusDir/sstats — run the daemon " +
+        "with searchStats = true")
+    val aggs = sum(col("docs")).as("n") +: sum(col("sumdl")).as("sumdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("df")).otherwise(0L)).as(s"df$i")
+      }
+    val stats = led.agg(aggs.head, aggs.tail: _*)
+    val corpus = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$corpusDir/data")
+    graft.operators.TextAnalysis
+      .bm25WithProvidedStats(corpus, textCol, terms, stats, "score")
+      .select(col(idCol).as("id"), col("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  private val sstatsSchema = StructType(Seq(
+    StructField("term", StringType),
+    StructField("df", org.apache.spark.sql.types.LongType),
+    StructField("docs", org.apache.spark.sql.types.LongType),
+    StructField("sumdl", org.apache.spark.sql.types.LongType),
+    StructField("src", org.apache.spark.sql.types.LongType)))
 
   private val knnSchema = StructType(Seq(
     StructField("id", org.apache.spark.sql.types.LongType),

@@ -38,6 +38,9 @@ import graft.streaming.CurationJob.{ClassifierGate, SemanticGate}
   *      with bloom=true yields a byte-identical corpus, and the
   *      OR-merged standing words equal the filter of the standing fp
   *      index (the consistency the definite-new verdict rests on).
+  *   5. search-stats ledger exact (E24) — index-backed
+  *      [[CurationJob.searchCorpus]] scores bit-identically to a
+  *      fresh two-scan BM25 over the same standing corpus.
   *
   * Embeddings attach deterministically (vec_id = doc_id mod |emb|;
   * every 7th doc NULL to exercise the no-embedding flow-through
@@ -145,7 +148,8 @@ object DaemonSweep {
     for (i <- 0 until nBatches)
       CurationJob.applyBatch(batchOf(i), fDir, "doc_id", "text",
         batchId = i.toLong, compactEvery = 4, fuzzy = true, markup = true,
-        classifier = clf, spanTrim = true, semantic = sem, knnK = 3)
+        classifier = clf, spanTrim = true, semantic = sem, knnK = 3,
+        searchStats = true)
     val corpus = corpusDF(fDir).persist()
     val fullRows = corpus.count()
     val idsDistinct =
@@ -174,6 +178,16 @@ object DaemonSweep {
         indexDF(fDir, "semidx").select(
           col("doc_id"), col("cell"), col("embedding")).distinct(),
         "doc_id", "embedding", 3))
+    // E24 at the decade: the standing search-stats ledger must score
+    // BIT-IDENTICALLY to a fresh two-scan BM25 over the same corpus
+    val searchTerms = Seq("spark", "query", "stream")
+    def scoreSeq(df: DataFrame): Seq[(Long, Double)] = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ledgerSearchEqual = scoreSeq(
+      CurationJob.searchCorpus(spark, fDir, "doc_id", "text",
+        searchTerms, 20)) ==
+      scoreSeq(graft.operators.TextAnalysis.bm25(
+        corpus, "doc_id", "text", searchTerms, 20))
     corpus.unpersist()
     println(s"[daemon-sweep] full: $fullRows corpus rows, ids-distinct: " +
       s"$idsDistinct, fp⊆idx: $fpCovers, bands≡: $bandsEqual, " +
@@ -190,11 +204,15 @@ object DaemonSweep {
       indexDF(fDir, "semidx").distinct().count(),
       indexDF(fDir, "knn").distinct().count(),
       indexDF(fDir, "knn").agg(coalesce(sum(col("nbr")), lit(0L)))
+        .head.getLong(0),
+      indexDF(fDir, "sstats").distinct().count(),
+      indexDF(fDir, "sstats").agg(coalesce(sum(col("df")), lit(0L)))
         .head.getLong(0))
     val before = stateSig()
     CurationJob.applyBatch(batchOf(nBatches - 1), fDir, "doc_id", "text",
       batchId = (nBatches - 1).toLong, compactEvery = 4, fuzzy = true,
-      markup = true, classifier = clf, spanTrim = true, semantic = sem)
+      markup = true, classifier = clf, spanTrim = true, semantic = sem,
+      knnK = 3, searchStats = true)
     val redeliveryNoop = stateSig() == before
     println(s"[daemon-sweep] redelivery no-op: $redeliveryNoop")
 
@@ -220,6 +238,7 @@ object DaemonSweep {
          | "block_index_equals_corpus": $blocksEqual,
          | "sem_index_equals_corpus": $semidxEqual,
          | "knn_graph_equals_batch": $knnEqual,
+         | "ledger_search_equals_scan": $ledgerSearchEqual,
          | "redelivery_noop": $redeliveryNoop,
          | "index_dir_entries": $idxEntries, "index_generations": $gens,
          | "secs": ${math.round(secs)}}""".stripMargin.replace("\n", "")
@@ -228,7 +247,7 @@ object DaemonSweep {
     val allOk = eqStreamEqualsBatch && bloomEqualsPlain &&
       bloomWordsConsistent && idsDistinct && fpCovers &&
       bandsEqual && blocksEqual && semidxEqual && knnEqual &&
-      redeliveryNoop
+      ledgerSearchEqual && redeliveryNoop
     spark.stop()
     if (!allOk) sys.exit(1)
   }

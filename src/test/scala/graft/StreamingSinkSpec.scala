@@ -525,6 +525,59 @@ class StreamingSinkSpec extends SparkTestBase {
         "knnGraph reader must dedup before BoundedTopK ranking")
   }
 
+  test("streaming BM25 stats ledger (E24): ledger-backed search ≡ batch scan across batches, compaction, re-delivery, window") {
+    import spark.implicits._
+    import graft.streaming.CurationJob
+    import graft.operators.TextAnalysis
+    val pool = Vector("quick", "brown", "foxes", "jumped", "fences",
+      "little", "garden", "stones", "rivers", "bright", "clouds",
+      "forest", "meadow", "silver", "golden", "branch")
+    def doc(seed: Int): String = (0 until 60).map { i =>
+      if (i % 7 == 3) "the" else if (i % 11 == 5) "of"
+      else if (i % 17 == 2) s"word$seed"
+      else pool((seed * 13 + i * 5) % pool.size)
+    }.mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curation-sstats").toString
+    val batches = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L), Seq(6L, 7L, 8L))
+    def apply1(ids: Seq[Long], b: Long): Unit = CurationJob.applyBatch(
+      ids.map(i => (i, doc(i.toInt))).toDF("doc_id", "text"),
+      dir, "doc_id", "text", batchId = b, compactEvery = 2,
+      searchStats = true)
+    val terms = Seq("quick", "word1", "garden")
+    def viaLedger = CurationJob
+      .searchCorpus(spark, dir, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def viaScan = TextAnalysis.bm25(
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/data"),
+      "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    batches.zipWithIndex.foreach { case (ids, b) =>
+      apply1(ids, b.toLong)
+      assert(viaLedger == viaScan, s"batch $b: ledger scores ≠ scan scores")
+    }
+    val settled = viaLedger
+    assert(settled.nonEmpty && settled.forall(_._2 > 0))
+    // re-delivery of the last batch: the overwritten shard is an
+    // identical rewrite, sums unchanged
+    apply1(batches.last, 2L)
+    assert(viaLedger == settled)
+    // compaction's visible window: a full copy of the ledger rows as
+    // one more shard — rows are unique keys (src column), so the
+    // reader's distinct() drops exactly the copies; the SUM-semantic
+    // ledger must survive what the set-semantic indexes shrug off
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/sstats")
+      .write.parquet(s"$dir/sstats/gwindow")
+    assert(viaLedger == settled,
+      "window-duplicated ledger shards corrupted the BM25 stats sums")
+    // contract error: no ledger
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-curation-noled").toString
+    intercept[IllegalArgumentException] {
+      CurationJob.searchCorpus(spark, bare, "doc_id", "text", Seq("x"))
+    }
+  }
+
   test("bloom toggled ON mid-corpus: backfill from the standing index keeps duplicates out") {
     import spark.implicits._
     import graft.streaming.CurationJob
