@@ -135,6 +135,29 @@ object ExtendedQueries {
              "maxDistance": 60.0, "distanceMultiplier": 111.325, "num": 40}},
             {"$project": {"ck": 1, "seg": 1, "dist": 1}}]""")
     }),
+    // —— C39i: $search geoWithin (round 15) — constant-score box +
+    //    circle filters over the planar legacy-pair model $geoNear
+    //    uses (same deterministic lattice); box + text as musts,
+    //    circle as a should booster; no $limit → the full match set ——
+    "pipe_search_geo" -> ((s, dir) => {
+      val cat = TableCatalog(s, dir)
+      val places = cat.table("customer").select(
+        col("c_custkey").as("ck"),
+        array(
+          pmod(col("c_custkey") * 7919, lit(36000)) / lit(100.0) - lit(180.0),
+          pmod(col("c_custkey") * 104729, lit(18000)) / lit(100.0) - lit(90.0))
+          .as("loc"),
+        col("c_mktsegment").as("seg"))
+      MongoPipeline(places,
+        """[{"$search": {"compound": {
+             "must": [{"text": {"query": "building automobile", "path": "seg"}},
+                      {"geoWithin": {"path": "loc", "box": {
+                         "bottomLeft": [-60.0, -60.0],
+                         "topRight": [60.0, 20.0]}}}],
+             "should": [{"geoWithin": {"path": "loc", "circle": {
+                         "center": [12.5, -33.25], "radius": 30.0}}}]}}},
+            {"$project": {"ck": 1, "score": {"$meta": "searchScore"}}}]""")
+    }),
     // —— C36: $vectorSearch (Atlas ANN as a pipeline stage —
     //    pre-filter, coarse-prefix shortlist of numCandidates, exact
     //    cosine re-rank, score via {$meta: "vectorSearchScore"}) ——
@@ -1145,6 +1168,38 @@ object ExtendedQueries {
          |  FROM bosc JOIN bpsc ON bosc.id = bpsc.id)
          |SELECT doc_id, score FROM m WHERE msc > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // C39i: the geoWithin replay — the lattice, the 2-term seg BM25
+    // chain (dl = 1 token per row), box as a raw-match filter (must
+    // clauses contribute constant 1.0), circle as a should booster;
+    // pure IEEE planar arithmetic both engines replay
+    "pipe_search_geo" ->
+      """WITH gplaces AS (
+        |  SELECT c_custkey AS ck, c_mktsegment AS seg,
+        |    (c_custkey*7919 % 36000) / 100.0 - 180.0 AS x,
+        |    (c_custkey*104729 % 18000) / 100.0 - 90.0 AS y
+        |  FROM customer),
+        |gd AS (SELECT ck, x, y, CAST(1 AS DOUBLE) AS dl,
+        |    CASE WHEN lower(seg) = 'building' THEN 1.0 ELSE 0.0 END AS tf0,
+        |    CASE WHEN lower(seg) = 'automobile' THEN 1.0 ELSE 0.0 END AS tf1
+        |  FROM gplaces),
+        |gs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) AS sumdl,
+        |  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |  CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+        |  FROM gd),
+        |gsc AS (SELECT gd.ck, gd.x, gd.y,
+        |    round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |      + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n))), 6) AS ts
+        |  FROM gd, gs)
+        |SELECT ck,
+        |  ts + 1.0
+        |    + (CASE WHEN (x - 12.5)*(x - 12.5) + (y - (-33.25))*(y - (-33.25))
+        |            <= 30.0*30.0 THEN 1.0 ELSE 0.0 END) AS score
+        |FROM gsc
+        |WHERE ts > 0
+        |  AND x >= -60.0 AND x <= 60.0 AND y >= -60.0 AND y <= 20.0""".stripMargin,
     // C39e (function form): match on the raw must score, re-score the
     // must clause to COALESCE(n_chars, 0.0), sum with the unmodified
     // should component in declaration order

@@ -616,7 +616,8 @@ object MongoPipeline {
 
   private def search(df: DataFrame, spec: JsonNode): DataFrame = {
     val clauseKinds = Seq("text", "phrase", "autocomplete", "wildcard",
-      "regex", "moreLikeThis", "near", "range", "equals", "in", "exists")
+      "regex", "moreLikeThis", "near", "range", "equals", "in", "exists",
+      "geoWithin")
     val unknown = spec.properties().asScala.map(_.getKey)
       .filterNot(k => k == "compound" || k == "queryString" ||
         clauseKinds.contains(k))
@@ -745,6 +746,48 @@ object MongoPipeline {
           MltC(e.getKey, e.getValue.asText(), maxT)
         case "exists" =>
           AttrC(col(path).isNotNull)
+        case "geoWithin" =>
+          // constant-score geo filter (Lucene's filter-query class)
+          // over the PLANAR legacy-pair model $geoNear already uses —
+          // [x, y] array path, euclidean geometry, every step an IEEE
+          // correctly-rounded op both engines replay. Spherical
+          // GeoJSON geometry/polygons are out of the subset and say so.
+          def pt(node: JsonNode, what: String): (Double, Double) = {
+            require(node != null && node.isArray && node.size == 2,
+              s"$$search.geoWithin.$what must be a legacy [x, y] pair " +
+                "(GeoJSON points are out of the supported subset)")
+            (node.get(0).asDouble(), node.get(1).asDouble())
+          }
+          val px = col(path).getItem(0)
+          val py = col(path).getItem(1)
+          val shapes = Seq("box", "circle").filter(body.get(_) != null)
+          require(shapes.size == 1,
+            "$search.geoWithin takes exactly one of box|circle " +
+              "(geometry polygons are out of the subset)")
+          shapes.head match {
+            case "box" =>
+              val b = body.get("box")
+              val (x1, y1) = pt(b.get("bottomLeft"), "box.bottomLeft")
+              val (x2, y2) = pt(b.get("topRight"), "box.topRight")
+              require(x1 < x2 && y1 < y2,
+                "$search.geoWithin.box needs bottomLeft strictly below-" +
+                  s"left of topRight: [$x1,$y1] vs [$x2,$y2]")
+              AttrC(px >= lit(x1) && px <= lit(x2) &&
+                py >= lit(y1) && py <= lit(y2))
+            case "circle" =>
+              val cNode = body.get("circle")
+              val (cx, cy) = pt(cNode.get("center"), "circle.center")
+              require(cNode.get("radius") != null &&
+                cNode.get("radius").isNumber,
+                "$search.geoWithin.circle.radius is a required number")
+              val r = cNode.get("radius").asDouble()
+              require(r > 0,
+                s"$$search.geoWithin.circle.radius must be positive: $r")
+              // squared comparison: no sqrt, pure IEEE mul/add both
+              // engines reproduce bit for bit
+              AttrC((px - lit(cx)) * (px - lit(cx)) +
+                (py - lit(cy)) * (py - lit(cy)) <= lit(r) * lit(r))
+          }
         case "near" =>
           // numeric proximity: score = pivot/(pivot + |x − origin|) —
           // Atlas' decay curve, every step a correctly-rounded IEEE op

@@ -1717,6 +1717,54 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(titleOnly(2L) != bodyOnly(2L))
   }
 
+  test("$search geoWithin: inclusive box, squared-distance circle boundary, planar-subset errors") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq(0.0, 0.0), "alpha"),
+      (2L, Seq(10.0, 10.0), "alpha"),   // exactly the box topRight
+      (3L, Seq(-5.0, -5.0), "alpha"),   // exactly the box bottomLeft
+      (4L, Seq(10.0, 10.001), "alpha"), // just past the top edge
+      (5L, Seq(3.0, 4.0), "alpha"),     // exactly ON the r=5 circle
+      (6L, Seq(3.0, 4.001), "alpha"))   // just outside it
+      .toDF("doc_id", "loc", "kind")
+    def ids(json: String): Set[Long] =
+      MongoPipeline(docs, json).collect().map(_.getLong(0)).toSet
+    val inBox = ids(
+      """[{"$search": {"geoWithin": {"path": "loc", "box": {
+            "bottomLeft": [-5.0, -5.0], "topRight": [10.0, 10.0]}}}},
+          {"$project": {"doc_id": 1}}]""")
+    assert(inBox == Set(1L, 2L, 3L, 5L, 6L),
+      s"box edges are INCLUSIVE (only 10.001 falls out): $inBox")
+    val inCircle = ids(
+      """[{"$search": {"geoWithin": {"path": "loc", "circle": {
+            "center": [0.0, 0.0], "radius": 5.0}}}},
+          {"$project": {"doc_id": 1}}]""")
+    assert(inCircle == Set(1L, 5L),
+      s"3-4-5 point is ON the circle (inclusive), 4.001 is out: $inCircle")
+    // composes as a compound must with a scored clause
+    val comp = ids(
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "alpha", "path": "kind"}},
+                     {"geoWithin": {"path": "loc", "circle": {
+                        "center": [0.0, 0.0], "radius": 5.0}}}]}}},
+          {"$project": {"doc_id": 1}}]""")
+    assert(comp == Set(1L, 5L), comp.toString)
+    // contract errors: both shapes, inverted box, zero radius,
+    // GeoJSON point object, out-of-subset geometry
+    for (bad <- Seq(
+      """{"path": "loc", "box": {"bottomLeft": [0,0], "topRight": [1,1]},
+          "circle": {"center": [0,0], "radius": 1}}""",
+      """{"path": "loc", "box": {"bottomLeft": [1,1], "topRight": [0,0]}}""",
+      """{"path": "loc", "circle": {"center": [0,0], "radius": 0}}""",
+      """{"path": "loc", "circle": {"center": {"type": "Point",
+          "coordinates": [0,0]}, "radius": 1}}""",
+      """{"path": "loc", "geometry": {"type": "Polygon"}}""")) {
+      intercept[IllegalArgumentException] {
+        MongoPipeline(docs, s"""[{"$$search": {"geoWithin": $bad}}]""")
+      }
+    }
+  }
+
   test("$search moreLikeThis: the like doc ranks first, mustNot excludes it, df=0 terms dropped") {
     import spark.implicits._
     val docs = Seq(
