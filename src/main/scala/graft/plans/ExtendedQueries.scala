@@ -245,6 +245,15 @@ object ExtendedQueries {
                                  "path": "text"}}},
           {"$limit": 20},
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C39j: $search sort option (round 15) — field order replaces
+    //    best-score-first; the match set is unchanged, what $limit
+    //    keeps moves ——
+    "pipe_search_sort" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"text": {"query": "spark query", "path": "text"},
+                       "sort": {"n_chars": -1}}},
+          {"$limit": 15},
+          {"$project": {"doc_id": 1, "n_chars": 1,
+                        "score": {"$meta": "searchScore"}}}]""")),
     // —— C39h: $search moreLikeThis (round 15) — deterministic salient
     //    -term selection (like-tf DESC, corpus-df ASC, term ASC; df=0
     //    dropped) fed into the shared multi-term BM25 text clause ——
@@ -1279,6 +1288,14 @@ object ExtendedQueries {
       s"""SELECT id AS doc_id, score FROM (
          |${graft.operators.LlmQueries.regexSql("qu[ae]ry|s(?:can|ort)", 20)}
          |) __r""".stripMargin,
+    // C39j: the sort-option replay — same match set, field order with
+    // the doc_id tiebreak deciding the $limit boundary
+    "pipe_search_sort" ->
+      s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(Seq("spark", "query"), "so")}
+         |SELECT d.doc_id, d.n_chars, sosc.score
+         |FROM documents d JOIN sosc ON sosc.id = d.doc_id
+         |WHERE sosc.score > 0
+         |ORDER BY d.n_chars DESC, d.doc_id LIMIT 15""".stripMargin,
     // C39h: the moreLikeThis replay — the SELECTION derives from data
     // (per-term corpus df), so the oracle re-runs it in SQL: like-doc
     // term tfs, df per candidate, rank (tfq DESC, df ASC, term ASC)

@@ -619,15 +619,41 @@ object MongoPipeline {
       "regex", "moreLikeThis", "near", "range", "equals", "in", "exists",
       "geoWithin")
     val unknown = spec.properties().asScala.map(_.getKey)
-      .filterNot(k => k == "compound" || k == "queryString" ||
+      .filterNot(k => k == "compound" || k == "queryString" || k == "sort" ||
         clauseKinds.contains(k))
     require(unknown.isEmpty, s"unsupported $$search operators: $unknown")
+    // the sort option (round 15): Atlas' sort-by-field-instead-of-
+    // relevance — the match set is unchanged, only the output order
+    // (and therefore what a downstream $limit keeps) moves from
+    // best-score-first to the stated fields. Supported subset: plain
+    // {field: 1 | -1} entries, applied in declaration order, with the
+    // engine's all-columns tiebreak appended (total order, so a
+    // $limit boundary is deterministic); {$meta}-valued sorts are
+    // refused loudly.
+    val sortCols: Seq[Column] = Option(spec.get("sort")).map { sn =>
+      require(sn.isObject && sn.properties().asScala.nonEmpty,
+        "$search.sort must be a non-empty {field: 1|-1} document")
+      sn.properties().asScala.toSeq.map { e =>
+        require(e.getValue.isNumber &&
+          math.abs(e.getValue.asInt()) == 1,
+          s"$$search.sort.${e.getKey} must be 1 or -1 " +
+            "($meta-valued sorts are out of the subset)")
+        if (e.getValue.asInt() > 0) col(e.getKey).asc else col(e.getKey).desc
+      }
+    }.getOrElse(Seq(col(SearchScoreCol).desc))
     // queryString is pure sugar: compile to the compound algebra and
     // recurse — one scorer, one matcher, no second semantics
     if (spec.get("queryString") != null) {
-      require(spec.properties().asScala.map(_.getKey).toSet == Set("queryString"),
+      require(spec.properties().asScala.map(_.getKey).toSet
+        .subsetOf(Set("queryString", "sort")),
         "$search.queryString does not combine with other operators")
-      return search(df, compileQueryString(spec.get("queryString")))
+      val translated = compileQueryString(spec.get("queryString"))
+      Option(spec.get("sort")).foreach { sn =>
+        translated.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .replace("sort", sn)
+        ()
+      }
+      return search(df, translated)
     }
     def scoreMod(body: JsonNode, kind: String): Option[ScoreMod] =
       Option(body.get("score")).map { sn =>
@@ -880,7 +906,7 @@ object MongoPipeline {
       // may map a matching doc to any value incl. 0)
       applyMod(scoreClause(df, c, SearchScoreCol)
         .filter(col(SearchScoreCol) > 0), SearchScoreCol, mod)
-        .orderBy(col(SearchScoreCol).desc +: tie: _*)
+        .orderBy(sortCols ++ tie: _*)
     } else {
       // compound: must clauses all match AND contribute score; should
       // clauses contribute score (should-only searches need at least
@@ -946,7 +972,7 @@ object MongoPipeline {
         .withColumn(SearchScoreCol, scoring.reduce(_ + _))
         .filter(col("__matched"))
         .drop("__matched" +: all.indices.map(i => s"__sc$i"): _*)
-        .orderBy(col(SearchScoreCol).desc +: tie: _*)
+        .orderBy(sortCols ++ tie: _*)
     }
   }
 

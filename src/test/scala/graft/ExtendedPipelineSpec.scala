@@ -1717,6 +1717,48 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(titleOnly(2L) != bodyOnly(2L))
   }
 
+  test("$search sort option: field order replaces best-score-first; match set unchanged; $meta sorts refused") {
+    val docs = cat.documents
+    def rows(json: String): Seq[(Long, Long)] =
+      MongoPipeline(docs, json)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sorted = rows(
+      """[{"$search": {"text": {"query": "spark", "path": "text"},
+                       "sort": {"n_chars": 1}}},
+          {"$limit": 10},
+          {"$project": {"doc_id": 1, "n_chars": 1}}]""")
+    assert(sorted.map(_._2) == sorted.map(_._2).sorted,
+      s"ascending n_chars order: $sorted")
+    // match set identical to the unsorted search
+    val sortedAll = MongoPipeline(docs,
+      """[{"$search": {"text": {"query": "spark", "path": "text"},
+                       "sort": {"n_chars": 1}}},
+          {"$project": {"doc_id": 1}}]""").collect().map(_.getLong(0)).toSet
+    val plainAll = MongoPipeline(docs,
+      """[{"$search": {"text": {"query": "spark", "path": "text"}}},
+          {"$project": {"doc_id": 1}}]""").collect().map(_.getLong(0)).toSet
+    assert(sortedAll == plainAll, "sort must not change matching")
+    // composes with compound and queryString
+    val viaQs = rows(
+      """[{"$search": {"queryString": {"defaultPath": "text",
+                                       "query": "+spark"},
+                       "sort": {"n_chars": -1}}},
+          {"$limit": 5},
+          {"$project": {"doc_id": 1, "n_chars": 1}}]""")
+    assert(viaQs.map(_._2) == viaQs.map(_._2).sorted.reverse, viaQs.toString)
+    // contract errors: $meta-valued sort, zero direction, empty sort
+    for (bad <- Seq(
+      """{"score": {"$meta": "searchScore"}}""",
+      """{"n_chars": 0}""",
+      """{}""")) {
+      intercept[IllegalArgumentException] {
+        MongoPipeline(docs,
+          s"""[{"$$search": {"text": {"query": "spark", "path": "text"},
+                "sort": $bad}}]""")
+      }
+    }
+  }
+
   test("$search geoWithin: inclusive box, squared-distance circle boundary, planar-subset errors") {
     import spark.implicits._
     val docs = Seq(
