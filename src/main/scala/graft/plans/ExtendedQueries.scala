@@ -245,6 +245,27 @@ object ExtendedQueries {
                                  "path": "text"}}},
           {"$limit": 20},
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C39k: $search embeddedDocument (round 15) — block-join over a
+    //    nested array-of-documents path (orders ⊃ line items), sum
+    //    aggregate = matching-child count; composed with an equals
+    //    must; no $limit → the full match set ——
+    "pipe_search_embedded" -> ((s, dir) => {
+      val cat = TableCatalog(s, dir)
+      val items = cat.table("lineitem").groupBy(col("l_orderkey").as("ok"))
+        .agg(collect_list(struct(col("l_quantity").as("qty"),
+          col("l_discount").as("disc"))).as("items"))
+      val nested = cat.table("orders")
+        .select(col("o_orderkey").as("ok"), col("o_orderstatus").as("status"))
+        .join(items, "ok")
+      MongoPipeline(nested,
+        """[{"$search": {"compound": {
+             "must": [{"embeddedDocument": {"path": "items",
+                       "operator": {"range": {"path": "qty",
+                                              "gte": 30, "lte": 50}},
+                       "score": {"embedded": {"aggregate": "sum"}}}},
+                      {"equals": {"path": "status", "value": "O"}}]}}},
+            {"$project": {"ok": 1, "score": {"$meta": "searchScore"}}}]""")
+    }),
     // —— C39j: $search sort option (round 15) — field order replaces
     //    best-score-first; the match set is unchanged, what $limit
     //    keeps moves ——
@@ -1288,6 +1309,18 @@ object ExtendedQueries {
       s"""SELECT id AS doc_id, score FROM (
          |${graft.operators.LlmQueries.regexSql("qu[ae]ry|s(?:can|ort)", 20)}
          |) __r""".stripMargin,
+    // C39k: the block-join replay — matching-child count per parent
+    // (sum aggregate of constant-score children) + the equals must's
+    // constant 1.0, declaration-order sum; parents with no matching
+    // child filtered by the raw-match rule
+    "pipe_search_embedded" ->
+      """WITH em AS (SELECT l_orderkey AS ok,
+        |    CAST(SUM(CASE WHEN l_quantity >= 30 AND l_quantity <= 50
+        |             THEN 1 ELSE 0 END) AS DOUBLE) AS nm
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o.o_orderkey AS ok, em.nm + 1.0 AS score
+        |FROM orders o JOIN em ON em.ok = o.o_orderkey
+        |WHERE em.nm > 0 AND o.o_orderstatus = 'O'""".stripMargin,
     // C39j: the sort-option replay — same match set, field order with
     // the doc_id tiebreak deciding the $limit boundary
     "pipe_search_sort" ->

@@ -522,6 +522,22 @@ object MongoPipeline {
   private case class RegexC(path: String, pattern: String) extends SearchClause
   private case class MltC(path: String, like: String, maxTerms: Int)
     extends SearchClause
+
+  /** `embeddedDocument` (round 15) — Lucene's block-join over an
+    * array-of-documents path, in the constant-score-children subset:
+    * the inner operator is an attribute clause (range/equals/in/
+    * exists) over child fields, so each matching child scores exactly
+    * 1 and the parent aggregate is pure Column algebra over the array
+    * (no explode, no shuffle, no child-corpus stats): `sum` = the
+    * count of matching children (more matching children ⇒ more
+    * relevant — the useful constant-score aggregate), `maximum` = 1
+    * on any match. `mean`/`minimum` degenerate to `maximum` for
+    * constant child scores and are refused rather than implying
+    * Lucene score parity; scored child clauses (text) are likewise
+    * out of the subset and say so.
+    */
+  private case class EmbC(path: String, pred: Column => Column,
+                          agg: String) extends SearchClause
   private case class NearC(path: String, origin: Double, pivot: Double)
     extends SearchClause
   private case class AttrC(pred: Column) extends SearchClause
@@ -617,7 +633,7 @@ object MongoPipeline {
   private def search(df: DataFrame, spec: JsonNode): DataFrame = {
     val clauseKinds = Seq("text", "phrase", "autocomplete", "wildcard",
       "regex", "moreLikeThis", "near", "range", "equals", "in", "exists",
-      "geoWithin")
+      "geoWithin", "embeddedDocument")
     val unknown = spec.properties().asScala.map(_.getKey)
       .filterNot(k => k == "compound" || k == "queryString" || k == "sort" ||
         clauseKinds.contains(k))
@@ -772,6 +788,63 @@ object MongoPipeline {
           MltC(e.getKey, e.getValue.asText(), maxT)
         case "exists" =>
           AttrC(col(path).isNotNull)
+        case "embeddedDocument" =>
+          val op = body.get("operator")
+          require(op != null && op.isObject,
+            "$search.embeddedDocument.operator is required")
+          val aggKind = Option(body.get("score")).map { sc =>
+            val ks = sc.properties().asScala.map(_.getKey).toSet
+            require(ks == Set("embedded"),
+              "$search.embeddedDocument.score takes the " +
+                s"{embedded: {aggregate}} form (got $ks)")
+            val a = Option(sc.get("embedded").get("aggregate"))
+              .map(_.asText()).getOrElse("sum")
+            require(Seq("sum", "maximum").contains(a),
+              s"$$search.embeddedDocument aggregate must be sum|maximum " +
+                s"(got '$a' — mean/minimum degenerate to maximum for " +
+                "constant-score children and are refused rather than " +
+                "implying Lucene score parity)")
+            a
+          }.getOrElse("sum")
+          val innerKinds = Seq("range", "equals", "in", "exists")
+            .filter(op.get(_) != null)
+          require(innerKinds.size == 1 &&
+            op.properties().asScala.size == 1,
+            "$search.embeddedDocument.operator supports exactly one " +
+              "attribute clause (range|equals|in|exists) over child " +
+              "fields — scored child clauses (text) are out of the subset")
+          val ib = op.get(innerKinds.head)
+          require(ib.get("path") != null,
+            s"$$search.embeddedDocument.operator.${innerKinds.head}.path " +
+              "is required")
+          val ipath = ib.get("path").asText()
+          val pred: Column => Column = innerKinds.head match {
+            case "range" =>
+              val bounds = Seq(
+                "gte" -> ((c: Column, v: JsonNode) => c >= literal(v)),
+                "gt" -> ((c: Column, v: JsonNode) => c > literal(v)),
+                "lte" -> ((c: Column, v: JsonNode) => c <= literal(v)),
+                "lt" -> ((c: Column, v: JsonNode) => c < literal(v)))
+                .flatMap { case (k, f) =>
+                  Option(ib.get(k)).map(v => (x: Column) =>
+                    f(x.getField(ipath), v)) }
+              require(bounds.nonEmpty,
+                "$search.embeddedDocument range needs gte/gt/lte/lt")
+              x => bounds.map(_(x)).reduce(_ && _)
+            case "equals" =>
+              require(ib.get("value") != null,
+                "$search.embeddedDocument equals.value is required")
+              x => x.getField(ipath) === literal(ib.get("value"))
+            case "in" =>
+              val vs = Option(ib.get("value")).filter(_.isArray)
+                .getOrElse(throw new IllegalArgumentException(
+                  "$search.embeddedDocument in.value must be an array"))
+              x => x.getField(ipath).isin(
+                vs.elements().asScala.toSeq.map(literalValue): _*)
+            case "exists" =>
+              x => x.getField(ipath).isNotNull
+          }
+          EmbC(path, pred, aggKind)
         case "geoWithin" =>
           // constant-score geo filter (Lucene's filter-query class)
           // over the PLANAR legacy-pair model $geoNear already uses —
@@ -843,7 +916,11 @@ object MongoPipeline {
           AttrC(col(path).isin(
             vs.elements().asScala.toSeq.map(literalValue): _*))
       }
-      (clause, scoreMod(body, kinds.head))
+      // embeddedDocument's score option is its own {embedded: ...}
+      // aggregate form, parsed inside the case — not a score modifier
+      val mod = if (kinds.head == "embeddedDocument") None
+        else scoreMod(body, kinds.head)
+      (clause, mod)
     }
     // the fused-pass recipe of a BM25-scored clause kind; None for the
     // clause kinds that don't consume corpus stats (near's pure decay
@@ -898,6 +975,16 @@ object MongoPipeline {
               abs(col(path).cast("double") - lit(origin))), lit(0.0)))
         case AttrC(pred) =>
           d.withColumn(out, when(pred, 1.0).otherwise(0.0))
+        case EmbC(path, pred, aggKind) =>
+          // pure Column algebra over the array: matching-child count
+          // (each constant-score child scores 1). A NULL array means
+          // no children — score 0, no match.
+          val nm = coalesce(
+            size(filter(col(path), x => pred(x))).cast("double"), lit(0.0))
+          d.withColumn(out, aggKind match {
+            case "sum" => nm
+            case "maximum" => when(nm > 0, 1.0).otherwise(0.0)
+          })
       }
     val tie = df.columns.map(col).toSeq
     if (spec.get("compound") == null) {

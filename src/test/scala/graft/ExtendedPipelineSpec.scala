@@ -1717,6 +1717,62 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(titleOnly(2L) != bodyOnly(2L))
   }
 
+  test("$search embeddedDocument: sum counts matching children, maximum caps at 1, null array no-match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq((10, "a"), (35, "b"), (45, "c"))), // two in [30,50]
+      (2L, Seq((40, "d"))),                       // one
+      (3L, Seq((10, "e"), (20, "f"))),            // none
+      (4L, Seq.empty[(Int, String)]))             // no children
+      .toDF("doc_id", "raw")
+      .select(col("doc_id"), transform(col("raw"),
+        x => struct(x.getField("_1").as("qty"), x.getField("_2").as("tag")))
+        .as("items"))
+    val withNull = docs.withColumn("items",
+      when(col("doc_id") === 4L, lit(null)).otherwise(col("items")))
+    def scores(d: org.apache.spark.sql.DataFrame, json: String) =
+      MongoPipeline(d, json)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sum = scores(withNull,
+      """[{"$search": {"embeddedDocument": {"path": "items",
+            "operator": {"range": {"path": "qty", "gte": 30, "lte": 50}},
+            "score": {"embedded": {"aggregate": "sum"}}}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    assert(sum == Map(1L -> 2.0, 2L -> 1.0),
+      s"sum = matching-child count; none/null drop: $sum")
+    val max = scores(withNull,
+      """[{"$search": {"embeddedDocument": {"path": "items",
+            "operator": {"range": {"path": "qty", "gte": 30, "lte": 50}},
+            "score": {"embedded": {"aggregate": "maximum"}}}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    assert(max == Map(1L -> 1.0, 2L -> 1.0), max.toString)
+    // composes in compound with a mustNot on a child predicate
+    val comp = MongoPipeline(withNull,
+      """[{"$search": {"compound": {
+            "must": [{"embeddedDocument": {"path": "items",
+              "operator": {"range": {"path": "qty", "gte": 30, "lte": 50}}}}],
+            "mustNot": [{"embeddedDocument": {"path": "items",
+              "operator": {"equals": {"path": "tag", "value": "b"}}}}]}}},
+          {"$project": {"doc_id": 1}}]""")
+      .collect().map(_.getLong(0)).toSet
+    assert(comp == Set(2L), s"doc 1 excluded by its 'b' child: $comp")
+    // contract errors: scored child clause, degenerate aggregate,
+    // multiple inner operators, bad score form
+    for (bad <- Seq(
+      """{"path": "items", "operator": {"text": {"query": "x", "path": "tag"}}}""",
+      """{"path": "items", "operator": {"range": {"path": "qty", "gte": 1}},
+          "score": {"embedded": {"aggregate": "mean"}}}""",
+      """{"path": "items", "operator": {"range": {"path": "qty", "gte": 1},
+          "equals": {"path": "tag", "value": "a"}}}""",
+      """{"path": "items", "operator": {"range": {"path": "qty", "gte": 1}},
+          "score": {"boost": {"value": 2}}}""")) {
+      intercept[IllegalArgumentException] {
+        MongoPipeline(withNull,
+          s"""[{"$$search": {"embeddedDocument": $bad}}]""")
+      }
+    }
+  }
+
   test("$search sort option: field order replaces best-score-first; match set unchanged; $meta sorts refused") {
     val docs = cat.documents
     def rows(json: String): Seq[(Long, Long)] =
