@@ -570,6 +570,15 @@ class StreamingSinkSpec extends SparkTestBase {
       .write.parquet(s"$dir/sstats/gwindow")
     assert(viaLedger == settled,
       "window-duplicated ledger shards corrupted the BM25 stats sums")
+    // the at-scale claim, plan-asserted: ONE corpus (data) scan — the
+    // tf pass — plus ONE vocab-sized sstats scan; no second corpus
+    // pass for stats (that is the whole point of the ledger)
+    val plan = CurationJob
+      .searchCorpus(spark, dir, "doc_id", "text", terms, k = 10)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"want 2 scans (data tf + sstats ledger), got $scans:\n$plan")
+    assert("sstats".r.findAllIn(plan).nonEmpty, plan)
     // contract error: no ledger
     val bare = java.nio.file.Files
       .createTempDirectory("graft-curation-noled").toString
