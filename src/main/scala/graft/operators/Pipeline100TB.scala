@@ -25,6 +25,31 @@ object Pipeline100TB {
     * inside the round's single changed-count job, so a d-round
     * convergence costs d actions, not 2d+2 (the graphLookup fusion).
     */
+  /** F22: SOFT dedup — down-weight duplicates instead of dropping
+    * them: every document's training weight is 1 / |its near-dup
+    * cluster| (singletons keep 1.0), so each content cluster
+    * contributes exactly one document's worth of mass to the corpus
+    * while keeping every surface form visible to the model. Clusters
+    * are [[connectedComponents]] over the candidate pairs; weight is
+    * ONE correctly-rounded IEEE division both engines replay.
+    *
+    * Scale: CC's bounded label rounds + one cluster-size partial-agg
+    * groupBy + one left join of the corpus against the CLUSTERED
+    * subset (duplicate-dense corpora keep that side small; it is
+    * never the full corpus unless everything is a duplicate).
+    */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val clusters = connectedComponents(pairs)
+    val sz = clusters.groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
+    val weighted = clusters.join(sz, "cluster")
+      .select(col("doc_id"),
+        (lit(1.0) / col("__sz").cast("double")).as("__w"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(weighted, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__w"), lit(1.0)).as("weight"))
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))

@@ -525,6 +525,14 @@ object ExtendedQueries {
       hist.unionByName(tot.crossJoin(cl)
         .select(lit(1L).as("sz"), (col("__nd") - col("__nc")).as("n_clusters")))
     }),
+    // —— F22: soft dedup — weight = 1/|cluster| instead of dropping;
+    //    singletons keep 1.0 (every doc emits exactly one row) ——
+    "dedup_soft_weights" -> ((s, dir) => {
+      val docs = TableCatalog(s, dir).documents
+      val pairs = graft.operators.Dedup.minhashCandidates(
+        docs, "doc_id", "text", n = 2, k = 16, bands = 4)
+      Pipeline100TB.softDedupWeights(docs, pairs)
+    }),
     // —— F7b: same clusters via large-star/small-star contraction ——
     "dedup_clusters_star" -> ((s, dir) => {
       val docs = TableCatalog(s, dir).documents
@@ -1623,6 +1631,25 @@ object ExtendedQueries {
          |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
          |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
          |FROM reach GROUP BY s""".stripMargin
+    },
+    // F22: the CC chain + 1/size; docs outside any cluster keep 1.0
+    "dedup_soft_weights" -> {
+      val pairsSql = graft.operators.LlmQueries.oracleSql("dedup_minhash_lsh")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |e AS (SELECT a AS s, b AS d FROM pairs
+         |      UNION SELECT b, a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM e
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+         |cl AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+         |       FROM reach GROUP BY s),
+         |sz AS (SELECT cluster, CAST(COUNT(*) AS DOUBLE) AS sz
+         |       FROM cl GROUP BY 1),
+         |w AS (SELECT cl.doc_id, 1.0 / sz.sz AS weight
+         |      FROM cl JOIN sz USING (cluster))
+         |SELECT d.doc_id, COALESCE(w.weight, 1.0) AS weight
+         |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id""".stripMargin
     },
     "dedup_cluster_sizes" -> {
       val pairsSql = graft.operators.LlmQueries.oracleSql("dedup_minhash_lsh")

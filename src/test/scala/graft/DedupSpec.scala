@@ -744,4 +744,19 @@ class DedupSpec extends SparkTestBase {
     val first = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
     assert(again == first)
   }
+
+  test("soft dedup weights (F22): 1/|cluster|, singletons 1.0, every doc exactly once, mass = effective size") {
+    import spark.implicits._
+    import graft.operators.Pipeline100TB
+    val docs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val w = Pipeline100TB.softDedupWeights(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 7, "every doc emits exactly one weight row")
+    assert(w(1L) == 1.0 / 3 && w(2L) == 1.0 / 3 && w(3L) == 1.0 / 3, w.toString)
+    assert(w(5L) == 0.5 && w(6L) == 0.5, w.toString)
+    assert(w(4L) == 1.0 && w(7L) == 1.0, w.toString)
+    // total mass = one doc's worth per cluster + one per singleton
+    assert(math.abs(w.values.sum - 4.0) < 1e-12)
+  }
 }

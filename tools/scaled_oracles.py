@@ -178,6 +178,25 @@ def _dedup_cluster_sizes(sfdir, outdir, oracle_sql, name):
                    _dedup_cluster_sizes_want(con, oracle_sql), name)
 
 
+def _dedup_soft_weights_want(con, oracle_sql):
+    # F22 at scale: the same collapse-first doc-level clusters, then
+    # weight = 1/|cluster| with non-clustered docs keeping 1.0
+    _text_rep_clusters(con, oracle_sql)
+    return con.sql("""
+        WITH sz AS (SELECT cluster, CAST(COUNT(*) AS DOUBLE) AS sz
+                    FROM docclusters GROUP BY 1),
+             w AS (SELECT dc.doc_id, 1.0 / sz.sz AS weight
+                   FROM docclusters dc JOIN sz USING (cluster))
+        SELECT d.doc_id, COALESCE(w.weight, 1.0) AS weight
+        FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id""").df()
+
+
+def _dedup_soft_weights(sfdir, outdir, oracle_sql, name):
+    con = _dc().connect(sfdir)
+    return _result(_engine_df(outdir, name),
+                   _dedup_soft_weights_want(con, oracle_sql), name)
+
+
 # ——— embedding-side collapse (dedup_semantic / dedup_semantic_inc) ———
 
 _COS = ("round(list_cosine_similarity(CAST({a} AS DOUBLE[]), "
@@ -419,6 +438,7 @@ CUSTOM = {
     "dedup_clusters": _dedup_clusters,
     "dedup_clusters_star": _dedup_clusters,  # identical cluster contract
     "dedup_cluster_sizes": _dedup_cluster_sizes,
+    "dedup_soft_weights": _dedup_soft_weights,
     "dedup_semantic": _dedup_semantic,
     "dedup_semantic_inc": _dedup_semantic_inc,
     "bpe_encode": _bpe_encode,
@@ -437,6 +457,7 @@ _WANTS = {
     "dedup_clusters": _dedup_clusters_want,
     "dedup_clusters_star": _dedup_clusters_want,
     "dedup_cluster_sizes": _dedup_cluster_sizes_want,
+    "dedup_soft_weights": _dedup_soft_weights_want,
     "dedup_semantic": _dedup_semantic_want,
     "dedup_semantic_inc": _dedup_semantic_inc_want,
     "bpe_encode": _bpe_encode_want,
