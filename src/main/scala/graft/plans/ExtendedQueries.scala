@@ -245,6 +245,15 @@ object ExtendedQueries {
                                  "path": "text"}}},
           {"$limit": 20},
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C39l: $search highlight option (round 15) — the relational
+    //    rendering: per matched doc, the hit terms as term:count in
+    //    alphabetical order, pipe-joined (one string column) ——
+    "pipe_search_highlight" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"text": {"query": "spark query stream", "path": "text"},
+                       "highlight": {"path": "text"}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"},
+                        "hl": {"$meta": "searchHighlights"}}}]""")),
     // —— C39k: $search embeddedDocument (round 15) — block-join over a
     //    nested array-of-documents path (orders ⊃ line items), sum
     //    aggregate = matching-child count; composed with an equals
@@ -1317,6 +1326,24 @@ object ExtendedQueries {
       s"""SELECT id AS doc_id, score FROM (
          |${graft.operators.LlmQueries.regexSql("qu[ae]ry|s(?:can|ort)", 20)}
          |) __r""".stripMargin,
+    // C39l: the highlight replay — per-term tfs from the shared score
+    // chain's d-CTE, hit terms rendered term:count alphabetically
+    // (query < spark < stream; tf1/tf0/tf2 in the chain's term order)
+    "pipe_search_highlight" ->
+      s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(
+             Seq("spark", "query", "stream"), "hx")},
+         |top AS (SELECT id, score FROM hxsc WHERE score > 0
+         |        ORDER BY score DESC, id LIMIT 20)
+         |SELECT t.id AS doc_id, t.score,
+         |  array_to_string(list_filter([
+         |    CASE WHEN d.tf1 > 0 THEN 'query:' ||
+         |      CAST(CAST(d.tf1 AS BIGINT) AS VARCHAR) END,
+         |    CASE WHEN d.tf0 > 0 THEN 'spark:' ||
+         |      CAST(CAST(d.tf0 AS BIGINT) AS VARCHAR) END,
+         |    CASE WHEN d.tf2 > 0 THEN 'stream:' ||
+         |      CAST(CAST(d.tf2 AS BIGINT) AS VARCHAR) END],
+         |    x -> x IS NOT NULL), '|') AS hl
+         |FROM top t JOIN hxd d ON d.doc_id = t.id""".stripMargin,
     // C39k: the block-join replay — matching-child count per parent
     // (sum aggregate of constant-score children) + the equals must's
     // constant 1.0, declaration-order sum; parents with no matching

@@ -201,7 +201,8 @@ object MongoPipeline {
     // not leak into the output schema (Mongo adds no field unless
     // $meta is asked for). `$scoreFusion` compiles its scored legs
     // with keepScores=true — the fusion consumes the hidden column.
-    if (keepScores) cur else cur.drop(VsScoreCol, RfScoreCol, SearchScoreCol)
+    if (keepScores) cur
+    else cur.drop(VsScoreCol, RfScoreCol, SearchScoreCol, SearchHighlightsCol)
   }
 
   /** `$documents` source: a handful of driver-side literal rows. The
@@ -478,7 +479,7 @@ object MongoPipeline {
         .withColumn("__rf_rank", row_number().over(Window.orderBy(order: _*)))
         .withColumn(RfScoreCol,
           expr(s"(${weightOf(name)}L * 1000000000L) div (60L + __rf_rank)"))
-        .drop("__rf_rank", VsScoreCol, SearchScoreCol)
+        .drop("__rf_rank", VsScoreCol, SearchScoreCol, SearchHighlightsCol)
     }
     legs.reduce(_ unionByName _)
       .groupBy(docCols.map(col): _*)
@@ -490,6 +491,17 @@ object MongoPipeline {
     * `{$meta: "searchScore"}` projection reads it.
     */
   private val SearchScoreCol = "__search_score"
+
+  /** Hidden column carrying `$search`'s highlights until a
+    * `{$meta: "searchHighlights"}` projection reads it. The engine's
+    * relational rendering of Atlas' passage documents: per matched
+    * document, the highlight path's text-clause terms that HIT, as
+    * `term:count` joined by `|` in alphabetical term order — a plain
+    * deterministic string (Atlas nests passages with char offsets;
+    * offsets belong to Lucene's stored-field machinery and are out of
+    * the subset, which says so).
+    */
+  private val SearchHighlightsCol = "__search_highlights"
 
   /** `$search` (SURVEY.md §2 C39) — Atlas full-text search as a
     * pipeline stage, its `text` operator composed onto the H17 BM25
@@ -636,8 +648,34 @@ object MongoPipeline {
       "geoWithin", "embeddedDocument")
     val unknown = spec.properties().asScala.map(_.getKey)
       .filterNot(k => k == "compound" || k == "queryString" || k == "sort" ||
-        clauseKinds.contains(k))
+        k == "highlight" || clauseKinds.contains(k))
     require(unknown.isEmpty, s"unsupported $$search operators: $unknown")
+    // the highlight option (round 15): attach the relational highlight
+    // rendering (see SearchHighlightsCol) for the stated path, fed by
+    // the text-clause terms that target it — one more codegen'd
+    // projection on the SAME scan, no extra pass
+    val addHl: (DataFrame, Seq[SearchClause]) => DataFrame =
+      (d, cs) => Option(spec.get("highlight")) match {
+        case None => d
+        case Some(h) =>
+          val ks = h.properties().asScala.map(_.getKey).toSet
+          require(ks == Set("path"),
+            s"$$search.highlight supports only {path} (got $ks — " +
+              "maxCharsToExamine/maxNumPassages are out of the subset)")
+          val hPath = h.get("path").asText()
+          val terms = cs.collect { case TextC(p, ts) if p == hPath => ts }
+            .flatten.distinct.sorted
+          require(terms.nonEmpty,
+            s"$$search.highlight.path '$hPath' is not targeted by any " +
+              "text clause — nothing to highlight (the highlightable subset)")
+          val toks = graft.functions.Hash60.tokens(col(hPath))
+          val parts = terms.map { t =>
+            val hits = graft.operators.TextAnalysis.tfTerm(t)(toks)
+            when(hits > 0, concat(lit(t + ":"),
+              hits.cast("long").cast("string"))).otherwise(lit(null))
+          }
+          d.withColumn(SearchHighlightsCol, concat_ws("|", parts: _*))
+      }
     // the sort option (round 15): Atlas' sort-by-field-instead-of-
     // relevance — the match set is unchanged, only the output order
     // (and therefore what a downstream $limit keeps) moves from
@@ -661,13 +699,16 @@ object MongoPipeline {
     // recurse — one scorer, one matcher, no second semantics
     if (spec.get("queryString") != null) {
       require(spec.properties().asScala.map(_.getKey).toSet
-        .subsetOf(Set("queryString", "sort")),
+        .subsetOf(Set("queryString", "sort", "highlight")),
         "$search.queryString does not combine with other operators")
       val translated = compileQueryString(spec.get("queryString"))
-      Option(spec.get("sort")).foreach { sn =>
-        translated.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-          .replace("sort", sn)
-        ()
+      Seq("sort", "highlight").foreach { opt =>
+        Option(spec.get(opt)).foreach { sn =>
+          translated
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .replace(opt, sn)
+          ()
+        }
       }
       return search(df, translated)
     }
@@ -991,8 +1032,8 @@ object MongoPipeline {
       val (c, mod) = textClause(spec)
       // match on the RAW score, then re-score (a function-path score
       // may map a matching doc to any value incl. 0)
-      applyMod(scoreClause(df, c, SearchScoreCol)
-        .filter(col(SearchScoreCol) > 0), SearchScoreCol, mod)
+      addHl(applyMod(scoreClause(df, c, SearchScoreCol)
+        .filter(col(SearchScoreCol) > 0), SearchScoreCol, mod), Seq(c))
         .orderBy(sortCols ++ tie: _*)
     } else {
       // compound: must clauses all match AND contribute score; should
@@ -1055,10 +1096,11 @@ object MongoPipeline {
       val scored = all.foldLeft(withMatch) { case (d, ((_, m), i)) =>
         applyMod(d, s"__sc$i", m)
       }
-      scored
+      addHl(scored
         .withColumn(SearchScoreCol, scoring.reduce(_ + _))
         .filter(col("__matched"))
-        .drop("__matched" +: all.indices.map(i => s"__sc$i"): _*)
+        .drop("__matched" +: all.indices.map(i => s"__sc$i"): _*),
+        all.map(_._1._1))
         .orderBy(sortCols ++ tie: _*)
     }
   }
@@ -1102,7 +1144,8 @@ object MongoPipeline {
       require(facets != null && facets.isObject &&
         facets.properties().asScala.nonEmpty,
         "$searchMeta.facet.facets needs at least one facet definition")
-      val matched = search(df, f.get("operator")).drop(SearchScoreCol)
+      val matched = search(df, f.get("operator"))
+        .drop(SearchScoreCol, SearchHighlightsCol)
       val parts = facets.properties().asScala.toSeq.map { e =>
         val (name, fd) = (e.getKey, e.getValue)
         require(fd.get("path") != null,
@@ -1262,7 +1305,7 @@ object MongoPipeline {
         compile(df, stages.toString, tables, documentsAllowed = false,
             keepScores = true)
           .withColumn("__sf_raw", col(scoreCol))
-          .drop(VsScoreCol, SearchScoreCol)
+          .drop(VsScoreCol, SearchScoreCol, SearchHighlightsCol)
       } else {
         require(ops.last == "$score",
           s"$$scoreFusion pipeline '$name' must start with $$vectorSearch " +
@@ -1526,6 +1569,7 @@ object MongoPipeline {
           // RfScoreCol) rather than Mongo's float
           case "score" => col(RfScoreCol)
           case "searchScore" => col(SearchScoreCol)
+          case "searchHighlights" => col(SearchHighlightsCol)
           case other => throw new IllegalArgumentException(
             s"unsupported $$meta: $other")
         }

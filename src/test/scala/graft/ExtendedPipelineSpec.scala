@@ -1717,6 +1717,54 @@ class ExtendedPipelineSpec extends SparkTestBase {
     assert(titleOnly(2L) != bodyOnly(2L))
   }
 
+  test("$search highlight: term:count rendering, hit terms only, hidden without $meta, contract errors") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"), // alpha:2, beta:1
+      (2L, "beta beta beta"),         // beta:3
+      (3L, "nothing here"))
+      .toDF("doc_id", "text")
+    val out = MongoPipeline(docs,
+      """[{"$search": {"text": {"query": "alpha beta", "path": "text"},
+                       "highlight": {"path": "text"}}},
+          {"$project": {"doc_id": 1, "hl": {"$meta": "searchHighlights"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "alpha:2|beta:1", 2L -> "beta:3"), out.toString)
+    // without a $meta read the hidden column must not leak
+    val bare = MongoPipeline(docs,
+      """[{"$search": {"text": {"query": "alpha", "path": "text"},
+                       "highlight": {"path": "text"}}}, {"$limit": 1}]""")
+    assert(bare.columns.toSeq == docs.columns.toSeq, bare.columns.toSeq)
+    // compound: terms collected across every text clause on the path
+    val comp = MongoPipeline(docs,
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "beta", "path": "text"}}],
+            "should": [{"text": {"query": "alpha", "path": "text"}}]},
+            "highlight": {"path": "text"}}},
+          {"$project": {"doc_id": 1, "hl": {"$meta": "searchHighlights"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(comp == Map(1L -> "alpha:2|beta:1", 2L -> "beta:3"), comp.toString)
+    // queryString grafts highlight through its compiled compound
+    val viaQs = MongoPipeline(docs,
+      """[{"$search": {"queryString": {"defaultPath": "text",
+                                       "query": "+beta alpha"},
+                       "highlight": {"path": "text"}}},
+          {"$project": {"doc_id": 1, "hl": {"$meta": "searchHighlights"}}}]""")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaQs == comp, viaQs.toString)
+    // contract errors: out-of-subset options, un-targeted path
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"text": {"query": "alpha", "path": "text"},
+              "highlight": {"path": "text", "maxNumPassages": 3}}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"text": {"query": "alpha", "path": "text"},
+              "highlight": {"path": "doc_id"}}}]""")
+    }
+  }
+
   test("$search embeddedDocument: sum counts matching children, maximum caps at 1, null array no-match") {
     import spark.implicits._
     val docs = Seq(
