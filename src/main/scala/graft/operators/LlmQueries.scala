@@ -699,18 +699,33 @@ object LlmQueries {
     * oracle, so per-clause scoring can never drift. With p = "" the
     * generated text is byte-identical to the historical bm25Sql body.
     */
-  private[graft] def bm25ScoreCtes(terms: Seq[String], p: String): String = {
-    val tfs = terms.zipWithIndex.map { case (t, i) =>
-      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+  private[graft] def bm25ScoreCtes(terms: Seq[String], p: String): String =
+    scoreCtesCustom(terms.map(t =>
+      s"len(list_filter(toks, x -> x = '${t.replace("'", "''")}'))"), p)
+
+  /** The generalized virtual-term score chain (round 16):
+    * [[bm25ScoreCtes]]' exact CTE shape with caller-supplied per-term
+    * tf expressions over `toks` (fuzzy edit-distance counts, analyzer-
+    * retokenized counts, …) and an optionally-swapped toks CTE (the
+    * analyzer oracle tokenizes differently; the slop oracle supplies a
+    * whole relational tf chain instead — see [[slopScoreCtes]]). With
+    * the plain-equality tf exprs and the default toks CTE the emitted
+    * text is byte-identical to the historical bm25ScoreCtes body, so
+    * every existing oracle is unchanged by the refactor.
+    */
+  private[graft] def scoreCtesCustom(tfExprs: Seq[String], p: String,
+                                     toks: String = toksCte): String = {
+    val tfs = tfExprs.zipWithIndex.map { case (e, i) =>
+      s"CAST($e AS DOUBLE) AS tf$i"
     }.mkString(",\n  ")
-    val dfs = terms.indices.map(i =>
+    val dfs = tfExprs.indices.map(i =>
       s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
       .mkString(",\n  ")
-    val score = terms.indices.map(i =>
+    val score = tfExprs.indices.map(i =>
       s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2 / " +
         s"(tf$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))")
       .mkString(" + ")
-    s"""${p}t AS ($toksCte),
+    s"""${p}t AS ($toks),
        |${p}d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
        |  $tfs
        |  FROM ${p}t),
@@ -719,6 +734,63 @@ object LlmQueries {
        |  $dfs
        |  FROM ${p}d),
        |${p}sc AS (SELECT ${p}d.doc_id AS id, round($score, 6) AS score
+       |  FROM ${p}d, ${p}s)""".stripMargin
+  }
+
+  /** C39m oracle tf (round 16): the fuzzy virtual term — tokens within
+    * `maxEdits` PLAIN Levenshtein edits (DuckDB `levenshtein` ≡ Spark
+    * `levenshtein`, both plain — the engine's documented Damerau
+    * deviation) with the exact `prefixLength`-char guard.
+    */
+  private[graft] def fuzzyTfSql(term: String, maxEdits: Int,
+                                prefixLength: Int): String = {
+    val t = term.replace("'", "''")
+    val pre =
+      if (prefixLength == 0) ""
+      else s"substr(x, 1, $prefixLength) = " +
+        s"'${term.take(prefixLength).replace("'", "''")}' AND "
+    s"len(list_filter(toks, x -> ${pre}levenshtein(x, '$t') <= $maxEdits))"
+  }
+
+  /** C39n oracle (round 16): the slop-phrase score chain. The engine
+    * counts starts with a greedy in-order window fold; greedy-succeeds
+    * ⟺ any in-order embedding exists (earliest-match exchange
+    * argument), so the oracle replays the SAME count relationally:
+    * position postings, an m-way ordered join bounded by
+    * a0.pos + (m−1)+slop, DISTINCT starts — structurally different
+    * implementation, provably the same number. Emits `<p>sc(id, score)`
+    * for every doc, like [[bm25ScoreCtes]].
+    */
+  private[graft] def slopScoreCtes(terms: Seq[String], slop: Int,
+                                   p: String): String = {
+    require(terms.size >= 2, "a slop phrase needs at least two terms")
+    val m = terms.size
+    val win = m - 1 + slop
+    val joins = (1 until m).map { j =>
+      s"  JOIN ${p}p a$j ON a$j.doc_id = a0.doc_id AND " +
+        s"a$j.pos > a${j - 1}.pos AND a$j.pos <= a0.pos + $win"
+    }.mkString("\n")
+    val conds = terms.zipWithIndex.map { case (t, i) =>
+      s"a$i.tok = '${t.replace("'", "''")}'"
+    }.mkString(" AND ")
+    s"""${p}t AS ($toksCte),
+       |${p}p AS (SELECT doc_id, unnest(toks) AS tok,
+       |  unnest(generate_series(1, len(toks))) AS pos FROM ${p}t),
+       |${p}o AS (SELECT a0.doc_id, a0.pos FROM ${p}p a0
+       |$joins
+       |  WHERE $conds GROUP BY 1, 2),
+       |${p}c AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM ${p}o GROUP BY 1),
+       |${p}d AS (SELECT t0.doc_id, CAST(len(t0.toks) AS DOUBLE) AS dl,
+       |  COALESCE(c0.tf, 0.0) AS tf0
+       |  FROM ${p}t t0 LEFT JOIN ${p}c c0 USING (doc_id)),
+       |${p}s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) AS sumdl,
+       |  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0
+       |  FROM ${p}d),
+       |${p}sc AS (SELECT ${p}d.doc_id AS id,
+       |    round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+       |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n))), 6) AS score
        |  FROM ${p}d, ${p}s)""".stripMargin
   }
 
@@ -779,10 +851,11 @@ object LlmQueries {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
 
   /** C39d oracle: the wildcard (LIKE-glob) virtual-term replay. */
-  private[graft] def wildcardSql(likePat: String, k: Int): String =
+  private[graft] def wildcardSql(likePat: String, k: Int): String = {
+    val sqlPat = likePat.replace("'", "''") // same escape class as regexSql
     s"""WITH wt AS ($toksCte),
        |wd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-       |    CAST(len(list_filter(toks, x -> x LIKE '$likePat' ESCAPE '\\'))
+       |    CAST(len(list_filter(toks, x -> x LIKE '$sqlPat' ESCAPE '\\'))
        |      AS DOUBLE) AS tf0
        |  FROM wt),
        |ws0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
@@ -795,15 +868,20 @@ object LlmQueries {
        |  FROM wd, ws0)
        |SELECT id, score FROM wsc WHERE score > 0
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
 
   /** C39f oracle: the regex (whole-term) virtual-term replay — DuckDB
     * `regexp_full_match` mirrors the engine's `^(?:pat)$` anchoring
     * over the RE2-shared syntax subset the stage enforces.
     */
-  private[graft] def regexSql(pattern: String, k: Int): String =
+  private[graft] def regexSql(pattern: String, k: Int): String = {
+    // SQL-literal escape (round 16, advice): a single quote is a valid
+    // Java-regex char and passes the portability check — unescaped it
+    // would break (or inject into) the oracle text
+    val sqlPat = pattern.replace("'", "''")
     s"""WITH rt AS ($toksCte),
        |rd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-       |    CAST(len(list_filter(toks, x -> regexp_full_match(x, '$pattern')))
+       |    CAST(len(list_filter(toks, x -> regexp_full_match(x, '$sqlPat')))
        |      AS DOUBLE) AS tf0
        |  FROM rt),
        |rs0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
@@ -816,6 +894,7 @@ object LlmQueries {
        |  FROM rd, rs0)
        |SELECT id, score FROM rsc WHERE score > 0
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
 
   private[graft] def bm25Sql(terms: Seq[String], k: Int): String =
     s"""WITH ${bm25ScoreCtes(terms, "")}

@@ -1096,6 +1096,111 @@ object TextAnalysis {
                                     out: String): DataFrame =
     searchScoresFused(docs, Seq((textCol, Seq(tfRegex(pattern)))), Seq(out))
 
+  /** `$search` FUZZY virtual term (round 16) — Atlas' `text.fuzzy`
+    * option: tf counts the tokens within `maxEdits` PLAIN Levenshtein
+    * edits of the query term, with the first `prefixLength` chars
+    * required to match exactly (Lucene's prefix guard, the index-
+    * pruning knob — honored here for semantics even though the scan
+    * needs no pruning). Distance is plain Levenshtein, NOT Lucene's
+    * Damerau-Levenshtein: a transposition counts 2 edits, the
+    * documented deviation that keeps the predicate one correctly-
+    * replayable function on BOTH engines (Spark `levenshtein` and
+    * DuckDB `levenshtein` are both plain). `maxEdits` ∈ {1, 2} per
+    * Atlas; the distance-0 term itself always matches (≤ includes 0).
+    */
+  private[graft] def tfFuzzy(term: String, maxEdits: Int,
+                             prefixLength: Int): Column => Column = { toks =>
+    val pre = term.take(prefixLength)
+    size(filter(toks, t => {
+      val preOk =
+        if (prefixLength == 0) lit(true)
+        else substring(t, 1, prefixLength) === lit(pre)
+      preOk && levenshtein(t, lit(term)) <= lit(maxEdits)
+    })).cast("double")
+  }
+
+  /** `$search.autocomplete.fuzzy` virtual term (round 16): tf counts
+    * the tokens whose first |prefix| chars are within `maxEdits`
+    * plain-Levenshtein edits of the query prefix (plus the exact
+    * `prefixLength`-char guard). Lucene serves this from edge-n-grams
+    * with per-gram fuzziness; comparing the length-|prefix| HEAD of
+    * each token is the declarative rendering — a deviation stated,
+    * not hidden: a token shorter than the prefix matches iff its
+    * whole self is within maxEdits of the prefix (substr caps at the
+    * token length on both engines).
+    */
+  private[graft] def tfPrefixFuzzy(prefix: String, maxEdits: Int,
+                                   prefixLength: Int): Column => Column = { toks =>
+    val pre = prefix.take(prefixLength)
+    size(filter(toks, t => {
+      val preOk =
+        if (prefixLength == 0) lit(true)
+        else substring(t, 1, prefixLength) === lit(pre)
+      preOk && levenshtein(substring(t, 1, prefix.length),
+        lit(prefix)) <= lit(maxEdits)
+    })).cast("double")
+  }
+
+  /** `$search.phrase.slop` virtual term (round 16) — within-k
+    * proximity phrases. Counting convention, stated exactly: tf = the
+    * number of START positions i with toks[i] = t₁ and an IN-ORDER
+    * embedding of t₂..tₘ inside positions i+1 .. i+(m−1)+slop. The
+    * engine decides each start by a GREEDY left-to-right fold over
+    * the window (earliest-match is optimal, so greedy-succeeds ⟺
+    * any embedding exists — the exchange argument that lets the
+    * DuckDB oracle replay the same count as a relational m-way
+    * position join with DISTINCT starts). Distinct starts may share
+    * trailing terms (overlap allowed) — a documented deviation from
+    * slop-0's non-overlapping substring count, which is why slop = 0
+    * stays on [[tfPhrase]]'s exact-adjacency model rather than
+    * silently changing convention.
+    *
+    * Scale: one codegen'd expression over the token array — the
+    * window fold is O(len · (m+slop)) per document, no shuffle, no
+    * explode.
+    */
+  private[graft] def tfSlop(terms: Seq[String], slop: Int): Column => Column = {
+    toks =>
+      val m = terms.size
+      val win = m - 1 + slop
+      val termArr = array(terms.map(lit): _*)
+      // least() guards element_at: when k = m the k < m test already
+      // fails, but ANSI mode would still fault an out-of-bounds index
+      size(filter(sequence(lit(1), size(toks)), i =>
+        element_at(toks, i) === lit(terms.head) &&
+          aggregate(slice(toks, i + lit(1), lit(win)), lit(1),
+            (k, t) => when(k < lit(m) &&
+              t === element_at(termArr, least(k + lit(1), lit(m))),
+              k + lit(1)).otherwise(k)) === lit(m))).cast("double")
+  }
+
+  private[graft] def fuzzyWithScore(docs: DataFrame, textCol: String,
+                                    terms: Seq[String], maxEdits: Int,
+                                    prefixLength: Int,
+                                    out: String): DataFrame =
+    searchScoresFused(docs,
+      Seq((textCol, terms.map(tfFuzzy(_, maxEdits, prefixLength)))), Seq(out))
+
+  private[graft] def slopWithScore(docs: DataFrame, textCol: String,
+                                   terms: Seq[String], slop: Int,
+                                   out: String): DataFrame = {
+    require(terms.size >= 2, "a phrase needs at least two terms")
+    searchScoresFused(docs, Seq((textCol, Seq(tfSlop(terms, slop)))), Seq(out))
+  }
+
+  /** The `lucene.standard`-modeled analyzer (round 16): lowercase,
+    * then split on non-alphanumeric runs (`[^a-z0-9]+`), empties
+    * dropped — so `"3-MEDIUM"` tokenizes to `[3, medium]` where the
+    * default whitespace analyzer keeps one `"3-medium"` token. The
+    * ASCII-alnum token class is the stated subset (Lucene's
+    * StandardTokenizer is Unicode-segmentation-aware; this is the
+    * portable core both engines replay — DuckDB mirrors with
+    * `list_filter(string_split_regex(lower(x), '[^a-z0-9]+'),
+    * t -> t <> '')`).
+    */
+  private[graft] def tokensStandard(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+
   /** E24: BM25 scoring with the corpus-stats row PROVIDED from a
     * standing ledger instead of aggregated from the frame — the same
     * expression tree as [[bm25WithScore]] (via [[searchScoresFused]]),
@@ -1136,7 +1241,11 @@ object TextAnalysis {
     */
   private[graft] def mltTerms(docs: DataFrame, textCol: String,
                               like: String, maxTerms: Int): Seq[String] = {
-    val likeToks = like.toLowerCase.trim.split("\\s+")
+    // SPACE-ONLY split (" +"), exactly Hash60.tokens' corpus regex and
+    // the DuckDB oracle's string_split_regex(' +') — a like doc with
+    // tabs/newlines must yield the same candidate terms on all three
+    // paths (round 16, advice: "\\s+" here silently diverged)
+    val likeToks = like.toLowerCase.trim.split(" +")
       .filter(_.nonEmpty).toSeq
     require(likeToks.nonEmpty, "moreLikeThis: empty like document")
     val tfq = likeToks.groupBy(identity).view.mapValues(_.size).toMap
@@ -1178,14 +1287,19 @@ object TextAnalysis {
       docs: DataFrame,
       clauses: Seq[(String, Seq[Column => Column])],
       outs: Seq[String],
-      providedStats: Option[DataFrame] = None): DataFrame = {
+      providedStats: Option[DataFrame] = None,
+      tokenize: Column => Column = tokens): DataFrame = {
     require(clauses.nonEmpty && clauses.size == outs.size,
       "searchScoresFused: one output column per clause")
     require(clauses.forall(_._2.nonEmpty), "every clause needs >= 1 term")
     val paths = clauses.map(_._1).distinct
     val pIdx = paths.zipWithIndex.toMap
+    // `tokenize` (round 16): the $search analyzer option swaps the
+    // default whitespace tokenizer for tokensStandard; every clause's
+    // tf recipe and the dl/Σdl stats ride the SAME per-path array, so
+    // an analyzer can never apply to scoring but not stats
     val withToks = paths.zipWithIndex.foldLeft(docs) { case (d, (p, pi)) =>
-      d.withColumn(s"__toks$pi", tokens(col(p)))
+      d.withColumn(s"__toks$pi", tokenize(col(p)))
         .withColumn(s"__dl$pi", size(col(s"__toks$pi")).cast("double"))
     }
     val flat = for {

@@ -365,6 +365,53 @@ object ExtendedQueries {
             "should": [{"text": {"query": "query", "path": "text"}}]}}},
           {"$limit": 20},
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C39m: $search text.fuzzy (round 16) — bounded-edit virtual
+    //    terms: 'quary'→query, 'streem'→stream at maxEdits 1, with the
+    //    2-char exact-prefix guard exercised on both engines ——
+    "pipe_search_fuzzy" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"text": {"query": "quary streem", "path": "text",
+            "fuzzy": {"maxEdits": 1, "prefixLength": 2}}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C39n: $search phrase.slop (round 16) — proximity phrases:
+    //    'hash join' within one intervening position (catches
+    //    'hash scan join' that exact adjacency misses) ——
+    "pipe_search_slop" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"phrase": {"query": "hash join", "path": "text",
+                                  "slop": 1}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C39o: $search compound.minimumShouldMatch (round 16) — at
+    //    least 2 of the 3 should clauses must match (raw score > 0);
+    //    all matching should scores still contribute ——
+    "pipe_search_msm" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark", "path": "text"}}],
+            "should": [{"text": {"query": "query", "path": "text"}},
+                       {"text": {"query": "stream", "path": "text"}},
+                       {"text": {"query": "table", "path": "text"}}],
+            "minimumShouldMatch": 2}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C40c: $$SEARCH_META (round 16) — the $search count option's
+    //    exact total read by a later $project on every emitted row ——
+    "pipe_search_meta_var" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"text": {"query": "spark query", "path": "text"},
+                       "count": {"type": "total"}}},
+          {"$limit": 10},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"},
+                        "total": "$$SEARCH_META.count.total"}}]""")),
+    // —— C39p: $search analyzer option (round 16) — lucene.standard
+    //    lowercases and splits on non-alphanumeric runs, so 'medium
+    //    urgent' matches the hyphenated '3-MEDIUM'/'1-URGENT'
+    //    priorities the whitespace tokenizer keeps whole ——
+    "pipe_search_analyzer" -> ((s, dir) => run(s, dir, "orders",
+      """[{"$search": {"text": {"query": "medium urgent",
+                                "path": "o_orderpriority"},
+                       "analyzer": "lucene.standard"}},
+          {"$limit": 25},
+          {"$project": {"o_orderkey": 1,
+                        "score": {"$meta": "searchScore"}}}]""")),
     // —— C38b: $scoreFusion with a $search leg — BM25 relevance ⊕
     //    attribute score, minMax-normalized weighted mean ——
     "pipe_scorefusion_text" -> ((s, dir) => run(s, dir, "documents",
@@ -1262,6 +1309,64 @@ object ExtendedQueries {
          |            JOIN documents d ON d.doc_id = fasc.id)
          |SELECT doc_id, score FROM m WHERE raw > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // C39m: the fuzzy replay — per-term bounded-edit tf (DuckDB
+    // levenshtein ≡ Spark levenshtein, both plain) with the 2-char
+    // exact-prefix guard, through the shared score chain
+    "pipe_search_fuzzy" ->
+      s"""WITH ${graft.operators.LlmQueries.scoreCtesCustom(
+             Seq(graft.operators.LlmQueries.fuzzyTfSql("quary", 1, 2),
+               graft.operators.LlmQueries.fuzzyTfSql("streem", 1, 2)), "fz")}
+         |SELECT id AS doc_id, score FROM fzsc WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // C39n: the slop replay — DISTINCT in-order starts within the
+    // (m−1)+slop window via the position join (greedy ⟺ exists —
+    // see slopScoreCtes), same BM25 tail
+    "pipe_search_slop" ->
+      s"""WITH ${graft.operators.LlmQueries.slopScoreCtes(
+             Seq("hash", "join"), 1, "sl")}
+         |SELECT id AS doc_id, score FROM slsc WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // C39o: the minimumShouldMatch replay — must matches, AND at least
+    // 2 of the 3 should chains score > 0; all matching shoulds still
+    // contribute, summed in declaration order
+    "pipe_search_msm" ->
+      s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(Seq("spark"), "ma")},
+         |${graft.operators.LlmQueries.bm25ScoreCtes(Seq("query"), "mb")},
+         |${graft.operators.LlmQueries.bm25ScoreCtes(Seq("stream"), "mc")},
+         |${graft.operators.LlmQueries.bm25ScoreCtes(Seq("table"), "md")}
+         |SELECT masc.id AS doc_id,
+         |  masc.score + mbsc.score + mcsc.score + mdsc.score AS score
+         |FROM masc JOIN mbsc ON mbsc.id = masc.id
+         |          JOIN mcsc ON mcsc.id = masc.id
+         |          JOIN mdsc ON mdsc.id = masc.id
+         |WHERE masc.score > 0
+         |  AND (CASE WHEN mbsc.score > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN mcsc.score > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN mdsc.score > 0 THEN 1 ELSE 0 END) >= 2
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // C40c: the $$SEARCH_META replay — the count option's total is the
+    // EXACT match-set size (score > 0 over the full chain), attached to
+    // every emitted row; the $limit bounds rows, never the total
+    "pipe_search_meta_var" ->
+      s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(
+             Seq("spark", "query"), "mv")},
+         |top AS (SELECT id, score FROM mvsc WHERE score > 0
+         |        ORDER BY score DESC, id LIMIT 10),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total
+         |        FROM mvsc WHERE score > 0)
+         |SELECT t.id AS doc_id, t.score, tot.total FROM top t, tot""".stripMargin,
+    // C39p: the analyzer replay — the toks CTE retokenizes with the
+    // lucene.standard mirror (lowercase, split on non-alphanumeric
+    // runs, empties dropped), then the unchanged score chain
+    "pipe_search_analyzer" ->
+      s"""WITH ${graft.operators.LlmQueries.scoreCtesCustom(
+             Seq("len(list_filter(toks, x -> x = 'medium'))",
+               "len(list_filter(toks, x -> x = 'urgent'))"), "az",
+             "SELECT o_orderkey AS doc_id, " +
+               "list_filter(string_split_regex(lower(o_orderpriority), " +
+               "'[^a-z0-9]+'), x -> x <> '') AS toks FROM orders")}
+         |SELECT id AS o_orderkey, score FROM azsc WHERE score > 0
+         |ORDER BY score DESC, o_orderkey LIMIT 25""".stripMargin,
     // C38b: the factored BM25 leg replay (post-limit minMax, like the
     // engine normalizes AFTER the leg's own limit) + field leg +
     // literal weighted mean
@@ -1457,6 +1562,9 @@ object ExtendedQueries {
     // IN filter: event_type tokenizes to ONE token, so BM25 score > 0
     // ⟺ the type is one of the query terms — the oracle states the
     // match set directly instead of replaying the score arithmetic.
+    // TZ contract: these naive TIMESTAMP literals equal the engine's
+    // instant boundaries' UTC walls; parity is pinned by the sessions'
+    // spark.sql.session.timeZone=UTC (see the date-facet compile).
     "pipe_searchmeta_date" ->
       """WITH mdoc AS (SELECT * FROM events
         |        WHERE event_type IN ('purchase', 'view')),

@@ -202,7 +202,8 @@ object MongoPipeline {
     // $meta is asked for). `$scoreFusion` compiles its scored legs
     // with keepScores=true — the fusion consumes the hidden column.
     if (keepScores) cur
-    else cur.drop(VsScoreCol, RfScoreCol, SearchScoreCol, SearchHighlightsCol)
+    else cur.drop(VsScoreCol, RfScoreCol, SearchScoreCol, SearchHighlightsCol,
+      SearchMetaCountCol)
   }
 
   /** `$documents` source: a handful of driver-side literal rows. The
@@ -479,7 +480,8 @@ object MongoPipeline {
         .withColumn("__rf_rank", row_number().over(Window.orderBy(order: _*)))
         .withColumn(RfScoreCol,
           expr(s"(${weightOf(name)}L * 1000000000L) div (60L + __rf_rank)"))
-        .drop("__rf_rank", VsScoreCol, SearchScoreCol, SearchHighlightsCol)
+        .drop("__rf_rank", VsScoreCol, SearchScoreCol, SearchHighlightsCol,
+          SearchMetaCountCol)
     }
     legs.reduce(_ unionByName _)
       .groupBy(docCols.map(col): _*)
@@ -502,6 +504,14 @@ object MongoPipeline {
     * the subset, which says so).
     */
   private val SearchHighlightsCol = "__search_highlights"
+
+  /** Hidden column carrying the `$search.count` option's exact
+    * match-set total until a later stage reads it via
+    * `$$SEARCH_META.count.total` (round 16) — Atlas' SEARCH_META
+    * variable, in the count subset (facets stay on the `$searchMeta`
+    * stage, whose tabular rendering a variable can't carry).
+    */
+  private val SearchMetaCountCol = "__search_meta_count_total"
 
   /** `$search` (SURVEY.md §2 C39) — Atlas full-text search as a
     * pipeline stage, its `text` operator composed onto the H17 BM25
@@ -532,6 +542,27 @@ object MongoPipeline {
   private case class AutoC(path: String, prefix: String) extends SearchClause
   private case class WildC(path: String, likePat: String) extends SearchClause
   private case class RegexC(path: String, pattern: String) extends SearchClause
+
+  /** `text` with the `fuzzy` option (round 16) — each query term
+    * becomes a bounded-edit virtual term (see
+    * [[graft.operators.TextAnalysis.tfFuzzy]]); `autocomplete.fuzzy`
+    * fuzzes the token HEAD against the prefix
+    * ([[graft.operators.TextAnalysis.tfPrefixFuzzy]]).
+    */
+  private case class FuzzyC(path: String, terms: Seq[String],
+                            maxEdits: Int, prefixLength: Int)
+    extends SearchClause
+  private case class AutoFuzzyC(path: String, prefix: String,
+                                maxEdits: Int, prefixLength: Int)
+    extends SearchClause
+
+  /** `phrase` with `slop` > 0 (round 16) — proximity phrases: tf =
+    * count of in-order starts within a (m−1)+slop window (see
+    * [[graft.operators.TextAnalysis.tfSlop]] for the exact counting
+    * convention and why slop = 0 stays on [[PhraseC]]).
+    */
+  private case class SlopC(path: String, terms: Seq[String], slop: Int)
+    extends SearchClause
   private case class MltC(path: String, like: String, maxTerms: Int)
     extends SearchClause
 
@@ -648,8 +679,47 @@ object MongoPipeline {
       "geoWithin", "embeddedDocument")
     val unknown = spec.properties().asScala.map(_.getKey)
       .filterNot(k => k == "compound" || k == "queryString" || k == "sort" ||
-        k == "highlight" || clauseKinds.contains(k))
+        k == "highlight" || k == "count" || k == "analyzer" ||
+        clauseKinds.contains(k))
     require(unknown.isEmpty, s"unsupported $$search operators: $unknown")
+    // the analyzer option (round 16): one analyzer per $search stage,
+    // applied to EVERY scored clause's tokenization (corpus side AND
+    // query side) plus the shared dl/Σdl stats — per-clause analyzers
+    // would let two clauses disagree on document length and are out of
+    // the subset. lucene.whitespace is the engine default (lowercase +
+    // space split); lucene.standard lowercases and splits on
+    // non-alphanumeric runs (see TextAnalysis.tokensStandard).
+    val analyzer: Option[String] = Option(spec.get("analyzer")).map { an =>
+      val a = an.asText()
+      require(Seq("lucene.standard", "lucene.whitespace").contains(a),
+        s"$$search.analyzer '$a' is out of the supported subset " +
+          "(lucene.standard | lucene.whitespace)")
+      a
+    }.filter(_ == "lucene.standard")
+    val tokenize: Column => Column = analyzer match {
+      case Some(_) => graft.operators.TextAnalysis.tokensStandard
+      case None    => graft.functions.Hash60.tokens(_)
+    }
+    // query-side tokenization must match the corpus side exactly
+    def queryTokens(q: String): Seq[String] = analyzer match {
+      case Some(_) =>
+        q.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+      case None =>
+        q.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    }
+    // the count option (round 16): {count: {type: total|lowerBound}}
+    // attaches the EXACT match-set size as hidden per-row state a later
+    // stage reads via $$SEARCH_META.count.total (counts are exact, so
+    // lowerBound reports the same number — a valid lower bound)
+    val countRequested: Boolean = Option(spec.get("count")).exists { cn =>
+      val ks = cn.properties().asScala.map(_.getKey).toSet
+      require(ks.subsetOf(Set("type")),
+        s"$$search.count supports only {type} (got $ks)")
+      val ct = Option(cn.get("type")).map(_.asText()).getOrElse("lowerBound")
+      require(Seq("total", "lowerBound").contains(ct),
+        s"$$search.count.type must be total|lowerBound (got $ct)")
+      true
+    }
     // the highlight option (round 15): attach the relational highlight
     // rendering (see SearchHighlightsCol) for the stated path, fed by
     // the text-clause terms that target it — one more codegen'd
@@ -658,6 +728,10 @@ object MongoPipeline {
       (d, cs) => Option(spec.get("highlight")) match {
         case None => d
         case Some(h) =>
+          require(analyzer.isEmpty,
+            "$search.highlight does not combine with a non-default " +
+              "analyzer — the highlight term counts ride the whitespace " +
+              "tokenizer (the highlightable subset)")
           val ks = h.properties().asScala.map(_.getKey).toSet
           require(ks == Set("path"),
             s"$$search.highlight supports only {path} (got $ks — " +
@@ -699,10 +773,11 @@ object MongoPipeline {
     // recurse — one scorer, one matcher, no second semantics
     if (spec.get("queryString") != null) {
       require(spec.properties().asScala.map(_.getKey).toSet
-        .subsetOf(Set("queryString", "sort", "highlight")),
+        .subsetOf(Set("queryString", "sort", "highlight", "count",
+          "analyzer")),
         "$search.queryString does not combine with other operators")
       val translated = compileQueryString(spec.get("queryString"))
-      Seq("sort", "highlight").foreach { opt =>
+      Seq("sort", "highlight", "count", "analyzer").foreach { opt =>
         Option(spec.get(opt)).foreach { sn =>
           translated
             .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -758,22 +833,54 @@ object MongoPipeline {
       def terms(min: Int) = {
         require(body.get("query") != null,
           s"$$search.${kinds.head}.query is required")
-        val ts = body.get("query").asText().toLowerCase.trim
-          .split("\\s+").toSeq.filter(_.nonEmpty)
+        val ts = queryTokens(body.get("query").asText())
         require(ts.size >= min,
           s"$$search.${kinds.head}.query needs >= $min term(s)")
         ts
       }
+      // fuzzy (round 16): {maxEdits: 1|2 (default 2), prefixLength >= 0
+      // (default 0)} on text and autocomplete; maxEdits > 2 is
+      // refused loudly (Atlas' own bound — and the edit-distance
+      // predicate's selectivity collapses past it)
+      def fuzzyOf(kind: String): Option[(Int, Int)] =
+        Option(body.get("fuzzy")).map { fz =>
+          require(fz.isObject,
+            s"$$search.$kind.fuzzy must be a {maxEdits, prefixLength} object")
+          val ks = fz.properties().asScala.map(_.getKey).toSet
+          require(ks.subsetOf(Set("maxEdits", "prefixLength")),
+            s"$$search.$kind.fuzzy supports maxEdits/prefixLength (got $ks)")
+          val me = Option(fz.get("maxEdits")).map(_.asInt()).getOrElse(2)
+          require(me == 1 || me == 2,
+            s"$$search.$kind.fuzzy.maxEdits must be 1 or 2 (got $me)")
+          val pl = Option(fz.get("prefixLength")).map(_.asInt()).getOrElse(0)
+          require(pl >= 0,
+            s"$$search.$kind.fuzzy.prefixLength must be >= 0 (got $pl)")
+          (me, pl)
+        }
       val clause = kinds.head match {
-        case "text" => TextC(path, terms(1))
+        case "text" =>
+          val ts = terms(1)
+          fuzzyOf("text") match {
+            case None           => TextC(path, ts)
+            case Some((me, pl)) => FuzzyC(path, ts, me, pl)
+          }
         case "phrase" =>
           val ts = terms(2) // a one-term phrase IS the text operator
-          PhraseC(path, ts)
+          val slop = Option(body.get("slop")).map(_.asInt()).getOrElse(0)
+          require(slop >= 0,
+            s"$$search.phrase.slop must be >= 0 (got $slop)")
+          // slop = 0 keeps the exact-adjacency (non-overlapping
+          // substring-count) model; slop > 0 switches to the counted-
+          // starts proximity convention — see TextAnalysis.tfSlop
+          if (slop == 0) PhraseC(path, ts) else SlopC(path, ts, slop)
         case "autocomplete" =>
           val ts = terms(1)
           require(ts.size == 1,
             "$search.autocomplete.query is a single prefix")
-          AutoC(path, ts.head)
+          fuzzyOf("autocomplete") match {
+            case None           => AutoC(path, ts.head)
+            case Some((me, pl)) => AutoFuzzyC(path, ts.head, me, pl)
+          }
         case "wildcard" =>
           // glob → SQL LIKE (identical *, ? semantics on any engine —
           // deliberately NOT a regex dialect); % and _ in the glob are
@@ -795,7 +902,14 @@ object MongoPipeline {
           require(body.get("query") != null, "$search.regex.query is required")
           val pat = body.get("query").asText()
           require(pat.nonEmpty, "$search.regex.query must be non-empty")
-          val nonPortable = Seq("(?=", "(?!", "(?<", "*+", "++", "?+")
+          // Java-only constructs RE2 parses DIFFERENTLY (not just
+          // rejects) are blacklisted too (round 16, advice): class
+          // intersection `&&` degrades to literal ampersands in RE2,
+          // `\p{java...}` properties and `\G` are Java-specific — all
+          // three would pass Pattern.compile and silently diverge
+          // from the regexp_full_match oracle.
+          val nonPortable = Seq("(?=", "(?!", "(?<", "*+", "++", "?+",
+            "&&", "\\G", "\\p{java", "\\P{java")
             .filter(pat.contains) ++
             "\\\\[1-9]".r.findFirstIn(pat).map(b => s"backreference $b")
           require(nonPortable.isEmpty,
@@ -814,6 +928,10 @@ object MongoPipeline {
           // path); salient terms are selected deterministically (see
           // TextAnalysis.mltTerms) and fed into the shared text-clause
           // BM25, so mlt composes into compound like any text clause.
+          require(analyzer.isEmpty,
+            "$search.moreLikeThis does not combine with a non-default " +
+              "analyzer — its term selection rides the whitespace " +
+              "tokenizer (the supported subset)")
           val like = body.get("like")
           require(like != null && like.isObject &&
             like.properties().asScala.size == 1,
@@ -970,8 +1088,13 @@ object MongoPipeline {
       import graft.operators.{TextAnalysis => TA}
       c match {
         case TextC(p, ts) => Some((p, ts.map(TA.tfTerm)))
+        case FuzzyC(p, ts, me, pl) =>
+          Some((p, ts.map(TA.tfFuzzy(_, me, pl))))
         case PhraseC(p, ts) => Some((p, Seq(TA.tfPhrase(ts))))
+        case SlopC(p, ts, slop) => Some((p, Seq(TA.tfSlop(ts, slop))))
         case AutoC(p, pre) => Some((p, Seq(TA.tfPrefix(pre))))
+        case AutoFuzzyC(p, pre, me, pl) =>
+          Some((p, Seq(TA.tfPrefixFuzzy(pre, me, pl))))
         case WildC(p, pat) => Some((p, Seq(TA.tfLike(pat))))
         case RegexC(p, pat) => Some((p, Seq(TA.tfRegex(pat))))
         case MltC(p, like, maxT) =>
@@ -993,21 +1116,15 @@ object MongoPipeline {
             coalesce(col(f).cast("double"), lit(undef))).otherwise(lit(0.0)))
       }
     def scoreClause(d: DataFrame, c: SearchClause, out: String): DataFrame =
-      c match {
-        case TextC(path, terms) =>
-          graft.operators.TextAnalysis.bm25WithScore(d, path, terms, out)
-        case PhraseC(path, terms) =>
-          graft.operators.TextAnalysis.phraseWithScore(d, path, terms, out)
-        case AutoC(path, prefix) =>
-          graft.operators.TextAnalysis.autocompleteWithScore(
-            d, path, prefix, out)
-        case WildC(path, pat) =>
-          graft.operators.TextAnalysis.wildcardWithScore(d, path, pat, out)
-        case RegexC(path, pat) =>
-          graft.operators.TextAnalysis.regexWithScore(d, path, pat, out)
-        case MltC(path, like, maxT) =>
-          graft.operators.TextAnalysis.bm25WithScore(d, path,
-            graft.operators.TextAnalysis.mltTerms(df, path, like, maxT), out)
+      recipe(c) match {
+        // every stats-consuming clause scores through the SAME 1-clause
+        // fused pass its compound form uses (bm25WithScore et al. ARE
+        // that call — unified here so the analyzer option threads into
+        // both branches through one seam)
+        case Some(r) =>
+          graft.operators.TextAnalysis.searchScoresFused(
+            d, Seq(r), Seq(out), tokenize = tokenize)
+        case None => c match {
         case NearC(path, origin, pivot) =>
           // matches everything (score > 0 always) — Lucene's near is a
           // pure scorer; nulls score 0 (no value = no proximity)
@@ -1026,15 +1143,39 @@ object MongoPipeline {
             case "sum" => nm
             case "maximum" => when(nm > 0, 1.0).otherwise(0.0)
           })
+        case other => throw new IllegalStateException(
+          s"scored clause without a recipe: $other") // unreachable
+        }
       }
     val tie = df.columns.map(col).toSeq
+    // shared tail: highlight projection, then (opt-in) the count
+    // option's hidden $$SEARCH_META state — ONE exact 1-row aggregate
+    // of the match set, broadcast back onto every row (the repo's
+    // stats-row pattern; never a single-partition window) — then the
+    // sort/tiebreak order. Cost, stated honestly: the aggregate re-
+    // evaluates the matched subtree (Catalyst reuses no subtrees), so
+    // an opt-in count adds the search's own scans again (2 for a
+    // scored clause). A zero-cost alternative — count via tf-level
+    // predicates folded into the fused stats row — was REJECTED: the
+    // emit filter tests round(score, 6) > 0, and at corpus sizes
+    // where a universal term's idf drops below 5e-7 the rounded score
+    // hits 0 while its tf stays positive, so a tf-based count could
+    // disagree with the rows actually emitted. Count must count what
+    // the user receives.
+    def finish(matchedFrame: DataFrame, cs: Seq[SearchClause]): DataFrame = {
+      val withHl = addHl(matchedFrame, cs)
+      val withCount =
+        if (!countRequested) withHl
+        else withHl.crossJoin(broadcast(withHl.agg(
+          count(lit(1)).cast("long").as(SearchMetaCountCol))))
+      withCount.orderBy(sortCols ++ tie: _*)
+    }
     if (spec.get("compound") == null) {
       val (c, mod) = textClause(spec)
       // match on the RAW score, then re-score (a function-path score
       // may map a matching doc to any value incl. 0)
-      addHl(applyMod(scoreClause(df, c, SearchScoreCol)
+      finish(applyMod(scoreClause(df, c, SearchScoreCol)
         .filter(col(SearchScoreCol) > 0), SearchScoreCol, mod), Seq(c))
-        .orderBy(sortCols ++ tie: _*)
     } else {
       // compound: must clauses all match AND contribute score; should
       // clauses contribute score (should-only searches need at least
@@ -1044,7 +1185,8 @@ object MongoPipeline {
       // is an exact score = 0 test.
       val comp = spec.get("compound")
       val badKinds = comp.properties().asScala.map(_.getKey)
-        .filterNot(k => Seq("must", "should", "mustNot").contains(k))
+        .filterNot(k => Seq("must", "should", "mustNot",
+          "minimumShouldMatch").contains(k))
       require(badKinds.isEmpty,
         s"unsupported $$search.compound clauses: $badKinds")
       def clauses(kind: String): Seq[(SearchClause, Option[ScoreMod])] =
@@ -1056,6 +1198,23 @@ object MongoPipeline {
         (clauses("must"), clauses("should"), clauses("mustNot"))
       require(must.nonEmpty || should.nonEmpty,
         "$search.compound needs at least one must or should clause")
+      // minimumShouldMatch (round 16) — Lucene's boolean knob: at
+      // least m of the should clauses must match (raw score > 0, the
+      // same sign test every other matching decision rides). m = 0 is
+      // the default pure-score-contribution behavior; m > |should| can
+      // never match and is refused loudly rather than returning an
+      // always-empty search.
+      val msm = Option(comp.get("minimumShouldMatch")).map { mn =>
+        require(mn.isNumber,
+          s"$$search.compound.minimumShouldMatch must be a number: $mn")
+        mn.asInt()
+      }.getOrElse(0)
+      require(msm >= 0,
+        s"$$search.compound.minimumShouldMatch must be >= 0 (got $msm)")
+      require(msm <= should.size,
+        s"$$search.compound.minimumShouldMatch ($msm) exceeds the " +
+          s"number of should clauses (${should.size}) — no document " +
+          "could ever match")
       val all = (must ++ should ++ mustNot).zipWithIndex
       // FUSED stats pass (round 15): every BM25-scored clause computes
       // off ONE corpus scan + ONE broadcast stats row via
@@ -1070,7 +1229,8 @@ object MongoPipeline {
       val base =
         if (fusedPart.isEmpty) df
         else graft.operators.TextAnalysis.searchScoresFused(
-          df, fusedPart.map(_._1), fusedPart.map(p => s"__sc${p._2}"))
+          df, fusedPart.map(_._1), fusedPart.map(p => s"__sc${p._2}"),
+          tokenize = tokenize)
       val scoredRaw = all.foldLeft(base) { case (d, ((c, _), i)) =>
         if (recipes(i).isDefined) d else scoreClause(d, c, s"__sc$i")
       }
@@ -1089,6 +1249,10 @@ object MongoPipeline {
       val matched = (
         (0 until nm).map(i => col(s"__sc$i") > 0) ++
           (if (nm == 0) Seq(scoring.reduce(_ + _) > 0) else Nil) ++
+          (if (msm == 0) Nil
+           else Seq((nm until nm + ns)
+             .map(i => when(col(s"__sc$i") > 0, lit(1)).otherwise(lit(0)))
+             .reduce(_ + _) >= lit(msm))) ++
           (nm + ns until nm + ns + mustNot.size)
             .map(i => col(s"__sc$i") === 0.0))
         .reduce(_ && _)
@@ -1096,12 +1260,11 @@ object MongoPipeline {
       val scored = all.foldLeft(withMatch) { case (d, ((_, m), i)) =>
         applyMod(d, s"__sc$i", m)
       }
-      addHl(scored
+      finish(scored
         .withColumn(SearchScoreCol, scoring.reduce(_ + _))
         .filter(col("__matched"))
         .drop("__matched" +: all.indices.map(i => s"__sc$i"): _*),
         all.map(_._1._1))
-        .orderBy(sortCols ++ tie: _*)
     }
   }
 
@@ -1145,7 +1308,7 @@ object MongoPipeline {
         facets.properties().asScala.nonEmpty,
         "$searchMeta.facet.facets needs at least one facet definition")
       val matched = search(df, f.get("operator"))
-        .drop(SearchScoreCol, SearchHighlightsCol)
+        .drop(SearchScoreCol, SearchHighlightsCol, SearchMetaCountCol)
       val parts = facets.properties().asScala.toSeq.map { e =>
         val (name, fd) = (e.getKey, e.getValue)
         require(fd.get("path") != null,
@@ -1200,6 +1363,18 @@ object MongoPipeline {
             val is = raw.map(inst)
             require(is.zip(is.tail).forall { case (a, b) => a.isBefore(b) },
               s"$$searchMeta facet '$name': date boundaries must strictly increase")
+            // Timezone contract (round 16, advice): boundary literals
+            // are INSTANTS (Timestamp.from(Instant) → epoch micros,
+            // session-TZ-independent) and the parquet ts column is
+            // instant-semantics too, so the engine-side comparison
+            // never consults the session zone. The DuckDB oracle
+            // compares NAIVE walls — equal to these instants' UTC
+            // walls — so parity additionally requires the session
+            // timeZone be UTC for any path that re-walls the column
+            // (e.g. a string-typed `path` cast to timestamp). Every
+            // entrypoint (Verify/Bench/SparkTestBase/tools) pins
+            // spark.sql.session.timeZone=UTC; a non-UTC host JVM
+            // cannot reach this comparison un-pinned.
             val v = col(path).cast("timestamp")
             val bucket = (0 until is.size - 1)
               .foldLeft(lit(null).cast("string")) { (acc, j) =>
@@ -1305,7 +1480,8 @@ object MongoPipeline {
         compile(df, stages.toString, tables, documentsAllowed = false,
             keepScores = true)
           .withColumn("__sf_raw", col(scoreCol))
-          .drop(VsScoreCol, SearchScoreCol, SearchHighlightsCol)
+          .drop(VsScoreCol, SearchScoreCol, SearchHighlightsCol,
+            SearchMetaCountCol)
       } else {
         require(ops.last == "$score",
           s"$$scoreFusion pipeline '$name' must start with $$vectorSearch " +
@@ -1532,6 +1708,21 @@ object MongoPipeline {
     if (n.isTextual && n.asText().startsWith("$$")) {
       // "$$var" or "$$var.path.to.field"
       val parts = n.asText().drop(2).split('.')
+      // $$SEARCH_META (round 16): reads the $search.count option's
+      // hidden total. Counts are exact, so count.lowerBound reports
+      // the same number (a valid lower bound); facet tails are out of
+      // the variable subset (they live on the $searchMeta stage) and
+      // refuse loudly. An unresolved-column error here means the
+      // upstream $search carried no {count} option.
+      if (parts.head == "SEARCH_META") {
+        val tail = parts.tail.toSeq
+        require(tail == Seq("count", "total") ||
+          tail == Seq("count", "lowerBound"),
+          s"$$$$SEARCH_META supports count.total / count.lowerBound " +
+            s"only (got ${n.asText()} — facets read via the " +
+            "$searchMeta stage)")
+        return col(SearchMetaCountCol)
+      }
       val base = binds.getOrElse(parts.head,
         throw new IllegalArgumentException(
           s"unbound lambda variable: $$${parts.head}"))

@@ -455,6 +455,22 @@ object CurationJob {
                    idCol: String, textCol: String,
                    terms: Seq[String], k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "searchCorpus needs at least one term")
+    // PLAIN-TERM contract (round 16, pinned): the sstats ledger is
+    // keyed by exact whitespace tokens, so only the text operator's
+    // per-term df can be served from it. Virtual-term clause kinds —
+    // phrase ("a b"), prefix/wildcard/regex/fuzzy metacharacters —
+    // have per-QUERY dfs the ledger does not carry; serving them here
+    // would silently score with the wrong df. They stay on the batch
+    // $search scan path (its stats pass computes any virtual term),
+    // refused loudly rather than approximated.
+    terms.foreach { t =>
+      require(t.nonEmpty && !t.exists(c => c.isWhitespace ||
+        "*?[](){}|\\^$.+".contains(c)) && t == t.toLowerCase,
+        s"searchCorpus serves PLAIN lowercase text terms only (got '$t') " +
+          "— phrase/prefix/wildcard/regex/fuzzy virtual terms need the " +
+          "batch $search scan, whose stats pass computes per-query dfs " +
+          "the sstats ledger does not carry")
+    }
     val led = readIndexExcept(spark, s"$corpusDir/sstats", "", sstatsSchema)
       .distinct()
     require(!led.isEmpty,

@@ -2173,4 +2173,281 @@ class ExtendedPipelineSpec extends SparkTestBase {
       MongoPipeline(base, """[{"$geoNear": {"near": [0.0, 0.0], "key": "loc"}}]""")
     }
   }
+
+  test("$search text.fuzzy: bounded plain-Levenshtein match, prefixLength guard, maxEdits bound refused") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "query alpha"),   // levenshtein(query, quary) = 1
+      (2L, "quarry alpha"),  // levenshtein(quarry, quary) = 1 (1 insert)
+      (3L, "diary alpha"),   // distance 2 AND fails the 'qu' prefix
+      (4L, "alpha beta"))    // no fuzzy hit
+      .toDF("doc_id", "text")
+    def ids(json: String): Set[Long] =
+      MongoPipeline(docs, json).collect().map(_.getLong(0)).toSet
+    val e1 = ids(
+      """[{"$search": {"text": {"query": "quary", "path": "text",
+            "fuzzy": {"maxEdits": 1}}}},
+          {"$project": {"doc_id": 1}}]""")
+    assert(e1 == Set(1L, 2L), s"maxEdits 1 catches query+quarry: $e1")
+    // maxEdits 2 without a prefix guard reaches 'diary' (2 subs)
+    val e2 = ids(
+      """[{"$search": {"text": {"query": "quary", "path": "text",
+            "fuzzy": {"maxEdits": 2}}}},
+          {"$project": {"doc_id": 1}}]""")
+    assert(e2 == Set(1L, 2L, 3L), s"maxEdits 2 reaches diary: $e2")
+    // the 2-char exact prefix excludes diary again at the same maxEdits
+    val ep = ids(
+      """[{"$search": {"text": {"query": "quary", "path": "text",
+            "fuzzy": {"maxEdits": 2, "prefixLength": 2}}}},
+          {"$project": {"doc_id": 1}}]""")
+    assert(ep == Set(1L, 2L), s"prefixLength 2 re-excludes diary: $ep")
+    // composes in compound with a boost — fuzzy rides the fused pass
+    val boosted = MongoPipeline(docs,
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "quary", "path": "text",
+              "fuzzy": {"maxEdits": 1},
+              "score": {"boost": {"value": 2.0}}}}],
+            "mustNot": [{"equals": {"path": "doc_id", "value": 2}}]}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(boosted.map(_._1).toSet == Set(1L), boosted.mkString(","))
+    // autocomplete.fuzzy: head-of-token comparison — 'qu' within 1
+    // edit of token heads 'qu'(ery)/'qu'(arry)/'di'(ary): diary's 'di'
+    // is 2 edits away, out
+    val af = ids(
+      """[{"$search": {"autocomplete": {"query": "qu", "path": "text",
+            "fuzzy": {"maxEdits": 1}}}},
+          {"$project": {"doc_id": 1}}]""")
+    assert(af == Set(1L, 2L), s"autocomplete fuzzy head match: $af")
+    // contract errors: maxEdits out of Atlas' bound, negative
+    // prefixLength, unknown fuzzy key, non-object fuzzy
+    for (bad <- Seq(
+      """{"maxEdits": 3}""",
+      """{"maxEdits": 0}""",
+      """{"prefixLength": -1}""",
+      """{"maxEdits": 1, "transpositions": true}""",
+      """2""")) {
+      intercept[IllegalArgumentException] {
+        MongoPipeline(docs,
+          s"""[{"$$search": {"text": {"query": "quary", "path": "text",
+                "fuzzy": $bad}}}]""")
+      }
+    }
+  }
+
+  test("$search phrase.slop: proximity matches what adjacency misses; slop 0 keeps the exact-adjacency model") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join alpha"),        // adjacent — matches at any slop
+      (2L, "hash scan join alpha"),   // one intervening token — slop 1
+      (3L, "hash scan scan join"),    // two intervening — slop 2 only
+      (4L, "join hash alpha"),        // wrong order — never
+      (5L, "hash alpha beta"))        // no join — never
+      .toDF("doc_id", "text")
+    def ids(slop: Int): Set[Long] =
+      MongoPipeline(docs,
+        s"""[{"$$search": {"phrase": {"query": "hash join", "path": "text",
+              "slop": $slop}}},
+            {"$$project": {"doc_id": 1}}]""")
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(1) == Set(1L, 2L), s"slop 1: ${ids(1)}")
+    assert(ids(2) == Set(1L, 2L, 3L), s"slop 2: ${ids(2)}")
+    // slop 0 ≡ the plain phrase operator, row for row
+    val viaSlop0 = MongoPipeline(docs,
+      """[{"$search": {"phrase": {"query": "hash join", "path": "text",
+            "slop": 0}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val viaPlain = MongoPipeline(docs,
+      """[{"$search": {"phrase": {"query": "hash join", "path": "text"}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(viaSlop0 == viaPlain, s"slop 0 must ride PhraseC: $viaSlop0")
+    // counted-starts convention: 'a a b' with phrase 'a b' slop 1 has
+    // TWO in-order starts (positions 1 and 2) — overlap allowed
+    val tf2 = Seq((1L, "a a b"), (2L, "a c c b")).toDF("doc_id", "text")
+    val scores = MongoPipeline(tf2,
+      """[{"$search": {"phrase": {"query": "a b", "path": "text",
+            "slop": 2}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scores.keySet == Set(1L, 2L), scores.toString)
+    assert(scores(1L) > scores(2L),
+      s"two starts (tf 2, shorter doc) must outscore one: $scores")
+    // composes in compound; negative slop refused
+    val comp = MongoPipeline(docs,
+      """[{"$search": {"compound": {
+            "must": [{"phrase": {"query": "hash join", "path": "text",
+                      "slop": 1}}],
+            "mustNot": [{"equals": {"path": "doc_id", "value": 1}}]}}},
+          {"$project": {"doc_id": 1}}]""")
+      .collect().map(_.getLong(0)).toSet
+    assert(comp == Set(2L), comp.toString)
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"phrase": {"query": "hash join", "path": "text",
+              "slop": -1}}}]""")
+    }
+  }
+
+  test("$search compound.minimumShouldMatch: m of the shoulds must match; m > |should| refused") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark query stream"), // must + 2 shoulds
+      (2L, "spark query alpha"),  // must + 1 should
+      (3L, "spark alpha beta"),   // must + 0 shoulds
+      (4L, "query stream gamma")) // 2 shoulds but no must
+      .toDF("doc_id", "text")
+    def out(msmLine: String): Map[Long, Double] =
+      MongoPipeline(docs,
+        s"""[{"$$search": {"compound": {
+              "must": [{"text": {"query": "spark", "path": "text"}}],
+              "should": [{"text": {"query": "query", "path": "text"}},
+                         {"text": {"query": "stream", "path": "text"}}]
+              $msmLine}}},
+            {"$$project": {"doc_id": 1, "score": {"$$meta": "searchScore"}}}]""")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val m0 = out("")
+    val m1 = out(""", "minimumShouldMatch": 1""")
+    val m2 = out(""", "minimumShouldMatch": 2""")
+    assert(m0.keySet == Set(1L, 2L, 3L), m0.toString)
+    assert(m1.keySet == Set(1L, 2L), m1.toString)
+    assert(m2.keySet == Set(1L), m2.toString)
+    // msm only FILTERS — surviving docs keep the identical score
+    m2.foreach { case (k, v) => assert(v == m0(k), s"$k rescored: $v vs ${m0(k)}") }
+    m1.foreach { case (k, v) => assert(v == m0(k), s"$k rescored: $v vs ${m0(k)}") }
+    // m = 0 explicit ≡ absent; m > |should| and negative refused
+    assert(out(""", "minimumShouldMatch": 0""") == m0)
+    intercept[IllegalArgumentException] { out(""", "minimumShouldMatch": 3""") }
+    intercept[IllegalArgumentException] { out(""", "minimumShouldMatch": -1""") }
+  }
+
+  test("$$SEARCH_META.count.total: the exact match-set size on every row, $limit-invariant; facet tails refused") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark query"), (2L, "spark stream"), (3L, "spark table"),
+      (4L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val rows = MongoPipeline(docs,
+      """[{"$search": {"text": {"query": "spark", "path": "text"},
+                       "count": {"type": "total"}}},
+          {"$limit": 2},
+          {"$project": {"doc_id": 1,
+                        "total": "$$SEARCH_META.count.total"}}]""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 2 && rows.forall(_._2 == 3L),
+      s"total is the FULL match count (3), not the limited 2: ${rows.toSeq}")
+    // lowerBound tail reads the same exact number; works via compound
+    val lb = MongoPipeline(docs,
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark", "path": "text"}}]},
+            "count": {"type": "lowerBound"}}},
+          {"$limit": 1},
+          {"$project": {"total": "$$SEARCH_META.count.lowerBound"}}]""")
+      .collect().map(_.getLong(0))
+    assert(lb.toSeq == Seq(3L), lb.mkString(","))
+    // the hidden column never leaks when unread
+    val cols = MongoPipeline(docs,
+      """[{"$search": {"text": {"query": "spark", "path": "text"},
+                       "count": {"type": "total"}}}]""").columns.toSet
+    assert(!cols.exists(_.contains("search_meta")), cols.toString)
+    // contract errors: facet tail, bad count type, unknown count key
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"text": {"query": "spark", "path": "text"},
+              "count": {"type": "total"}}},
+            {"$project": {"f": "$$SEARCH_META.facet.langs"}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"text": {"query": "spark", "path": "text"},
+              "count": {"type": "estimate"}}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"text": {"query": "spark", "path": "text"},
+              "count": {"type": "total", "threshold": 5}}}]""")
+    }
+  }
+
+  test("$search analyzer lucene.standard: splits on non-alphanumeric; whitespace default keeps tokens whole") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "3-MEDIUM"), (2L, "1-URGENT"), (3L, "4-NOT SPECIFIED"),
+      (4L, "MEDIUM rare"))
+      .toDF("doc_id", "pri")
+    def ids(json: String): Set[Long] =
+      MongoPipeline(docs, json).collect().map(_.getLong(0)).toSet
+    val std = ids(
+      """[{"$search": {"text": {"query": "medium urgent", "path": "pri"},
+                       "analyzer": "lucene.standard"}},
+          {"$project": {"doc_id": 1}}]""")
+    assert(std == Set(1L, 2L, 4L),
+      s"standard splits 3-MEDIUM/1-URGENT on the hyphen: $std")
+    val ws = ids(
+      """[{"$search": {"text": {"query": "medium urgent", "path": "pri"}}},
+          {"$project": {"doc_id": 1}}]""")
+    assert(ws == Set(4L),
+      s"whitespace keeps '3-medium' whole — only the bare MEDIUM doc: $ws")
+    // lucene.whitespace is accepted and ≡ the default
+    val wsExplicit = ids(
+      """[{"$search": {"text": {"query": "medium urgent", "path": "pri"},
+                       "analyzer": "lucene.whitespace"}},
+          {"$project": {"doc_id": 1}}]""")
+    assert(wsExplicit == ws, wsExplicit.toString)
+    // the QUERY side retokenizes too: a hyphenated query term splits
+    val hq = ids(
+      """[{"$search": {"text": {"query": "medium-urgent", "path": "pri"},
+                       "analyzer": "lucene.standard"}},
+          {"$project": {"doc_id": 1}}]""")
+    assert(hq == Set(1L, 2L, 4L), s"query 'medium-urgent' → 2 terms: $hq")
+    // contract errors: unknown analyzer; highlight/moreLikeThis combos
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"text": {"query": "medium", "path": "pri"},
+              "analyzer": "lucene.english"}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"text": {"query": "medium", "path": "pri"},
+              "analyzer": "lucene.standard",
+              "highlight": {"path": "pri"}}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"moreLikeThis": {"like": {"pri": "medium rare"}},
+              "analyzer": "lucene.standard"}}]""")
+    }
+  }
+
+  test("$search regex: Java-only constructs RE2 parses differently are refused (class intersection, \\p{java*}, \\G)") {
+    val docs = cat.documents
+    for (bad <- Seq(
+      "[a-z&&[^x]]+",          // class intersection — literal &s in RE2
+      "\\p{javaLowerCase}+",   // Java-only property
+      "\\Gquery"))             // Java-only boundary
+      intercept[IllegalArgumentException] {
+        MongoPipeline(docs,
+          s"""[{"$$search": {"regex": {"query": ${
+            com.fasterxml.jackson.databind.node.TextNode.valueOf(bad)
+          }, "path": "text"}}}]""")
+      }
+  }
+
+  test("$search moreLikeThis tokenizes the like doc SPACE-ONLY — a tabbed token stays one corpus-parity token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\tbeta gamma"), // 'alpha\tbeta' is ONE whitespace-token
+      (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val out = MongoPipeline(docs,
+      """[{"$search": {"moreLikeThis": {
+            "like": {"text": "alpha\tbeta"}}}},
+          {"$project": {"doc_id": 1}}]""")
+      .collect().map(_.getLong(0)).toSet
+    // under a \s+ like-doc split the term would shatter into alpha/
+    // beta (both df 0 → 'no shared vocabulary' error); space-only
+    // parity keeps it one term that matches doc 1's token
+    assert(out == Set(1L), out.toString)
+  }
 }

@@ -585,6 +585,16 @@ class StreamingSinkSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       CurationJob.searchCorpus(spark, bare, "doc_id", "text", Seq("x"))
     }
+    // PLAIN-TERM contract (round 16): the sstats ledger is keyed by
+    // exact whitespace tokens — phrase/prefix/wildcard/regex/fuzzy
+    // VIRTUAL terms have per-query dfs it does not carry, and
+    // non-lowercase terms can never match the lowercased ledger keys;
+    // all refused loudly rather than scored with the wrong df
+    for (virtual <- Seq("machine learning", "qu*y", "quer?", "qu[ae]ry",
+      "a|b", "Spark", ""))
+      intercept[IllegalArgumentException] {
+        CurationJob.searchCorpus(spark, dir, "doc_id", "text", Seq(virtual))
+      }
   }
 
   test("bloom toggled ON mid-corpus: backfill from the standing index keeps duplicates out") {
