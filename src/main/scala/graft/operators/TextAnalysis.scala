@@ -1174,6 +1174,22 @@ object TextAnalysis {
               k + lit(1)).otherwise(k)) === lit(m))).cast("double")
   }
 
+  /** `matchCriteria: "all"` indicator virtual term (round 16): the
+    * LEAST of the per-term tfs — > 0 ⟺ every term occurs. Pushed
+    * through the same BM25/round(·,6) machinery so the all-test rides
+    * the one score-sign convention every matching decision uses.
+    */
+  private[graft] def tfAll(terms: Seq[String]): Column => Column =
+    toks => least(terms.map(t => tfTerm(t)(toks)): _*)
+
+  /** `synonyms` group virtual term (round 16): tf = Σ member tfs
+    * (exact integer adds — member order can't matter); the fused
+    * stats pass then computes the group's df as docs-containing-ANY-
+    * member for free (df = count(tf > 0)).
+    */
+  private[graft] def tfGroup(group: Seq[String]): Column => Column =
+    toks => group.map(t => tfTerm(t)(toks)).reduce(_ + _)
+
   private[graft] def fuzzyWithScore(docs: DataFrame, textCol: String,
                                     terms: Seq[String], maxEdits: Int,
                                     prefixLength: Int,

@@ -401,6 +401,32 @@ object ExtendedQueries {
           {"$limit": 10},
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"},
                         "total": "$$SEARCH_META.count.total"}}]""")),
+    // —— C39q: $search text.matchCriteria "all" (round 16) — the
+    //    conjunction form: every term must occur; score stays the
+    //    per-term BM25 sum, matching rides the least-tf indicator ——
+    "pipe_search_matchall" -> ((s, dir) => run(s, dir, "documents",
+      """[{"$search": {"text": {"query": "spark query stream",
+            "path": "text", "matchCriteria": "all"}}},
+          {"$limit": 20},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")),
+    // —— C39r: $search text.synonyms (round 16) — equivalent-mapping
+    //    groups as single virtual terms: tf = Σ member tfs, df =
+    //    any-member doc count, loaded from a mapping collection via
+    //    the $lookup table resolver ——
+    "pipe_search_synonyms" -> ((s, dir) => {
+      val cat = TableCatalog(s, dir)
+      import s.implicits._
+      val syns = Seq(
+        ("equivalent", Seq("query", "scan")),
+        ("equivalent", Seq("batch", "stream")))
+        .toDF("mappingType", "synonyms")
+      MongoPipeline(cat.table("documents"),
+        """[{"$search": {"text": {"query": "query stream", "path": "text",
+              "synonyms": "syns"}}},
+            {"$limit": 20},
+            {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""",
+        name => if (name == "syns") syns else cat.table(name))
+    }),
     // —— C39p: $search analyzer option (round 16) — lucene.standard
     //    lowercases and splits on non-alphanumeric runs, so 'medium
     //    urgent' matches the hyphenated '3-MEDIUM'/'1-URGENT'
@@ -1355,6 +1381,31 @@ object ExtendedQueries {
          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total
          |        FROM mvsc WHERE score > 0)
          |SELECT t.id AS doc_id, t.score, tot.total FROM top t, tot""".stripMargin,
+    // C39q: the matchCriteria-all replay — the score chain unchanged,
+    // the match filter mirroring the engine's least-tf INDICATOR score
+    // (> 0 ⟺ all terms occur), both through the same rounded BM25
+    "pipe_search_matchall" ->
+      s"""WITH ${graft.operators.LlmQueries.bm25ScoreCtes(
+             Seq("spark", "query", "stream"), "mt")},
+         |${graft.operators.LlmQueries.scoreCtesCustom(
+             Seq("least(len(list_filter(toks, x -> x = 'spark')), " +
+               "len(list_filter(toks, x -> x = 'query')), " +
+               "len(list_filter(toks, x -> x = 'stream')))"), "mi")}
+         |SELECT mtsc.id AS doc_id, mtsc.score AS score
+         |FROM mtsc JOIN misc ON misc.id = mtsc.id
+         |WHERE misc.score > 0
+         |ORDER BY mtsc.score DESC, doc_id LIMIT 20""".stripMargin,
+    // C39r: the synonyms replay — each group is ONE virtual term with
+    // tf = Σ member tfs (exact integer adds), df falling out as the
+    // any-member doc count from the same tf > 0 test
+    "pipe_search_synonyms" ->
+      s"""WITH ${graft.operators.LlmQueries.scoreCtesCustom(
+             Seq("len(list_filter(toks, x -> x = 'query')) + " +
+               "len(list_filter(toks, x -> x = 'scan'))",
+               "len(list_filter(toks, x -> x = 'batch')) + " +
+                 "len(list_filter(toks, x -> x = 'stream'))"), "sy")}
+         |SELECT id AS doc_id, score FROM sysc WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // C39p: the analyzer replay — the toks CTE retokenizes with the
     // lucene.standard mirror (lowercase, split on non-alphanumeric
     // runs, empties dropped), then the unchanged score chain

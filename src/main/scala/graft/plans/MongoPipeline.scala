@@ -174,12 +174,12 @@ object MongoPipeline {
         case "$search" =>
           require(stageIdx == 0,
             s"$$search must be the first pipeline stage (found at stage $stageIdx)")
-          cur = search(cur, spec)
+          cur = search(cur, spec, tables)
           lastSort = Seq((SearchScoreCol, false))
         case "$searchMeta" =>
           require(stageIdx == 0,
             s"$$searchMeta must be the first pipeline stage (found at stage $stageIdx)")
-          cur = searchMeta(cur, spec)
+          cur = searchMeta(cur, spec, tables)
         case "$facet" =>
           // each facet = a sub-pipeline over the same input; output is
           // one row with an array-of-struct column per facet
@@ -556,6 +556,66 @@ object MongoPipeline {
                                 maxEdits: Int, prefixLength: Int)
     extends SearchClause
 
+  /** `text` with `matchCriteria: "all"` (round 16) — Lucene's
+    * conjunction form: the clause matches only when EVERY query term
+    * occurs; the score stays the usual per-term BM25 sum (all terms
+    * present by definition). Matching rides one extra hidden
+    * indicator clause whose single virtual term is the LEAST of the
+    * per-term tfs (> 0 ⟺ all present), so the all-test flows through
+    * the same fused pass / rounded-score sign convention as every
+    * other matching decision — no second semantics.
+    */
+  private case class AllC(path: String, terms: Seq[String])
+    extends SearchClause
+
+  /** `text` with `synonyms: "<mapping>"` (round 16) — Lucene's
+    * SynonymQuery re-expressed declaratively: each query term expands
+    * to its EQUIVALENT-mapping group and the group acts as ONE
+    * virtual term with tf = Σ member tfs; the fused stats pass then
+    * computes the group df as docs-containing-ANY-member for free
+    * (df = count(tf > 0)). The stated deviation from Lucene's blended
+    * max-docFreq: group df is the exact any-member document count —
+    * deterministic and oracle-replayable. `terms` holds one
+    * member-group per original query term (singleton when unmapped).
+    */
+  private case class SynC(path: String, groups: Seq[Seq[String]])
+    extends SearchClause
+
+  /** Load an Atlas-shaped synonym mapping collection (rows of
+    * `{mappingType: "equivalent", synonyms: [..]}`) into a
+    * term → sorted-group map. Collected driver-side — a synonym
+    * mapping is vocabulary-sized model state (the k-means-centroid
+    * pattern), never corpus-sized. `explicit` mappings (directional
+    * input → synonyms) and overlapping groups (a term in two groups
+    * has no unique expansion) are refused loudly.
+    */
+  private def loadSynonyms(tables: String => DataFrame,
+                           name: String): Map[String, Seq[String]] = {
+    val mdf = tables(name)
+    require(Seq("mappingType", "synonyms").forall(mdf.columns.contains),
+      s"synonym mapping '$name' needs (mappingType, synonyms) columns " +
+        s"(got ${mdf.columns.mkString(", ")})")
+    val rows = mdf.select(col("mappingType"), col("synonyms")).collect()
+    require(rows.nonEmpty, s"synonym mapping '$name' is empty")
+    val out = scala.collection.mutable.Map.empty[String, Seq[String]]
+    rows.foreach { r =>
+      require(r.getString(0) == "equivalent",
+        s"synonym mapping '$name': mappingType '${r.getString(0)}' is " +
+          "out of the supported subset (equivalent only — explicit " +
+          "mappings are directional and say so)")
+      val g = r.getSeq[String](1).map(_.toLowerCase).distinct.sorted
+      require(g.size >= 2,
+        s"synonym mapping '$name': a group needs >= 2 distinct terms")
+      g.foreach { t =>
+        require(!out.contains(t),
+          s"synonym mapping '$name': term '$t' appears in two groups — " +
+            "no unique expansion")
+        out(t) = g
+      }
+    }
+    out.toMap
+  }
+
   /** `phrase` with `slop` > 0 (round 16) — proximity phrases: tf =
     * count of in-order starts within a (m−1)+slop window (see
     * [[graft.operators.TextAnalysis.tfSlop]] for the exact counting
@@ -673,7 +733,8 @@ object MongoPipeline {
     out
   }
 
-  private def search(df: DataFrame, spec: JsonNode): DataFrame = {
+  private def search(df: DataFrame, spec: JsonNode,
+                     tables: String => DataFrame): DataFrame = {
     val clauseKinds = Seq("text", "phrase", "autocomplete", "wildcard",
       "regex", "moreLikeThis", "near", "range", "equals", "in", "exists",
       "geoWithin", "embeddedDocument")
@@ -785,7 +846,7 @@ object MongoPipeline {
           ()
         }
       }
-      return search(df, translated)
+      return search(df, translated, tables)
     }
     def scoreMod(body: JsonNode, kind: String): Option[ScoreMod] =
       Option(body.get("score")).map { sn =>
@@ -860,9 +921,41 @@ object MongoPipeline {
       val clause = kinds.head match {
         case "text" =>
           val ts = terms(1)
-          fuzzyOf("text") match {
-            case None           => TextC(path, ts)
-            case Some((me, pl)) => FuzzyC(path, ts, me, pl)
+          val fz = fuzzyOf("text")
+          // matchCriteria (round 16): "any" (default) | "all"
+          val matchAll = Option(body.get("matchCriteria")).map(_.asText())
+            .map { mc =>
+              require(Seq("any", "all").contains(mc),
+                s"$$search.text.matchCriteria must be any|all (got '$mc')")
+              mc == "all"
+            }.getOrElse(false)
+          // synonyms (round 16): the named EQUIVALENT mapping expands
+          // each query term to its group (see SynC). Combinations
+          // Atlas itself forbids are refused loudly: synonyms+fuzzy
+          // is invalid Atlas; matchCriteria-all over groups is out of
+          // the supported subset (all-of-which-member?) and says so.
+          val synGroups = Option(body.get("synonyms")).map { sn =>
+            require(sn.isTextual && sn.asText().nonEmpty,
+              "$search.text.synonyms must be a mapping collection name")
+            require(fz.isEmpty,
+              "$search.text does not combine synonyms with fuzzy " +
+                "(Atlas forbids it: a fuzzy term has no exact group key)")
+            require(!matchAll,
+              "$search.text.matchCriteria 'all' with synonyms is out of " +
+                "the supported subset (ambiguous over groups) — use " +
+                "compound must clauses instead")
+            val mapping = loadSynonyms(tables, sn.asText())
+            ts.map(t => mapping.getOrElse(t, Seq(t)))
+          }
+          require(!(matchAll && fz.isDefined),
+            "$search.text.matchCriteria 'all' with fuzzy is out of the " +
+              "supported subset — use compound must clauses of single " +
+              "fuzzy terms instead")
+          (fz, synGroups) match {
+            case (Some((me, pl)), _) => FuzzyC(path, ts, me, pl)
+            case (_, Some(gs))       => SynC(path, gs)
+            case _ if matchAll && ts.size >= 2 => AllC(path, ts)
+            case _ => TextC(path, ts) // all-of-one ≡ any-of-one
           }
         case "phrase" =>
           val ts = terms(2) // a one-term phrase IS the text operator
@@ -1088,6 +1181,8 @@ object MongoPipeline {
       import graft.operators.{TextAnalysis => TA}
       c match {
         case TextC(p, ts) => Some((p, ts.map(TA.tfTerm)))
+        case AllC(p, ts) => Some((p, ts.map(TA.tfTerm)))
+        case SynC(p, gs) => Some((p, gs.map(TA.tfGroup)))
         case FuzzyC(p, ts, me, pl) =>
           Some((p, ts.map(TA.tfFuzzy(_, me, pl))))
         case PhraseC(p, ts) => Some((p, Seq(TA.tfPhrase(ts))))
@@ -1172,9 +1267,25 @@ object MongoPipeline {
     }
     if (spec.get("compound") == null) {
       val (c, mod) = textClause(spec)
+      // matchCriteria-all: the clause's score is GATED by the hidden
+      // all-terms indicator (least-tf virtual term, same fused pass),
+      // so every downstream matching decision — the score > 0 filter
+      // here, must/should/mustNot algebra in compound — stays the one
+      // rounded-score sign convention
+      val rawScored = c match {
+        case AllC(p, ts) =>
+          import graft.operators.{TextAnalysis => TA}
+          TA.searchScoresFused(df,
+            Seq((p, ts.map(TA.tfTerm)), (p, Seq(TA.tfAll(ts)))),
+            Seq(SearchScoreCol, "__ind"), tokenize = tokenize)
+            .withColumn(SearchScoreCol, when(col("__ind") > 0,
+              col(SearchScoreCol)).otherwise(lit(0.0)))
+            .drop("__ind")
+        case _ => scoreClause(df, c, SearchScoreCol)
+      }
       // match on the RAW score, then re-score (a function-path score
       // may map a matching doc to any value incl. 0)
-      finish(applyMod(scoreClause(df, c, SearchScoreCol)
+      finish(applyMod(rawScored
         .filter(col(SearchScoreCol) > 0), SearchScoreCol, mod), Seq(c))
     } else {
       // compound: must clauses all match AND contribute score; should
@@ -1226,13 +1337,26 @@ object MongoPipeline {
       val recipes = all.map { case ((c, _), i) => i -> recipe(c) }.toMap
       val fusedPart = all.flatMap { case ((_, _), i) =>
         recipes(i).map(r => (r, i)) }
+      // matchCriteria-all clauses ride ONE extra indicator entry each
+      // in the SAME fused pass (least-tf virtual term), then their
+      // score column is gated to 0 unless all terms occur — after
+      // which the unchanged must/should/mustNot/msm algebra applies
+      val indPart = all.collect { case ((AllC(p, ts), _), i) =>
+        ((p, Seq(graft.operators.TextAnalysis.tfAll(ts))), i) }
+      val fusedAll =
+        fusedPart.map { case (r, i) => (r, s"__sc$i") } ++
+          indPart.map { case (r, i) => (r, s"__ind$i") }
       val base =
-        if (fusedPart.isEmpty) df
+        if (fusedAll.isEmpty) df
         else graft.operators.TextAnalysis.searchScoresFused(
-          df, fusedPart.map(_._1), fusedPart.map(p => s"__sc${p._2}"),
+          df, fusedAll.map(_._1), fusedAll.map(_._2),
           tokenize = tokenize)
-      val scoredRaw = all.foldLeft(base) { case (d, ((c, _), i)) =>
+      val scoredUngated = all.foldLeft(base) { case (d, ((c, _), i)) =>
         if (recipes(i).isDefined) d else scoreClause(d, c, s"__sc$i")
+      }
+      val scoredRaw = indPart.foldLeft(scoredUngated) { case (d, (_, i)) =>
+        d.withColumn(s"__sc$i", when(col(s"__ind$i") > 0,
+          col(s"__sc$i")).otherwise(lit(0.0))).drop(s"__ind$i")
       }
       val nm = must.size
       val ns = should.size
@@ -1294,7 +1418,8 @@ object MongoPipeline {
     * match-set sort is eliminated under the aggregates (Catalyst's
     * EliminateSorts), so no ordering work survives planning.
     */
-  private def searchMeta(df: DataFrame, spec: JsonNode): DataFrame = {
+  private def searchMeta(df: DataFrame, spec: JsonNode,
+                         tables: String => DataFrame): DataFrame = {
     import com.fasterxml.jackson.databind.node.ObjectNode
     val keys = spec.properties().asScala.map(_.getKey).toSet
     if (keys.contains("facet")) {
@@ -1307,7 +1432,7 @@ object MongoPipeline {
       require(facets != null && facets.isObject &&
         facets.properties().asScala.nonEmpty,
         "$searchMeta.facet.facets needs at least one facet definition")
-      val matched = search(df, f.get("operator"))
+      val matched = search(df, f.get("operator"), tables)
         .drop(SearchScoreCol, SearchHighlightsCol, SearchMetaCountCol)
       val parts = facets.properties().asScala.toSeq.map { e =>
         val (name, fd) = (e.getKey, e.getValue)
@@ -1401,7 +1526,7 @@ object MongoPipeline {
         s"$$searchMeta.count.type must be total|lowerBound (got $cntType)")
       val op = spec.deepCopy[ObjectNode]()
       op.remove("count")
-      search(df, op).agg(count(lit(1)).as("total"))
+      search(df, op, tables).agg(count(lit(1)).as("total"))
     }
   }
 

@@ -2434,6 +2434,130 @@ class ExtendedPipelineSpec extends SparkTestBase {
       }
   }
 
+  test("$search text.matchCriteria all: every term must occur; score unchanged for survivors; composes as should") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark query stream"), // all three
+      (2L, "spark query alpha"),  // two of three
+      (3L, "spark alpha beta"),   // one
+      (4L, "alpha beta gamma"))   // none
+      .toDF("doc_id", "text")
+    def out(json: String): Map[Long, Double] =
+      MongoPipeline(docs, json)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val any = out(
+      """[{"$search": {"text": {"query": "spark query stream",
+            "path": "text"}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    val allM = out(
+      """[{"$search": {"text": {"query": "spark query stream",
+            "path": "text", "matchCriteria": "all"}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    assert(any.keySet == Set(1L, 2L, 3L) && allM.keySet == Set(1L),
+      s"any: ${any.keySet}, all: ${allM.keySet}")
+    assert(allM(1L) == any(1L),
+      s"matchCriteria only FILTERS — the survivor keeps its any-score: " +
+        s"${allM(1L)} vs ${any(1L)}")
+    // a non-matching all-SHOULD contributes ZERO score (gated), unlike
+    // the default should which pays partial matches
+    val comp = out(
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark", "path": "text"}}],
+            "should": [{"text": {"query": "query stream", "path": "text",
+                        "matchCriteria": "all"}}]}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    val mustOnly = out(
+      """[{"$search": {"text": {"query": "spark", "path": "text"}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+    assert(comp.keySet == Set(1L, 2L, 3L), comp.toString)
+    assert(comp(2L) == mustOnly(2L) && comp(3L) == mustOnly(3L),
+      s"partial all-should must contribute 0: $comp vs $mustOnly")
+    assert(comp(1L) > mustOnly(1L), s"full all-should contributes: $comp")
+    // matchCriteria 'all' excludes via mustNot only when ALL occur
+    val mn = MongoPipeline(docs,
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark", "path": "text"}}],
+            "mustNot": [{"text": {"query": "query stream", "path": "text",
+                         "matchCriteria": "all"}}]}}},
+          {"$project": {"doc_id": 1}}]""")
+      .collect().map(_.getLong(0)).toSet
+    assert(mn == Set(2L, 3L), mn.toString)
+    // one-term all ≡ any; bad matchCriteria and all+fuzzy refused
+    assert(out("""[{"$search": {"text": {"query": "spark", "path": "text",
+        "matchCriteria": "all"}}},
+        {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      == mustOnly)
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"text": {"query": "a b", "path": "text",
+              "matchCriteria": "most"}}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"text": {"query": "a b", "path": "text",
+              "matchCriteria": "all", "fuzzy": {"maxEdits": 1}}}}]""")
+    }
+  }
+
+  test("$search text.synonyms: equivalent groups score as one virtual term; contract errors refuse loudly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "car fast"),      // group member
+      (2L, "auto fast"),     // other member — must score ≡ doc 1
+      (3L, "car auto fast"), // both members: tf 2
+      (4L, "fast alpha"))    // none
+      .toDF("doc_id", "text")
+    val syns = Seq(("equivalent", Seq("car", "auto")))
+      .toDF("mappingType", "synonyms")
+    def resolve(n: String) =
+      if (n == "syns") syns
+      else throw new IllegalArgumentException(s"no table $n")
+    val out = MongoPipeline(docs,
+      """[{"$search": {"text": {"query": "car", "path": "text",
+            "synonyms": "syns"}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""",
+      resolve)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), out.toString)
+    assert(out(1L) == out(2L),
+      s"synonym members are ONE term — equal docs score equally: $out")
+    assert(out(3L) > out(1L), s"tf 2 (both members) outscores tf 1: $out")
+    // an unmapped term stays itself (singleton group)
+    val un = MongoPipeline(docs,
+      """[{"$search": {"text": {"query": "fast", "path": "text",
+            "synonyms": "syns"}}},
+          {"$project": {"doc_id": 1}}]""", resolve)
+      .collect().map(_.getLong(0)).toSet
+    assert(un == Set(1L, 2L, 3L, 4L), un.toString)
+    // contract errors: explicit mapping, overlapping groups,
+    // synonyms+fuzzy, synonyms+matchCriteria-all, missing columns
+    def withMapping(m: org.apache.spark.sql.DataFrame) =
+      intercept[IllegalArgumentException] {
+        MongoPipeline(docs,
+          """[{"$search": {"text": {"query": "car", "path": "text",
+                "synonyms": "m"}}}]""",
+          n => if (n == "m") m else throw new RuntimeException(n))
+      }
+    withMapping(Seq(("explicit", Seq("car", "auto")))
+      .toDF("mappingType", "synonyms"))
+    withMapping(Seq(("equivalent", Seq("car", "auto")),
+      ("equivalent", Seq("auto", "vehicle")))
+      .toDF("mappingType", "synonyms"))
+    withMapping(Seq(("equivalent", Seq("car")))
+      .toDF("mappingType", "synonyms"))
+    withMapping(Seq(Tuple1(Seq("car", "auto"))).toDF("synonyms"))
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"text": {"query": "car", "path": "text",
+              "synonyms": "syns", "fuzzy": {"maxEdits": 1}}}}]""", resolve)
+    }
+    intercept[IllegalArgumentException] {
+      MongoPipeline(docs,
+        """[{"$search": {"text": {"query": "car fast", "path": "text",
+              "synonyms": "syns", "matchCriteria": "all"}}}]""", resolve)
+    }
+  }
+
   test("$search moreLikeThis tokenizes the like doc SPACE-ONLY — a tabbed token stays one corpus-parity token") {
     import spark.implicits._
     val docs = Seq(
