@@ -573,6 +573,49 @@ class PlanSpec extends SparkTestBase {
         "— the per-clause stats fusion regressed")
   }
 
+  test("round-16 $search clauses ride the fused pass: fuzzy/slop/matchall/synonyms compound still plans 2 corpus scans; opt-in count costs exactly its documented re-evaluation") {
+    import graft.plans.MongoPipeline
+    def scans(df: org.apache.spark.sql.DataFrame, json: String,
+              tables: String => org.apache.spark.sql.DataFrame =
+                n => throw new IllegalArgumentException(n)): Int = {
+      val plan = executed(MongoPipeline(df, json, tables))
+      "FileScan parquet".r.findAllIn(plan).length
+    }
+    import spark.implicits._
+    val syns = Seq(("equivalent", Seq("query", "scan")))
+      .toDF("mappingType", "synonyms")
+    // a 4-clause compound mixing every round-16 scored kind (fuzzy,
+    // slop, matchall with its hidden indicator entry, synonyms) plans
+    // the SAME 2 corpus scans as a 1-clause text search — the r15
+    // fused-stats invariant extends to all new clause kinds
+    val mixed = scans(t.documents,
+      """[{"$search": {"compound": {
+            "must": [{"text": {"query": "spark quary", "path": "text",
+                       "fuzzy": {"maxEdits": 1}}},
+                     {"text": {"query": "spark query", "path": "text",
+                       "matchCriteria": "all"}}],
+            "should": [{"phrase": {"query": "hash join", "path": "text",
+                        "slop": 1}},
+                       {"text": {"query": "query", "path": "text",
+                        "synonyms": "syns"}}]}}},
+          {"$limit": 5},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""",
+      n => if (n == "syns") syns else throw new IllegalArgumentException(n))
+    assert(mixed == 2,
+      s"round-16 compound planned $mixed corpus scans, want 2 (fused)")
+    // the count option re-evaluates the matched subtree (documented):
+    // exactly double the uncounted search's scans, never more
+    val counted = scans(t.documents,
+      """[{"$search": {"text": {"query": "spark", "path": "text"},
+                       "count": {"type": "total"}}},
+          {"$limit": 5},
+          {"$project": {"doc_id": 1,
+                        "total": "$$SEARCH_META.count.total"}}]""")
+    assert(counted == 4,
+      s"counted search planned $counted scans, want 4 (2 + the " +
+        "documented match-set re-evaluation)")
+  }
+
   test("broker log append: offsets sequence per (topic, partition) — no global sort") {
     import graft.streaming.KafkaLog
     val msgs = t.events.selectExpr("'t' as topic",
