@@ -39,7 +39,12 @@ object TextAnalysis {
     * tokens in that language's profile; argmax with fixed tie order.
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.withColumn("toks", tokens(col(textCol)))
+    // Opaque barrier (guide §4.4): a downstream filter on `predicted`
+    // (corpus_curate) otherwise inlines the tokenize chain into every
+    // when-branch of the pushed predicate — FilterExec re-tokenizes
+    // per conjunct. Values identical; tokenize runs once per row.
+    val base = docs.withColumn("toks",
+        graft.functions.Opaque(tokens(col(textCol))))
       .withColumn("n", size(col("toks")).cast("double"))
     val scored = profiles.foldLeft(base) { case (df, (lang, words)) =>
       df.withColumn(s"${lang}_score",
@@ -57,13 +62,20 @@ object TextAnalysis {
     * alphabetic ratio (rational arithmetic only).
     */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val nw = size(tokens(col(textCol))).cast("double")
-    val stopRatio = stopCount(tokens(col(textCol)),
+    // Opaque barriers (guide §4.4) on the two expensive per-row
+    // chains (tokenize, alphabetic-ratio regex): a downstream filter
+    // on `quality` (corpus_curate) otherwise re-derives both chains
+    // inside the pushed predicate. Values identical, one evaluation.
+    val base = docs.withColumn("__qtoks",
+        graft.functions.Opaque(tokens(col(textCol))))
+      .withColumn("__alpha", graft.functions.Opaque(
+        length(regexp_replace(lower(col(textCol)), "[^a-z]", "")).cast("double") /
+          length(col(textCol))))
+    val nw = size(col("__qtoks")).cast("double")
+    val stopRatio = stopCount(col("__qtoks"),
       Seq("the", "a", "of", "is")).cast("double") / nw
-    val alphaRatio =
-      (length(regexp_replace(lower(col(textCol)), "[^a-z]", "")).cast("double") /
-        length(col(textCol)))
-    docs.select(col(idCol),
+    val alphaRatio = col("__alpha")
+    base.select(col(idCol),
       nw.cast("long").as("n_words"),
       stopRatio.as("stop_ratio"),
       round(alphaRatio, 6).as("alpha_ratio"),

@@ -835,10 +835,15 @@ object ExtendedQueries {
       import graft.operators.{Dedup, LlmQueries, TextAnalysis}
       import graft.functions.Hash60
       val docs = TableCatalog(s, dir).documents
+      // Opaque barrier (guide §4.4): without it, PushDownPredicates
+      // inlines this 14-regex + tokenize chain into EVERY filter
+      // conjunct below (12 copies per row in the measured plan —
+      // FilterExec has no cross-conjunct subexpression elimination).
+      // Values are identical; the chain now runs once per row.
       val staged = docs.select(col("doc_id"),
           Pipeline100TB.extractMarkup(
             concat(lit(MarkupPrefix), col("text"), lit(MarkupSuffix))).as("text"))
-        .withColumn("__toks", Hash60.tokens(col("text")))
+        .withColumn("__toks", graft.functions.Opaque(Hash60.tokens(col("text"))))
         .withColumn("clf_score", TextAnalysis.classifierScoreOf(
           col("__toks"), LlmQueries.clfWeights, biasMicro = 50000L))
         .filter(TextAnalysis.gopherPassOf(col("__toks")) &&
