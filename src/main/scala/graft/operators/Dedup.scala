@@ -290,10 +290,15 @@ object Dedup {
   def incrementalBands(batch: DataFrame, index: DataFrame,
                        idCol: String, textCol: String,
                        n: Int = 2, k: Int = 16, bands: Int = 4): DataFrame = {
+    // Reuse seams: bk feeds the veto probe and the kept filter; kept
+    // feeds both sides of the candidate self-join and the survivor
+    // id set — one batch signature build instead of four.
     val bk = bandKeyTable(batch, idCol, textCol, n, k, bands)
+      .localCheckpoint(eager = false)
     val vetoed = bk.join(index, Seq("band", "key"), "left_semi")
       .select(col("id")).distinct()
     val kept = bk.join(vetoed, Seq("id"), "left_anti")
+      .localCheckpoint(eager = false)
     val pairs = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -353,7 +358,9 @@ object Dedup {
     */
   def ngramJaccardCollapsed(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 2, tau: Double = 0.8): DataFrame = {
+    // Reuse seam — same motivation as [[ngramJaccardTopK]]'s.
     val reps = collapseFingerprints(docs, idCol, textCol)
+      .localCheckpoint(eager = false)
     val members = reps.select(col(idCol), col("n_members"))
     ngramJaccard(reps.drop("n_members"), idCol, textCol, n, tau)
       .join(members.select(col(idCol).as("a"), col("n_members").as("n_a")), "a")
@@ -395,8 +402,14 @@ object Dedup {
     val ranked = post.join(df, "shingle")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+    // Reuse seam: `prefix` feeds BOTH sides of the candidate self-join
+    // below. Without the seam each side re-derives the whole
+    // postings → df-count → rank-window chain (per-branch column
+    // pruning de-canonicalizes the exchanges, so ReusedExchange never
+    // fires — 2 extra corpus scans in the measured plan).
     val prefix = ranked.filter(col("rk") <= floor(col("sz") - lit(tau) * col("sz")) + 1)
       .select(col("id"), col("sz"), col("rk"), col("shingle"))
+      .localCheckpoint(eager = false)
     // Two exactness-preserving pruning rules inside the join:
     //  - size ratio: J ≥ τ forces min(|A|,|B|) ≥ τ·max(|A|,|B|);
     //  - PPJoin positional bound: overlap needed is
@@ -427,9 +440,12 @@ object Dedup {
     // carrying their shingle arrays.) Intersections count via the
     // codegen'd sorted-merge — no postings re-join (which would
     // shuffle |cand|·|A∩B| rows).
+    // Reuse seam: `hashed` attaches to candidates twice (a-side then
+    // b-side) — one corpus tokenize+hash pass instead of two.
     val hashed = docs
       .withColumn("toks", tokens(col(textCol)))
       .select(col(idCol).as("id"), shingleHashes("toks", n).as("hsh"))
+      .localCheckpoint(eager = false)
     val withA = hashed
       .join(cand, col("id") === col("a"))
       .select(col("a"), col("b"), col("sza"), col("szb"), col("hsh").as("ha"))
@@ -480,7 +496,11 @@ object Dedup {
   def ngramJaccardTopK(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 2, tau: Double = 0.8, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.GraftBridge
+    // Reuse seam: the collapsed representatives feed the pair
+    // generator (which itself branches several ways) AND both
+    // member-count re-attach joins — one collapse pass, not six.
     val reps = collapseFingerprints(docs, idCol, textCol)
+      .localCheckpoint(eager = false)
     val members = reps.select(col(idCol), col("n_members"))
     val pairs = ngramJaccard(reps.drop("n_members"), idCol, textCol, n, tau)
     val sym = pairs.select(col("a").as("id"), col("b").as("nbr"), col("jaccard"))
@@ -530,7 +550,10 @@ object Dedup {
 
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 2, k: Int = 16, bands: Int = 4): DataFrame = {
+    // Reuse seam: both sides of the band-key self-join — one
+    // signature build (postings + 16-min aggregate) instead of two.
     val bandKeys = bandKeyTable(docs, idCol, textCol, n, k, bands)
+      .localCheckpoint(eager = false)
     bandKeys.as("x").join(bandKeys.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.id") < col("y.id"))
@@ -743,10 +766,17 @@ object Dedup {
   def bandingEval(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 2, tau: Double = 0.8, k: Int = 16,
                   bands: Int = 4): DataFrame = {
+    // Reuse seams: reps feeds two whole pair generators; tp and cp
+    // each feed their own count AND the hit semi-join — without the
+    // seams the full PPJoin and MinHash pipelines run twice each
+    // (16 corpus scans in the measured plan).
     val reps = collapseFingerprints(docs, idCol, textCol).drop("n_members")
+      .localCheckpoint(eager = false)
     val tp = ngramJaccard(reps, idCol, textCol, n, tau)
       .select(col("a"), col("b"))
+      .localCheckpoint(eager = false)
     val cp = minhashCandidates(reps, idCol, textCol, n, k, bands)
+      .localCheckpoint(eager = false)
     val hit = tp.join(cp, Seq("a", "b"), "left_semi")
     tp.agg(count(lit(1)).as("n_true"))
       .crossJoin(cp.agg(count(lit(1)).as("n_cand")))
