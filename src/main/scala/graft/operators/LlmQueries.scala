@@ -263,7 +263,11 @@ object LlmQueries {
     "dedup_semantic_inc" -> ((s, dir) => {
       val e = emb(s, dir)
       val standing = e.filter(col("vec_id") % 10 =!= 0)
+      // Reuse seam: the centroid model feeds the standing-index
+      // assignment AND the batch assignment inside the gate — one
+      // centroid aggregate instead of two.
       val cents = Similarity.labelCentroids(standing)
+        .localCheckpoint(eager = false)
       Similarity.incrementalSemantic(
         s, e.filter(col("vec_id") % 10 === 0),
         Similarity.assignCells(s, standing, cents), cents, tau = 0.4)

@@ -1590,8 +1590,11 @@ object Similarity {
   def recallMatrix(s: SparkSession, emb: DataFrame, queries: DataFrame,
                    k: Int = 3): DataFrame = {
     import s.implicits._
+    // Reuse seam: truth feeds the hit semi-join AND the n_truth
+    // count — one brute-force pass instead of two.
     val truth = bruteForceTopK(s, emb, queries, k)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = false)
     val strategies: Seq[(String, DataFrame)] = Seq(
       "exact_pruned" -> exactPrunedTopK(s, emb, queries, k),
       "int8" -> int8TopK(s, emb, queries, k),
@@ -1709,12 +1712,18 @@ object Similarity {
                           idCol: String = "vec_id",
                           embCol: String = "embedding"): DataFrame = {
     withCosine(s)
+    // Reuse seams: the batch assignment feeds the veto probe, the
+    // kept filter, and the vetoed readout; kept feeds both sides of
+    // the pair self-join and the survivor set. Without the seams each
+    // consumer re-runs the centroid-broadcast assignment aggregate.
     val b = assignCells(s, batch, cents, idCol, embCol)
+      .localCheckpoint(eager = false)
     val vet = b.as("b")
       .join(index.as("i"), col("b.cell") === col("i.cell"))
       .filter(expr(s"round(cosine_sim(b.$embCol, i.$embCol), 4)") >= tau)
       .select(col(s"b.$idCol").as(idCol)).distinct()
     val kept = b.join(vet, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false)
     val pairs = kept.as("x")
       .join(kept.as("y"), col("x.cell") === col("y.cell") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
