@@ -7,6 +7,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing knobs, env-parameterized for cluster-scale
+      // tuning. Spark's docs recommend parallelismFirst=false (respect
+      // advisoryPartitionSizeInBytes) on busy clusters; MEASURED here
+      // at sf0.1/local[32] on identical code it LOST both ways (total
+      // 145.9 s vs 131.8 s, per-query median 1.057x) — at this scale
+      // coalescing to size serializes tiny stages that the default
+      // keeps parallel. So the local default stays Spark's default;
+      // flip via env on real clusters where 64 MB+ reduce partitions
+      // are the right unit (OPTIMIZATION_r16.md has the numbers).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

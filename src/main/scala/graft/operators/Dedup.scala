@@ -290,16 +290,21 @@ object Dedup {
   def incrementalBands(batch: DataFrame, index: DataFrame,
                        idCol: String, textCol: String,
                        n: Int = 2, k: Int = 16, bands: Int = 4): DataFrame = {
-    // Reuse seams: bk feeds the veto probe and the kept filter; kept
-    // feeds both sides of the candidate self-join and the survivor
-    // id set — one batch signature build instead of four.
+    // Reuse seam: the candidate SELF-join reads one checkpointed copy
+    // of kept instead of re-deriving the signature build + veto join
+    // per side. The seam deliberately covers ONLY the self-join:
+    // keptIds keeps the full lineage so the bucketed standing-index
+    // veto join stays visible in the executed plan (the F14
+    // index-never-reshuffles contract is spec-asserted on it), and
+    // bk itself stays UNseamed for the same reason — a stats-less
+    // LogicalRDD there makes the planner stop exploiting the index's
+    // bucketed layout.
     val bk = bandKeyTable(batch, idCol, textCol, n, k, bands)
-      .localCheckpoint(eager = false)
     val vetoed = bk.join(index, Seq("band", "key"), "left_semi")
       .select(col("id")).distinct()
     val kept = bk.join(vetoed, Seq("id"), "left_anti")
-      .localCheckpoint(eager = false)
-    val pairs = kept.as("x").join(kept.as("y"),
+    val keptSeam = kept.localCheckpoint(eager = false)
+    val pairs = keptSeam.as("x").join(keptSeam.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()

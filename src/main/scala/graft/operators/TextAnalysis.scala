@@ -38,13 +38,17 @@ object TextAnalysis {
   /** H1: stopword-profile language id: score(lang) = fraction of
     * tokens in that language's profile; argmax with fixed tie order.
     */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Opaque barrier (guide §4.4): a downstream filter on `predicted`
-    // (corpus_curate) otherwise inlines the tokenize chain into every
-    // when-branch of the pushed predicate — FilterExec re-tokenizes
-    // per conjunct. Values identical; tokenize runs once per row.
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+             opaque: Boolean = false): DataFrame = {
+    // opaque = true (guide §4.4): callers that FILTER on `predicted`
+    // (corpus_curate) set it so PushDownPredicates cannot inline the
+    // tokenize chain into every when-branch of the pushed predicate —
+    // FilterExec re-tokenizes per conjunct. Values identical; the
+    // chain runs once per row. Default stays false: the barrier also
+    // blocks projection elimination, which filterless consumers keep.
+    val toksExpr = tokens(col(textCol))
     val base = docs.withColumn("toks",
-        graft.functions.Opaque(tokens(col(textCol))))
+        if (opaque) graft.functions.Opaque(toksExpr) else toksExpr)
       .withColumn("n", size(col("toks")).cast("double"))
     val scored = profiles.foldLeft(base) { case (df, (lang, words)) =>
       df.withColumn(s"${lang}_score",
@@ -61,14 +65,18 @@ object TextAnalysis {
   /** H2: composite quality score from length, stopword ratio and
     * alphabetic ratio (rational arithmetic only).
     */
-  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Opaque barriers (guide §4.4) on the two expensive per-row
-    // chains (tokenize, alphabetic-ratio regex): a downstream filter
-    // on `quality` (corpus_curate) otherwise re-derives both chains
-    // inside the pushed predicate. Values identical, one evaluation.
-    val base = docs.withColumn("__qtoks",
-        graft.functions.Opaque(tokens(col(textCol))))
-      .withColumn("__alpha", graft.functions.Opaque(
+  def quality(docs: DataFrame, idCol: String, textCol: String,
+              opaque: Boolean = false): DataFrame = {
+    // opaque = true (guide §4.4): callers that FILTER on `quality`
+    // (corpus_curate) set it so the pushed predicate cannot re-derive
+    // the tokenize + alphabetic-ratio chains per conjunct. Values
+    // identical, one evaluation. Default stays false: the barrier
+    // also blocks projection elimination, which filterless consumers
+    // keep.
+    def barrier(c: org.apache.spark.sql.Column) =
+      if (opaque) graft.functions.Opaque(c) else c
+    val base = docs.withColumn("__qtoks", barrier(tokens(col(textCol))))
+      .withColumn("__alpha", barrier(
         length(regexp_replace(lower(col(textCol)), "[^a-z]", "")).cast("double") /
           length(col(textCol))))
     val nw = size(col("__qtoks")).cast("double")
@@ -1567,19 +1575,24 @@ object TextAnalysis {
       lit(0L).as("bias"), col("ndocs"))
     def step(wDf: DataFrame): DataFrame = {
       val j = f.crossJoin(broadcast(wDf))
-      val raw = aggregate(
-        zip_with(col("c"), col("w"), (ci, wi) => ci * wi),
-        lit(0L), (acc, x) => acc + x)
+      // Codegen'd dot product — the HOF chain it replaces
+      // (aggregate∘zip_with) is CodegenFallback, ~3·dims interpreted
+      // lambda calls per doc per step; values bit-identical
+      // ([[graft.functions.VecDotLong]] mirrors the null/overflow
+      // semantics exactly).
+      val raw = GraftBridge.column(graft.functions.VecDotLong(
+        GraftBridge.expression(col("c")), GraftBridge.expression(col("w"))))
       val z = (raw.cast("double") / col("n") + col("bias").cast("double")) /
         lit(1000000.0)
       val err = round(lit(1.0) / (lit(1.0) + exp(-z)), 6) - col("y")
       // pos 0 = bias gradient, pos 1..dims = bucket gradients; each
-      // contribution rounds to micro-units pre-sum (order-free)
-      val g = concat(
-        array(round(err * lit(1000000.0)).cast("long")),
-        transform(col("c"), ci =>
-          round(err * ci.cast("double") * lit(1000000.0) / col("n"))
-            .cast("long")))
+      // contribution rounds to micro-units pre-sum (order-free).
+      // Codegen'd ([[graft.functions.GradMicroVec]]) — replaces the
+      // interpreted concat(array(round), transform(round)) chain with
+      // the same per-element arithmetic, op for op.
+      val g = GraftBridge.column(graft.functions.GradMicroVec(
+        GraftBridge.expression(col("c")), GraftBridge.expression(err),
+        GraftBridge.expression(col("n"))))
       // vector-summed gradient: the (dims+1)-long per-doc gradient
       // arrays sum element-wise into ONE Array[Long] buffer per
       // partition (identical int64 sums as the posexploded per-pos

@@ -811,9 +811,9 @@ object ExtendedQueries {
     "corpus_curate" -> ((s, dir) => {
       import graft.operators.{Dedup, TextAnalysis}
       val docs = TableCatalog(s, dir).documents
-      val q = TextAnalysis.quality(docs, "doc_id", "text")
+      val q = TextAnalysis.quality(docs, "doc_id", "text", opaque = true)
         .select(col("doc_id"), col("quality"))
-      val l = TextAnalysis.langId(docs, "doc_id", "text")
+      val l = TextAnalysis.langId(docs, "doc_id", "text", opaque = true)
         .select(col("doc_id"), col("predicted"))
       val d = Dedup.exact(docs, "doc_id", "text")
         .select(col("survivor").as("doc_id"), col("n_copies"))
