@@ -624,8 +624,11 @@ object TextAnalysis {
         count(lit(1)).as("n1p_b_dot"))
     val contC = contBc.groupBy(col("c")).agg(count(lit(1)).as("n1p_c"))
     val nBc = broadcast(contBc.agg(count(lit(1)).as("nbc")))
-    val scored = docTf
-      .join(cf3, "tg")
+    // Type-level scoring (same move as [[knFivegramLogProb]]): the
+    // probability depends only on the trigram TYPE, so the chain
+    // joins run over the type table and the corpus stream pays ONE
+    // join on tg. Bit-identical values, once per type.
+    val typed = cf3
       .join(ctx3, "ab")
       .join(contBc.select(col("bc"), col("n1p_bc")), "bc")
       .join(midB, "b")
@@ -643,7 +646,9 @@ object TextAnalysis {
         (col("cf3").cast("double") - d) / col("cab").cast("double") +
         d * col("n1p_ab").cast("double") / col("cab").cast("double") *
           col("__p2"))
-    withLnDet(scored, col("__pkn"), "__ln")
+    val typeLn = withLnDet(typed, col("__pkn"), "__ln")
+      .select(col("tg"), col("__ln"))
+    docTf.join(typeLn, "tg")
       .withColumn("__c", round(col("tf").cast("double") * col("__ln") *
         lit(1000000.0)).cast("long"))
       .groupBy(col("doc_id"))
@@ -731,8 +736,14 @@ object TextAnalysis {
         count(lit(1)).as("n1p_b_dot"))
     val cont1 = cont2.groupBy(col("c")).agg(count(lit(1)).as("n1p_c"))
     val nS2 = broadcast(cont2.agg(count(lit(1)).as("ns2")))
-    val scored = docTf
-      .join(cf5, "tg")
+    // The probability depends only on the 5-gram TYPE, so the whole
+    // chain joins over the TYPE table and the corpus stream pays ONE
+    // join on tg (before: the same nine joins ran over every
+    // (doc, tg) row — at scale the corpus stream dwarfs the type
+    // table, so it must never be the side walking the chain). Values
+    // are bit-identical: the same expression tree evaluates over the
+    // same per-type inputs, once instead of once per document.
+    val typed = cf5
       .join(ctx5, "h4")
       .join(cont4.select(col("s4"), col("n1p_s4"), col("h3"), col("s3")), "s4")
       .join(mid4, "h3")
@@ -764,7 +775,9 @@ object TextAnalysis {
         (col("cf5").cast("double") - d) / col("ch4").cast("double") +
         d * col("n1p_h4").cast("double") / col("ch4").cast("double") *
           col("__p4"))
-    withLnDet(scored, col("__pkn"), "__ln")
+    val typeLn = withLnDet(typed, col("__pkn"), "__ln")
+      .select(col("tg"), col("__ln"))
+    docTf.join(typeLn, "tg")
       .withColumn("__c", round(col("tf").cast("double") * col("__ln") *
         lit(1000000.0)).cast("long"))
       .groupBy(col("doc_id"))
@@ -1782,6 +1795,12 @@ object TextAnalysis {
   private def bucketByScore(lp: DataFrame, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
+    // NOTE (r16, measured): no checkpoint seam here on purpose. Both
+    // rank jobs below share one RDD lineage, so the second job reuses
+    // the first's shuffle map outputs and recomputes only the final
+    // stage — a localCheckpoint seam materialized every row and
+    // measured SLOWER (text_ppl_buckets_kn5 3.2 → 3.9 s warm). The
+    // shared shuffle also pins one range partitioning for both jobs.
     val sorted = lp
       .repartitionByRange(col(scoreCol).desc, col("doc_id").asc)
       .sortWithinPartitions(col(scoreCol).desc, col("doc_id").asc)

@@ -20,6 +20,13 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // JIT/codegen warmup on the smallest SF (Bench.scala's move) so
+    // rep timings compare steady states, not compilation.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir != "none")
+      for (_ <- 1 to 2; name <- names)
+        try SparkEntry.queries(name)(spark, warmDir).count()
+        catch { case scala.util.control.NonFatal(_) => () }
     for (name <- names; rep <- 1 to reps) {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
