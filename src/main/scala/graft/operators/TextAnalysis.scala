@@ -844,32 +844,24 @@ object TextAnalysis {
     * order-insensitive in the lattice array (min over a filtered
     * set), so the unsorted collect_list is safe.
     */
-  private def unigramSegment(wp: DataFrame, cost: DataFrame): DataFrame =
+  private def unigramSegment(wp: DataFrame, cost: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    // Native DP ([[graft.functions.ViterbiSegment]], r16): the two
+    // SQL `aggregate` folds this replaces are CodegenFallback and
+    // re-filter the whole lattice per prefix position — O(len·|ps|)
+    // interpreted lambda calls per distinct word. The kernel replays
+    // the folds' exact semantics (INF guard, min-cost, minimal-start
+    // tie break, Spark substring char offsets) in one bucketed pass;
+    // bit-identity is spec-asserted against the original folds.
     wp.join(broadcast(cost.select(col("piece"), col("cost"))), "piece")
       .groupBy(col("w"), col("freq"))
       .agg(collect_list(struct(col("en"), col("st"), col("cost"))).as("ps"))
       .withColumn("n", length(col("w")))
-      .withColumn("best", expr(
-        """aggregate(sequence(1, n), array(CAST(0 AS BIGINT)),
-             (acc, i) -> concat(acc, array(coalesce(
-               array_min(transform(filter(ps, p -> p.en = i),
-                 p -> element_at(acc, p.st) + p.cost)),
-               CAST(1000000000000000 AS BIGINT)))))"""))
-      .withColumn("__paths", expr(
-        """aggregate(sequence(1, n), array(''),
-             (acc, i) -> concat(acc, array(
-               element_at(transform(
-                 array(array_min(transform(filter(ps,
-                   p -> p.en = i AND
-                        element_at(best, p.st) + p.cost =
-                        element_at(best, i + 1)),
-                   p -> p.st))),
-                 s -> concat(element_at(acc, s), ' ',
-                   substring(w, s, i - s + 1))), 1))))"""))
+      .withColumn("__v", GraftBridge.column(graft.functions.ViterbiSegment(
+        GraftBridge.expression(col("w")), GraftBridge.expression(col("ps")))))
       .select(col("w"), col("freq"), col("n"),
-        element_at(col("best"), col("n") + 1).as("wcost"),
-        expr("filter(split(element_at(__paths, n + 1), ' '), x -> x <> '')")
-          .as("segs"))
+        col("__v.wcost").as("wcost"), col("__v.segs").as("segs"))
+  }
 
   /** Shared learn core: word vocab → candidate set → `iters` rounds of
     * Viterbi hard-EM. Returns the (localCheckpoint'd) lattice and the
@@ -893,15 +885,20 @@ object TextAnalysis {
                            maxPieceLen: Int, maxVocab: Int, iters: Int)
       : (DataFrame, DataFrame) = {
     require(iters >= 1, s"unigram EM needs at least one iteration: $iters")
+    // Lazy seams (r16): eager checkpoints here dispatched three
+    // serial driver jobs before any EM work started; eager = false
+    // materializes each table inside the first job that reads it —
+    // same reuse guarantee (one corpus scan, one lattice build),
+    // fewer job boundaries on the loop's critical path.
     val words = docs.select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .localCheckpoint()
-    val wp = unigramWp(words, maxPieceLen).localCheckpoint()
+      .localCheckpoint(eager = false)
+    val wp = unigramWp(words, maxPieceLen).localCheckpoint(eager = false)
     val counts0 = wp.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
     val cand = counts0.orderBy(col("cnt").desc, col("piece")).limit(maxVocab)
       .unionByName(counts0.filter(length(col("piece")) === 1))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     var cost = unigramCosts(cand)
     for (_ <- 1 to iters) {
       val segCnt = unigramSegment(wp, cost)
