@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver contract (VERDICT r16 #3): the bench must end its stdout with
+// ONE unprefixed JSON line. StdoutOutput passes the forked JVM's
+// stdout/stderr through verbatim instead of relabeling every line
+// through sbt's logger as `[info] ...`/`[error] ...`; showSuccess
+// drops the trailing `[success] Total time ...` line so the JSON line
+// printed by graft.Bench is the final stdout line of the sbt run.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,13 +23,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Cluster knob: with a reliable checkpoint dir set, every loop
+    // lineage cut (Seams.cut) survives executor loss. Unset locally —
+    // localCheckpoint, same behavior the bench always measured.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
+    // GC/heap telemetry (stderr + bench_full artifact): the r16 driver
+    // run doubled on whole-JVM stalls in untouched queries; these
+    // counters say per query how much GC time elapsed and how much
+    // block-manager storage stayed resident (seam-leak detector).
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    def storageMB: Long = {
+      val s = spark.sparkContext.getRDDStorageInfo
+      s.map(_.memSize).sum / (1024 * 1024)
+    }
+    def heapMB: Long = {
+      val r = Runtime.getRuntime
+      (r.totalMemory - r.freeMemory) / (1024 * 1024)
+    }
     // Warm codegen + JIT on the smallest SF (same plan shapes, cheap
     // data) so timings below measure steady-state, not first-call
-    // compilation.
+    // compilation. Seams are released per query — warmup must not
+    // carry storage into the measured window.
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count()
       catch { case scala.util.control.NonFatal(_) => () }
+      Seams.release()
     }
     spark.catalog.clearCache()
     System.gc()
@@ -41,48 +65,49 @@ object Bench {
     // key set changes, which moves queries into different GC/contention
     // neighborhoods across rounds and makes per-query timings
     // incomparable round-over-round.
+    var qIdx = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis
       val best = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case scala.util.control.NonFatal(_) => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Free this rep's seam/cut storage OUTSIDE the timed window.
+        // Each rep rebuilds and re-materializes its own seams — the
+        // same per-rep cost profile as the r15/r16 methodology (r16's
+        // per-rep localCheckpoints also re-materialized; they just
+        // never freed), so the timing comparison stays valid while
+        // storage stays bounded by one query's working set.
+        Seams.release()
+        dt
       }.min
+      qIdx += 1
+      // Periodic full GC outside the timers: lets the ContextCleaner
+      // reap broadcast/shuffle refs from finished queries instead of
+      // deferring one giant stall into a later query's timed window.
+      if (qIdx % 16 == 0) System.gc()
+      System.err.println(
+        f"[bench] $name%-28s ${best}%8.3f s  gc+${gcMillis - gc0}%4d ms  " +
+        f"storage ${storageMB}%5d MB  heap ${heapMB}%5d MB")
       name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver retains only the LAST ~2000 chars of stdout, so the
-    // full per-query map (≈6.5 KB at 170+ queries) can never survive
-    // that capture — r11/r12 both landed as parsed:null + a truncated
-    // tail. The printed line therefore carries the SLOWEST queries
-    // first (3-decimal seconds), truncated so the whole line fits the
-    // capture window; the complete full-precision map is the
-    // bench_full.json artifact committed per round.
-    val budget = 1600
-    val desc = results.sortBy(-_._2)
-    val shownEntries = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
+    // Human-readable slowest-queries digest → stderr (stdout is
+    // reserved for the one machine-readable contract line below).
+    val desc = results.sortBy(-_._2).take(40)
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    desc.foreach { case (k, v) =>
-      val e = "\"" + k + "\":" + r3(v)
-      if (used + e.length + 1 <= budget) { shownEntries += e; used += e.length + 1 }
-    }
-    val compactLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"n_shown":${shownEntries.size},""" +
-      s""""queries_full":"bench_full.json",""" +
-      s""""queries":${shownEntries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
-    println(compactLine)
-    // Persist the COMPLETE per-query artifact: the driver's log capture
-    // truncates long stdout tails, which has silently cost past rounds
-    // half their round-over-round timing comparison. This file is the
-    // durable record; commit it once per round. Default under
-    // java.io.tmpdir so an ad-hoc run never silently clobbers the
-    // committed per-round artifact — export SPARK_GRAFT_BENCH_OUT=
-    // bench_full.json (repo root) for the round-final run.
+    System.err.println("[bench] total " + r3(total) + " s over " +
+      results.size + " queries; slowest: " +
+      desc.map { case (k, v) => s"$k=${r3(v)}" }.mkString(", "))
+    // Persist the COMPLETE per-query artifact: commit it once per
+    // round. Default under java.io.tmpdir so an ad-hoc run never
+    // silently clobbers the committed per-round artifact — export
+    // SPARK_GRAFT_BENCH_OUT=bench_full.json (repo root) for the
+    // round-final run.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File(sys.props("java.io.tmpdir"), "bench_full.json").getPath)
     try {
@@ -91,6 +116,15 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // Quiet shutdown, THEN the contract line: the driver parses the
+    // bench's stdout as one JSON line of the original schema
+    // {"metric","value","unit","queries":<ALL of them>,"sf"} — it must
+    // be unprefixed (build.sbt forks with StdoutOutput, so nothing
+    // rewrites it as `[info] ...`) and be the final stdout line
+    // (spark.stop() runs first; Spark logs go to stderr).
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

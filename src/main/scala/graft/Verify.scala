@@ -25,6 +25,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries
       .filter { case (name, _) =>
@@ -44,6 +46,7 @@ object Verify {
         errors(name) = msg.linesIterator.take(4).mkString(" | ")
         System.err.println(s"[verify] $name FAILED: ${errors(name)}")
       }
+      finally Seams.release() // bound seam storage to one query
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hash60._
+import graft.Seams.SeamOps
 
 /** Deduplication family (SURVEY.md §2 group F) — every near-dup path
   * goes through an inverted index / banding step, never an all-pairs
@@ -303,7 +304,7 @@ object Dedup {
     val vetoed = bk.join(index, Seq("band", "key"), "left_semi")
       .select(col("id")).distinct()
     val kept = bk.join(vetoed, Seq("id"), "left_anti")
-    val keptSeam = kept.localCheckpoint(eager = false)
+    val keptSeam = kept.seamed
     val pairs = keptSeam.as("x").join(keptSeam.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -365,7 +366,7 @@ object Dedup {
                             n: Int = 2, tau: Double = 0.8): DataFrame = {
     // Reuse seam — same motivation as [[ngramJaccardTopK]]'s.
     val reps = collapseFingerprints(docs, idCol, textCol)
-      .localCheckpoint(eager = false)
+      .seamed
     val members = reps.select(col(idCol), col("n_members"))
     ngramJaccard(reps.drop("n_members"), idCol, textCol, n, tau)
       .join(members.select(col(idCol).as("a"), col("n_members").as("n_a")), "a")
@@ -414,7 +415,7 @@ object Dedup {
     // fires — 2 extra corpus scans in the measured plan).
     val prefix = ranked.filter(col("rk") <= floor(col("sz") - lit(tau) * col("sz")) + 1)
       .select(col("id"), col("sz"), col("rk"), col("shingle"))
-      .localCheckpoint(eager = false)
+      .seamed
     // Two exactness-preserving pruning rules inside the join:
     //  - size ratio: J ≥ τ forces min(|A|,|B|) ≥ τ·max(|A|,|B|);
     //  - PPJoin positional bound: overlap needed is
@@ -450,7 +451,7 @@ object Dedup {
     val hashed = docs
       .withColumn("toks", tokens(col(textCol)))
       .select(col(idCol).as("id"), shingleHashes("toks", n).as("hsh"))
-      .localCheckpoint(eager = false)
+      .seamed
     val withA = hashed
       .join(cand, col("id") === col("a"))
       .select(col("a"), col("b"), col("sza"), col("szb"), col("hsh").as("ha"))
@@ -505,7 +506,7 @@ object Dedup {
     // generator (which itself branches several ways) AND both
     // member-count re-attach joins — one collapse pass, not six.
     val reps = collapseFingerprints(docs, idCol, textCol)
-      .localCheckpoint(eager = false)
+      .seamed
     val members = reps.select(col(idCol), col("n_members"))
     val pairs = ngramJaccard(reps.drop("n_members"), idCol, textCol, n, tau)
     val sym = pairs.select(col("a").as("id"), col("b").as("nbr"), col("jaccard"))
@@ -558,7 +559,7 @@ object Dedup {
     // Reuse seam: both sides of the band-key self-join — one
     // signature build (postings + 16-min aggregate) instead of two.
     val bandKeys = bandKeyTable(docs, idCol, textCol, n, k, bands)
-      .localCheckpoint(eager = false)
+      .seamed
     bandKeys.as("x").join(bandKeys.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.id") < col("y.id"))
@@ -776,12 +777,12 @@ object Dedup {
     // seams the full PPJoin and MinHash pipelines run twice each
     // (16 corpus scans in the measured plan).
     val reps = collapseFingerprints(docs, idCol, textCol).drop("n_members")
-      .localCheckpoint(eager = false)
+      .seamed
     val tp = ngramJaccard(reps, idCol, textCol, n, tau)
       .select(col("a"), col("b"))
-      .localCheckpoint(eager = false)
+      .seamed
     val cp = minhashCandidates(reps, idCol, textCol, n, k, bands)
-      .localCheckpoint(eager = false)
+      .seamed
     val hit = tp.join(cp, Seq("a", "b"), "left_semi")
     tp.agg(count(lit(1)).as("n_true"))
       .crossJoin(cp.agg(count(lit(1)).as("n_cand")))

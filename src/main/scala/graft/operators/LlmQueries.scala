@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.TableCatalog
+import graft.Seams.SeamOps
 
 /** SURVEY.md §2 groups F/G/H: dedup, similarity, text analysis,
   * multimodal — registered queries + DuckDB oracles. Hash-based
@@ -267,7 +268,7 @@ object LlmQueries {
       // assignment AND the batch assignment inside the gate — one
       // centroid aggregate instead of two.
       val cents = Similarity.labelCentroids(standing)
-        .localCheckpoint(eager = false)
+        .seamed
       Similarity.incrementalSemantic(
         s, e.filter(col("vec_id") % 10 === 0),
         Similarity.assignCells(s, standing, cents), cents, tau = 0.4)

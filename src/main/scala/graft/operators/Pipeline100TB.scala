@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hash60.{hash60, rowKey, tokens}
+import graft.Seams.SeamOps
 
 /** Training-data pipeline operators beyond the dedup/similarity
   * families: near-dup cluster assignment, reproducible sampling,
@@ -53,10 +54,10 @@ object Pipeline100TB {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -69,7 +70,7 @@ object Pipeline100TB {
       val next = labels.join(prop, col("node") === col("src"), "left")
         .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(eager = false)
+        .cutLineage(eager = false)
       converged = next.filter(col("label") =!= col("__old")).count() == 0
       labels = next.select(col("node"), col("label"))
       i += 1
@@ -108,7 +109,7 @@ object Pipeline100TB {
     val Scale = 1000000000000L
     val n = broadcast(nodes.agg(count(lit(1)).as("__n")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = edges.join(deg, "src").localCheckpoint(eager = false)
+    val e = edges.join(deg, "src").cutLineage(eager = false)
     var ranks = nodes.crossJoin(n)
       .select(col("id"), expr(s"${Scale}L div __n").as("rank"))
     for (_ <- 1 to iters) {
@@ -121,7 +122,7 @@ object Pipeline100TB {
         .select(col("id"),
           (expr(s"(15L * ${Scale}L) div (100L * __n)") +
             coalesce(col("inflow"), lit(0L))).as("rank"))
-        .localCheckpoint(eager = false)
+        .cutLineage(eager = false)
     }
     ranks.select(col("id"), col("rank").as("rank_ppt"))
   }
@@ -148,7 +149,7 @@ object Pipeline100TB {
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().cutLineage(eager = false)
     val deg = und.select(col("u").as("n"))
       .union(und.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -195,13 +196,13 @@ object Pipeline100TB {
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val nodes = pairs.select(col("a").as("n"))
       .union(pairs.select(col("b").as("n"))).distinct()
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     // canonical (u > v) edges; self-loops drop out of the iteration
     // and are restored as singleton stars at the end
     var edges = pairs.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().cutLineage(eager = false)
     var signature = (-1L, -1L)
     var converged = false
     var i = 0
@@ -220,7 +221,7 @@ object Pipeline100TB {
       val small = joined.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint(eager = false)
+        .distinct().cutLineage(eager = false)
       // fixpoint check = one action over two aggregates of the edge
       // set: count + an order-free content hash (bit_xor of xxhash64;
       // the set is distinct so XOR is a sound set fingerprint, and

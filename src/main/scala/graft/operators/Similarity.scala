@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CosineSimilarity, Int8Dot, Int8Quantize, IntArrayL1, PlaneSignature, RandomProjection, SignBits, VecMaxAbs, VecSqNorm}
+import graft.Seams.SeamOps
 
 /** Similarity search over embedding columns (SURVEY.md §2 group G). */
 object Similarity {
@@ -222,7 +223,7 @@ object Similarity {
     var state = emb.select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") =!= first.getLong(0))
       .withColumn("__mind", d2(col("embedding"), centerLit(firstVec)))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     for (t <- 2 to k) {
       val next = state.orderBy(col("__mind").desc, col("vec_id")).head()
       val (id, vec, r) =
@@ -231,7 +232,7 @@ object Similarity {
       state = state.filter(col("vec_id") =!= id)
         .withColumn("__mind",
           least(col("__mind"), d2(col("embedding"), centerLit(vec))))
-        .localCheckpoint(eager = false)
+        .cutLineage(eager = false)
     }
     picks.toDF("rk", "vec_id", "radius_q")
   }
@@ -1443,10 +1444,10 @@ object Similarity {
     withCosine(s)
     val edges = knnGraph(s, emb, graphK)
       .select(col("vec_id").as("node"), col("nbr").as("dst"))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     val reps = emb.groupBy(col("label"), col("embedding"))
       .agg(min(col("vec_id")).as("vec_id"))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     val entries = reps.groupBy(col("label"))
       .agg(min(col("vec_id")).as("node")).select(col("node"))
     val q = queries.select(col("vec_id").as("query_id"),
@@ -1468,14 +1469,14 @@ object Similarity {
         .select(col("query_id"), explode(col("top")).as("node"))
     }
     var visited = score(q.select(col("query_id")).crossJoin(entries))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     (1 to rounds).foreach { _ =>
       val expand = beamOf(visited).join(edges, Seq("node"))
         .select(col("query_id"), col("dst").as("node")).distinct()
       visited = visited.unionByName(score(expand))
         .groupBy(col("query_id"), col("node"))
         .agg(max(col("cos_r")).as("cos_r"))
-        .localCheckpoint(eager = false)
+        .cutLineage(eager = false)
     }
     val best = GraftBridge.column(graft.functions.BoundedTopK(
       GraftBridge.expression(struct(col("cos_r"), col("node"))),
@@ -1590,24 +1591,32 @@ object Similarity {
   def recallMatrix(s: SparkSession, emb: DataFrame, queries: DataFrame,
                    k: Int = 3): DataFrame = {
     import s.implicits._
+    // r17 input seams: every one of the 11 strategies (and their
+    // codebook/centroid collect jobs during construction) scans the
+    // SAME embedding and query frames — persist them once and the 60
+    // residual per-strategy parquet re-scans become cache reads. The
+    // strategies stay independent operators (no signature coupling);
+    // the sharing is plan-level via the cached subtree.
+    val embS = graft.Seams.seam(emb)
+    val qS = graft.Seams.seam(queries)
     // Reuse seam: truth feeds the hit semi-join AND the n_truth
     // count — one brute-force pass instead of two.
-    val truth = bruteForceTopK(s, emb, queries, k)
+    val truth = bruteForceTopK(s, embS, qS, k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(eager = false)
+      .seamed
     val strategies: Seq[(String, DataFrame)] = Seq(
-      "exact_pruned" -> exactPrunedTopK(s, emb, queries, k),
-      "int8" -> int8TopK(s, emb, queries, k),
-      "truncated" -> truncatedTopK(s, emb, queries, dPrefix = 16,
+      "exact_pruned" -> exactPrunedTopK(s, embS, qS, k),
+      "int8" -> int8TopK(s, embS, qS, k),
+      "truncated" -> truncatedTopK(s, embS, qS, dPrefix = 16,
         cands = 20, k = k),
-      "ivf" -> ivfTopK(s, emb, queries, k),
-      "ivf_fixed" -> ivfTopK(s, emb, queries, k, iters = 0),
-      "lsh" -> lshTopK(s, emb, queries, k, planes = 8),
-      "pq" -> pqTopK(s, emb, queries, k),
-      "ivfpq" -> ivfPqTopK(s, emb, queries, k),
-      "pq_rerank" -> pqRerankTopK(s, emb, queries, k, kShort = 15),
-      "hamming" -> hammingTopK(s, emb, queries, k),
-      "hamming_rerank" -> hammingRerankTopK(s, emb, queries, k, kShort = 15))
+      "ivf" -> ivfTopK(s, embS, qS, k),
+      "ivf_fixed" -> ivfTopK(s, embS, qS, k, iters = 0),
+      "lsh" -> lshTopK(s, embS, qS, k, planes = 8),
+      "pq" -> pqTopK(s, embS, qS, k),
+      "ivfpq" -> ivfPqTopK(s, embS, qS, k),
+      "pq_rerank" -> pqRerankTopK(s, embS, qS, k, kShort = 15),
+      "hamming" -> hammingTopK(s, embS, qS, k),
+      "hamming_rerank" -> hammingRerankTopK(s, embS, qS, k, kShort = 15))
     val picks = strategies.map { case (nm, df) =>
       df.select(lit(nm).as("strategy"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionAll(_))
@@ -1717,13 +1726,13 @@ object Similarity {
     // the pair self-join and the survivor set. Without the seams each
     // consumer re-runs the centroid-broadcast assignment aggregate.
     val b = assignCells(s, batch, cents, idCol, embCol)
-      .localCheckpoint(eager = false)
+      .seamed
     val vet = b.as("b")
       .join(index.as("i"), col("b.cell") === col("i.cell"))
       .filter(expr(s"round(cosine_sim(b.$embCol, i.$embCol), 4)") >= tau)
       .select(col(s"b.$idCol").as(idCol)).distinct()
     val kept = b.join(vet, Seq(idCol), "left_anti")
-      .localCheckpoint(eager = false)
+      .seamed
     val pairs = kept.as("x")
       .join(kept.as("y"), col("x.cell") === col("y.cell") &&
         col(s"x.$idCol") < col(s"y.$idCol"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hash60.tokens
+import graft.Seams.SeamOps
 
 /** Text analysis for training-data pipelines (SURVEY.md §2 group H).
   * The per-document signal operators (langId, quality, tokenCounts,
@@ -317,6 +318,12 @@ object TextAnalysis {
       : DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
+    // NO seam on docTf (re-measured r17, both persist and checkpoint
+    // forms): materializing the corpus-sized (doc, tok, tf) table
+    // costs more than its three consumers' re-derivations —
+    // text_unigram_lp 0.39 → 1.1 s, corpus_mix_doremi 1.9 → 4.4 s.
+    // Map-side-combined re-aggregation of the raw explode is cheap;
+    // a doc-keyed materialization is not.
     val docTf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val cfT = docTf.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
@@ -603,10 +610,11 @@ object TextAnalysis {
         concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)).as("ab"),
         concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)).as("bc"),
         col("__p").getItem(1).as("b"), col("__p").getItem(2).as("c"))
-    // NO reuse seam on the order-3 chain (depth-gated — see
-    // [[trigramLogProb]]): materializing the type table regressed
-    // text_kn_lp 1.59× in r14; the re-derived branches are cheaper
-    // than the materialization at this chain depth. kn5 keeps its
+    // NO reuse seam on the order-3 chain (depth-gated; RE-MEASURED in
+    // r17 with the persist/columnar form as well as r14's checkpoint
+    // form — both regress: text_kn_lp 1.6 → 3.0 s, corpus_mix_doremi
+    // 1.9 → 4.4 s): materializing the doc-keyed or type tables here
+    // costs more than the re-derived branches. kn5 keeps its TYPE
     // seams — there the 11-scan/37-exchange blowup dominates.
     // trigram-context totals + distinct-continuation counts: cf3 rows
     // are unique trigram TYPES, so count(*) per ab IS N₁₊(ab·)
@@ -687,6 +695,9 @@ object TextAnalysis {
     def grams(n: Int) = GraftBridge.column(graft.functions.WordShinglesAll(
       GraftBridge.expression(tokens(col(textCol))), n))
     val d = lit(discount)
+    // NO seam on docTf (re-measured r17): the doc-keyed 5-gram table
+    // is corpus-sized; materializing it for its two consumers loses to
+    // re-deriving the explode (same result as order 3's depth gate).
     val docTf = docs.select(col(idCol).as("doc_id"), explode(grams(5)).as("tg"))
       .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("tf"))
     def joinWords(c: Column, from: Int, to: Int): Column =
@@ -701,7 +712,7 @@ object TextAnalysis {
       // branch (no ReusedExchange fires) and every continuation table
       // re-scans the corpus and re-builds this aggregate (measured:
       // 11 scans / 37 exchanges → 1 scan with the chain seams)
-      .localCheckpoint(eager = false)
+      .seamed
     // 5-gram context totals + distinct continuations after h4: cf5
     // rows are unique 5-gram TYPES, so count(*) per h4 IS N₁₊(h4·)
     val ctx5 = cf5.groupBy(col("h4"))
@@ -713,7 +724,7 @@ object TextAnalysis {
       .select(col("s4"), col("n1p_s4"),
         joinWords(col("__q"), 0, 2).as("h3"),
         joinWords(col("__q"), 1, 3).as("s3"))
-      .localCheckpoint(eager = false) // feeds mid4 + cont3 + the join
+      .seamed // feeds mid4 + cont3 + the join
     val mid4 = cont4.groupBy(col("h3"))
       .agg(sum(col("n1p_s4")).as("n1p_mid_h3"),
         count(lit(1)).as("n1p_h3_dot"))
@@ -722,7 +733,7 @@ object TextAnalysis {
       .select(col("s3"), col("n1p_s3"),
         joinWords(col("__q"), 0, 1).as("h2"),
         joinWords(col("__q"), 1, 2).as("s2"))
-      .localCheckpoint(eager = false) // feeds mid3 + cont2 + the join
+      .seamed // feeds mid3 + cont2 + the join
     val mid3 = cont3.groupBy(col("h2"))
       .agg(sum(col("n1p_s3")).as("n1p_mid_h2"),
         count(lit(1)).as("n1p_h2_dot"))
@@ -730,7 +741,7 @@ object TextAnalysis {
       .withColumn("__q", split(col("s2"), " "))
       .select(col("s2"), col("n1p_s2"),
         col("__q").getItem(0).as("b"), col("__q").getItem(1).as("c"))
-      .localCheckpoint(eager = false) // feeds mid2 + cont1 + nS2 + join
+      .seamed // feeds mid2 + cont1 + nS2 + join
     val mid2 = cont2.groupBy(col("b"))
       .agg(sum(col("n1p_s2")).as("n1p_mid_b"),
         count(lit(1)).as("n1p_b_dot"))
@@ -893,12 +904,12 @@ object TextAnalysis {
     val words = docs.select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .localCheckpoint(eager = false)
-    val wp = unigramWp(words, maxPieceLen).localCheckpoint(eager = false)
+      .cutLineage(eager = false)
+    val wp = unigramWp(words, maxPieceLen).cutLineage(eager = false)
     val counts0 = wp.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
     val cand = counts0.orderBy(col("cnt").desc, col("piece")).limit(maxVocab)
       .unionByName(counts0.filter(length(col("piece")) === 1))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().cutLineage(eager = false)
     var cost = unigramCosts(cand)
     for (_ <- 1 to iters) {
       val segCnt = unigramSegment(wp, cost)
@@ -908,7 +919,7 @@ object TextAnalysis {
         cand.select(col("piece"))
           .join(segCnt, Seq("piece"), "left")
           .select(col("piece"), coalesce(col("c"), lit(0L)).as("cnt")))
-        .localCheckpoint() // bound the iterated plan (vocab-sized job)
+        .cutLineage() // bound the iterated plan (vocab-sized job)
     }
     (wp, cost)
   }
@@ -1296,12 +1307,21 @@ object TextAnalysis {
     require(likeToks.nonEmpty, "moreLikeThis: empty like document")
     val tfq = likeToks.groupBy(identity).view.mapValues(_.size).toMap
     val cand = tfq.keys.toSeq.sorted
-    val toks = tokens(col(textCol))
+    // r17 (guide §1.2 per-task work): tokenize each document ONCE and
+    // aggregate membership flags over the projected array — the old
+    // shape inlined tokens(text) into every per-term df counter, so a
+    // K-term like doc regex-tokenized the whole corpus K times inside
+    // one scan. Opaque (§4.4) pins the single evaluation so neither
+    // CollapseProject nor codegen re-inlines the chain; df values are
+    // identical (Opaque is an identity), so the selected terms — and
+    // the query result — cannot change.
     val aggs = cand.zipWithIndex.map { case (t, i) =>
-      sum(when(stopCount(toks, Seq(t)) > 0, 1).otherwise(0))
+      sum(when(stopCount(col("__toks"), Seq(t)) > 0, 1).otherwise(0))
         .cast("long").as(s"__df$i")
     }
-    val row = docs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = docs
+      .select(graft.functions.Opaque(tokens(col(textCol))).as("__toks"))
+      .agg(aggs.head, aggs.tail: _*).collect()(0)
     val withDf = cand.zipWithIndex
       .map { case (t, i) => (t, tfq(t), row.getLong(i)) }
       .filter(_._3 >= 1)
@@ -1579,7 +1599,7 @@ object TextAnalysis {
         GraftBridge.expression(toks), dims)).as("c"))
     // ONE corpus scan: materialize the narrow feature frame to
     // executor storage; each GD step below reads the LogicalRDD.
-    val f = if (persist) fRaw.localCheckpoint() else fRaw
+    val f = if (persist) graft.Seams.cut(fRaw) else fRaw
     val nd = f.groupBy().agg(count(lit(1)).as("ndocs"))
     val w0 = nd.select(array_repeat(lit(0L), dims).as("w"),
       lit(0L).as("bias"), col("ndocs"))
@@ -1625,7 +1645,7 @@ object TextAnalysis {
     // lineage: iteration k's plan is always {feature LogicalRDD +
     // broadcast 1-row LogicalRDD}, independent of k.
     val wFinal = (1 to iters).foldLeft(w0)((w, _) =>
-      if (persist) step(w).localCheckpoint() else step(w))
+      if (persist) graft.Seams.cut(step(w)) else step(w))
     wFinal
       .select(posexplode(concat(array(col("bias")), col("w")))
         .as(Seq("pos", "w_micro")))
@@ -1877,9 +1897,19 @@ object TextAnalysis {
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // r17 per-round seams (guide §2.4): each round's symbol table is
+    // consumed TWICE (the pair-count argmax and the merge
+    // application), and every round chains on the previous one — so
+    // without seams the k-th round's branches re-derive the whole
+    // unrolled prefix from the corpus, and the final union of k `top`
+    // rows re-derives it again per step (974-line plan, 16 scans).
+    // The per-round persist computes each round once; `top` is also
+    // seamed (1 row) because it feeds the emitted merge table AND the
+    // round's broadcast merge predicate.
     var syms = vocab.select(col("w"), col("freq"),
       posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
         .as(Seq("pos", "sym")))
+      .seamed
     val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
     var merges = Seq.empty[DataFrame]
     for (step <- 1 to k) {
@@ -1889,6 +1919,7 @@ object TextAnalysis {
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("lhs"), col("rhs"))
         .limit(1)
+        .seamed
       merges :+= top.select(lit(step).as("step"), col("lhs"), col("rhs"), col("n"))
       val marked = withNext
         .crossJoin(broadcast(top.select(col("lhs"), col("rhs"))))
@@ -1905,6 +1936,7 @@ object TextAnalysis {
           row_number().over(wWin).as("pos"),
           when(col("__kept"), concat(col("lhs"), col("rhs")))
             .otherwise(col("sym")).as("sym"))
+        .seamed
     }
     merges.reduce(_ unionAll _)
   }

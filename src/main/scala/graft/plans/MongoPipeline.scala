@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Seams.SeamOps
 
 /** MongoDB aggregation-pipeline → DataFrame translator.
   *
@@ -3419,7 +3420,7 @@ object MongoPipeline {
       // computes every partition (materializing the checkpoint, which
       // cuts the iterative lineage) and answers the emptiness check,
       // so depth-d traversal is d+1 actions, not 2(d+1)
-      val hitsD = hits.localCheckpoint(eager = false)
+      val hitsD = hits.cutLineage(eager = false)
       val n = hitsD.count()
       if (n == 0) done = true
       else {
@@ -3435,7 +3436,7 @@ object MongoPipeline {
             hinted(v, visitedBound <= broadcastRows),
             Seq("__gk", "__connect"), "left_anti")
           case None => nextKeys
-        }).localCheckpoint(eager = false)
+        }).cutLineage(eager = false)
         frontier = next
         frontierBound = Some(n) // next has at most n = |hits| rows
         visited = Some(visited.map(_.unionByName(next)).getOrElse(next))

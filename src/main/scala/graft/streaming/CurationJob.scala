@@ -379,6 +379,11 @@ object CurationJob {
       if (novel != null) novel.unpersist()
       if (probed != null) probed.unpersist()
       gated.unpersist()
+      // Free the reuse seams the gates created inside this batch
+      // (incrementalBands/incrementalSemantic register theirs in
+      // graft.Seams): without this a long-running daemon's seam
+      // storage grows between ContextCleaner GC cycles (ADVICE r16).
+      graft.Seams.release()
     }
     if (compactEvery > 0) {
       compactIndex(spark, s"$corpusDir/index", s"b$batchId", batchId,

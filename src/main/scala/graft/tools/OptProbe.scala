@@ -24,6 +24,7 @@ object OptProbe {
         val t0 = System.nanoTime()
         val n = mk.count()
         println(f"OPT $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        graft.Seams.release() // per-rep seam storage, like Bench
       }
     val docs = graft.sources.TableCatalog(spark, sfDir).documents
     probe match {

@@ -38,6 +38,9 @@ object Plans {
       val nSmj = "SortMergeJoin".r.findAllIn(plan).size
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).size
       println(s"PLAN $name exchanges=$nEx scans=$nScan smj=$nSmj bhj=$nBhj")
+      // Drop this query's seam registrations so the NEXT dump's plan
+      // can't pick up a cross-query InMemoryRelation substitution.
+      graft.Seams.release()
     }
     spark.stop()
   }
