@@ -611,11 +611,14 @@ object TextAnalysis {
         concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)).as("bc"),
         col("__p").getItem(1).as("b"), col("__p").getItem(2).as("c"))
     // NO reuse seam on the order-3 chain (depth-gated; RE-MEASURED in
-    // r17 with the persist/columnar form as well as r14's checkpoint
-    // form — both regress: text_kn_lp 1.6 → 3.0 s, corpus_mix_doremi
-    // 1.9 → 4.4 s): materializing the doc-keyed or type tables here
-    // costs more than the re-derived branches. kn5 keeps its TYPE
-    // seams — there the 11-scan/37-exchange blowup dominates.
+    // r17 three ways — persist/columnar on docTf+cf3 (text_kn_lp
+    // 1.6 → 3.0 s, corpus_mix_doremi 1.9 → 4.4 s), checkpoint on
+    // docTf+cf3 (same magnitude), checkpoint on the type table alone
+    // (flat-to-worse: doremi min 1.99 → 2.27 s) — all lose: the
+    // re-derived branches are independent subtrees that PARALLELIZE
+    // inside one job, while a seam serializes materialize-then-read.
+    // kn5 keeps its TYPE seams — there the 11-scan/37-exchange blowup
+    // dominates.
     // trigram-context totals + distinct-continuation counts: cf3 rows
     // are unique trigram TYPES, so count(*) per ab IS N₁₊(ab·)
     val ctx3 = cf3.groupBy(col("ab"))
