@@ -12,9 +12,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * on the classifier-training hot path (SURVEY.md §2 H20b). Catalyst
   * higher-order functions are CodegenFallback: every document paid
   * ~3·dims interpreted lambda invocations per GD step. Semantics
-  * mirror the replaced chain bit-for-bit: int64 multiply/add with JVM
-  * wrap-around, and NULL exactly when the HOF chain yields NULL —
-  * any null element (null product nulls the running sum) or a length
+  * mirror the replaced chain bit-for-bit: exact int64 multiply/add
+  * that THROWS on overflow (Math.multiplyExact/addExact — the ANSI
+  * behavior of the replaced chain under the session default, and
+  * unreachable in the classifier domain where counts × micro-weights
+  * ≪ 2^63), and NULL exactly when the HOF chain yields NULL — any
+  * null element (null product nulls the running sum) or a length
   * mismatch (zip_with pads the shorter side with nulls).
   */
 case class VecDotLong(left: Expression, right: Expression)
@@ -84,6 +87,15 @@ object VecDotLong {
   * (proven bit-identical to round(double).cast(long) — same helper the
   * vector-sum aggregate uses). A null element of c yields a null
   * gradient element, exactly as `transform` maps null to null.
+  *
+  * ONE documented divergence from the replaced chain (ADVICE r16):
+  * this expression extends TernaryExpression with default null
+  * handling, so a NULL `err` or `n` yields a NULL ARRAY, whereas the
+  * replaced `concat(array(round(err·1e6)), transform(...))` would
+  * yield a non-null array whose ELEMENTS are null. Unreachable in the
+  * training pipeline — err and n derive from non-null columns
+  * (spec-pinned bit-identity covers the live domain) — but callers
+  * reusing this kernel elsewhere must not feed nullable err/n.
   */
 case class GradMicroVec(first: Expression, second: Expression,
                         third: Expression)

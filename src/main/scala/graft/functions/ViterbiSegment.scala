@@ -84,7 +84,20 @@ object ViterbiSegment {
       val en = row.getInt(0)
       stArr(j) = row.getInt(1)
       costArr(j) = row.getLong(2)
-      if (en >= 1 && en <= n) { next(j) = head(en); head(en) = j }
+      if (en >= 1 && en <= n) {
+        // fail loudly on a malformed entry, mirroring the replaced
+        // fold's ANSI element_at out-of-range error: st < 1 indexed
+        // below the fold's 1-based accumulator, st > en read past the
+        // i-element prefix. Without the guard st > en would silently
+        // read a zero-initialized best() (ADVICE r16). Entries with en
+        // outside [1, n] stay skipped — the fold's filter(p.en = i)
+        // never touched them either.
+        if (stArr(j) < 1 || stArr(j) > en)
+          throw new IllegalArgumentException(
+            s"viterbi_segment: lattice entry (st=${stArr(j)}, en=$en) " +
+              "violates 1 <= st <= en")
+        next(j) = head(en); head(en) = j
+      }
       j += 1
     }
     val best = new Array[Long](n + 1)

@@ -117,4 +117,33 @@ class ViterbiSegmentSpec extends SparkTestBase {
     val costs = Map("a" -> 1000000L, "aa" -> 1500000L)
     assertIdentical(lattice(words, costs, maxPieceLen = 2))
   }
+
+  test("malformed lattice entries fail loudly instead of silently") {
+    // st > en (and st < 1) violate the lattice invariant every real
+    // caller upholds; the replaced fold raised an ANSI element_at
+    // out-of-range error there, and the kernel must not instead read
+    // an uncomputed best() slot as cost 0 (ADVICE r16). Entries whose
+    // en falls outside [1, n] are skipped like the fold's filter.
+    import spark.implicits._
+    def run(st: Int, en: Int) =
+      Seq(("ab", 2)).toDF("w", "n")
+        .withColumn("ps", expr(
+          s"array(named_struct('en', 1, 'st', 1, 'cost', CAST(1000000 AS BIGINT)), " +
+          s"named_struct('en', 2, 'st', 2, 'cost', CAST(1000000 AS BIGINT)), " +
+          s"named_struct('en', $en, 'st', $st, 'cost', CAST(1 AS BIGINT)))"))
+        .transform(nativeSegment)
+        .select(col("wcost"), concat_ws(" ", col("segs")).as("p")).collect()
+    def deep(e: Throwable): String =
+      Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(deep).getOrElse("")
+    assert(deep(intercept[Exception](run(st = 2, en = 1)))
+      .contains("violates 1 <= st <= en"))
+    assert(deep(intercept[Exception](run(st = 0, en = 2)))
+      .contains("violates 1 <= st <= en"))
+    // an entry whose en falls outside [1, n] is skipped, not fatal —
+    // the result equals the clean two-piece lattice's
+    val withStray = run(st = 1, en = 99)
+    assert(withStray.head.getLong(0) == 2000000L &&
+      withStray.head.getString(1) == "a b")
+  }
 }
